@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+
+/** Relational operator coverage over the driver test tables.
+  *
+  * Numerics discipline (SURVEY.md §7.4.4): plain `sum(double)` is
+  * reduction-order-dependent, so a distributed Spark sum and the DuckDB
+  * oracle can drift in the last ulps. Every summed measure is therefore
+  * routed through exact decimal arithmetic — `CAST(expr AS DECIMAL(28,6))`
+  * per row (deterministic for any IEEE double), exact decimal sum, cast
+  * back to double — which is bit-identical across engines AND across
+  * partitionings/cluster sizes. Averages are `exact_sum / count`, one
+  * deterministic double division. min/max/count are order-independent
+  * already. This matters beyond the oracle: it makes results reproducible
+  * on a 1000-executor cluster, where partial-aggregation order is
+  * arbitrary.
+  */
+object Relational {
+
+  /** Exact distributed sum of a double expression (see object doc). */
+  def dsum(e: Column): Column = sum(e.cast(DecimalType(28, 6))).cast(DoubleType)
+
+  /** Order-independent average: exact sum / count. */
+  def davg(e: Column): Column = dsum(e) / count(e)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- Reference surface on `events` (the weather pipeline's shape
+  // ---- transplanted onto driver data; SURVEY.md §7.2 step 3) ----
+
+  /** P6/P7 staging projection: rename + hour/date derivation.
+    * (`stg_weather_hourly.sql:3-8`; hour-truncated because the raw ns
+    * timestamps exceed Spark's µs precision.) */
+  def stgHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      date_trunc("hour", col("ts")).as("hour_utc"),
+      to_date(col("ts")).as("date_utc"),
+      col("event_type"),
+      col("value"))
+      .orderBy("event_id")
+
+  /** A2/O1 mart: calendar-day tumbling aggregate, ordered by day
+    * (`weather_daily.sql:4-12`). One shuffle on the day key with map-side
+    * partial aggregation. */
+  def martDaily(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        davg(col("value")).as("avg_value"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("day")
+
+  /** A1 grand-total MIN -> scalar batch day (`weather_hourly_pipeline.py:67`). */
+  def batchDay(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").agg(min(to_date(col("ts"))).as("batch_day"))
+
+  /** P8 date-equality predicate selecting one day's rows
+    * (`weather_hourly_pipeline.py:103`). Prunes to one partition under a
+    * `date=` hive layout. */
+  def daySlice(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(to_date(col("ts")) === lit(java.sql.Date.valueOf("2024-01-05")))
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+
+  /** A3 row count (`weather_hourly_pipeline.py:81,113`). */
+  def rowCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").agg(count(lit(1)).as("n_rows"))
+
+  /** O2 top-k read: mart ordered desc, LIMIT 5 (`README.md:158`).
+    * Plans as TakeOrderedAndProject — no global sort. */
+  def top5Days(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("day").desc)
+      .limit(5)
+
+  /** O3 LIMIT sample (`README.md:156`), made deterministic by key order. */
+  def limit5(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select("event_id", "event_type")
+      .orderBy("event_id").limit(5)
+
+  /** O4 `fx_top10_daily`: top 10 rows by value per day (ties broken by
+    * event_id — SURVEY.md §7.4.5). Window + row_number: single shuffle on
+    * the day key; rank filter is applied before any global collection. */
+  def top10PerDay(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("value").desc, col("event_id"))
+    t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .orderBy("day", "rn")
+  }
+
+  // ---- TPC-H-shaped relational coverage ----
+
+  /** Q1-style pricing summary: multi-measure hash aggregate over lineitem.
+    * All sums exact-decimal (see object doc); partial aggregation keeps the
+    * shuffle at (groups x partitions) rows. */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Inner join + aggregate: order revenue per market segment. The join
+    * shuffles both sides on the customer key unless the dim side fits the
+    * broadcast threshold — at 100 TB, orders is the fact side and customer
+    * broadcast/bucketed. */
+  def segmentRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("c_mktsegment")
+
+  /** Q3-style: 3-way join, filtered, grouped, top-10 by revenue.
+    * TakeOrderedAndProject keeps only 10 rows per partition in flight. */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Q5-style: 6-table star join -> revenue per nation in one region.
+    * region/nation are broadcast (tiny dims); the lineitem-orders join
+    * shuffles on the order key. */
+  def q5Region(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+}

@@ -1,0 +1,45 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse layer: zstd Parquet, hive `date=` partition layout, and the
+  * reference's idempotent per-day "upsert simples" — delete-then-insert of
+  * one day inside a transaction (`weather_hourly_pipeline.py:101-112`) —
+  * rendered Spark-native as dynamic partition overwrite.
+  *
+  * Layout matches the reference's S3 key scheme
+  * `weather/date=YYYY-MM-DD/...` (`weather_hourly_pipeline.py:77`), so
+  * partition pruning on a `date` predicate skips everything but the
+  * touched day — the property that makes re-runs and backfills O(day),
+  * not O(table), at 100 TB.
+  */
+object PartitionedStore {
+
+  /** Write a batch, overwriting ONLY the calendar-day partitions present in
+    * it (reference semantics: DELETE day + INSERT rows, U1 in SURVEY.md
+    * §2.6). Re-running the same batch is a no-op state-wise (idempotent). */
+  def upsertDaily(df: DataFrame, path: String, dateCol: String = "time"): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      df.withColumn("date", to_date(col(dateCol)))
+        .write
+        .mode("overwrite")
+        .partitionBy("date")
+        .option("compression", "zstd") // weather_hourly_pipeline.py:73
+        .parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** Read the warehouse back; hive partition discovery restores `date` as a
+    * column and prunes on `date` predicates. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
