@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ingest.WeatherIngest
 import graft.models.WeatherModels
-import graft.operators.Relational
+import graft.operators.{Relational, RelationalExt}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +43,26 @@ object SparkEntry {
     "segment_revenue" -> (Relational.segmentRevenue _),
     "q3_shipping" -> (Relational.q3Shipping _),
     "q5_region" -> (Relational.q5Region _),
+    // -- joins / set ops / windows / grouping sets / subqueries --
+    "join_left" -> (RelationalExt.joinLeft _),
+    "join_semi" -> (RelationalExt.joinSemi _),
+    "join_anti" -> (RelationalExt.joinAnti _),
+    "join_full" -> (RelationalExt.joinFull _),
+    "set_union" -> (RelationalExt.setUnion _),
+    "set_intersect" -> (RelationalExt.setIntersect _),
+    "set_except" -> (RelationalExt.setExcept _),
+    "union_all" -> (RelationalExt.unionAll _),
+    "distinct_agg" -> (RelationalExt.distinctAgg _),
+    "rollup_events" -> (RelationalExt.rollupEvents _),
+    "cube_flags" -> (RelationalExt.cubeFlags _),
+    "win_running" -> (RelationalExt.winRunning _),
+    "win_lag" -> (RelationalExt.winLag _),
+    "win_rank" -> (RelationalExt.winRank _),
+    "scalar_funcs" -> (RelationalExt.scalarFuncs _),
+    "case_buckets" -> (RelationalExt.caseBuckets _),
+    "having_big_cust" -> (RelationalExt.havingBigCust _),
+    "above_avg" -> (RelationalExt.aboveAvg _),
+    "above_nation_avg" -> (RelationalExt.aboveNationAvg _),
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per oracle-expressible query.
@@ -74,8 +94,8 @@ object SparkEntry {
     "top10_per_day" ->
       """SELECT day, event_id, value, rn FROM (
         | SELECT CAST(ts AS DATE) AS day, event_id, value,
-        |  row_number() OVER (PARTITION BY CAST(ts AS DATE)
-        |   ORDER BY value DESC, event_id) AS rn
+        |  CAST(row_number() OVER (PARTITION BY CAST(ts AS DATE)
+        |   ORDER BY value DESC, event_id) AS INTEGER) AS rn
         | FROM events) WHERE rn <= 10 ORDER BY day, rn""".stripMargin.replace("\n", ""),
     "weather_fixture_daily" ->
       """SELECT CAST(NULL AS DATE) AS day,
@@ -121,5 +141,98 @@ object SparkEntry {
         | JOIN nation ON s_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         | GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin.replace("\n", ""),
+    "join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey ORDER BY c_custkey""".stripMargin.replace("\n", ""),
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        | ORDER BY c_custkey""".stripMargin.replace("\n", ""),
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        | ORDER BY c_custkey""".stripMargin.replace("\n", ""),
+    "join_full" ->
+      """SELECT coalesce(c_nationkey, s_nationkey) AS nationkey, n_cust, n_supp
+        | FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+        | FULL JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        |  ON c_nationkey = s_nationkey
+        | ORDER BY nationkey""".stripMargin.replace("\n", ""),
+    "set_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        | UNION SELECT s_nationkey FROM supplier
+        | ORDER BY nationkey""".stripMargin.replace("\n", ""),
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        | INTERSECT SELECT s_nationkey FROM supplier
+        | ORDER BY nationkey""".stripMargin.replace("\n", ""),
+    "set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        | EXCEPT SELECT s_nationkey FROM supplier
+        | ORDER BY nationkey""".stripMargin.replace("\n", ""),
+    "union_all" ->
+      """SELECT 'err' AS tag, event_id FROM events WHERE event_type = 'error'
+        | UNION ALL
+        | SELECT 'buy' AS tag, event_id FROM events WHERE event_type = 'purchase'
+        | ORDER BY tag, event_id""".stripMargin.replace("\n", ""),
+    "distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        | count(*) AS n_events
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", ""),
+    "rollup_events" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        | FROM events GROUP BY ROLLUP(event_type)
+        | ORDER BY event_type NULLS FIRST""".stripMargin.replace("\n", ""),
+    "cube_flags" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        | FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        | ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin.replace("\n", ""),
+    "win_running" ->
+      """SELECT event_id, user_id,
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) OVER (PARTITION BY user_id
+        |  ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
+        | FROM events ORDER BY event_id""".stripMargin.replace("\n", ""),
+    "win_lag" ->
+      """SELECT event_id, user_id,
+        | value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+        | FROM events ORDER BY event_id""".stripMargin.replace("\n", ""),
+    "win_rank" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+        | CAST(rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INTEGER) AS rnk,
+        | CAST(dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INTEGER) AS drnk
+        | FROM supplier ORDER BY s_nationkey, rnk, s_suppkey""".stripMargin.replace("\n", ""),
+    "scalar_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | CAST(month(o_orderdate) AS INTEGER) AS mo,
+        | CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+        | upper(o_orderpriority) AS prio_upper,
+        | substr(o_orderstatus, 1, 1) AS status1,
+        | CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+        | concat(o_orderstatus, '|', o_orderpriority) AS tagged
+        | FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", ""),
+    "case_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+        |  WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS bucket,
+        | count(*) AS n_orders
+        | FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", ""),
+    "having_big_cust" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM orders
+        | GROUP BY o_custkey HAVING count(*) >= 3
+        | ORDER BY o_custkey""".stripMargin.replace("\n", ""),
+    "above_avg" ->
+      """SELECT o_orderkey, o_totalprice FROM orders,
+        | (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)/count(*) AS avg_p
+        |  FROM orders) a
+        | WHERE o_totalprice > avg_p ORDER BY o_orderkey""".stripMargin.replace("\n", ""),
+    "above_nation_avg" ->
+      """SELECT c_custkey, c_acctbal FROM customer JOIN
+        | (SELECT c_nationkey AS nk,
+        |   CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)/count(*) AS na_avg
+        |  FROM customer GROUP BY c_nationkey) na
+        | ON c_nationkey = nk WHERE c_acctbal > na_avg
+        | ORDER BY c_custkey""".stripMargin.replace("\n", ""),
   )
 }
