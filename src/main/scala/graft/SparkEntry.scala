@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ingest.WeatherIngest
 import graft.models.WeatherModels
-import graft.operators.{Relational, RelationalExt}
+import graft.operators.{Dedup, Relational, RelationalExt, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -63,6 +63,26 @@ object SparkEntry {
     "having_big_cust" -> (RelationalExt.havingBigCust _),
     "above_avg" -> (RelationalExt.aboveAvg _),
     "above_nation_avg" -> (RelationalExt.aboveNationAvg _),
+    // -- text analysis (documents) --
+    "text_stats" -> (TextAnalysis.textStats _),
+    "quality_scores" -> (TextAnalysis.qualityScores _),
+    "lang_id" -> (TextAnalysis.langIdPredictions _),
+    "fingerprints" -> (TextAnalysis.fingerprints _),
+    "token_histogram" -> (TextAnalysis.tokenHistogram _),
+    // -- deduplication (documents) --
+    "dedup_exact_groups" -> (Dedup.exactGroups _),
+    "dedup_exact" -> (Dedup.exactDedup _),
+    "minhash_pairs" -> ((s: SparkSession, d: String) => Dedup.minhashPairs(s, d)),
+    "minhash_dedup" -> ((s: SparkSession, d: String) => Dedup.minhashDedup(s, d)),
+    "simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "ngram_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
+    // -- similarity search (embeddings) --
+    "embed_norms" -> (Similarity.norms _),
+    "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    "ann_lsh_topk" -> ((s: SparkSession, d: String) =>
+      Similarity.lshTopK(s, d, Seq(0L, 1L, 2L, 3L, 4L))),
+    "embed_neardup_pairs" -> ((s: SparkSession, d: String) =>
+      Similarity.embeddingNearDupPairs(s, d)),
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per oracle-expressible query.
@@ -234,5 +254,58 @@ object SparkEntry {
         |  FROM customer GROUP BY c_nationkey) na
         | ON c_nationkey = nk WHERE c_acctbal > na_avg
         | ORDER BY c_custkey""".stripMargin.replace("\n", ""),
+    "text_stats" ->
+      """SELECT doc_id, length(text) AS len_chars,
+        | len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        | len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+        | length(text) - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        | round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |  / len(string_split_regex(trim(text), '\s+')), 6) AS avg_token_len
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "quality_scores" ->
+      """SELECT doc_id, round(sw, 6) AS stopword_ratio, round(pr, 6) AS punct_ratio,
+        | round((CASE WHEN sw > 0.5 THEN 1.0 - sw ELSE sw END) * 2.0 * 0.4
+        |  + (1.0 - least(pr * 10.0, 1.0)) * 0.3
+        |  + least(nt / 64.0, 1.0) * 0.3, 6) AS quality
+        | FROM (SELECT doc_id,
+        |  CAST(len(list_filter(toks, t -> list_contains(
+        |   ['the','a','an','and','or','of','to','in','is','it',
+        |    'that','for','on','with','as','at','by','be','this','are'], t)))
+        |   AS DOUBLE) / len(toks) AS sw,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |   AS DOUBLE) / length(text) AS pr,
+        |  CAST(len(toks) AS DOUBLE) AS nt
+        |  FROM (SELECT doc_id, text,
+        |   string_split_regex(trim(text), '\s+') AS toks FROM documents))
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "token_histogram" ->
+      """SELECT token, count(*) AS n FROM
+        | (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents)
+        | GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin.replace("\n", ""),
+    "dedup_exact_groups" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_copies FROM documents
+        | GROUP BY md5(text) ORDER BY text_hash""".stripMargin.replace("\n", ""),
+    "dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        | WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "embed_norms" ->
+      """SELECT vec_id, round(sqrt(list_aggregate(list_transform(embedding,
+        | x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS norm
+        | FROM embeddings ORDER BY vec_id""".stripMargin.replace("\n", ""),
+    "ann_brute_topk" ->
+      """SELECT e.vec_id, round(
+        | list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |  list_transform(q.embedding, x -> CAST(x AS DOUBLE)))
+        | / (sqrt(list_aggregate(list_transform(e.embedding,
+        |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |  * sqrt(list_aggregate(list_transform(q.embedding,
+        |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS cos_sim
+        | FROM embeddings e,
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        | WHERE e.vec_id <> 0
+        | ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin.replace("\n", ""),
   )
 }

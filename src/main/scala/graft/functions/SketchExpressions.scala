@@ -1,0 +1,269 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.{GraftColumnBridge => CB}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for document sketches (MinHash, SimHash).
+  *
+  * Why custom expressions instead of composed higher-order functions:
+  * expressions referenced inside `transform`/`aggregate` lambdas are
+  * re-evaluated per array element, and CollapseProject can inline a
+  * materialized column back into a consuming lambda — observed to turn a
+  * k=64 MinHash over ~300 shingles into ~64 full re-shinglings per row
+  * (minutes per 500 rows). A single imperative pass is the honest cost
+  * model: hash each shingle once, derive the k permutation minima with
+  * cheap universal hashing (a_j*h+b_j — Broder '97 / standard MinHash
+  * practice). O(S + S*k) word ops per row, no string re-processing.
+  *
+  * Both expressions are deterministic pure functions of their input (safe
+  * for any optimizer rewrite, identical on any cluster layout) and
+  * CodegenFallback (one virtual call per row — negligible next to the
+  * per-row O(S*k) work; doGenCode would buy nothing here).
+  */
+object SketchExpressions {
+
+  private[functions] def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  val MaxK = 256
+  /** Deterministic universal-hash coefficients (odd multipliers). */
+  private[functions] val CoefA: Array[Long] =
+    Array.tabulate(MaxK)(i => splitmix64(2L * i) | 1L)
+  private[functions] val CoefB: Array[Long] =
+    Array.tabulate(MaxK)(i => splitmix64(2L * i + 1))
+
+  /** xxhash64 of a UTF8String element (seed 42, matching Spark's
+    * xxhash64 SQL function family). */
+  private[functions] def hashStr(
+      s: org.apache.spark.unsafe.types.UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
+  def minhash(shingles: Column, k: Int = 64): Column =
+    CB.column(MinHashSignature(CB.expression(shingles), k))
+
+  def minhashBands(shingles: Column, k: Int = 64, bands: Int = 16): Column =
+    CB.column(MinHashBandBuckets(CB.expression(shingles), k, bands))
+
+  def simhash(tokens: Column): Column = CB.column(SimHash64(CB.expression(tokens)))
+
+  def wordShingles(tokens: Column, n: Int = 3): Column =
+    CB.column(WordShingles(CB.expression(tokens), n))
+
+  def charNgramSet(normText: Column, n: Int = 5): Column =
+    CB.column(CharNgramSet(CB.expression(normText), n))
+
+  def tokenFingerprint(tokens: Column): Column =
+    CB.column(TokenFingerprint(CB.expression(tokens)))
+}
+
+/** Order-sensitive polynomial rolling hash over an array<string> token
+  * sequence: h = h * 1000003 + xxhash64(token), wrapping (Java long
+  * semantics; expression arithmetic would throw under ANSI mode). Equal
+  * fingerprints => identical token sequences with overwhelming
+  * probability — the cheap first-pass dedup key. */
+case class TokenFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "token_fingerprint"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = h * 1000003L + SketchExpressions.hashStr(arr.getUTF8String(i))
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenFingerprint =
+    copy(child = c)
+}
+
+/** Distinct word n-gram shingles of an array<string> token sequence,
+  * single pass (first-occurrence order). */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val cnt = arr.numElements()
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    if (cnt == 0) {
+      out.add(org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8)
+    } else if (cnt <= n) {
+      val parts = Array.tabulate(cnt)(i => arr.getUTF8String(i))
+      out.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
+    } else {
+      var i = 0
+      while (i + n <= cnt) {
+        val parts = Array.tabulate(n)(j => arr.getUTF8String(i + j))
+        out.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** LSH band buckets straight from the shingle set: computes the k-wide
+  * MinHash signature in one pass, then hashes each of `bands` contiguous
+  * slices to one 64-bit bucket key. Output: array<long> of length `bands`
+  * (index = band id). Collapse-proof single tree: evaluated once per row
+  * wherever the optimizer puts it. */
+case class MinHashBandBuckets(child: Expression, k: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && k <= SketchExpressions.MaxK && bands > 0 && k % bands == 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_buckets"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = SketchExpressions.hashStr(arr.getUTF8String(i))
+      var j = 0
+      while (j < k) {
+        val v = SketchExpressions.CoefA(j) * h + SketchExpressions.CoefB(j)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val r = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0x27D4EB2F165667C5L + b
+      var j = b * r
+      while (j < (b + 1) * r) {
+        acc = XXH64.hashLong(mins(j), acc)
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashBandBuckets =
+    copy(child = c)
+}
+
+/** Distinct character n-grams of a (whitespace-normalized) string, single
+  * pass over UTF-16 code units. */
+case class CharNgramSet(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngram_set"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    if (s.length <= n) {
+      out.add(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    } else {
+      var i = 0
+      while (i + n <= s.length) {
+        out.add(org.apache.spark.unsafe.types.UTF8String.fromString(
+          s.substring(i, i + n)))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharNgramSet =
+    copy(child = c)
+}
+
+/** k-wide MinHash signature of an array<string> shingle set: one pass,
+  * one xxhash64 per shingle, k derived permutations. */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && k <= SketchExpressions.MaxK)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = SketchExpressions.hashStr(arr.getUTF8String(i))
+      var j = 0
+      while (j < k) {
+        val v = SketchExpressions.CoefA(j) * h + SketchExpressions.CoefB(j)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** 64-bit SimHash (Charikar '02) of an array<string> token sequence: each
+  * token's xxhash64 votes +/-1 per bit position; sign vector packs into
+  * one long. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = SketchExpressions.hashStr(arr.getUTF8String(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.SketchExpressions
+
+/** Deduplication suite for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. The reference has no dedup surface; these
+  * are the mandated extension operators, designed scale-first:
+  *
+  * - Exact dedup is one hash-shuffle on a 16-byte digest (never on the
+  *   full text): shuffle volume is O(rows x 16B), not O(corpus bytes).
+  * - MinHash/LSH never compares all pairs. Each doc emits `bands` rows
+  *   (band-id, bucket-key); a self-join *within buckets* yields
+  *   candidates, and exact Jaccard runs only on candidates. At 100 TB the
+  *   bucket join is the only shuffle and its fan-out is bounded by bucket
+  *   sizes — the standard near-dup pipeline (Broder '97 resemblance
+  *   sketches, banding as in Spark MLlib's MinHashLSH).
+  * - SimHash (Charikar '02) packs a document into 64 bits; banding the
+  *   bits into 4x16 gives candidates with Hamming distance <= 3 by
+  *   pigeonhole, verified exactly with bit_count.
+  *
+  * Sketches (shingling, MinHash, banding, SimHash) are custom Catalyst
+  * expressions (graft.functions.SketchExpressions) — single-pass per row,
+  * immune to lambda re-evaluation and optimizer inlining; see that file's
+  * Scaladoc for the measured failure mode of the composed-HOF approach.
+  * Signatures derive from xxhash64 + fixed universal-hash coefficients —
+  * deterministic across runs, partitionings, and cluster sizes.
+  */
+object Dedup {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def bitCount(a: Column): Column = call_function("bit_count", a)
+
+  // ---- exact dedup ----
+
+  /** Duplicate-group summary keyed by content digest. */
+  def exactGroups(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("text_hash")
+
+  /** The deduplicated corpus: first doc_id per distinct content wins
+    * (window-dedup pattern — one shuffle on the digest). */
+  def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  // ---- MinHash + LSH ----
+
+  /** (doc_id, band, bucket) rows — the LSH index. Only 16 longs per doc
+    * are shuffled, never text. */
+  private def bandIndex(docs: DataFrame, k: Int, bands: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        SketchExpressions.minhashBands(
+          SketchExpressions.wordShingles(tokens(col("text"))), k, bands)
+          .as("buckets"))
+      .select(col("doc_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+
+  /** Candidate pairs from LSH banding (doc_a < doc_b), deduplicated across
+    * bands. */
+  def minhashCandidates(docs: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
+    val idx = bandIndex(docs, k, bands)
+    val a = idx.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = idx.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates -> exact word-shingle
+    * Jaccard verification -> pairs above threshold. */
+  def minhashPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cands = minhashCandidates(docs)
+    val sh = docs.select(col("doc_id"),
+      SketchExpressions.wordShingles(tokens(col("text"))).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
+      .join(sh.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Near-dedup'd corpus: drop the higher doc_id of every confirmed
+    * near-dup pair. */
+  def minhashDedup(s: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val dupes = minhashPairs(s, dir, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    t(s, dir, "documents")
+      .join(dupes, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  // ---- SimHash ----
+
+  /** Hamming distance between two packed 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bitCount(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 64 bits into 4x16-bit keys
+    * (pigeonhole guarantees recall for Hamming distance <= 3), verify with
+    * exact Hamming distance. */
+  def simhashPairs(s: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        SketchExpressions.simhash(tokens(col("text"))).as("sh"))
+    val banded = docs.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        call_function("shiftright", col("sh"), lit(b * 16))
+          .bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "key")))
+    val l = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- character n-gram Jaccard ----
+
+  /** Exact char-5-gram Jaccard over MinHash candidates (LSH prunes the
+    * pair space; the expensive set ops run on candidates only). */
+  def ngramJaccardPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cands = minhashCandidates(docs)
+    val ng = docs.select(col("doc_id"),
+      SketchExpressions.charNgramSet(normalizedText(col("text"))).as("ng"))
+    cands
+      .join(ng.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("ng", "ng_a"), Seq("doc_a"))
+      .join(ng.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("ng", "ng_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("ng_a"), col("ng_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH (Charikar '02 SimHash for angles) bucketed variant as the scale
+  * path. All vector math is `zip_with`/`aggregate` higher-order
+  * expressions in double precision — codegen'd, no UDFs, deterministic
+  * left-to-right folds (oracle- and cluster-reproducible).
+  *
+  * Scale design: brute force is a broadcast of the query vector and one
+  * scan — O(N·d) with a top-k TakeOrdered, no shuffle. The LSH variant
+  * buckets vectors by an H-bit hyperplane signature; queries probe only
+  * their own bucket (plus Hamming-1 neighbors at query time if recall
+  * demands), turning 100 TB scans into bucket-sized reads when the bucket
+  * table is hive-partitioned by signature.
+  */
+object Similarity {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Deterministic double-precision dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Per-vector L2 norms (the normalize-once-then-dot pattern). */
+  def norms(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), round(l2norm(col("embedding")), 6).as("norm"))
+      .orderBy("vec_id")
+
+  /** Exact top-k cosine neighbors of one stored vector (default query:
+    * vec_id 0). The 1-row query side is broadcast; ranking is
+    * TakeOrderedAndProject — only k rows survive per partition. */
+  def bruteForceTopK(s: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** H-bit random-hyperplane signature. Plane weights are deterministic
+    * pseudo-randoms derived from xxhash64(plane, dim) mapped to [-1, 1] —
+    * no RNG state, reproducible on any cluster. */
+  def lshSignature(v: Column, planes: Int = 12): Column = {
+    val dims = sequence(lit(0), size(v) - 1)
+    aggregate(
+      sequence(lit(0), lit(planes - 1)),
+      lit(0L),
+      (acc, p) => {
+        val proj = aggregate(
+          zip_with(v, dims, (x, d) =>
+            x.cast("double") *
+              ((xxhash64(p, d).cast("double") / lit(9.223372036854776e18))))
+          , lit(0.0), (a, x) => a + x)
+        when(proj > 0,
+          acc.bitwiseOR(call_function("shiftleft", lit(1L), p)))
+          .otherwise(acc)
+      })
+  }
+
+  /** Bucketed ANN: assign every vector an LSH bucket; for each query in
+    * `queryIds`, rank only vectors sharing its bucket. Returns top-k per
+    * query within the bucket (approximate; recall measured in tests). */
+  def lshTopK(s: SparkSession, dir: String, queryIds: Seq[Long],
+      k: Int = 10, planes: Int = 8): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        lshSignature(col("embedding"), planes).as("bucket"))
+    val queries = emb
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("q_id", "rn")
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold, LSH-bucketed
+    * (pairs compared only within buckets — the embedding analog of
+    * MinHash near-dup dedup). */
+  def embeddingNearDupPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.9, planes: Int = 6): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        lshSignature(col("embedding"), planes).as("bucket"))
+    val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries over the `documents` table (extension surface:
+  * language-ID, quality scoring, token counting, fingerprinting). All are
+  * single-pass narrow scans — no shuffle except the final presentation
+  * sort and the token-histogram group-by. */
+object TextAnalysis {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Per-document token/character statistics (oracle-checked). */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        punctCount(col("text")).as("n_punct"),
+        round(avgTokenLen(col("text")), 6).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  /** Composite quality score per document (oracle-checked: deterministic
+    * arithmetic over counts). */
+  def qualityScores(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic per document, with the table's labeled `lang`
+    * for side-by-side comparison (rows-only check: marker-set heuristic is
+    * not ANSI-SQL-expressible). */
+  def langIdPredictions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang").as("lang_labeled"),
+        langId(col("text")).as("pred"))
+      .select(col("doc_id"), col("lang_labeled"),
+        col("pred.lang").as("lang_pred"), col("pred.score").as("score"))
+      .orderBy("doc_id")
+
+  /** Order-sensitive rolling-hash fingerprint per document (rows-only:
+    * xxhash64 is Spark-native). Equal fingerprint = duplicate candidate. */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Corpus-level token frequency top-20 (explode -> hash aggregate ->
+    * top-k; the shuffle carries (token, partial count) pairs only). */
+  def tokenHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+}
