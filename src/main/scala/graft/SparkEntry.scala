@@ -83,6 +83,13 @@ object SparkEntry {
       Similarity.lshTopK(s, d, Seq(0L, 1L, 2L, 3L, 4L))),
     "embed_neardup_pairs" -> ((s: SparkSession, d: String) =>
       Similarity.embeddingNearDupPairs(s, d)),
+    // -- multimodal columns (binary payloads + typed metadata) --
+    "mm_meta" -> (graft.multimodal.Multimodal.mediaMeta _),
+    "mm_features" -> (graft.multimodal.Multimodal.extractFeatures _),
+    "mm_frames" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.sampleFrames(s, d)),
+    // -- structured streaming (1-day tumbling window + watermark) --
+    "stream_daily" -> (graft.streaming.HourlyStream.runDailyAggOnce _),
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per oracle-expressible query.
@@ -258,7 +265,7 @@ object SparkEntry {
       """SELECT doc_id, length(text) AS len_chars,
         | len(string_split_regex(trim(text), '\s+')) AS n_tokens,
         | len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
-        | length(text) - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+        | length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
         | round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
         |  / len(string_split_regex(trim(text), '\s+')), 6) AS avg_token_len
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
@@ -272,7 +279,7 @@ object SparkEntry {
         |   ['the','a','an','and','or','of','to','in','is','it',
         |    'that','for','on','with','as','at','by','be','this','are'], t)))
         |   AS DOUBLE) / len(toks) AS sw,
-        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |  CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
         |   AS DOUBLE) / length(text) AS pr,
         |  CAST(len(toks) AS DOUBLE) AS nt
         |  FROM (SELECT doc_id, text,
@@ -307,5 +314,18 @@ object SparkEntry {
         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         | WHERE e.vec_id <> 0
         | ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin.replace("\n", ""),
+    "mm_meta" ->
+      """SELECT doc_id AS media_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+        |  WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+        | octet_length(encode(text)) AS n_bytes
+        | FROM documents ORDER BY media_id""".stripMargin.replace("\n", ""),
+    "stream_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        | FROM events GROUP BY 1, 2
+        | ORDER BY day, event_type""".stripMargin.replace("\n", ""),
   )
 }

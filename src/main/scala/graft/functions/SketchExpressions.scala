@@ -26,7 +26,7 @@ import org.apache.spark.sql.types._
   */
 object SketchExpressions {
 
-  private[functions] def splitmix64(seed: Long): Long = {
+  def splitmix64(seed: Long): Long = {
     var z = seed + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

@@ -30,9 +30,9 @@ object TextFunctions {
   def bpeTokenCount(c: Column): Column = size(bpeTokens(c)).cast("long")
 
   /** Count of punctuation/symbol characters (anything outside
-    * [A-Za-z0-9] and whitespace). */
+    * [A-Za-z0-9] and whitespace): strip the rest, count what remains. */
   def punctCount(c: Column): Column =
-    (length(c) - length(regexp_replace(c, "[A-Za-z0-9\\s]", ""))).cast("long")
+    length(regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("long")
 
   /** Punctuation chars per character — a standard quality signal. */
   def punctRatio(c: Column): Column =

@@ -1,0 +1,113 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal column support: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus decode / feature-extract / frame-sample
+  * operators.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
+  * `stubDecodeFeatures` derives a deterministic fake feature vector from
+  * the payload bytes (clearly marked below). Everything around it is the
+  * real Spark plumbing this pipeline needs at 100 TB:
+  *
+  * - media rows are (id, kind, payload binary, meta struct) — schema-first,
+  *   so Parquet stores payloads as raw byte arrays with metadata columns
+  *   prunable without touching payload bytes;
+  * - feature extraction runs as `mapPartitions` over a typed Dataset —
+  *   the Scala analog of `mapInPandas` batch processing: per-partition
+  *   iterator in, iterator out, so a decoder can amortize model/codec
+  *   init per partition (exactly where a real JNI decoder would live);
+  * - frame sampling is a pure expression (binary `substr` windows) —
+  *   no shuffle, prunable, codegen'd.
+  */
+object Multimodal {
+
+  /** Typed media row (payload is an opaque byte blob). */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+      format: String, width: Int, height: Int, duration_ms: Int)
+
+  /** Extracted features per media item. */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      features: Array[Float])
+
+  /** Build a deterministic media table from `documents` (the driver's only
+    * blob-able source): payload = UTF-8 bytes of the text, kind/meta
+    * derived from doc_id. At 100 TB this table would be ingested directly
+    * from object storage with payloads in parquet binary columns. */
+  def mediaFromDocuments(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        element_at(array(lit("png"), lit("wav"), lit("mp4")),
+          (col("doc_id") % 3 + 1).cast("int")).as("format"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"),
+        (col("n_chars") * 10).cast("int").as("duration_ms"))
+
+  /** Metadata projection (payload column pruned — the scan must not read
+    * payload bytes; verified via explain in tests). */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    mediaFromDocuments(s, dir)
+      .select(col("media_id"), col("kind"), col("format"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .orderBy("media_id")
+
+  /** ======== STUB ========
+    * Deterministic fake "decode + embed": 8 floats derived from xxhash64
+    * of the payload. A real deployment replaces ONLY this function with a
+    * codec/model call (per-partition init amortized by mapPartitions); the
+    * signature — bytes in, fixed-width float vector out — is the real
+    * contract. */
+  private[multimodal] def stubDecodeFeatures(payload: Array[Byte]): Array[Float] = {
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < payload.length) { h = (h ^ payload(i)) * 0x100000001B3L; i += 1 }
+    Array.tabulate(8) { j =>
+      val hj = graft.functions.SketchExpressions.splitmix64(h + j)
+      (hj.toDouble / 9.223372036854776e18).toFloat
+    }
+  }
+
+  /** Feature extraction over the media table: typed mapPartitions (batch
+    * iterator shape — decoder init happens once per partition, not per
+    * row). */
+  def extractFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = mediaFromDocuments(s, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      // [real decoder init would go here: one codec/model per partition]
+      rows.map { m =>
+        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
+          stubDecodeFeatures(m.payload))
+      }
+    }.toDF().orderBy("media_id")
+  }
+
+  /** Frame sampling: cut `n` evenly spaced fixed-size byte windows from
+    * each payload (stand-in for video frame extraction; the windowing,
+    * explode shape, and per-frame rows are the real plumbing). Pure
+    * expressions — no shuffle. */
+  def sampleFrames(s: SparkSession, dir: String, n: Int = 4,
+      frameBytes: Int = 16): DataFrame = {
+    val media = mediaFromDocuments(s, dir)
+      .filter(col("kind") === "video")
+    val stride = greatest((length(col("payload")) - frameBytes) / n, lit(1))
+    media
+      .select(col("media_id"),
+        posexplode(transform(sequence(lit(0), lit(n - 1)), i =>
+          col("payload").substr(i * stride + 1, lit(frameBytes))))
+          .as(Seq("frame_idx", "frame")))
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        xxhash64(col("frame")).as("frame_hash"))
+      .orderBy("media_id", "frame_idx")
+  }
+}

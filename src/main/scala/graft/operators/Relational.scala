@@ -66,11 +66,14 @@ object Relational {
     t(s, dir, "events").agg(min(to_date(col("ts"))).as("batch_day"))
 
   /** P8 date-equality predicate selecting one day's rows
-    * (`weather_hourly_pipeline.py:103`). Prunes to one partition under a
-    * `date=` hive layout. */
+    * (`weather_hourly_pipeline.py:103`). Written as a half-open timestamp
+    * range, not `to_date(ts) = d`: a range on the raw column is SARGable
+    * (pushes to the scan / prunes `date=` partitions); a function of the
+    * column never is. */
   def daySlice(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .filter(to_date(col("ts")) === lit(java.sql.Date.valueOf("2024-01-05")))
+      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
+        && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-06 00:00:00")))
       .select("event_id", "event_type", "value")
       .orderBy("event_id")
 

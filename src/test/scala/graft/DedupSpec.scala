@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Dedup pipelines on planted duplicates and on the real test corpus. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = (1 to 60).map(i => s"word$i").mkString(" ")
+  // near-dup: ~8% of tokens perturbed
+  private val near = ((1 to 55).map(i => s"word$i") ++
+    (1 to 5).map(i => s"edit$i")).mkString(" ")
+  private val far = (100 to 160).map(i => s"other$i").mkString(" ")
+
+  private def planted = Seq(
+    (0L, base, "en", "s0", base.length.toLong),
+    (1L, base, "en", "s0", base.length.toLong), // exact dup of 0
+    (2L, near, "en", "s0", near.length.toLong), // near dup of 0
+    (3L, far, "en", "s0", far.length.toLong))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashCandidates(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("planted corpus on disk: full pipeline keeps singles, drops dups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_").toString
+    planted.write.parquet(s"$dir/documents.parquet")
+    val kept = Dedup.minhashDedup(spark, dir, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L) && kept.contains(3L))
+    assert(!kept.contains(1L)) // exact dup dropped
+    assert(!kept.contains(2L)) // near dup dropped
+    val groups = Dedup.exactGroups(spark, dir).collect()
+    assert(groups.length === 3) // base, near, far
+    assert(groups.map(_.getLong(2)).sum === 4)
+    val exact = Dedup.exactDedup(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact === Set(0L, 2L, 3L)) // only the exact dup removed
+  }
+
+  test("simhash pairs: exact dup at hamming 0; unrelated docs absent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_").toString
+    planted.write.parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.simhashPairs(spark, dir, maxHamming = 3).collect()
+    val zeroPair = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(zeroPair.isDefined && zeroPair.get.getInt(2) === 0)
+    assert(!pairs.exists(r => r.getLong(1) == 3L))
+  }
+
+  test("ngram jaccard on candidates: exact dup scores 1.0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_").toString
+    planted.write.parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(spark, dir, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs.get((0L, 2L)).forall(_ < 1.0))
+  }
+
+  test("real corpus: driver-planted near-duplicates are found") {
+    val pairs = Dedup.minhashPairs(spark, TestSpark.sf, threshold = 0.5).count()
+    assert(pairs > 0, "expected the synthetic corpus's near-dups to surface")
+  }
+}

