@@ -32,6 +32,10 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name $sec%.2fs")
+      // Nudge the ContextCleaner: shuffle/broadcast state is only released
+      // on GC, and without pressure the JVM defers it — measured ~5-10x
+      // degradation of later queries in a 50-query run without this.
+      System.gc()
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
