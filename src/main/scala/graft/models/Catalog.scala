@@ -1,0 +1,44 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** The dbt view layer re-expressed in the Spark session catalog
+  * (SURVEY.md §2.10): compute-on-read views in layered namespaces —
+  * base tables by name, `stg_*` staging, `mart_*` marts — and
+  * idempotent registration (the U2 `CREATE ... IF NOT EXISTS` shape).
+  *
+  * Views are lazy plans: a consumer query over `mart_weather_daily` is
+  * inlined and optimized end-to-end by Catalyst, exactly like Postgres
+  * view inlining in the reference (SURVEY.md §3.3). Selection by tag
+  * (`dbt run --select tag:weather`) maps to the named-registry filter. */
+object Catalog {
+
+  /** Model registry: name -> (tags, plan builder). */
+  def models: Seq[(String, Seq[String], (SparkSession, String) => DataFrame)] = Seq(
+    ("stg_hourly_events", Seq("events"),
+      (s, d) => graft.operators.Relational.stgHourly(s, d)),
+    ("mart_daily_events", Seq("events"),
+      (s, d) => graft.operators.Relational.martDaily(s, d)),
+    ("stg_weather_hourly", Seq("weather"),
+      (s, _) => WeatherModels.staging(
+        graft.ingest.WeatherIngest.fromPayloads(
+          s, Seq(graft.ingest.WeatherIngest.fixturePayload)))),
+    ("mart_weather_daily", Seq("weather"),
+      (s, _) => WeatherModels.daily(
+        graft.ingest.WeatherIngest.fromPayloads(
+          s, Seq(graft.ingest.WeatherIngest.fixturePayload)))))
+
+  /** Register base tables + all models (optionally filtered by tag) as
+    * temp views. Idempotent: re-registration replaces (IF NOT EXISTS /
+    * CREATE OR REPLACE semantics). */
+  def registerAll(s: SparkSession, dir: String,
+      tag: Option[String] = None): Unit = {
+    Tables.registerAll(s, dir)
+    models.foreach { case (name, tags, build) =>
+      if (tag.forall(tags.contains))
+        build(s, dir).createOrReplaceTempView(name)
+    }
+  }
+}

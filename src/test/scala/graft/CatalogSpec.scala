@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.models.Catalog
+
+/** dbt-layer semantics: lazy views, layered names, tag selection,
+  * idempotent registration (SURVEY.md §2.10). */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("registerAll exposes base tables and models as queryable views") {
+    Catalog.registerAll(spark, TestSpark.sf)
+    assert(spark.sql("SELECT count(*) FROM events").head().getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT * FROM mart_daily_events LIMIT 3").count() === 3)
+    // view composition: consumer SQL over the mart view optimizes through
+    val top = spark.sql(
+      """SELECT day, n_events FROM mart_daily_events
+        | ORDER BY day DESC LIMIT 5""".stripMargin)
+    assert(top.count() === 5)
+  }
+
+  test("tag selection registers only the tagged subset") {
+    val s2 = spark.newSession()
+    Catalog.registerAll(s2, TestSpark.sf, tag = Some("weather"))
+    assert(s2.sql("SELECT count(*) FROM mart_weather_daily").head()
+      .getLong(0) === 2)
+    assert(s2.catalog.tableExists("stg_weather_hourly"))
+    assert(!s2.catalog.tableExists("mart_daily_events"))
+  }
+
+  test("re-registration is idempotent (CREATE OR REPLACE semantics)") {
+    Catalog.registerAll(spark, TestSpark.sf)
+    Catalog.registerAll(spark, TestSpark.sf)
+    assert(spark.sql("SELECT count(*) FROM stg_hourly_events")
+      .head().getLong(0) > 0)
+  }
+}
