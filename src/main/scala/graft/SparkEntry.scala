@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ingest.WeatherIngest
 import graft.models.WeatherModels
-import graft.operators.{Dedup, Relational, RelationalExt, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Relational, RelationalExt, RelationalMore, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -63,6 +63,15 @@ object SparkEntry {
     "having_big_cust" -> (RelationalExt.havingBigCust _),
     "above_avg" -> (RelationalExt.aboveAvg _),
     "above_nation_avg" -> (RelationalExt.aboveNationAvg _),
+    // -- sessionization / as-of / JSON / pivot / stats / string-agg --
+    "sessionize" -> (RelationalMore.sessionize _),
+    "asof_latest" -> (RelationalMore.asofLatest _),
+    "props_json" -> (RelationalMore.propsJson _),
+    "pivot_daily" -> (RelationalMore.pivotDaily _),
+    "stats_agg" -> (RelationalMore.statsAgg _),
+    "listagg_types" -> (RelationalMore.listaggTypes _),
+    "scalar_math" -> (RelationalMore.scalarMath _),
+    "date_arith" -> (RelationalMore.dateArith _),
     // -- text analysis (documents) --
     "text_stats" -> (TextAnalysis.textStats _),
     "quality_scores" -> (TextAnalysis.qualityScores _),
@@ -261,6 +270,76 @@ object SparkEntry {
         |  FROM customer GROUP BY c_nationkey) na
         | ON c_nationkey = nk WHERE c_acctbal > na_avg
         | ORDER BY c_custkey""".stripMargin.replace("\n", ""),
+    "sessionize" ->
+      """SELECT user_id, session_idx, count(*) AS n_events,
+        | min(event_id) AS first_event, max(event_id) AS last_event
+        | FROM (SELECT user_id, event_id,
+        |  CAST(sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_idx
+        |  FROM (SELECT user_id, event_id, ts,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |   FROM events))
+        | GROUP BY user_id, session_idx
+        | ORDER BY user_id, session_idx""".stripMargin.replace("\n", ""),
+    "asof_latest" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        | SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |   ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
+        | WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", ""),
+    "props_json" ->
+      """SELECT event_type, count(k) AS n, CAST(sum(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
+        | min(k) AS min_k, max(k) AS max_k
+        | FROM (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+        | GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", ""),
+    "pivot_daily" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'error') AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'view') AS view
+        | FROM events GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", ""),
+    "stats_agg" ->
+      """SELECT l_returnflag, CAST(nn AS BIGINT) AS n,
+        | round((s2 - s1*s1/nd)/(nd - 1.0), 6) AS var_qty,
+        | round(sqrt((s2 - s1*s1/nd)/(nd - 1.0)), 6) AS std_qty
+        | FROM (SELECT l_returnflag, count(*) AS nn,
+        |  CAST(count(*) AS DOUBLE) AS nd,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s2
+        |  FROM lineitem GROUP BY 1)
+        | ORDER BY l_returnflag""".stripMargin.replace("\n", ""),
+    "listagg_types" ->
+      """SELECT day, string_agg(event_type, ',' ORDER BY event_type) AS types
+        | FROM (SELECT DISTINCT CAST(ts AS DATE) AS day, event_type FROM events)
+        | GROUP BY day ORDER BY day""".stripMargin.replace("\n", ""),
+    "scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | abs(l_discount - 0.05) AS abs_d,
+        | round(sqrt(l_quantity), 6) AS sqrt_q,
+        | round(power(l_quantity, 2.0), 6) AS pow_q,
+        | round(ln(l_extendedprice), 6) AS ln_price,
+        | round(exp(l_discount), 6) AS exp_d,
+        | CAST(ceil(l_tax * 100) AS BIGINT) AS ceil_tax,
+        | CAST(floor(l_tax * 100) AS BIGINT) AS floor_tax,
+        | round(l_extendedprice / 3.0, 2) AS round_third
+        | FROM lineitem WHERE l_orderkey < 500
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", ""),
+    "date_arith" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        | CAST(o_orderdate AS DATE) + 30 AS due_date,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_98,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+        | CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow
+        | FROM orders WHERE o_orderkey < 2000
+        | ORDER BY o_orderkey""".stripMargin.replace("\n", ""),
     "text_stats" ->
       """SELECT doc_id, length(text) AS len_chars,
         | len(string_split_regex(trim(text), '\s+')) AS n_tokens,

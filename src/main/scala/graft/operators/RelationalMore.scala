@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Relational.dsum
+
+/** Third relational batch: sessionization, as-of (latest-before) lookup,
+  * JSON column extraction, pivot, deterministic moment statistics, ordered
+  * string aggregation, math/date scalar surfaces. All oracle-checked.
+  *
+  * Determinism notes: session boundaries compare integer microseconds
+  * (unix_micros / epoch_us) so both engines see identical gaps; variance
+  * and stddev are computed from exact decimal moments (sum, sum of
+  * squares) with one IEEE division/sqrt at the end — identical on any
+  * partitioning; string aggregation sorts before joining. */
+object RelationalMore {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Sessionization: a new session starts after a >30-minute gap per user
+    * (lag + running sum of boundary flags — the standard two-window
+    * pattern; one shuffle on user_id). */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) -
+      lag(unix_micros(col("ts")), 1).over(byUser)
+    val newSession = when(gapUs > 1800L * 1000000L, 1).otherwise(0)
+    t(s, dir, "events")
+      .withColumn("session_idx",
+        sum(newSession).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("int"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** As-of lookup: each user's latest event at-or-before a cutoff
+    * (row_number over desc time — the point-in-time join building block). */
+  def asofLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .filter(col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  /** JSON column extraction + aggregate over the extracted value
+    * (`props` is a JSON string per event — get_json_object stays inside
+    * codegen; integer sums are exact). */
+  def propsJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"),
+        sum(col("k").cast("long")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** Pivot: day x event_type counts (explicit value list => stable
+    * schema; conditional-aggregation equivalent in the oracle). */
+  def pivotDaily(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
+  /** Sample variance / stddev from exact decimal moments:
+    * var = (sum(x^2) - sum(x)^2/n) / (n-1). The two sums are exact
+    * (decimal), so the result is one deterministic IEEE expression —
+    * reproducible on any cluster layout, unlike stddev_samp's running
+    * reduction. */
+  def statsAgg(s: SparkSession, dir: String): DataFrame = {
+    val n = count(lit(1)).cast("double")
+    val s1 = dsum(col("l_quantity"))
+    val s2 = dsum(col("l_quantity") * col("l_quantity"))
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(((s2 - s1 * s1 / n) / (n - lit(1.0))), 6).as("var_qty"),
+        round(sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))), 6).as("std_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Ordered string aggregation: distinct event types per day, sorted and
+    * comma-joined (sort_array makes collect_set deterministic). */
+  def listaggTypes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy("day")
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+        .as("types"))
+      .orderBy("day")
+
+  /** Math scalar surface (per-row IEEE ops — exact cross-engine). */
+  def scalarMath(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 500)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_d"),
+        // transcendental results rounded to 6: libm (DuckDB) and
+        // java.lang.Math (Spark) may differ in the last ulp
+        round(sqrt(col("l_quantity")), 6).as("sqrt_q"),
+        round(pow(col("l_quantity"), 2.0), 6).as("pow_q"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        round(exp(col("l_discount")), 6).as("exp_d"),
+        ceil(col("l_tax") * 100).as("ceil_tax"),
+        floor(col("l_tax") * 100).as("floor_tax"),
+        round(col("l_extendedprice") / 3.0, 2).as("round_third"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Date arithmetic surface: interval add, day difference, month
+    * boundaries, day-of-week. */
+  def dateArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 2000)
+      .select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("odate"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+        datediff(lit(java.sql.Date.valueOf("1998-01-01")),
+          to_date(col("o_orderdate"))).as("days_to_98"),
+        add_months(to_date(col("o_orderdate")), 1).as("next_month"),
+        last_day(to_date(col("o_orderdate"))).as("month_end"),
+        trunc(to_date(col("o_orderdate")), "month").as("month_start"),
+        dayofweek(to_date(col("o_orderdate"))).as("dow"))
+      .orderBy("o_orderkey")
+}
