@@ -72,6 +72,9 @@ object SparkEntry {
     "listagg_types" -> (RelationalMore.listaggTypes _),
     "scalar_math" -> (RelationalMore.scalarMath _),
     "date_arith" -> (RelationalMore.dateArith _),
+    "sql_mart" -> (RelationalMore.sqlMart _),
+    "approx_stats" -> (graft.operators.Sketches.approxStats _),
+    "salted_join" -> (graft.operators.Sketches.saltedJoinDemo _),
     // -- text analysis (documents) --
     "text_stats" -> (TextAnalysis.textStats _),
     "quality_scores" -> (TextAnalysis.qualityScores _),
@@ -340,6 +343,19 @@ object SparkEntry {
         | CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow
         | FROM orders WHERE o_orderkey < 2000
         | ORDER BY o_orderkey""".stripMargin.replace("\n", ""),
+    "sql_mart" ->
+      """SELECT day, n_events, sum_value FROM (
+        | SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        | FROM events GROUP BY 1)
+        | ORDER BY day DESC LIMIT 7""".stripMargin.replace("\n", ""),
+    "salted_join" ->
+      """SELECT type_code, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        | FROM events JOIN (VALUES ('click', 1), ('error', 2), ('purchase', 3),
+        |  ('signup', 4), ('view', 5)) AS dim(event_type, type_code)
+        | USING (event_type)
+        | GROUP BY type_code ORDER BY type_code""".stripMargin.replace("\n", ""),
     "text_stats" ->
       """SELECT doc_id, length(text) AS len_chars,
         | len(string_split_regex(trim(text), '\s+')) AS n_tokens,

@@ -71,9 +71,20 @@ object Dedup {
       .select(col("doc_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
 
   /** Candidate pairs from LSH banding (doc_a < doc_b), deduplicated across
-    * bands. */
-  def minhashCandidates(docs: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
+    * bands.
+    *
+    * `maxBucket` caps the self-join fan-out: a bucket of n docs yields
+    * n^2/2 pairs, and real corpora have boilerplate mega-clusters that
+    * would otherwise go quadratic at 100 TB. Buckets above the cap are
+    * dropped here (standard practice — mega-clusters are better handled
+    * by exact-hash grouping, which exactGroups already does). */
+  def minhashCandidates(docs: DataFrame, k: Int = 64, bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
     val idx = bandIndex(docs, k, bands)
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
     val a = idx.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = idx.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bucket"))

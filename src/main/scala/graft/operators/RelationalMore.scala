@@ -124,6 +124,16 @@ object RelationalMore {
         round(col("l_extendedprice") / 3.0, 2).as("round_third"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** SQL front-end surface: the same mart, queried through `spark.sql`
+    * over the registered view layer (dbt-consumer shape, SURVEY.md §3.3 —
+    * the view inlines and optimizes end-to-end). */
+  def sqlMart(s: SparkSession, dir: String): DataFrame = {
+    graft.models.Catalog.registerAll(s, dir)
+    s.sql(
+      """SELECT day, n_events, sum_value FROM mart_daily_events
+        | ORDER BY day DESC LIMIT 7""".stripMargin)
+  }
+
   /** Date arithmetic surface: interval add, day difference, month
     * boundaries, day-of-week. */
   def dateArith(s: SparkSession, dir: String): DataFrame =

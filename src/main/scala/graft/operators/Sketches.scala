@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate aggregates — the sketches that make 100 TB interactive:
+  * HyperLogLog++ distinct counts and quantile summaries compute in one
+  * pass with tiny, mergeable state (shuffle carries sketch bytes, not
+  * values). Results are deterministic for a given input (HLL merge is
+  * commutative), but not ANSI-SQL-reproducible => rows-only gate +
+  * tolerance tests against the exact answers. */
+object Sketches {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Per-type approximate distinct users + quantiles of value, alongside
+    * group counts. approx_count_distinct rsd=0.01; percentile_approx with
+    * 10k accuracy. */
+  def approxStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"))
+      .orderBy("event_type")
+
+  /** Skew-handling pattern: salted join. The big side scatters each row
+    * of a hot key across `salts` sub-keys; the small side replicates each
+    * row to all salts. No single reducer receives a whole hot key. (AQE
+    * skew-join splits oversized partitions automatically; explicit
+    * salting is the portable form — needed when AQE can't see the skew,
+    * e.g. pre-shuffle bucketing or non-AQE engines.)
+    *
+    * Aggregation-side skew needs no salting in Spark: map-side partial
+    * aggregation already collapses hot keys before the shuffle. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int = 8): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Demo query: events (5 hot event_type keys over the whole table —
+    * genuinely skewed) salted-joined to a tiny type-code dim, then
+    * aggregated. Must equal the plain join (oracle + test). */
+  def saltedJoinDemo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(("click", 1), ("error", 2), ("purchase", 3),
+      ("signup", 4), ("view", 5)).toDF("event_type", "type_code")
+    saltedJoin(t(s, dir, "events"), dim, "event_type")
+      .groupBy(col("type_code"))
+      .agg(count(lit(1)).as("n"),
+        Relational.dsum(col("value")).as("sum_value"))
+      .orderBy("type_code")
+  }
+}
