@@ -73,6 +73,10 @@ object SparkEntry {
     "scalar_math" -> (RelationalMore.scalarMath _),
     "date_arith" -> (RelationalMore.dateArith _),
     "sql_mart" -> (RelationalMore.sqlMart _),
+    "custdist" -> (RelationalMore.custDist _),
+    "win_frames" -> (RelationalMore.winFrames _),
+    "multi_sort" -> (RelationalMore.multiSort _),
+    "regex_funcs" -> (RelationalMore.regexFuncs _),
     "approx_stats" -> (graft.operators.Sketches.approxStats _),
     "salted_join" -> (graft.operators.Sketches.saltedJoinDemo _),
     // -- text analysis (documents) --
@@ -349,6 +353,37 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         | FROM events GROUP BY 1)
         | ORDER BY day DESC LIMIT 7""".stripMargin.replace("\n", ""),
+    "custdist" ->
+      """SELECT n_orders, count(*) AS n_cust FROM (
+        | SELECT c_custkey, count(o_orderkey) AS n_orders
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey)
+        | GROUP BY n_orders ORDER BY n_orders DESC""".stripMargin.replace("\n", ""),
+    "win_frames" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+        | first_value(s_suppkey) OVER w2 AS richest,
+        | last_value(s_suppkey) OVER w2 AS cur,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | round(percent_rank() OVER w, 6) AS prank,
+        | round(cume_dist() OVER w, 6) AS cdist
+        | FROM supplier
+        | WINDOW w AS (PARTITION BY s_nationkey
+        |   ORDER BY s_acctbal DESC, s_suppkey),
+        |  w2 AS (PARTITION BY s_nationkey
+        |   ORDER BY s_acctbal DESC, s_suppkey
+        |   ROWS UNBOUNDED PRECEDING)
+        | ORDER BY s_nationkey, s_suppkey""".stripMargin.replace("\n", ""),
+    "multi_sort" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        | FROM orders WHERE o_orderkey < 3000
+        | ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin.replace("\n", ""),
+    "regex_funcs" ->
+      """SELECT doc_id,
+        | regexp_extract(text, '^(\w+)', 1) AS first_word,
+        | regexp_matches(text, 'spark') AS mentions_spark,
+        | length(regexp_replace(text, '[aeiou]', '', 'g')) AS no_vowel_len,
+        | len(string_split(text, 'a')) AS a_splits
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "salted_join" ->
       """SELECT type_code, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value

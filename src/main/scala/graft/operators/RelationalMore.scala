@@ -134,6 +134,56 @@ object RelationalMore {
         | ORDER BY day DESC LIMIT 7""".stripMargin)
   }
 
+  /** Order-count distribution (TPC-H Q13 shape): outer join, aggregate,
+    * then aggregate the aggregate — two shuffles, both tiny after the
+    * first partial. */
+  def custDist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("n_orders").desc)
+
+  /** Window frame functions: first/last value over a running frame,
+    * ntile, percent_rank, cume_dist (all rank-derived => deterministic
+    * doubles). */
+  def winFrames(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    val framed = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "supplier")
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+        first(col("s_suppkey")).over(framed).as("richest"),
+        last(col("s_suppkey")).over(framed).as("cur"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("s_nationkey", "s_suppkey")
+  }
+
+  /** Multi-key sort with mixed directions and explicit null placement. */
+  def multiSort(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 3000)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .orderBy(col("o_orderstatus").asc, col("o_totalprice").desc,
+        col("o_orderkey").asc)
+
+  /** Regex scalar surface: extract, match, global replace, split-count. */
+  def regexFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), "^(\\w+)", 1).as("first_word"),
+        col("text").rlike("spark").as("mentions_spark"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("long")
+          .as("no_vowel_len"),
+        size(split(col("text"), "a")).cast("long").as("a_splits"))
+      .orderBy("doc_id")
+
   /** Date arithmetic surface: interval add, day difference, month
     * boundaries, day-of-week. */
   def dateArith(s: SparkSession, dir: String): DataFrame =
