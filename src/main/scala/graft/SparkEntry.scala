@@ -51,6 +51,9 @@ object SparkEntry {
     "set_union" -> (RelationalExt.setUnion _),
     "set_intersect" -> (RelationalExt.setIntersect _),
     "set_except" -> (RelationalExt.setExcept _),
+    "set_intersect_all" -> (RelationalExt.setIntersectAll _),
+    "set_except_all" -> (RelationalExt.setExceptAll _),
+    "null_funcs" -> (RelationalExt.nullFuncs _),
     "union_all" -> (RelationalExt.unionAll _),
     "distinct_agg" -> (RelationalExt.distinctAgg _),
     "rollup_events" -> (RelationalExt.rollupEvents _),
@@ -214,6 +217,24 @@ object SparkEntry {
       """SELECT c_nationkey AS nationkey FROM customer
         | EXCEPT SELECT s_nationkey FROM supplier
         | ORDER BY nationkey""".stripMargin.replace("\n", ""),
+    "set_intersect_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        | INTERSECT ALL SELECT s_nationkey FROM supplier
+        | ORDER BY nationkey""".stripMargin.replace("\n", ""),
+    "set_except_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        | EXCEPT ALL SELECT s_nationkey FROM supplier
+        | ORDER BY nationkey""".stripMargin.replace("\n", ""),
+    "null_funcs" ->
+      """SELECT o_orderkey,
+        | coalesce(maybe_status, 'OPEN') AS status_or_open,
+        | maybe_status IS NULL AS was_null,
+        | nullif(o_orderkey % 100, 0) AS mod_or_null
+        | FROM (SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'O' THEN NULL
+        |   ELSE o_orderstatus END AS maybe_status
+        |  FROM orders WHERE o_orderkey < 3000)
+        | ORDER BY o_orderkey""".stripMargin.replace("\n", ""),
     "union_all" ->
       """SELECT 'err' AS tag, event_id FROM events WHERE event_type = 'error'
         | UNION ALL

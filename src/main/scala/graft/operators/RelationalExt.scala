@@ -84,6 +84,35 @@ object RelationalExt {
         t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
       .orderBy("nationkey")
 
+  /** INTERSECT ALL (multiplicity-preserving). */
+  def setIntersectAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersectAll(
+        t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** EXCEPT ALL (multiplicity-preserving). */
+  def setExceptAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .exceptAll(
+        t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** Null-handling scalar surface: coalesce / nullif / ifnull / nvl2
+    * shapes over a column with injected nulls. */
+  def nullFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 3000)
+      .select(col("o_orderkey"),
+        when(col("o_orderstatus") === "O", null)
+          .otherwise(col("o_orderstatus")).as("maybe_status"))
+      .select(
+        col("o_orderkey"),
+        coalesce(col("maybe_status"), lit("OPEN")).as("status_or_open"),
+        col("maybe_status").isNull.as("was_null"),
+        nullif(col("o_orderkey") % 100, lit(0)).as("mod_or_null"))
+      .orderBy("o_orderkey")
+
   /** UNION ALL (shuffle-free concatenation) of two tagged slices. */
   def unionAll(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")

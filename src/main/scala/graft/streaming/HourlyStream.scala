@@ -75,6 +75,83 @@ object HourlyStream {
     s.table(name).orderBy("day", "event_type")
   }
 
+  /** Streaming dedup with a watermark: re-delivered event_ids inside the
+    * 1-day lateness bound are dropped, and state for older keys is
+    * evicted — the streaming answer to the reference's duplicate
+    * absorption (`withWatermark` + `dropDuplicates`, SURVEY.md §2.8). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("event_id", "ts")
+
+  /** Run the dedup stream synchronously and return the surviving rows
+    * (count-only projection; memory sink). */
+  def runDedupOnce(s: SparkSession, srcDir: String): DataFrame = {
+    val name = "graft_stream_dedup_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = dedupedEvents(readEvents(s, srcDir))
+      .select(col("event_id"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.table(name).orderBy("event_id")
+  }
+
+  /** Custom streaming state (SURVEY.md §7.2 step 6 / prompt §2.8):
+    * per-user cumulative event count and last-seen day maintained in a
+    * `mapGroupsWithState` state store — the shape every custom sessionizer
+    * / feature accumulator takes at scale (state partitioned by key,
+    * incremental per micro-batch). */
+  case class UserState(n: Long, lastDay: String)
+  case class UserCount(user_id: Long, n_events: Long, last_day: String)
+
+  def runningUserCounts(s: SparkSession, srcDir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = "graft_stream_state_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val events = readEvents(s, srcDir)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    val counted = events
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[UserState]) =>
+          var st = state.getOption.getOrElse(UserState(0L, ""))
+          rows.foreach { case (_, ts) =>
+            val day = ts.toString.substring(0, 10)
+            st = UserState(st.n + 1, if (day > st.lastDay) day else st.lastDay)
+          }
+          state.update(st)
+          UserCount(user, st.n, st.lastDay)
+      }
+    val q = counted.toDF()
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // last update per user is the final state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    s.table(name)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy("user_id")
+  }
+
   /** Continuous variant: hourly micro-batches, each upserted into the
     * parquet warehouse via dynamic partition overwrite (U1 semantics —
     * re-delivered days replace, not duplicate). Returns the running query;

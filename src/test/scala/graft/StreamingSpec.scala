@@ -31,6 +31,22 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup: duplicate event_ids collapse to the batch distinct") {
+    val streamed = HourlyStream.runDedupOnce(spark, TestSpark.sf).count()
+    val exact = graft.Tables.load(spark, TestSpark.sf, "events")
+      .select("event_id", "ts").distinct().count()
+    assert(streamed === exact)
+  }
+
+  test("mapGroupsWithState: final per-user counts equal the batch group-by") {
+    val stateful = HourlyStream.runningUserCounts(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.Tables.load(spark, TestSpark.sf, "events")
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stateful === batch)
+  }
+
   test("foreachBatch streaming upsert lands in the partitioned warehouse") {
     val warehouse = Files.createTempDirectory("graft_wh_").toString
     val ckpt = Files.createTempDirectory("graft_ck_").toString
