@@ -1,0 +1,41 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Writes `explain("formatted")` output for the headline queries to
+  * docs/PLANS.md — the plan-shape audit trail (scan pruning, pushdown,
+  * broadcast choices, exchange placement) reviewed after each operator
+  * lands. */
+object ExplainDump {
+  val headline = Seq(
+    "q1_pricing", "q5_region", "q3_shipping", "mart_daily", "day_slice",
+    "top10_per_day", "join_semi", "sessionize", "minhash_pairs",
+    "ann_brute_topk", "text_stats", "mm_meta")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val sb = new StringBuilder
+    sb.append("# Physical plans (explain formatted), headline queries\n\n")
+    sb.append(s"Generated against `$dir` by `graft.tools.ExplainDump`.\n")
+    headline.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb.append(s"\n## $name\n\n```\n$plan```\n")
+    }
+    Files.createDirectories(Paths.get("docs"))
+    Files.writeString(Paths.get("docs/PLANS.md"), sb.toString)
+    println(s"[explain] wrote docs/PLANS.md (${headline.size} plans)")
+    spark.stop()
+  }
+}
