@@ -334,8 +334,8 @@ object SparkEntry {
         | FROM events GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", ""),
     "stats_agg" ->
       """SELECT l_returnflag, CAST(nn AS BIGINT) AS n,
-        | round((s2 - s1*s1/nd)/(nd - 1.0), 6) AS var_qty,
-        | round(sqrt((s2 - s1*s1/nd)/(nd - 1.0)), 6) AS std_qty
+        | floor(((s2 - s1*s1/nd)/(nd - 1.0)) * 1000000.0) / 1000000.0 AS var_qty,
+        | floor(sqrt((s2 - s1*s1/nd)/(nd - 1.0)) * 1000000.0) / 1000000.0 AS std_qty
         | FROM (SELECT l_returnflag, count(*) AS nn,
         |  CAST(count(*) AS DOUBLE) AS nd,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s1,
@@ -349,13 +349,13 @@ object SparkEntry {
     "scalar_math" ->
       """SELECT l_orderkey, l_linenumber,
         | abs(l_discount - 0.05) AS abs_d,
-        | round(sqrt(l_quantity), 6) AS sqrt_q,
-        | round(power(l_quantity, 2.0), 6) AS pow_q,
-        | round(ln(l_extendedprice), 6) AS ln_price,
-        | round(exp(l_discount), 6) AS exp_d,
+        | floor(sqrt(l_quantity) * 1000000.0) / 1000000.0 AS sqrt_q,
+        | floor(power(l_quantity, 2.0) * 1000000.0) / 1000000.0 AS pow_q,
+        | floor(ln(l_extendedprice) * 1000000.0) / 1000000.0 AS ln_price,
+        | floor(exp(l_discount) * 1000000.0) / 1000000.0 AS exp_d,
         | CAST(ceil(l_tax * 100) AS BIGINT) AS ceil_tax,
         | CAST(floor(l_tax * 100) AS BIGINT) AS floor_tax,
-        | round(l_extendedprice / 3.0, 2) AS round_third
+        | floor((l_extendedprice / 3.0) * 100.0) / 100.0 AS round_third
         | FROM lineitem WHERE l_orderkey < 500
         | ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", ""),
     "date_arith" ->
@@ -385,8 +385,8 @@ object SparkEntry {
         | first_value(s_suppkey) OVER w2 AS richest,
         | last_value(s_suppkey) OVER w2 AS cur,
         | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-        | round(percent_rank() OVER w, 6) AS prank,
-        | round(cume_dist() OVER w, 6) AS cdist
+        | floor((percent_rank() OVER w) * 1000000.0) / 1000000.0 AS prank,
+        | floor((cume_dist() OVER w) * 1000000.0) / 1000000.0 AS cdist
         | FROM supplier
         | WINDOW w AS (PARTITION BY s_nationkey
         |   ORDER BY s_acctbal DESC, s_suppkey),
@@ -417,14 +417,15 @@ object SparkEntry {
         | len(string_split_regex(trim(text), '\s+')) AS n_tokens,
         | len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
         | length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
-        | round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-        |  / len(string_split_regex(trim(text), '\s+')), 6) AS avg_token_len
+        | floor((CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |  / len(string_split_regex(trim(text), '\s+'))) * 1000000.0) / 1000000.0 AS avg_token_len
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "quality_scores" ->
-      """SELECT doc_id, round(sw, 6) AS stopword_ratio, round(pr, 6) AS punct_ratio,
-        | round((CASE WHEN sw > 0.5 THEN 1.0 - sw ELSE sw END) * 2.0 * 0.4
+      """SELECT doc_id, floor(sw * 1000000.0) / 1000000.0 AS stopword_ratio,
+        | floor(pr * 1000000.0) / 1000000.0 AS punct_ratio,
+        | floor(((CASE WHEN sw > 0.5 THEN 1.0 - sw ELSE sw END) * 2.0 * 0.4
         |  + (1.0 - least(pr * 10.0, 1.0)) * 0.3
-        |  + least(nt / 64.0, 1.0) * 0.3, 6) AS quality
+        |  + least(nt / 64.0, 1.0) * 0.3) * 1000000.0) / 1000000.0 AS quality
         | FROM (SELECT doc_id,
         |  CAST(len(list_filter(toks, t -> list_contains(
         |   ['the','a','an','and','or','of','to','in','is','it',
@@ -450,17 +451,17 @@ object SparkEntry {
         | WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "embed_norms" ->
-      """SELECT vec_id, round(sqrt(list_aggregate(list_transform(embedding,
-        | x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS norm
+      """SELECT vec_id, floor(sqrt(list_aggregate(list_transform(embedding,
+        | x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * 1000000.0) / 1000000.0 AS norm
         | FROM embeddings ORDER BY vec_id""".stripMargin.replace("\n", ""),
     "ann_brute_topk" ->
-      """SELECT e.vec_id, round(
+      """SELECT e.vec_id, floor((
         | list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
         |  list_transform(q.embedding, x -> CAST(x AS DOUBLE)))
         | / (sqrt(list_aggregate(list_transform(e.embedding,
         |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
         |  * sqrt(list_aggregate(list_transform(q.embedding,
-        |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS cos_sim
+        |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))) * 1000000.0) / 1000000.0 AS cos_sim
         | FROM embeddings e,
         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         | WHERE e.vec_id <> 0

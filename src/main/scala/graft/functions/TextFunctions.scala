@@ -65,7 +65,7 @@ object TextFunctions {
     val swScore = when(sw > 0.5, lit(1.0) - sw).otherwise(sw) * 2.0
     val punct = lit(1.0) - least(punctRatio(c) * 10.0, lit(1.0))
     val len = least(tokenCount(c).cast("double") / 64.0, lit(1.0))
-    round(swScore * 0.4 + punct * 0.3 + len * 0.3, 6)
+    Num.t6(swScore * 0.4 + punct * 0.3 + len * 0.3)
   }
 
   /** Per-language marker-word sets for the n-gram/stopword language-ID
@@ -96,7 +96,7 @@ object TextFunctions {
     // lexicographically-last lang on exact ties.
     val best = array_max(array(scored: _*))
     struct(best.getField("lang").as("lang"),
-      round(best.getField("score"), 6).as("score"))
+      Num.t6(best.getField("score")).as("score"))
   }
 
   /** Order-sensitive document fingerprint: polynomial rolling hash over

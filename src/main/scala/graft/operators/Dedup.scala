@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Num
 import graft.functions.TextFunctions._
 import graft.functions.SketchExpressions
 
@@ -107,7 +108,7 @@ object Dedup {
       .join(sh.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+        Num.t6(jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
@@ -170,7 +171,7 @@ object Dedup {
       .join(ng.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("ng", "ng_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(jaccard(col("ng_a"), col("ng_b")), 6).as("jaccard"))
+        Num.t6(jaccard(col("ng_a"), col("ng_b"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Num
 import Relational.dsum
 
 /** Third relational batch: sessionization, as-of (latest-before) lookup,
@@ -91,8 +92,8 @@ object RelationalMore {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        round(((s2 - s1 * s1 / n) / (n - lit(1.0))), 6).as("var_qty"),
-        round(sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))), 6).as("std_qty"))
+        Num.t6((s2 - s1 * s1 / n) / (n - lit(1.0))).as("var_qty"),
+        Num.t6(sqrt((s2 - s1 * s1 / n) / (n - lit(1.0)))).as("std_qty"))
       .orderBy("l_returnflag")
   }
 
@@ -115,13 +116,13 @@ object RelationalMore {
         abs(col("l_discount") - 0.05).as("abs_d"),
         // transcendental results rounded to 6: libm (DuckDB) and
         // java.lang.Math (Spark) may differ in the last ulp
-        round(sqrt(col("l_quantity")), 6).as("sqrt_q"),
-        round(pow(col("l_quantity"), 2.0), 6).as("pow_q"),
-        round(log(col("l_extendedprice")), 6).as("ln_price"),
-        round(exp(col("l_discount")), 6).as("exp_d"),
+        Num.t6(sqrt(col("l_quantity"))).as("sqrt_q"),
+        Num.t6(pow(col("l_quantity"), 2.0)).as("pow_q"),
+        Num.t6(log(col("l_extendedprice"))).as("ln_price"),
+        Num.t6(exp(col("l_discount"))).as("exp_d"),
         ceil(col("l_tax") * 100).as("ceil_tax"),
         floor(col("l_tax") * 100).as("floor_tax"),
-        round(col("l_extendedprice") / 3.0, 2).as("round_third"))
+        Num.t2(col("l_extendedprice") / 3.0).as("round_third"))
       .orderBy("l_orderkey", "l_linenumber")
 
   /** SQL front-end surface: the same mart, queried through `spark.sql`
@@ -158,8 +159,8 @@ object RelationalMore {
         first(col("s_suppkey")).over(framed).as("richest"),
         last(col("s_suppkey")).over(framed).as("cur"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("prank"),
-        round(cume_dist().over(w), 6).as("cdist"))
+        Num.t6(percent_rank().over(w)).as("prank"),
+        Num.t6(cume_dist().over(w)).as("cdist"))
       .orderBy("s_nationkey", "s_suppkey")
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Num
 
 /** Similarity search over an embedding column (`Array[Float]`):
   * brute-force cosine top-k as the exact baseline, and a random-hyperplane
@@ -38,7 +39,7 @@ object Similarity {
   /** Per-vector L2 norms (the normalize-once-then-dot pattern). */
   def norms(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
-      .select(col("vec_id"), round(l2norm(col("embedding")), 6).as("norm"))
+      .select(col("vec_id"), Num.t6(l2norm(col("embedding"))).as("norm"))
       .orderBy("vec_id")
 
   /** Exact top-k cosine neighbors of one stored vector (default query:
@@ -52,7 +53,7 @@ object Similarity {
     emb.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+        Num.t6(cosine(col("embedding"), col("q_emb"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -95,7 +96,7 @@ object Similarity {
     emb.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+        Num.t6(cosine(col("embedding"), col("q_emb"))).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .orderBy("q_id", "rn")
@@ -116,7 +117,7 @@ object Similarity {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+        Num.t6(cosine(col("emb_a"), col("emb_b"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy("id_a", "id_b")
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Num
 import graft.functions.TextFunctions._
 
 /** Text-analysis queries over the `documents` table (extension surface:
@@ -24,7 +25,7 @@ object TextAnalysis {
         tokenCount(col("text")).as("n_tokens"),
         bpeTokenCount(col("text")).as("n_bpe_tokens"),
         punctCount(col("text")).as("n_punct"),
-        round(avgTokenLen(col("text")), 6).as("avg_token_len"))
+        Num.t6(avgTokenLen(col("text"))).as("avg_token_len"))
       .orderBy("doc_id")
 
   /** Composite quality score per document (oracle-checked: deterministic
@@ -33,8 +34,8 @@ object TextAnalysis {
     t(s, dir, "documents")
       .select(
         col("doc_id"),
-        round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
-        round(punctRatio(col("text")), 6).as("punct_ratio"),
+        Num.t6(stopwordRatio(col("text"))).as("stopword_ratio"),
+        Num.t6(punctRatio(col("text"))).as("punct_ratio"),
         qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
