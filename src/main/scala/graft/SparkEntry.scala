@@ -104,11 +104,16 @@ object SparkEntry {
       Similarity.embeddingNearDupPairs(s, d)),
     // -- multimodal columns (binary payloads + typed metadata) --
     "mm_meta" -> (graft.multimodal.Multimodal.mediaMeta _),
-    "mm_features" -> (graft.multimodal.Multimodal.extractFeatures _),
+    // scalar projection (f0..f7) — the raw array<float> variant is the
+    // library API but is not sortable/hashable by the driver's comparator
+    "mm_features" -> (graft.multimodal.Multimodal.extractFeatureScalars _),
     "mm_frames" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.sampleFrames(s, d)),
     // -- structured streaming (1-day tumbling window + watermark) --
-    "stream_daily" -> (graft.streaming.HourlyStream.runDailyAggOnce _),
+    "stream_daily" -> ((s: SparkSession, d: String) =>
+      graft.streaming.HourlyStream.runDailyAggOnce(s, d)),
+    // -- source-contract checks (the reference's dbt not_null test) --
+    "contract_nulls" -> (graft.operators.Contract.eventNullContract _),
   )
 
   /** DuckDB-dialect ANSI SQL oracles, one per oracle-expressible query.
@@ -479,5 +484,13 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         | FROM events GROUP BY 1, 2
         | ORDER BY day, event_type""".stripMargin.replace("\n", ""),
+    "contract_nulls" ->
+      """SELECT count(*) - count(event_id) AS null_event_id,
+        | count(*) - count(ts) AS null_ts,
+        | count(*) - count(event_type) AS null_event_type,
+        | count(*) - count(user_id) AS null_user_id,
+        | count(*) - count(value) AS null_value,
+        | count(*) - count(props) AS null_props
+        | FROM events""".stripMargin.replace("\n", ""),
   )
 }

@@ -23,6 +23,55 @@ import org.apache.spark.sql.types._
   */
 object WeatherIngest {
 
+  /** HTTP fetch with the reference's exact contract
+    * (`weather_hourly_pipeline.py:16-35`): GET
+    * `base?latitude=..&longitude=..&hourly=temperature_2m,relative_humidity_2m&timezone=UTC`,
+    * 30 s timeout, raise on non-2xx, then append the `_meta` block
+    * (lat/lon/ingested-at) to the returned JSON. Defaults read the same
+    * env vars as the reference. Zero-egress in this container, so tests
+    * run it against a local stub server (`WeatherIngestSpec`). */
+  def fetchOpenMeteoJson(
+      base: String = sys.env.getOrElse("OPEN_METEO_BASE",
+        "https://api.open-meteo.com/v1/forecast"),
+      lat: String = sys.env.getOrElse("OPEN_METEO_LAT", "-23.5505"),
+      lon: String = sys.env.getOrElse("OPEN_METEO_LON", "-46.6333"),
+      timeoutSeconds: Long = 30L,
+      now: java.time.Instant = java.time.Instant.now()): String = {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val url = s"$base?latitude=$lat&longitude=$lon" +
+      "&hourly=temperature_2m,relative_humidity_2m&timezone=UTC"
+    val client = HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds))
+      .build()
+    val req = HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
+      .GET()
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"HTTP ${resp.statusCode()} fetching $url") // raise_for_status analog
+    appendMeta(resp.body(), lat, lon, now)
+  }
+
+  /** Splice the reference's `_meta` enrichment into the payload JSON
+    * (`weather_hourly_pipeline.py:29-34`): lat/lon as strings plus a
+    * second-precision UTC `ingested_at` ending in `Z`. String splice, not
+    * a JSON library round-trip, so the upstream payload bytes pass through
+    * untouched. */
+  private[ingest] def appendMeta(json: String, lat: String, lon: String,
+      now: java.time.Instant): String = {
+    val ts = java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+      now.truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
+    val trimmed = json.trim
+    require(trimmed.endsWith("}"), "payload is not a JSON object")
+    val meta =
+      s""""_meta": {"lat": "$lat", "lon": "$lon", "ingested_at": "$ts"}"""
+    val body = trimmed.dropRight(1).trim
+    if (body.endsWith("{")) body + meta + "}"
+    else body + ", " + meta + "}"
+  }
+
   /** Explicit payload schema, mirror of `weather_transform.py:19-23` plus
     * the `_meta` block from `weather_hourly_pipeline.py:30-34`. Arrays stay
     * strings so the lenient timestamp parse happens under our control. */

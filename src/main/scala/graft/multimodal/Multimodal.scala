@@ -91,6 +91,19 @@ object Multimodal {
     }.toDF().orderBy("media_id")
   }
 
+  /** Gate-stable scalar projection of `extractFeatures`: each feature
+    * dimension as its own double column (`f0..f7`). The raw
+    * `array<float>` variant stays the library API; this shape exists
+    * because downstream tabular consumers (and the driver's row
+    * comparator) need sortable/hashable scalars, not nested arrays. */
+  def extractFeatureScalars(s: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(s, dir)
+    val fCols = (0 until 8).map(i =>
+      col("features").getItem(i).cast("double").as(s"f$i"))
+    feats.select(Seq(col("media_id"), col("kind"), col("n_bytes")) ++ fCols: _*)
+      .orderBy("media_id")
+  }
+
   /** Frame sampling: cut `n` evenly spaced fixed-size byte windows from
     * each payload (stand-in for video frame extraction; the windowing,
     * explode shape, and per-frame rows are the real plumbing). Pure

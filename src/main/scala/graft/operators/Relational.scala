@@ -72,8 +72,11 @@ object Relational {
     * column never is. */
   def daySlice(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
-        && col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-06 00:00:00")))
+      // string->timestamp cast resolves in the session timezone (pinned to
+      // UTC), unlike java.sql.Timestamp.valueOf which reads the JVM default
+      // TZ and would shift the slice boundary on a non-UTC driver
+      .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp")
+        && col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
       .select("event_id", "event_type", "value")
       .orderBy("event_id")
 

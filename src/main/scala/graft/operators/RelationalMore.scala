@@ -49,7 +49,8 @@ object RelationalMore {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
     t(s, dir, "events")
-      .filter(col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00")))
+      // session-TZ string cast, not Timestamp.valueOf (JVM-default-TZ trap)
+      .filter(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"))

@@ -61,7 +61,7 @@ object Similarity {
   /** H-bit random-hyperplane signature. Plane weights are deterministic
     * pseudo-randoms derived from xxhash64(plane, dim) mapped to [-1, 1] —
     * no RNG state, reproducible on any cluster. */
-  def lshSignature(v: Column, planes: Int = 12): Column = {
+  def lshSignature(v: Column, planes: Int = 12, planeOffset: Int = 0): Column = {
     val dims = sequence(lit(0), size(v) - 1)
     aggregate(
       sequence(lit(0), lit(planes - 1)),
@@ -70,7 +70,8 @@ object Similarity {
         val proj = aggregate(
           zip_with(v, dims, (x, d) =>
             x.cast("double") *
-              ((xxhash64(p, d).cast("double") / lit(9.223372036854776e18))))
+              ((xxhash64(p + lit(planeOffset), d).cast("double") /
+                lit(9.223372036854776e18))))
           , lit(0.0), (a, x) => a + x)
         when(proj > 0,
           acc.bitwiseOR(call_function("shiftleft", lit(1L), p)))
@@ -102,20 +103,50 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
-  /** Embedding near-duplicate pairs above a cosine threshold, LSH-bucketed
-    * (pairs compared only within buckets — the embedding analog of
-    * MinHash near-dup dedup). */
+  /** Embedding near-duplicate pairs above a cosine threshold — the
+    * embedding analog of MinHash near-dup dedup, and shaped the same way
+    * (`Dedup.minhashCandidates`):
+    *
+    *  - BANDED signatures: `bands` independent `planes`-bit hyperplane
+    *    signatures per vector (disjoint plane sets via `planeOffset`).
+    *    One wide signature alone loses recall — for a near-dup at angle θ
+    *    a single 32-bit bucket match has probability (1-θ/π)^32 ≈ 0;
+    *    bands restore it to 1-(1-(1-θ/π)^planes)^bands while keeping
+    *    per-bucket populations small (2^planes × bands buckets total).
+    *  - CAPPED buckets: a windowed count drops buckets above `maxBucket`
+    *    before the self-join — without it a populated bucket at 100 TB
+    *    yields n²/2 comparison rows (the round-1 scale-killer). Oversized
+    *    buckets mean near-degenerate clusters, which exact-hash grouping
+    *    handles better anyway.
+    *  - The candidate join shuffles only (vec_id, band, bucket) longs;
+    *    embeddings are joined back ONLY for surviving candidate pairs,
+    *    then verified with exact cosine. */
   def embeddingNearDupPairs(s: SparkSession, dir: String,
-      threshold: Double = 0.9, planes: Int = 6): DataFrame = {
+      threshold: Double = 0.9, planes: Int = 8, bands: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        lshSignature(col("embedding"), planes).as("bucket"))
-    val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"))
-    val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"))
-    a.join(b, Seq("bucket"))
+    val sigs = emb.select(col("vec_id"),
+      posexplode(array((0 until bands).map(b =>
+        lshSignature(col("embedding"), planes, b * planes)): _*))
+        .as(Seq("band", "bucket")))
+    val idx = sigs
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val a = idx.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
+    val b = idx.select(col("band"), col("bucket"), col("vec_id").as("id_b"))
+    val cands = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    cands
+      .join(vecs.withColumnRenamed("vec_id", "id_a")
+        .withColumnRenamed("embedding", "emb_a"), Seq("id_a"))
+      .join(vecs.withColumnRenamed("vec_id", "id_b")
+        .withColumnRenamed("embedding", "emb_b"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Num.t6(cosine(col("emb_a"), col("emb_b"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)

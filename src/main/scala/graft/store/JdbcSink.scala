@@ -18,9 +18,11 @@ import org.apache.spark.sql.DataFrame
   * SURVEY.md §7.4.2; this sink exists for reference-parity when a real
   * RDBMS target is configured.
   *
-  * NOT exercised by the driver gates: the container has no RDBMS and no
-  * JDBC driver on the classpath (zero egress). The code path compiles and
-  * is structured for testability (connection factory injected).
+  * The container has no RDBMS and no JDBC driver on the classpath (zero
+  * egress), so the wire protocol itself can't run here; the statement
+  * sequencing — DDL, day-scoped DELETE, batched INSERT, COMMIT, and
+  * rollback-on-failure — is exercised by `JdbcSinkSpec` through the
+  * injected connection factory with a recording `java.sql.Connection`.
   */
 object JdbcSink {
 
@@ -33,14 +35,42 @@ object JdbcSink {
       |  ingested_at TIMESTAMP
       |)""".stripMargin
 
+  private val insertSql: String =
+    "INSERT INTO public.weather_hourly (time, temperature_2m, " +
+      "relative_humidity_2m, ingested_at) VALUES (?, ?, ?, ?)"
+
+  /** Rows the sink will load: contract columns in the reference's insert
+    * order (`weather_hourly_pipeline.py:104-106`), minus null-`time` rows.
+    * The lenient ingest parse (try_to_timestamp) can produce null times;
+    * the DDL declares `time TIMESTAMP NOT NULL`, so such rows would fail
+    * the whole batch — and being invisible to the day-scoped DELETE they
+    * would also break re-run idempotence if the DDL were relaxed instead.
+    * Excluding them here keeps the sink total on the contract's terms;
+    * callers surface them via `Contract.nullViolationCounts` first. */
+  private def loadable(df: DataFrame): DataFrame =
+    df.select("time", "temperature_2m", "relative_humidity_2m", "ingested_at")
+      .filter(org.apache.spark.sql.functions.col("time").isNotNull)
+
+  private def bindRow(ins: java.sql.PreparedStatement,
+      r: org.apache.spark.sql.Row): Unit = {
+    ins.setTimestamp(1, r.getTimestamp(0))
+    if (r.isNullAt(1)) ins.setNull(2, java.sql.Types.DOUBLE)
+    else ins.setDouble(2, r.getDouble(1))
+    if (r.isNullAt(2)) ins.setNull(3, java.sql.Types.DOUBLE)
+    else ins.setDouble(3, r.getDouble(2))
+    if (r.isNullAt(3)) ins.setNull(4, java.sql.Types.TIMESTAMP)
+    else ins.setTimestamp(4, r.getTimestamp(3))
+    ins.addBatch()
+  }
+
   /** Idempotent per-day load: within one transaction, delete the batch day
     * and re-insert all rows (U1). `connect` is injected so tests can pass
-    * an embedded database. Column order mirrors the reference's explicit
-    * select (`weather_hourly_pipeline.py:104-106`). */
+    * an embedded/recording database. Faithful to the reference's
+    * driver-side single-transaction shape — use `upsertDayDistributed`
+    * when the day no longer fits one driver. */
   def upsertDay(df: DataFrame, day: java.sql.Date,
       connect: () => Connection): Unit = {
-    val rows = df
-      .select("time", "temperature_2m", "relative_humidity_2m", "ingested_at")
+    val rows = loadable(df)
       .collect() // reference semantics: one driver-side txn per batch day
     val conn = connect()
     try {
@@ -51,24 +81,65 @@ object JdbcSink {
         "DELETE FROM public.weather_hourly WHERE CAST(time AS DATE) = ?")
       del.setDate(1, day)
       del.executeUpdate()
-      val ins = conn.prepareStatement(
-        "INSERT INTO public.weather_hourly (time, temperature_2m, " +
-          "relative_humidity_2m, ingested_at) VALUES (?, ?, ?, ?)")
-      rows.foreach { r =>
-        ins.setTimestamp(1, r.getTimestamp(0))
-        if (r.isNullAt(1)) ins.setNull(2, java.sql.Types.DOUBLE)
-        else ins.setDouble(2, r.getDouble(1))
-        if (r.isNullAt(2)) ins.setNull(3, java.sql.Types.DOUBLE)
-        else ins.setDouble(3, r.getDouble(2))
-        ins.setTimestamp(4, r.getTimestamp(3))
-        ins.addBatch()
-      }
+      val ins = conn.prepareStatement(insertSql)
+      rows.foreach(bindRow(ins, _))
       ins.executeBatch()
       conn.commit()
     } catch {
       case e: Throwable => conn.rollback(); throw e
     } finally {
       conn.close()
+    }
+  }
+
+  /** At-scale variant: DDL + day-scoped DELETE commit on the driver, then
+    * batched INSERTs run per partition on the executors — each partition
+    * its own connection and transaction, batches flushed every
+    * `batchSize` rows (no row ever reaches the driver).
+    *
+    * Atomicity is deliberately weaker than `upsertDay`'s single
+    * transaction: a reader can observe a partially loaded day mid-job.
+    * Idempotence is preserved the same way the reference's is — any
+    * re-run starts by deleting the day again. The single-txn variant
+    * remains for reference parity; the Parquet `PartitionedStore` is the
+    * primary at-scale warehouse (SURVEY.md §7.4.2). */
+  def upsertDayDistributed(df: DataFrame, day: java.sql.Date,
+      connect: () => Connection, batchSize: Int = 1000): Unit = {
+    val prepped = loadable(df)
+    val conn = connect()
+    try {
+      conn.setAutoCommit(false)
+      conn.createStatement().execute(ddl)
+      val del = conn.prepareStatement(
+        "DELETE FROM public.weather_hourly WHERE CAST(time AS DATE) = ?")
+      del.setDate(1, day)
+      del.executeUpdate()
+      conn.commit()
+    } catch {
+      case e: Throwable => conn.rollback(); throw e
+    } finally {
+      conn.close()
+    }
+    prepped.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      if (rows.hasNext) {
+        val c = connect()
+        try {
+          c.setAutoCommit(false)
+          val ins = c.prepareStatement(insertSql)
+          var n = 0
+          rows.foreach { r =>
+            bindRow(ins, r)
+            n += 1
+            if (n % batchSize == 0) ins.executeBatch()
+          }
+          ins.executeBatch()
+          c.commit()
+        } catch {
+          case e: Throwable => c.rollback(); throw e
+        } finally {
+          c.close()
+        }
+      }
     }
   }
 

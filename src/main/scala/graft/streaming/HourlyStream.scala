@@ -33,13 +33,18 @@ object HourlyStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over a directory of parquet event drops. */
-  def readEvents(s: SparkSession, srcDir: String): DataFrame =
-    s.readStream
+  /** Streaming source over a directory of parquet event drops.
+    * `maxFilesPerTrigger` bounds micro-batch size (and, in tests, forces a
+    * multi-batch replay so watermark eviction is observable). */
+  def readEvents(s: SparkSession, srcDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = s.readStream
       .schema(eventsRawSchema)
       .option("pathGlobFilter", "events*.parquet")
-      .parquet(srcDir)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(srcDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** 1-day tumbling-window aggregate with a 1-day watermark (late events
     * inside the watermark merge into their day; beyond it they're dropped —
@@ -54,25 +59,39 @@ object HourlyStream {
         col("n_events"), col("sum_value"))
 
   /** Run the stream synchronously over whatever is in `srcDir` and return
-    * the complete aggregate (memory sink + processAllAvailable — the
-    * batch-equivalent answer, used by tests and the verify gate). */
-  def runDailyAggOnce(s: SparkSession, srcDir: String): DataFrame = {
-    val name = "graft_stream_daily_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = dailyAgg(readEvents(s, srcDir))
+    * the daily aggregate, read back from the upserted warehouse.
+    *
+    * UPDATE output mode, not complete: each micro-batch emits only the
+    * (window, event_type) groups it changed, `foreachBatch` upserts just
+    * those days via dynamic partition overwrite, and the 1-day watermark
+    * actually evicts closed windows from the state store. Complete mode —
+    * the round-1 shape — never evicts state and rewrites the full history
+    * every batch: O(days) state and O(history) work per batch on a
+    * long-running stream. */
+  def runDailyAggOnce(s: SparkSession, srcDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None,
+      warehouseDir: Option[String] = None): DataFrame = {
+    val warehouse = warehouseDir.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft_stream_wh_").toString + "/daily")
+    val q = dailyAgg(readEvents(s, srcDir, maxFilesPerTrigger))
       .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_ckpt_").toString))
       .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        PartitionedStore.upsertDaily(batch, warehouse, "day")
+      }
       .start()
     try {
       q.awaitTermination()
     } finally {
       q.stop()
     }
-    s.table(name).orderBy("day", "event_type")
+    s.read.parquet(warehouse)
+      .select("day", "event_type", "n_events", "sum_value")
+      .orderBy("day", "event_type")
   }
 
   /** Streaming dedup with a watermark: re-delivered event_ids inside the
@@ -155,13 +174,19 @@ object HourlyStream {
   /** Continuous variant: hourly micro-batches, each upserted into the
     * parquet warehouse via dynamic partition overwrite (U1 semantics —
     * re-delivered days replace, not duplicate). Returns the running query;
-    * callers manage lifecycle. */
+    * callers manage lifecycle.
+    *
+    * UPDATE mode is load-bearing at scale: only changed (day, type) groups
+    * reach `foreachBatch` (the dynamic partition overwrite then touches
+    * only those days), and the 1-day watermark evicts closed windows from
+    * the state store. In complete mode the watermark never evicts and each
+    * hourly batch would rewrite every day since stream start. */
   def continuousDailyUpsert(s: SparkSession, srcDir: String,
       warehousePath: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 hour")) = {
     dailyAgg(readEvents(s, srcDir))
       .writeStream
-      .outputMode("complete")
+      .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>

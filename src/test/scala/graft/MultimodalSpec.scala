@@ -31,6 +31,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.map(_.getSeq[Float](3)).toSeq === again.map(_.getSeq[Float](3)).toSeq)
   }
 
+  test("scalar feature projection matches the array variant, column-per-dim") {
+    val scalars = Multimodal.extractFeatureScalars(spark, TestSpark.sf)
+    assert(scalars.columns.toSeq ===
+      Seq("media_id", "kind", "n_bytes") ++ (0 until 8).map(i => s"f$i"))
+    val arr = Multimodal.extractFeatures(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    val sc = scalars.collect()
+    assert(sc.length === 500)
+    sc.foreach { r =>
+      val expect = arr(r.getLong(0))
+      (0 until 8).foreach { i =>
+        assert(r.getDouble(3 + i) === expect(i).toDouble)
+      }
+    }
+  }
+
   test("frame sampling: n frames per video, fixed frame size") {
     val frames = Multimodal.sampleFrames(spark, TestSpark.sf, n = 4,
       frameBytes = 16).collect()

@@ -47,6 +47,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateful === batch)
   }
 
+  test("late-beyond-watermark events are dropped; fresh late-day events merge") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_late_").toString
+    def ns(iso: String): Long =
+      java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+    def write(name: String, rows: Seq[(Long, Long, Long, String, Double, String)],
+        modTime: Long): Unit = {
+      // the source dir holds single parquet FILES (the testdata layout), so
+      // write through a scratch dir and copy the lone part file over
+      val scratch = Files.createTempDirectory("graft_late_part_").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .get
+      val dest = new java.io.File(s"$src/$name")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      // file source replays oldest-modified first; pin the order
+      dest.setLastModified(modTime)
+    }
+    // Two RUNS over one checkpoint: the watermark persists in the offset
+    // log across restarts (the production continuousDailyUpsert shape).
+    val ckpt = Files.createTempDirectory("graft_late_ck_").toString
+    val wh = Files.createTempDirectory("graft_late_wh_").toString + "/daily"
+    // run 1: two day-1 events, one day-10 event -> watermark ends at
+    // day 9 (max ts - 1 day), closing the day-1 window
+    write("events_a.parquet", Seq(
+      (1L, ns("2024-01-01T01:00:00Z"), 1L, "click", 1.0, "{}"),
+      (2L, ns("2024-01-01T02:00:00Z"), 1L, "click", 1.0, "{}"),
+      (3L, ns("2024-01-10T00:00:00Z"), 1L, "click", 1.0, "{}")), 1000000L)
+    HourlyStream.runDailyAggOnce(spark, src,
+      checkpointDir = Some(ckpt), warehouseDir = Some(wh)).collect()
+    // run 2: one event 8 days beyond the restored watermark (must be
+    // dropped) and one fresh day-10 event (must merge into the open window)
+    write("events_b.parquet", Seq(
+      (4L, ns("2024-01-01T03:00:00Z"), 1L, "click", 100.0, "{}"),
+      (5L, ns("2024-01-10T01:00:00Z"), 1L, "click", 1.0, "{}")), 2000000L)
+    val out = HourlyStream.runDailyAggOnce(spark, src,
+      checkpointDir = Some(ckpt), warehouseDir = Some(wh)).collect()
+    val byDay = out.map(r => r.getDate(0).toString -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(byDay("2024-01-01") === ((2L, 2.0)), "late event beyond watermark dropped")
+    assert(byDay("2024-01-10") === ((2L, 2.0)), "in-watermark event merged across runs")
+  }
+
   test("foreachBatch streaming upsert lands in the partitioned warehouse") {
     val warehouse = Files.createTempDirectory("graft_wh_").toString
     val ckpt = Files.createTempDirectory("graft_ck_").toString
