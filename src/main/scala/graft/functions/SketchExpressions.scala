@@ -62,6 +62,118 @@ object SketchExpressions {
 
   def tokenFingerprint(tokens: Column): Column =
     CB.column(TokenFingerprint(CB.expression(tokens)))
+
+  def hyperplaneBands(vec: Column, planes: Int, bands: Int,
+      planeOffset: Int = 0): Column =
+    CB.column(HyperplaneBands(CB.expression(vec), planes, bands, planeOffset))
+
+  def cosineSim(a: Column, b: Column): Column =
+    CB.column(CosineSim(CB.expression(a), CB.expression(b)))
+}
+
+/** Cosine similarity of two array<float|double> vectors, fused single
+  * pass. Bit-compatible with the composed HOF form
+  * (`aggregate(zip_with(a,b,*)) / (sqrt(...)*sqrt(...))`) — the three
+  * sums fold left-to-right in double precision in index order, then the
+  * same divide — so oracle hashes are unchanged; only the interpreter
+  * round-trips per element (3 lambda evals each) are gone. */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"cosine_sim needs array<float|double>, got $other")
+  }
+  private lazy val leftFloat = isFloat(left)
+  private lazy val rightFloat = isFloat(right)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var xy = 0.0; var xx = 0.0; var yy = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      xy += xi * yi
+      xx += xi * xi
+      yy += yi * yi
+      i += 1
+    }
+    java.lang.Double.valueOf(xy / (math.sqrt(xx) * math.sqrt(yy)))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CosineSim = copy(left = l, right = r)
+}
+
+/** Banded random-hyperplane LSH signatures (Charikar '02 SimHash for
+  * angles) of an array<float|double> vector: `bands` independent
+  * `planes`-bit signatures, bit p of band b set iff the dot product with
+  * pseudo-random plane (planeOffset + b*planes + p) is positive. Plane
+  * weights are splitmix64(plane, dim) mapped to [-1, 1] — no RNG state,
+  * identical on every executor.
+  *
+  * Why an expression and not composed HOFs: the HOF rendering costs one
+  * Catalyst xxhash64 tree-eval per (band, plane, dim) element —
+  * bands*planes*dim interpreter round-trips per ROW. This is one fused
+  * loop: O(bands*planes*dim) multiply-adds with an inlined 6-op mixer. */
+case class HyperplaneBands(child: Expression, planes: Int, bands: Int,
+    planeOffset: Int) extends UnaryExpression with CodegenFallback {
+  require(planes > 0 && planes <= 64 && bands > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_bands"
+
+  private lazy val readsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"hyperplane_bands needs array<float|double>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val v = new Array[Double](dim)
+    var d = 0
+    while (d < dim) {
+      v(d) = if (readsFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      d += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        val plane = (planeOffset + b * planes + p).toLong
+        var proj = 0.0
+        d = 0
+        while (d < dim) {
+          // weight(plane, d): splitmix64 of the (plane, dim) pair -> [-1, 1]
+          val w = SketchExpressions.splitmix64(plane * 0x100000001B3L + d)
+          proj += v(d) * (w.toDouble / 9.223372036854776e18)
+          d += 1
+        }
+        if (proj > 0) sig |= (1L << p)
+        p += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBands =
+    copy(child = c)
 }
 
 /** Order-sensitive polynomial rolling hash over an array<string> token

@@ -33,8 +33,11 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Fused single-pass expression; bit-identical to
+    * `dot(a,b)/(l2norm(a)*l2norm(b))` (same index-order double folds) but
+    * without 3 interpreted lambda evals per element per pair. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+    graft.functions.SketchExpressions.cosineSim(a, b)
 
   /** Per-vector L2 norms (the normalize-once-then-dot pattern). */
   def norms(s: SparkSession, dir: String): DataFrame =
@@ -59,25 +62,14 @@ object Similarity {
   }
 
   /** H-bit random-hyperplane signature. Plane weights are deterministic
-    * pseudo-randoms derived from xxhash64(plane, dim) mapped to [-1, 1] —
-    * no RNG state, reproducible on any cluster. */
-  def lshSignature(v: Column, planes: Int = 12, planeOffset: Int = 0): Column = {
-    val dims = sequence(lit(0), size(v) - 1)
-    aggregate(
-      sequence(lit(0), lit(planes - 1)),
-      lit(0L),
-      (acc, p) => {
-        val proj = aggregate(
-          zip_with(v, dims, (x, d) =>
-            x.cast("double") *
-              ((xxhash64(p + lit(planeOffset), d).cast("double") /
-                lit(9.223372036854776e18))))
-          , lit(0.0), (a, x) => a + x)
-        when(proj > 0,
-          acc.bitwiseOR(call_function("shiftleft", lit(1L), p)))
-          .otherwise(acc)
-      })
-  }
+    * pseudo-randoms (splitmix64 of (plane, dim) mapped to [-1, 1]) — no
+    * RNG state, reproducible on any cluster. Single-pass custom
+    * expression: the earlier HOF rendering paid one interpreted
+    * xxhash64 tree-eval per (plane, dim) element per row. */
+  def lshSignature(v: Column, planes: Int = 12, planeOffset: Int = 0): Column =
+    element_at(
+      graft.functions.SketchExpressions.hyperplaneBands(v, planes, 1, planeOffset),
+      1)
 
   /** Bucketed ANN: assign every vector an LSH bucket; for each query in
     * `queryIds`, rank only vectors sharing its bucket. Returns top-k per
@@ -127,8 +119,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val emb = t(s, dir, "embeddings")
     val sigs = emb.select(col("vec_id"),
-      posexplode(array((0 until bands).map(b =>
-        lshSignature(col("embedding"), planes, b * planes)): _*))
+      posexplode(graft.functions.SketchExpressions.hyperplaneBands(
+        col("embedding"), planes, bands))
         .as(Seq("band", "bucket")))
     val idx = sigs
       .withColumn("bsz",

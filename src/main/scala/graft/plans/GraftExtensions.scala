@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharNgramSet, MinHashBandBuckets, MinHashSignature, SimHash64, TokenFingerprint, WordShingles}
+import graft.functions.{CharNgramSet, CosineSim, HyperplaneBands, MinHashBandBuckets, MinHashSignature, SimHash64, TokenFingerprint, WordShingles}
 
 /** SQL surface for the custom sketch expressions: registered in the
   * function registry, so `spark.sql("SELECT minhash_signature(...)")`
@@ -77,6 +77,22 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(t) => TokenFingerprint(t)
         case _ => throw new IllegalArgumentException("token_fingerprint(tokens)")
+      }),
+    ("hyperplane_bands",
+      info("hyperplane_bands", "hyperplane_bands(vec[, planes, bands]) - banded random-hyperplane LSH signatures"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => HyperplaneBands(v, 8, 4, 0)
+        case Seq(v, p, b) =>
+          HyperplaneBands(v, intArg(p, "hyperplane_bands"),
+            intArg(b, "hyperplane_bands"), 0)
+        case _ => throw new IllegalArgumentException(
+          "hyperplane_bands(vec[, planes, bands])")
+      }),
+    ("cosine_sim",
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double vectors"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => CosineSim(a, b)
+        case _ => throw new IllegalArgumentException("cosine_sim(a, b)")
       }))
 
   private def intArg(e: Expression, fn: String): Int = e match {
