@@ -100,6 +100,8 @@ object SparkEntry {
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) =>
       Similarity.lshTopK(s, d, Seq(0L, 1L, 2L, 3L, 4L))),
+    "ann_ivf_topk" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfTopK(s, d, Seq(0L, 1L, 2L, 3L, 4L))),
     "embed_neardup_pairs" -> ((s: SparkSession, d: String) =>
       Similarity.embeddingNearDupPairs(s, d)),
     // -- multimodal columns (binary payloads + typed metadata) --

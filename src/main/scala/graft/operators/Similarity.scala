@@ -95,6 +95,63 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** IVF (inverted-file) coarse quantization: every vector is assigned to
+    * its nearest of `k` coarse centroids; a query probes only the
+    * `nProbe` cells nearest to IT, so the scan cost drops from O(N) to
+    * O(N * nProbe / k) at equal recall to the probed fraction.
+    *
+    * Centroids here are a deterministic pseudo-random sample of the
+    * corpus (order by xxhash64(vec_id), take k) — the structure of a real
+    * IVF index with the k-means step swapped for a seedless sample (at
+    * 100 TB the centroids come from k-means|| run offline; everything
+    * downstream — broadcast centroids, argmin assignment, cell-restricted
+    * ranking — is unchanged). The centroid table is k rows: broadcast,
+    * never shuffled; the assignment is a broadcast nested-loop over k
+    * cosines per vector, fully partition-parallel. Cell-partitioned
+    * storage (hive `cell=` layout) would make the probe a partition-pruned
+    * read. */
+  def ivfAssignments(emb: DataFrame, k: Int = 16): (DataFrame, DataFrame) = {
+    val centroids = emb
+      .orderBy(xxhash64(col("vec_id")))
+      .limit(k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cent_sim").desc, col("cent_id"))
+    val assigned = emb
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        cosine(col("embedding"), col("cent_emb")).as("cent_sim"))
+      .withColumn("cent_rank", row_number().over(w))
+    (centroids, assigned)
+  }
+
+  /** IVF ANN top-k: rank only vectors whose cell is among the query's
+    * `nProbe` nearest centroids. Returns top-k per query. */
+  def ivfTopK(s: SparkSession, dir: String, queryIds: Seq[Long],
+      k: Int = 10, cells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (_, assigned) = ivfAssignments(emb, cells)
+    val vectors = assigned.filter(col("cent_rank") === 1)
+      .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"))
+    val probes = assigned
+      .filter(col("vec_id").isin(queryIds: _*) && col("cent_rank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cent_id").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    // no pair dedup needed: each vector lives in exactly ONE cell
+    // (cent_rank = 1), so (q, vec) joins through at most one probed cell
+    vectors.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Num.t6(cosine(col("embedding"), col("q_emb"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("q_id", "rn")
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold — the
     * embedding analog of MinHash near-dup dedup, and shaped the same way
     * (`Dedup.minhashCandidates`):

@@ -18,15 +18,21 @@ object Sketches {
 
   /** Per-type approximate distinct users + quantiles of value, alongside
     * group counts. approx_count_distinct rsd=0.01; percentile_approx with
-    * 10k accuracy. */
+    * 10k accuracy — deliberate: accuracy is the KLL/GK compression
+    * parameter (error ~ 1/accuracy in rank space), 10k keeps the p95
+    * within the tolerance the ApproxSpec test pins while the sketch stays
+    * a few hundred KB of mergeable state per group. Both quantiles come
+    * from ONE sketch (array percentiles), not one sketch per quantile. */
   def approxStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
-        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"))
+        percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
+          lit(10000)).as("pcts"))
+      .select(col("event_type"), col("n"), col("approx_users"),
+        col("pcts").getItem(0).as("p50"), col("pcts").getItem(1).as("p95"))
       .orderBy("event_type")
 
   /** Skew-handling pattern: salted join. The big side scatters each row

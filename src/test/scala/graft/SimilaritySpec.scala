@@ -56,6 +56,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.exists(r => r.getLong(0) == 7L && r.getLong(1) == 8888L))
   }
 
+  test("IVF: planted duplicate shares the query's cell and ranks first") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    val emb = graft.Tables.load(spark, TestSpark.sf, "embeddings")
+    // an identical vector gets identical centroid similarities -> same cell
+    val dup = emb.filter($"vec_id" === 3L)
+      .withColumn("vec_id", org.apache.spark.sql.functions.lit(7777L))
+    emb.union(dup).write.parquet(s"$dir/embeddings.parquet")
+    val top = Similarity.ivfTopK(spark, dir, Seq(3L), k = 5).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getLong(1) === 7777L)
+    assert(top.head.getDouble(2) >= 0.999999)
+  }
+
+  test("IVF scores are exact within the probed cells") {
+    val ivf = Similarity.ivfTopK(spark, TestSpark.sf, Seq(0L, 1L), k = 5)
+      .collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.count(_.getLong(0) == 0L) <= 5)
+    val brute = Similarity.bruteForceTopK(spark, TestSpark.sf, 0L, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.filter(_.getLong(0) == 0L).foreach { r =>
+      assert(math.abs(brute(r.getLong(1)) - r.getDouble(2)) < 1e-9)
+    }
+  }
+
   test("norms: positive, oracle-rounded") {
     val out = Similarity.norms(spark, TestSpark.sf).collect()
     assert(out.length === 500)
