@@ -69,6 +69,7 @@ object SparkEntry {
     // -- sessionization / as-of / JSON / pivot / stats / string-agg --
     "sessionize" -> (RelationalMore.sessionize _),
     "asof_latest" -> (RelationalMore.asofLatest _),
+    "asof_join" -> (RelationalMore.asofJoin _),
     "props_json" -> (RelationalMore.propsJson _),
     "pivot_daily" -> (RelationalMore.pivotDaily _),
     "stats_agg" -> (RelationalMore.statsAgg _),
@@ -325,6 +326,15 @@ object SparkEntry {
         |   ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
         | WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", ""),
+    "asof_join" ->
+      """SELECT p.event_id, p.user_id, c.click_id AS asof_click_id
+        | FROM (SELECT event_id, user_id, ts FROM events
+        |        WHERE event_type = 'purchase') p
+        | ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_id
+        |        FROM events WHERE event_type = 'click'
+        |        GROUP BY user_id, ts) c
+        |   ON p.user_id = c.user_id AND p.ts >= c.ts
+        | ORDER BY p.event_id""".stripMargin.replace("\n", ""),
     "props_json" ->
       """SELECT event_type, count(k) AS n, CAST(sum(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
         | min(k) AS min_k, max(k) AS max_k

@@ -57,6 +57,41 @@ object RelationalMore {
       .orderBy("user_id")
   }
 
+  /** True two-sided AS-OF JOIN: each purchase event picks the latest click
+    * by the same user at-or-before its timestamp (click attribution).
+    *
+    * Rendered scale-first as union + running window, NOT a range join:
+    * tag both sides, sort each user's rows by (ts, side) — clicks before
+    * purchases on ties, giving the inclusive `p.ts >= c.ts` semantics —
+    * and carry the last non-null click id forward with an UNBOUNDED
+    * PRECEDING `last(ignoreNulls)` frame. One shuffle on user_id, O(n)
+    * per user; a naive inequality join explodes to O(clicks × purchases)
+    * per user and a per-row subquery plans a cartesian range probe.
+    * Clicks are pre-deduplicated to one row per (user, ts) — max
+    * event_id — so ties are deterministic on both engines (DuckDB's ASOF
+    * picks an arbitrary row among equal timestamps otherwise). */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts"), col("click_id"),
+        lit(null).cast("long").as("event_id"), lit(0).as("side"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast("long").as("click_id"), col("event_id"),
+        lit(1).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click_id",
+        last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("asof_click_id"))
+      .orderBy("event_id")
+  }
+
   /** JSON column extraction + aggregate over the extracted value
     * (`props` is a JSON string per event — get_json_object stays inside
     * codegen; integer sums are exact). */

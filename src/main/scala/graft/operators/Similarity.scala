@@ -110,39 +110,53 @@ object Similarity {
     * cosines per vector, fully partition-parallel. Cell-partitioned
     * storage (hive `cell=` layout) would make the probe a partition-pruned
     * read. */
-  def ivfAssignments(emb: DataFrame, k: Int = 16): (DataFrame, DataFrame) = {
-    val centroids = emb
-      .orderBy(xxhash64(col("vec_id")))
+  /** The k coarse centroids, materialized to the driver. k rows of
+    * centroid METADATA (k * dim floats — same size class as a broadcast
+    * dim table), not a data collect: at 100 TB the corpus is never
+    * collected, only the centroid table, exactly as a real IVF index
+    * ships its centroid list with the query. */
+  def ivfCentroids(emb: DataFrame, k: Int = 16): Array[(Long, Array[Float])] =
+    emb.orderBy(xxhash64(col("vec_id")))
       .limit(k)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("cent_sim").desc, col("cent_id"))
-    val assigned = emb
-      .crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        cosine(col("embedding"), col("cent_emb")).as("cent_sim"))
-      .withColumn("cent_rank", row_number().over(w))
-    (centroids, assigned)
-  }
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
-  /** IVF ANN top-k: rank only vectors whose cell is among the query's
-    * `nProbe` nearest centroids. Returns top-k per query. */
+  /** Per-vector cell ranking as ONE shuffle-free projection: the centroid
+    * list is inlined as literals, each vector computes its (neg_sim, cent)
+    * pairs and `array_sort`s them — no crossJoin, no window, no exchange.
+    * cells(0) is the home cell; cells(0..nProbe) are the probe targets. */
+  private def cellRanking(cents: Array[(Long, Array[Float])]): Column =
+    array_sort(array(cents.map { case (cid, v) =>
+      struct((-cosine(col("embedding"), typedlit(v))).as("neg_sim"),
+        lit(cid).as("cent"))
+    }: _*))
+
+  /** IVF ANN top-k: rank only vectors whose home cell is among the
+    * query's `nProbe` nearest centroids. Two scans of the corpus (the
+    * vector side and the pushed-filter query side), zero pre-join
+    * shuffles; at scale the vector side would be written once
+    * hive-partitioned by `cell` and the probe becomes a partition-pruned
+    * read. */
   def ivfTopK(s: SparkSession, dir: String, queryIds: Seq[Long],
       k: Int = 10, cells: Int = 16, nProbe: Int = 4): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val (_, assigned) = ivfAssignments(emb, cells)
-    val vectors = assigned.filter(col("cent_rank") === 1)
-      .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"))
-    val probes = assigned
-      .filter(col("vec_id").isin(queryIds: _*) && col("cent_rank") <= nProbe)
+    val cents = ivfCentroids(emb, cells)
+    val ranked = emb.select(col("vec_id"), col("embedding"),
+      cellRanking(cents).as("cells"))
+    val vectors = ranked.select(
+      col("cells").getItem(0).getField("cent").as("cell"),
+      col("vec_id"), col("embedding"))
+    val probes = ranked
+      .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("cent_id").as("cell"))
+        explode(slice(col("cells"), 1, nProbe)).as("probe"))
+      .select(col("q_id"), col("q_emb"), col("probe.cent").as("cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    // no pair dedup needed: each vector lives in exactly ONE cell
-    // (cent_rank = 1), so (q, vec) joins through at most one probed cell
+    // no pair dedup needed: each vector lives in exactly ONE home cell,
+    // so (q, vec) joins through at most one probed cell
     vectors.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),

@@ -171,6 +171,89 @@ object HourlyStream {
       .orderBy("user_id")
   }
 
+  /** Event-time session windows via `flatMapGroupsWithState` +
+    * `EventTimeTimeout` — the custom-state sessionizer shape (SURVEY.md
+    * §2.8 / the batch `sessionize` operator's streaming twin):
+    *
+    *  - state = at most ONE open session per user (start, end, count);
+    *  - sessions that close inside a batch (next event > gap away) emit
+    *    immediately; the still-open session parks in the state store with
+    *    `setTimeoutTimestamp(end + gap)`;
+    *  - when the WATERMARK passes that timestamp the state times out, the
+    *    session emits, and its state is removed — so state size is
+    *    O(active users), not O(history), on an unbounded stream.
+    *
+    * Rows are sorted per (user, batch) in memory: bounded by a user's
+    * events per micro-batch, the same bound the state store itself
+    * assumes. */
+  case class OpenSession(startUs: Long, endUs: Long, n: Long)
+  case class SessionRow(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  def sessionizedStream(events: DataFrame, gapMinutes: Int = 30) = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    def toTs(us: Long) = new java.sql.Timestamp(us / 1000L)
+    events
+      .withWatermark("ts", "1 day")
+      // keep `ts` (the watermark column) in the projection; arithmetic
+      // runs on unix_micros to preserve sub-millisecond event times
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val open = state.get
+            state.remove()
+            Iterator.single(
+              SessionRow(user, toTs(open.startUs), toTs(open.endUs), open.n))
+          } else {
+            val ts = rows.map(_._3).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer[SessionRow]()
+            var open = state.getOption.orNull
+            ts.foreach { t =>
+              if (open == null) open = OpenSession(t, t, 1L)
+              else if (t - open.endUs > gapUs) {
+                closed += SessionRow(user, toTs(open.startUs),
+                  toTs(open.endUs), open.n)
+                open = OpenSession(t, t, 1L)
+              } else open = OpenSession(open.startUs, math.max(open.endUs, t),
+                open.n + 1L)
+            }
+            if (open != null) {
+              state.update(open)
+              state.setTimeoutTimestamp((open.endUs + gapUs) / 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Run the sessionizer synchronously (AvailableNow + memory sink) and
+    * return the emitted (closed or timed-out) sessions. */
+  def runSessionsOnce(s: SparkSession, srcDir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val name = "graft_stream_sessions_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = sessionizedStream(readEvents(s, srcDir), gapMinutes)
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.table(name).orderBy("user_id", "session_start")
+  }
+
   /** Continuous variant: hourly micro-batches, each upserted into the
     * parquet warehouse via dynamic partition overwrite (U1 semantics —
     * re-delivered days replace, not duplicate). Returns the running query;

@@ -91,6 +91,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(byDay("2024-01-10") === ((2L, 2.0)), "in-watermark event merged across runs")
   }
 
+  test("flatMapGroupsWithState sessionizer: in-batch closes + event-time timeout") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_sess_").toString
+    def ns(iso: String): Long =
+      java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+    def write(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val scratch = Files.createTempDirectory("graft_sess_part_").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(s"$src/$name").toPath)
+    }
+    // user 1: two events 10 min apart (one session), then an event 2 h
+    // later -> first session CLOSES IN-BATCH; the third event stays open
+    write("events_a.parquet", Seq(
+      (1L, ns("2024-01-01T10:00:00Z"), 1L, "click", 1.0, "{}"),
+      (2L, ns("2024-01-01T10:10:00Z"), 1L, "click", 1.0, "{}"),
+      (3L, ns("2024-01-01T12:10:00Z"), 1L, "click", 1.0, "{}")))
+    val ckptRun = Files.createTempDirectory("graft_sess_ck_").toString
+    // memory sink cannot recover a checkpoint; the parquet file sink can
+    val outDir = Files.createTempDirectory("graft_sess_out_").toString + "/sessions"
+    def run(): Array[org.apache.spark.sql.Row] = {
+      val q = graft.streaming.HourlyStream
+        .sessionizedStream(graft.streaming.HourlyStream.readEvents(spark, src))
+        .toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptRun)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      spark.read.parquet(outDir).orderBy("user_id", "session_start").collect()
+    }
+    val first = run()
+    assert(first.length === 1, "only the in-batch-closed session emits")
+    assert(first(0).getLong(0) === 1L)
+    assert(first(0).getLong(3) === 2L) // n_events of the closed session
+    // run 2: a far-future event pushes the watermark past the open
+    // session's timeout -> it emits via EventTimeTimeout
+    write("events_b.parquet", Seq(
+      (4L, ns("2024-01-05T00:00:00Z"), 2L, "click", 1.0, "{}")))
+    val second = run()
+    assert(second.exists(r => r.getLong(0) === 1L && r.getLong(3) === 1L),
+      s"open session should time out and emit: ${second.mkString(";")}")
+  }
+
   test("foreachBatch streaming upsert lands in the partitioned warehouse") {
     val warehouse = Files.createTempDirectory("graft_wh_").toString
     val ckpt = Files.createTempDirectory("graft_ck_").toString
