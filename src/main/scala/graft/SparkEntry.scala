@@ -115,6 +115,9 @@ object SparkEntry {
     // -- structured streaming (1-day tumbling window + watermark) --
     "stream_daily" -> ((s: SparkSession, d: String) =>
       graft.streaming.HourlyStream.runDailyAggOnce(s, d)),
+    "stream_dedup" -> (graft.streaming.HourlyStream.runDedupOnce _),
+    "stream_sessions" -> ((s: SparkSession, d: String) =>
+      graft.streaming.HourlyStream.runSessionsOnce(s, d)),
     // -- source-contract checks (the reference's dbt not_null test) --
     "contract_nulls" -> (graft.operators.Contract.eventNullContract _),
   )
@@ -491,11 +494,51 @@ object SparkEntry {
         |  WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
         | octet_length(encode(text)) AS n_bytes
         | FROM documents ORDER BY media_id""".stripMargin.replace("\n", ""),
+    "mm_frames" ->
+      """SELECT media_id, frame_idx, CAST(length(frame) AS BIGINT) AS frame_bytes,
+        | md5(frame) AS frame_hash FROM (
+        | SELECT doc_id AS media_id, CAST(i.i AS INTEGER) AS frame_idx,
+        |  substring(text, CAST(i.i AS INTEGER)
+        |   * greatest(CAST(floor((length(text) - 16) / 4.0) AS INTEGER), 1) + 1,
+        |   16) AS frame
+        | FROM documents CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) i
+        | WHERE doc_id % 3 = 2)
+        | ORDER BY media_id, frame_idx""".stripMargin.replace("\n", ""),
     "stream_daily" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         | FROM events GROUP BY 1, 2
         | ORDER BY day, event_type""".stripMargin.replace("\n", ""),
+    "stream_dedup" ->
+      """SELECT event_id FROM (SELECT DISTINCT event_id, ts FROM events)
+        | ORDER BY event_id""".stripMargin.replace("\n", ""),
+    // Emitted sessions after one AvailableNow pass = every session except
+    // each user's last (those closed in-batch), plus last sessions whose
+    // event-time timeout (end + 30 min) fell behind the final watermark
+    // (max ts - 1 day) and fired in the trailing no-data batch.
+    "stream_sessions" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+        |    - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |   THEN 1 ELSE 0 END AS brk
+        | FROM events),
+        | s AS (
+        | SELECT user_id, us,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM g),
+        | agg AS (
+        | SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us,
+        |  count(*) AS n_events
+        | FROM s GROUP BY 1, 2)
+        | SELECT user_id, start_us, end_us, n_events FROM agg
+        | WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+        |  OR end_us + 1800000000 <
+        |   (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM events)
+        |    - 86400000000
+        | ORDER BY user_id, start_us""".stripMargin.replace("\n", ""),
     "contract_nulls" ->
       """SELECT count(*) - count(event_id) AS null_event_id,
         | count(*) - count(ts) AS null_ts,

@@ -107,12 +107,18 @@ object Multimodal {
   /** Frame sampling: cut `n` evenly spaced fixed-size byte windows from
     * each payload (stand-in for video frame extraction; the windowing,
     * explode shape, and per-frame rows are the real plumbing). Pure
-    * expressions — no shuffle. */
+    * expressions — no shuffle.
+    *
+    * Integer stride (explicit floor) and md5 frame digests keep the
+    * operator oracle-checkable: both engines floor the same double and
+    * md5 the same bytes (the synthetic corpus is ASCII, so the oracle's
+    * varchar substring addresses the same byte offsets). */
   def sampleFrames(s: SparkSession, dir: String, n: Int = 4,
       frameBytes: Int = 16): DataFrame = {
     val media = mediaFromDocuments(s, dir)
       .filter(col("kind") === "video")
-    val stride = greatest((length(col("payload")) - frameBytes) / n, lit(1))
+    val stride = greatest(
+      floor((length(col("payload")) - frameBytes) / n).cast("int"), lit(1))
     media
       .select(col("media_id"),
         posexplode(transform(sequence(lit(0), lit(n - 1)), i =>
@@ -120,7 +126,7 @@ object Multimodal {
           .as(Seq("frame_idx", "frame")))
       .select(col("media_id"), col("frame_idx"),
         length(col("frame")).cast("long").as("frame_bytes"),
-        xxhash64(col("frame")).as("frame_hash"))
+        md5(col("frame")).as("frame_hash"))
       .orderBy("media_id", "frame_idx")
   }
 }

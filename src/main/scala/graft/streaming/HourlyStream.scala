@@ -187,15 +187,16 @@ object HourlyStream {
     * events per micro-batch, the same bound the state store itself
     * assumes. */
   case class OpenSession(startUs: Long, endUs: Long, n: Long)
-  case class SessionRow(user_id: Long, session_start: java.sql.Timestamp,
-      session_end: java.sql.Timestamp, n_events: Long)
+  /** Session bounds as unix MICROS (not Timestamp): exact at the source's
+    * precision and oracle-comparable (`epoch_us` on the DuckDB side). */
+  case class SessionRow(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
 
   def sessionizedStream(events: DataFrame, gapMinutes: Int = 30) = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val s = events.sparkSession
     import s.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    def toTs(us: Long) = new java.sql.Timestamp(us / 1000L)
     events
       .withWatermark("ts", "1 day")
       // keep `ts` (the watermark column) in the projection; arithmetic
@@ -211,7 +212,7 @@ object HourlyStream {
             val open = state.get
             state.remove()
             Iterator.single(
-              SessionRow(user, toTs(open.startUs), toTs(open.endUs), open.n))
+              SessionRow(user, open.startUs, open.endUs, open.n))
           } else {
             val ts = rows.map(_._3).toArray.sorted
             val closed = scala.collection.mutable.ArrayBuffer[SessionRow]()
@@ -219,8 +220,7 @@ object HourlyStream {
             ts.foreach { t =>
               if (open == null) open = OpenSession(t, t, 1L)
               else if (t - open.endUs > gapUs) {
-                closed += SessionRow(user, toTs(open.startUs),
-                  toTs(open.endUs), open.n)
+                closed += SessionRow(user, open.startUs, open.endUs, open.n)
                 open = OpenSession(t, t, 1L)
               } else open = OpenSession(open.startUs, math.max(open.endUs, t),
                 open.n + 1L)
@@ -251,7 +251,7 @@ object HourlyStream {
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    s.table(name).orderBy("user_id", "session_start")
+    s.table(name).orderBy("user_id", "start_us")
   }
 
   /** Continuous variant: hourly micro-batches, each upserted into the

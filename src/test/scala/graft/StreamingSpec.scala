@@ -124,7 +124,7 @@ class StreamingSpec extends AnyFunSuite {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try q.awaitTermination() finally q.stop()
-      spark.read.parquet(outDir).orderBy("user_id", "session_start").collect()
+      spark.read.parquet(outDir).orderBy("user_id", "start_us").collect()
     }
     val first = run()
     assert(first.length === 1, "only the in-batch-closed session emits")
