@@ -457,6 +457,33 @@ object SparkEntry {
         |  FROM (SELECT doc_id, text,
         |   string_split_regex(trim(text), '\s+') AS toks FROM documents))
         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // argmax over per-language marker-hit ratios; ties resolve to the
+    // lexicographically-last language, mirroring array_max on (score, lang)
+    "lang_id" ->
+      """SELECT doc_id, lang_labeled,
+        | CASE WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr'
+        |  WHEN s_es = m THEN 'es' WHEN s_en = m THEN 'en'
+        |  ELSE 'de' END AS lang_pred,
+        | floor(m * 1000000.0) / 1000000.0 AS score
+        | FROM (
+        | SELECT doc_id, lang_labeled, s_en, s_es, s_de, s_fr, s_zh,
+        |  greatest(s_en, s_es, s_de, s_fr, s_zh) AS m
+        | FROM (
+        |  SELECT doc_id, lang AS lang_labeled,
+        |   CAST(len(list_filter(toks, t -> list_contains(
+        |    ['the','and','of','to','is','in','that','it'], t))) AS DOUBLE) / nt AS s_en,
+        |   CAST(len(list_filter(toks, t -> list_contains(
+        |    ['el','la','de','que','y','en','un','los'], t))) AS DOUBLE) / nt AS s_es,
+        |   CAST(len(list_filter(toks, t -> list_contains(
+        |    ['der','die','und','das','ist','nicht','ein','mit'], t))) AS DOUBLE) / nt AS s_de,
+        |   CAST(len(list_filter(toks, t -> list_contains(
+        |    ['le','la','les','et','des','est','une','dans'], t))) AS DOUBLE) / nt AS s_fr,
+        |   CAST(len(list_filter(toks, t -> list_contains(
+        |    ['的','是','了','在','我','有','和','不'], t))) AS DOUBLE) / nt AS s_zh
+        |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks,
+        |   CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE) AS nt
+        |   FROM documents)))
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "token_histogram" ->
       """SELECT token, count(*) AS n FROM
         | (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token

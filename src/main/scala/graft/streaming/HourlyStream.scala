@@ -81,7 +81,11 @@ object HourlyStream {
         java.nio.file.Files.createTempDirectory("graft_ckpt_").toString))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        PartitionedStore.upsertDaily(batch, warehouse, "day")
+        // update-mode batches hold one row per changed (day, type) — tiny
+        // at ANY corpus size — so collapse to one writer task per day
+        // instead of letting all shuffle partitions emit splinter files
+        PartitionedStore.upsertDaily(
+          batch.repartition(col("day")), warehouse, "day")
       }
       .start()
     try {

@@ -74,4 +74,32 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.operators.TextAnalysis.textStats(spark, TestSpark.sf))
     assert(p.contains("*("), "expected WholeStageCodegen spans")
   }
+
+  test("asof_join: union+window form, never a range join") {
+    val p = plan(graft.operators.RelationalMore.asofJoin(spark, TestSpark.sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "as-of must not plan a range/cross join:\n" + p.take(1500))
+    assert(p.contains("Window"), "running last() window expected")
+  }
+
+  test("ivf: cell assignment is shuffle-free before the probe join") {
+    val p = plan(Similarity.ivfTopK(spark, TestSpark.sf, Seq(0L, 1L)))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // allowed shuffles: the per-query rank window and the output sort —
+    // cell assignment itself is a pure projection, so at most 2 non-
+    // broadcast exchanges may appear (count the AQE final plan only; the
+    // printed string repeats the tree under "== Initial Plan ==")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(finalPlan).length
+    assert(shuffles <= 2, s"expected <=2 shuffle exchanges, got $shuffles:\n" +
+      finalPlan.take(2000))
+  }
+
+  test("embedding near-dup: candidate join carries only (band, bucket, id)") {
+    val df = Similarity.embeddingNearDupPairs(spark, TestSpark.sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
