@@ -71,10 +71,22 @@ object HourlyStream {
   def runDailyAggOnce(s: SparkSession, srcDir: String,
       maxFilesPerTrigger: Option[Int] = None,
       checkpointDir: Option[String] = None,
-      warehouseDir: Option[String] = None): DataFrame = {
+      warehouseDir: Option[String] = None,
+      statePartitions: Int = 8): DataFrame = {
     val warehouse = warehouseDir.getOrElse(java.nio.file.Files
       .createTempDirectory("graft_stream_wh_").toString + "/daily")
-    val q = dailyAgg(readEvents(s, srcDir, maxFilesPerTrigger))
+    // State partition count is pinned by the FIRST checkpoint, so it is a
+    // deployment decision, not a tuning afterthought. The daily aggregate
+    // keeps one state row per (day, event_type) — map-side partial
+    // aggregation collapses each micro-batch to at most that many rows
+    // before the shuffle, so reduce-side parallelism needs to cover the
+    // GROUP count, not the input size: 8 covers years of days x types;
+    // per-partition state-store commit overhead (the dominant fixed cost
+    // of a micro-batch) scales down with it.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q =
+      dailyAgg(readEvents(s, srcDir, maxFilesPerTrigger))
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir.getOrElse(
@@ -92,6 +104,9 @@ object HourlyStream {
       q.awaitTermination()
     } finally {
       q.stop()
+      // restore only after the stream is done — the micro-batch thread
+      // reads the conf asynchronously when it pins state partitioning
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
     s.read.parquet(warehouse)
       .select("day", "event_type", "n_events", "sum_value")
