@@ -112,6 +112,8 @@ object SparkEntry {
     "mm_features" -> (graft.multimodal.Multimodal.extractFeatureScalars _),
     "mm_frames" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.sampleFrames(s, d)),
+    "mm_resize" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.resizeImages(s, d)),
     // -- structured streaming (1-day tumbling window + watermark) --
     "stream_daily" -> ((s: SparkSession, d: String) =>
       graft.streaming.HourlyStream.runDailyAggOnce(s, d)),

@@ -104,6 +104,49 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** ======== STUB ========
+    * Deterministic fake "resize": stride-sample every k-th payload byte,
+    * where k is chosen from the source/target width ratio. A real
+    * deployment replaces ONLY this function with a codec resize (JNI /
+    * java.awt) — bytes in, bytes out, smaller. */
+  private[multimodal] def stubResizeBytes(payload: Array[Byte],
+      ratio: Int): Array[Byte] = {
+    val k = math.max(ratio, 1)
+    val out = new Array[Byte]((payload.length + k - 1) / k)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * k); i += 1 }
+    out
+  }
+
+  /** Resized media row: payload swapped for the downsampled bytes and the
+    * typed metadata recomputed — the contract a real resize keeps. */
+  case class ResizedRow(media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int, n_bytes: Long)
+
+  /** Image resize over the media table (images only — pruned before the
+    * payload bytes are touched). Typed mapPartitions like
+    * `extractFeatures`: per-partition init slot for a real codec, batch
+    * iterator shape, metadata recomputed from the target dims. */
+  def resizeImages(s: SparkSession, dir: String,
+      targetWidth: Int = 64): DataFrame = {
+    import s.implicits._
+    val media = mediaFromDocuments(s, dir)
+      .filter(col("kind") === "image").as[MediaRow]
+    media.mapPartitions { rows =>
+      // [real decoder/scaler init would go here, once per partition]
+      rows.map { m =>
+        val ratio = math.max(m.width / math.max(targetWidth, 1), 1)
+        val resized = stubResizeBytes(m.payload, ratio)
+        ResizedRow(m.media_id, m.kind, resized,
+          math.max(m.width / ratio, 1), math.max(m.height / ratio, 1),
+          resized.length.toLong)
+      }
+    }.toDF()
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("n_bytes"), md5(col("payload")).as("payload_md5"))
+      .orderBy("media_id")
+  }
+
   /** Frame sampling: cut `n` evenly spaced fixed-size byte windows from
     * each payload (stand-in for video frame extraction; the windowing,
     * explode shape, and per-frame rows are the real plumbing). Pure

