@@ -12,10 +12,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // test tables are single parquet files; the default 128m split size
+      // would hand a whole table to 1-2 tasks. 16m keeps every core on a
+      // scan at local SFs — the same lever, sized oppositely, that keeps
+      // partitions memory-bounded at 100 TB (SURVEY.md §4 spill-aware).
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       // JVM (not ICU) case mapping: identical on ASCII, avoids a ~60s
       // one-time ICU table init the first time upper()/lower() executes.

@@ -117,7 +117,8 @@ object SparkEntry {
     // -- structured streaming (1-day tumbling window + watermark) --
     "stream_daily" -> ((s: SparkSession, d: String) =>
       graft.streaming.HourlyStream.runDailyAggOnce(s, d)),
-    "stream_dedup" -> (graft.streaming.HourlyStream.runDedupOnce _),
+    "stream_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.HourlyStream.runDedupOnce(s, d)),
     "stream_sessions" -> ((s: SparkSession, d: String) =>
       graft.streaming.HourlyStream.runSessionsOnce(s, d)),
     // -- source-contract checks (the reference's dbt not_null test) --

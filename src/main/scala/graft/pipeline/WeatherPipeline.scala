@@ -13,11 +13,11 @@ import graft.store.PartitionedStore
   * stages chain as DataFrames (SURVEY.md §3.1).
   *
   * The HTTP fetch (S1) is driver-side by design (a single-request source;
-  * SURVEY.md §2.1 rules a DataSourceV2 overkill) — `run` accepts the
-  * payload string so tests and offline environments inject fixtures; a
-  * deployment passes the body of
-  * `GET {base}?latitude=..&longitude=..&hourly=temperature_2m,
-  * relative_humidity_2m&timezone=UTC`. */
+  * SURVEY.md §2.1 rules a DataSourceV2 overkill): `runLive` performs the
+  * reference's GET via `WeatherIngest.fetchOpenMeteoJson` (params, 30 s
+  * timeout, raise-on-non-2xx, `_meta` enrichment); `run` accepts the
+  * payload string directly so tests and offline environments inject
+  * fixtures. */
 object WeatherPipeline {
 
   case class Result(rows: Long, batchDay: Option[java.sql.Date],
@@ -44,6 +44,14 @@ object WeatherPipeline {
     * recompute on read). */
   def dailyMart(spark: SparkSession, warehousePath: String): DataFrame =
     WeatherModels.daily(PartitionedStore.read(spark, warehousePath))
+
+  /** Live-fetch variant: the full reference DAG including the HTTP GET
+    * (S1). `fetch` defaults to the real Open-Meteo call and is injectable
+    * so tests point it at a stub server (`WeatherIngestSpec` exercises
+    * the fetch contract itself; `PipelinePropertySpec` the stages). */
+  def runLive(spark: SparkSession, warehousePath: String,
+      fetch: () => String = () => WeatherIngest.fetchOpenMeteoJson()): Result =
+    run(spark, fetch(), warehousePath)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -83,8 +83,7 @@ object HourlyStream {
     // GROUP count, not the input size: 8 covers years of days x types;
     // per-partition state-store commit overhead (the dominant fixed cost
     // of a micro-batch) scales down with it.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    withStatePartitions(s, statePartitions) {
     val q =
       dailyAgg(readEvents(s, srcDir, maxFilesPerTrigger))
       .writeStream
@@ -104,13 +103,11 @@ object HourlyStream {
       q.awaitTermination()
     } finally {
       q.stop()
-      // restore only after the stream is done — the micro-batch thread
-      // reads the conf asynchronously when it pins state partitioning
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
     s.read.parquet(warehouse)
       .select("day", "event_type", "n_events", "sum_value")
       .orderBy("day", "event_type")
+    }
   }
 
   /** Streaming dedup with a watermark: re-delivered event_ids inside the
@@ -122,9 +119,28 @@ object HourlyStream {
       .withWatermark("ts", "1 day")
       .dropDuplicates("event_id", "ts")
 
+  /** Run `body` with the shuffle/state partition count pinned to `n`,
+    * restoring the session conf only after the stream finished (the
+    * micro-batch thread reads the conf asynchronously). State partition
+    * count is a per-query DEPLOYMENT decision (the first checkpoint pins
+    * it): size it to expected STATE VOLUME — a handful for group-bounded
+    * state like the daily aggregate or per-user sessions at test scale,
+    * hundreds for event-cardinality state (dedup) on a real firehose. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(
+      body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run the dedup stream synchronously and return the surviving rows
-    * (count-only projection; memory sink). */
-  def runDedupOnce(s: SparkSession, srcDir: String): DataFrame = {
+    * (count-only projection; memory sink). Dedup state holds one row per
+    * distinct (event_id, ts) inside the watermark window, so unlike the
+    * daily aggregate its partition count must scale with event volume —
+    * the default suits the bundled test SFs. */
+  def runDedupOnce(s: SparkSession, srcDir: String,
+      statePartitions: Int = 8): DataFrame = withStatePartitions(s, statePartitions) {
     val name = "graft_stream_dedup_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val q = dedupedEvents(readEvents(s, srcDir))
@@ -256,7 +272,8 @@ object HourlyStream {
   /** Run the sessionizer synchronously (AvailableNow + memory sink) and
     * return the emitted (closed or timed-out) sessions. */
   def runSessionsOnce(s: SparkSession, srcDir: String,
-      gapMinutes: Int = 30): DataFrame = {
+      gapMinutes: Int = 30,
+      statePartitions: Int = 8): DataFrame = withStatePartitions(s, statePartitions) {
     val name = "graft_stream_sessions_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val q = sessionizedStream(readEvents(s, srcDir), gapMinutes)

@@ -71,4 +71,34 @@ class PipelinePropertySpec extends AnyFunSuite {
     val r = WeatherPipeline.run(spark, payload(Nil, Nil, Nil), wh)
     assert(r.rows === 0L && r.batchDay.isEmpty)
   }
+
+  test("runLive: fetch -> transform -> store -> mart against a stub server") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val body =
+      """{"latitude": -23.5505, "longitude": -46.6333,
+        | "hourly": {
+        |   "time": ["2025-08-21T00:00", "2025-08-21T01:00"],
+        |   "temperature_2m": [20.0, 22.0],
+        |   "relative_humidity_2m": [70.0, 72.0]}}""".stripMargin
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/v1/forecast", (ex: HttpExchange) => {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}/v1/forecast"
+      val wh = Files.createTempDirectory("graft_live_wh_").toString
+      val r = WeatherPipeline.runLive(spark, wh,
+        fetch = () => WeatherIngest.fetchOpenMeteoJson(base, "-23.5505",
+          "-46.6333", now = java.time.Instant.parse("2025-08-21T02:00:00Z")))
+      assert(r.rows === 2L)
+      assert(r.batchDay.map(_.toString).contains("2025-08-21"))
+      val mart = WeatherPipeline.dailyMart(spark, wh).collect()
+      assert(mart.length === 1)
+      assert(mart(0).getDouble(1) === 21.0) // avg temp
+    } finally server.stop(0)
+  }
 }
