@@ -43,6 +43,8 @@ object SparkEntry {
     "segment_revenue" -> (Relational.segmentRevenue _),
     "q3_shipping" -> (Relational.q3Shipping _),
     "q5_region" -> (Relational.q5Region _),
+    "q6_forecast" -> (Relational.q6Forecast _),
+    "q4_priority" -> (Relational.q4Priority _),
     // -- joins / set ops / windows / grouping sets / subqueries --
     "join_left" -> (RelationalExt.joinLeft _),
     "join_semi" -> (RelationalExt.joinSemi _),
@@ -201,6 +203,21 @@ object SparkEntry {
         | JOIN nation ON s_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         | GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin.replace("\n", ""),
+    "q6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin.replace("\n", ""),
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > CAST(o_orderdate AS DATE) + 60)
+        | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", ""),
     "join_left" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         | FROM customer LEFT JOIN orders ON c_custkey = o_custkey

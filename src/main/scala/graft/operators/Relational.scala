@@ -176,4 +176,36 @@ object Relational {
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
+
+  /** TPC-H Q6 shape (forecast revenue change): filter-heavy single-table
+    * aggregate. The whole WHERE clause — shipdate range, discount band,
+    * quantity cap — must reach the parquet scan as pushed filters
+    * (plan-asserted); the aggregate itself is one partial + one exchange
+    * of a single row. */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** TPC-H Q4 shape (order priority checking): count orders per priority
+    * that have at least one line item shipped more than 60 days after the
+    * order date. The EXISTS plans as a LEFT SEMI join on the order key —
+    * only (l_orderkey, l_shipdate) ships to the join, and each order
+    * contributes once no matter how many qualifying lines. */
+  def q4Priority(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+    val late = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(late,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > date_add(col("o_orderdate"), 60),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
 }

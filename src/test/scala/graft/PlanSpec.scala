@@ -75,6 +75,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), "expected WholeStageCodegen spans")
   }
 
+  test("q6: every WHERE predicate reaches the scan as a pushed filter") {
+    val p = Relational.q6Forecast(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters"), p.take(1200))
+    val pushed = p.split("PushedFilters: ")(1).split("]")(0)
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), s"pushed: $pushed]")
+  }
+
+  test("q4: EXISTS plans as a left semi join, not a per-row subquery") {
+    val p = plan(Relational.q4Priority(spark, TestSpark.sf))
+    assert(p.contains("LeftSemi"), p.take(1200))
+  }
+
   test("asof_join: union+window form, never a range join") {
     val p = plan(graft.operators.RelationalMore.asofJoin(spark, TestSpark.sf))
     assert(!p.contains("BroadcastNestedLoopJoin") &&
