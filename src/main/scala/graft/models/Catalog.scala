@@ -41,4 +41,24 @@ object Catalog {
         build(s, dir).createOrReplaceTempView(name)
     }
   }
+
+  /** Source-contract declarations: view -> not-null columns. The analog
+    * of the reference's `sources.yml` schema tests (`not_null` on
+    * `weather_hourly.time`, `dbt/models/sources.yml:9-10`) — declared
+    * next to the models, run by `testSources`. `stg_weather_hourly` is
+    * deliberately ABSENT from the `time` check here: the lenient ingest
+    * parse admits null times by design (they surface via
+    * `Contract.nullViolationCounts`), matching the fixture. */
+  def sourceContracts: Seq[(String, Seq[String])] = Seq(
+    ("stg_hourly_events", Seq("event_id", "hour_utc", "event_type")),
+    ("mart_daily_events", Seq("day", "n_events", "sum_value")),
+    ("mart_weather_daily", Seq("avg_temp_c", "max_temp_c", "min_temp_c")))
+
+  /** `dbt test` analog: assert every declared not-null contract over the
+    * registered views; throws with per-column violation counts on the
+    * first failing view. */
+  def testSources(s: SparkSession): Unit =
+    sourceContracts.foreach { case (view, cols) =>
+      graft.operators.Contract.assertNotNull(s.table(view), cols)
+    }
 }

@@ -10,9 +10,9 @@ import org.apache.spark.sql.SparkSession
   * lands. */
 object ExplainDump {
   val headline = Seq(
-    "q1_pricing", "q5_region", "q3_shipping", "mart_daily", "day_slice",
-    "top10_per_day", "join_semi", "sessionize", "asof_join",
-    "minhash_pairs", "embed_neardup_pairs", "ann_brute_topk",
+    "q1_pricing", "q5_region", "q3_shipping", "q6_forecast", "q4_priority",
+    "mart_daily", "day_slice", "top10_per_day", "join_semi", "sessionize",
+    "asof_join", "minhash_pairs", "embed_neardup_pairs", "ann_brute_topk",
     "ann_ivf_topk", "text_stats", "mm_meta", "contract_nulls")
 
   def main(args: Array[String]): Unit = {

@@ -36,4 +36,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM stg_hourly_events")
       .head().getLong(0) > 0)
   }
+
+  test("testSources passes on the declared contracts (dbt test analog)") {
+    Catalog.registerAll(spark, TestSpark.sf)
+    Catalog.testSources(spark) // throws on violation
+  }
+
+  test("testSources fails loudly when a contract is broken") {
+    Catalog.registerAll(spark, TestSpark.sf)
+    // registering a view that violates its declared contract
+    spark.sql("SELECT CAST(NULL AS BIGINT) AS event_id, " +
+        "CAST(NULL AS TIMESTAMP) AS hour_utc, 'x' AS event_type")
+      .createOrReplaceTempView("stg_hourly_events")
+    try {
+      val e = intercept[IllegalStateException] {
+        Catalog.testSources(spark)
+      }
+      assert(e.getMessage.contains("event_id"))
+    } finally Catalog.registerAll(spark, TestSpark.sf) // restore
+  }
 }
