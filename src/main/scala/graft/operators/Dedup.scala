@@ -132,9 +132,12 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64 bits into 4x16-bit keys
     * (pigeonhole guarantees recall for Hamming distance <= 3), verify with
-    * exact Hamming distance. */
+    * exact Hamming distance. Band buckets above `maxBucket` are dropped
+    * before the self-join — same rationale as `minhashCandidates`:
+    * boilerplate mega-clusters share band keys and would go O(n²) at
+    * scale; exact-hash grouping owns those. */
   def simhashPairs(s: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"),
         SketchExpressions.simhash(tokens(col("text"))).as("sh"))
@@ -142,6 +145,10 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         call_function("shiftright", col("sh"), lit(b * 16))
           .bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "key")))
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
     val l = banded.select(col("band"), col("key"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val r = banded.select(col("band"), col("key"),
