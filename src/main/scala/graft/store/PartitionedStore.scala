@@ -18,13 +18,21 @@ object PartitionedStore {
 
   /** Write a batch, overwriting ONLY the calendar-day partitions present in
     * it (reference semantics: DELETE day + INSERT rows, U1 in SURVEY.md
-    * §2.6). Re-running the same batch is a no-op state-wise (idempotent). */
+    * §2.6). Re-running the same batch is a no-op state-wise (idempotent).
+    *
+    * Rows are sorted WITHIN each write task by (date, time): every
+    * parquet file then carries monotone time ranges, so its row-group
+    * min/max stats let readers with time predicates skip whole row
+    * groups — the intra-file complement of `date=` partition pruning.
+    * Free at write (a per-task sort of one day's rows), paid back on
+    * every time-sliced read at 100 TB. */
   def upsertDaily(df: DataFrame, path: String, dateCol: String = "time"): Unit = {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       df.withColumn("date", to_date(col(dateCol)))
+        .sortWithinPartitions(col("date"), col(dateCol))
         .write
         .mode("overwrite")
         .partitionBy("date")

@@ -27,7 +27,8 @@ class ContractSpec extends AnyFunSuite {
 
   test("queries are deterministic: two runs, identical results (sample)") {
     for (name <- Seq("q1_pricing", "minhash_pairs", "top10_per_day",
-        "ann_brute_topk", "fingerprints")) {
+        "ann_brute_topk", "fingerprints", "ann_ivf_topk", "asof_join",
+        "embed_neardup_pairs", "mm_resize")) {
       val fn = SparkEntry.queries(name)
       val a = fn(spark, TestSpark.sf).collect()
       val b = fn(spark, TestSpark.sf).collect()

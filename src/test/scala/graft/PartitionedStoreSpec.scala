@@ -54,4 +54,24 @@ class PartitionedStoreSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"))
   }
+
+  test("rows are time-sorted within each written file (row-group stats)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_store_sort_").toString
+    // deliberately shuffled event times within one day
+    val rows = Seq(13, 2, 21, 7, 19, 4, 23, 11, 0, 17).map { h =>
+      (java.sql.Timestamp.valueOf(f"2025-08-20 $h%02d:00:00"), h.toDouble)
+    }
+    import spark.implicits._
+    PartitionedStore.upsertDaily(
+      rows.toDF("time", "temperature_2m").repartition(2), path)
+    val dayDir = new java.io.File(s"$path/date=2025-08-20")
+    val parts = dayDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    parts.foreach { f =>
+      val times = spark.read.parquet(f.getAbsolutePath)
+        .select("time").collect().map(_.getTimestamp(0).getTime)
+      assert(times.toSeq === times.sorted.toSeq, f.getName)
+    }
+  }
 }
