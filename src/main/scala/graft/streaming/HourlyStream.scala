@@ -290,6 +290,29 @@ object HourlyStream {
     s.table(name).orderBy("user_id", "start_us")
   }
 
+  /** Production-shaped continuous sessionizer: append-only parquet sink
+    * (closed sessions are immutable facts — no upsert needed), hive
+    * `session_day=` partitioning derived from the session start so
+    * downstream reads prune by day. Returns the running query; callers
+    * manage lifecycle. */
+  def continuousSessionSink(s: SparkSession, srcDir: String,
+      outPath: String, checkpoint: String,
+      gapMinutes: Int = 30,
+      trigger: Trigger = Trigger.ProcessingTime("1 hour")) = {
+    sessionizedStream(readEvents(s, srcDir), gapMinutes)
+      .toDF()
+      .withColumn("session_day",
+        to_date(timestamp_micros(col("start_us"))))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("session_day")
+      .trigger(trigger)
+      .start()
+  }
+
   /** Continuous variant: hourly micro-batches, each upserted into the
     * parquet warehouse via dynamic partition overwrite (U1 semantics —
     * re-delivered days replace, not duplicate). Returns the running query;

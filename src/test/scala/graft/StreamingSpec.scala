@@ -139,6 +139,21 @@ class StreamingSpec extends AnyFunSuite {
       s"open session should time out and emit: ${second.mkString(";")}")
   }
 
+  test("continuous session sink: append-only, day-partitioned session facts") {
+    val out = Files.createTempDirectory("graft_csess_").toString + "/sessions"
+    val ckpt = Files.createTempDirectory("graft_csess_ck_").toString
+    val q = HourlyStream.continuousSessionSink(
+      spark, TestSpark.sf, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q.awaitTermination(120000L) finally q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() > 0)
+    assert(back.columns.contains("session_day"))
+    val dirs = new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("session_day="))
+    assert(dirs === back.select("session_day").distinct().count().toInt)
+  }
+
   test("foreachBatch streaming upsert lands in the partitioned warehouse") {
     val warehouse = Files.createTempDirectory("graft_wh_").toString
     val ckpt = Files.createTempDirectory("graft_ck_").toString
