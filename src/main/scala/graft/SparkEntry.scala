@@ -98,6 +98,8 @@ object SparkEntry {
     "minhash_dedup" -> ((s: SparkSession, d: String) => Dedup.minhashDedup(s, d)),
     "simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "ngram_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
+    // candidate-volume observability (rows-only: LSH banding not SQL-expressible)
+    "dedup_candidates" -> ((s: SparkSession, d: String) => Dedup.minhashCandidateVolume(s, d)),
     // -- similarity search (embeddings) --
     "embed_norms" -> (Similarity.norms _),
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -105,8 +107,17 @@ object SparkEntry {
       Similarity.lshTopK(s, d, Seq(0L, 1L, 2L, 3L, 4L))),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopK(s, d, Seq(0L, 1L, 2L, 3L, 4L))),
+    // recall gates: overlap@k vs the exact baseline, one number per query
+    // (rows-only in the driver; floors pinned in SimilaritySpec)
+    "ann_lsh_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.lshRecallAtK(s, d, Seq(0L, 1L, 2L, 3L, 4L))),
+    "ann_ivf_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfRecallAtK(s, d, Seq(0L, 1L, 2L, 3L, 4L))),
+    // planted variant: the synthetic corpus has no natural pair above cos
+    // 0.61, so the un-planted gate was vacuous (0 rows). Planted identical
+    // copies make the row set non-trivial AND oracle-checkable.
     "embed_neardup_pairs" -> ((s: SparkSession, d: String) =>
-      Similarity.embeddingNearDupPairs(s, d)),
+      Similarity.embeddingNearDupPlanted(s, d)),
     // -- multimodal columns (binary payloads + typed metadata) --
     "mm_meta" -> (graft.multimodal.Multimodal.mediaMeta _),
     // scalar projection (f0..f7) — the raw array<float> variant is the
@@ -123,6 +134,8 @@ object SparkEntry {
       graft.streaming.HourlyStream.runDedupOnce(s, d)),
     "stream_sessions" -> ((s: SparkSession, d: String) =>
       graft.streaming.HourlyStream.runSessionsOnce(s, d)),
+    "stream_user_counts" -> ((s: SparkSession, d: String) =>
+      graft.streaming.HourlyStream.runningUserCounts(s, d)),
     // -- source-contract checks (the reference's dbt not_null test) --
     "contract_nulls" -> (graft.operators.Contract.eventNullContract _),
   )
@@ -533,6 +546,20 @@ object SparkEntry {
         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         | WHERE e.vec_id <> 0
         | ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin.replace("\n", ""),
+    // Planted near-dup pairs: copies of every 50th vector under id+1M are
+    // the only pairs above 0.9 (natural max ~0.6), each with its exact
+    // floor-truncated self-cosine (same left-to-right double folds both
+    // engines — the ann_brute_topk discipline).
+    "embed_neardup_pairs" ->
+      """SELECT vec_id AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b,
+        | floor((list_dot_product(d, d) / (sqrt(list_aggregate(
+        |   list_transform(d, x -> x * x), 'sum'))
+        |  * sqrt(list_aggregate(list_transform(d, x -> x * x), 'sum'))))
+        |  * 1000000.0) / 1000000.0 AS cos_sim
+        | FROM (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+        |  FROM embeddings WHERE vec_id % 50 = 0)
+        | ORDER BY id_a, id_b""".stripMargin.replace("\n", ""),
     "mm_meta" ->
       """SELECT doc_id AS media_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
@@ -551,6 +578,29 @@ object SparkEntry {
         | FROM documents CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) i
         | WHERE doc_id % 3 = 2)
         | ORDER BY media_id, frame_idx""".stripMargin.replace("\n", ""),
+    // Stride-sample "resize" stub over ASCII payloads: every k-th byte of
+    // the UTF-8 text (k from the width/64 ratio), metadata recomputed,
+    // md5 of the sampled bytes. The corpus is pure ASCII (verified: 0 docs
+    // with octet_length <> length), so varchar positions ARE byte offsets
+    // and DuckDB md5(varchar) digests the same bytes Spark md5's.
+    "mm_resize" ->
+      """SELECT media_id, 'image' AS kind,
+        | greatest(CAST(floor(w / CAST(k AS DOUBLE)) AS INTEGER), 1) AS width,
+        | greatest(CAST(floor(h / CAST(k AS DOUBLE)) AS INTEGER), 1) AS height,
+        | CAST(length(resized) AS BIGINT) AS n_bytes,
+        | md5(resized) AS payload_md5
+        | FROM (
+        |  SELECT media_id, w, h, k,
+        |   array_to_string(list_transform(
+        |    range(0, CAST(ceil(length(text) / CAST(k AS DOUBLE)) AS BIGINT)),
+        |    i -> substring(text, CAST(i * k + 1 AS INTEGER), 1)), '') AS resized
+        |  FROM (
+        |   SELECT doc_id AS media_id, text,
+        |    CAST(n_chars % 640 AS INTEGER) AS w,
+        |    CAST(n_chars % 480 AS INTEGER) AS h,
+        |    greatest(CAST(floor((n_chars % 640) / 64.0) AS INTEGER), 1) AS k
+        |   FROM documents WHERE doc_id % 3 = 0))
+        | ORDER BY media_id""".stripMargin.replace("\n", ""),
     "stream_daily" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
@@ -586,6 +636,14 @@ object SparkEntry {
         |   (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM events)
         |    - 86400000000
         | ORDER BY user_id, start_us""".stripMargin.replace("\n", ""),
+    // Final TTL'd-state counts = plain GROUP BY: within one AvailableNow
+    // pass nothing expires mid-batch (timeouts only fire in the trailing
+    // no-data batch, after every count was already emitted), so the last
+    // update per user is the full history count.
+    "stream_user_counts" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(max(CAST(ts AS DATE)) AS VARCHAR) AS last_day
+        | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", ""),
     "contract_nulls" ->
       """SELECT count(*) - count(event_id) AS null_event_id,
         | count(*) - count(ts) AS null_ts,

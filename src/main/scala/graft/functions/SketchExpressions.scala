@@ -76,12 +76,18 @@ object SketchExpressions {
   * (`aggregate(zip_with(a,b,*)) / (sqrt(...)*sqrt(...))`) — the three
   * sums fold left-to-right in double precision in index order, then the
   * same divide — so oracle hashes are unchanged; only the interpreter
-  * round-trips per element (3 lambda evals each) are gone. */
+  * round-trips per element (3 lambda evals each) are gone.
+  *
+  * Null semantics mirror the HOF form it replaces: mismatched vector
+  * lengths (zip_with would pad with null) and null elements both
+  * propagate NULL rather than silently truncating to the common prefix —
+  * a plausible-but-wrong similarity is worse than no similarity. */
 case class CosineSim(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // ragged/null-element inputs -> null
   override def prettyName: String = "cosine_sim"
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
@@ -96,10 +102,12 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var xy = 0.0; var xx = 0.0; var yy = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
       xy += xi * yi

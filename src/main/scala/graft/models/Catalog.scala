@@ -32,12 +32,18 @@ object Catalog {
 
   /** Register base tables + all models (optionally filtered by tag) as
     * temp views. Idempotent: re-registration replaces (IF NOT EXISTS /
-    * CREATE OR REPLACE semantics). */
+    * CREATE OR REPLACE semantics).
+    *
+    * `tag` is dbt `--select tag:x`; `exclude` is dbt `--exclude tag:x`
+    * (the reference runs `dbt run --exclude tag:fx`,
+    * `weather_hourly_pipeline.py:119`). Exclusion wins over selection
+    * when a model carries both tags, matching dbt's node-selection
+    * semantics. */
   def registerAll(s: SparkSession, dir: String,
-      tag: Option[String] = None): Unit = {
+      tag: Option[String] = None, exclude: Option[String] = None): Unit = {
     Tables.registerAll(s, dir)
     models.foreach { case (name, tags, build) =>
-      if (tag.forall(tags.contains))
+      if (tag.forall(tags.contains) && !exclude.exists(tags.contains))
         build(s, dir).createOrReplaceTempView(name)
     }
   }

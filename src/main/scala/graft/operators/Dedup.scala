@@ -94,6 +94,26 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate-volume observability: how far from all-pairs the banding
+    * actually is — the number the cap exists to bound. One row: corpus
+    * size, candidate pairs, n(n-1)/2, and the surviving fraction. At
+    * 100 TB this is the dashboard number that tells you whether a
+    * boilerplate cluster slipped past the cap (fraction jumps toward 1)
+    * long before the join OOMs. */
+  def minhashCandidateVolume(s: SparkSession, dir: String,
+      k: Int = 64, bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val nCand = minhashCandidates(docs, k, bands, maxBucket)
+      .agg(count(lit(1)).as("n_candidates"))
+    nDocs.crossJoin(nCand)
+      .select(col("n_docs"), col("n_candidates"),
+        (col("n_docs") * (col("n_docs") - 1) / lit(2)).cast("long")
+          .as("n_all_pairs"),
+        Num.t6(col("n_candidates") * lit(2.0)
+          / (col("n_docs") * (col("n_docs") - 1))).as("candidate_fraction"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: candidates -> exact word-shingle
     * Jaccard verification -> pairs above threshold. */
   def minhashPairs(s: SparkSession, dir: String,
@@ -137,8 +157,14 @@ object Dedup {
     * boilerplate mega-clusters share band keys and would go O(n²) at
     * scale; exact-hash grouping owns those. */
   def simhashPairs(s: SparkSession, dir: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    simhashPairsOn(t(s, dir, "documents"), maxHamming, maxBucket)
+
+  /** Same pipeline over an arbitrary (doc_id, text) frame — the unit the
+    * cap tests exercise with planted mega-clusters. */
+  def simhashPairsOn(docsIn: DataFrame,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = docsIn
       .select(col("doc_id"),
         SketchExpressions.simhash(tokens(col("text"))).as("sh"))
     val banded = docs.select(col("doc_id"), col("sh"),

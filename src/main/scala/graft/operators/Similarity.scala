@@ -61,6 +61,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact top-k for a SET of queries (the recall baseline): broadcast
+    * the q-row query side, one corpus scan, per-query window rank. Same
+    * plan shape as `bruteForceTopK` — O(N·d·q) work, no shuffle before
+    * the rank. */
+  def bruteForceTopKMulti(s: SparkSession, dir: String, queryIds: Seq[Long],
+      k: Int = 10): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Num.t6(cosine(col("embedding"), col("q_emb"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("q_id", "rn")
+  }
+
+  /** recall@k of an approximate top-k against the exact baseline: per
+    * query, |approx ∩ exact-top-k| / k. Left join keeps 0-overlap queries
+    * in the output (recall 0.0, not a missing row). */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    exact.select(col("q_id"), col("vec_id"))
+      .join(approx.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(Num.t6(sum(coalesce(col("hit"), lit(0))) / lit(k)).as("recall"))
+      .orderBy("q_id")
+
+  /** LSH recall gate: one recall number per query id. Quantifies the
+    * approximation instead of row-count-only checking it. */
+  def lshRecallAtK(s: SparkSession, dir: String, queryIds: Seq[Long],
+      k: Int = 10, planes: Int = 4, bands: Int = 8): DataFrame =
+    recallAtK(bruteForceTopKMulti(s, dir, queryIds, k),
+      lshTopK(s, dir, queryIds, k, planes, bands), k)
+
+  /** IVF recall gate (expected ≈ probed corpus fraction on isotropic
+    * synthetic data; real corpora with cluster structure do better). */
+  def ivfRecallAtK(s: SparkSession, dir: String, queryIds: Seq[Long],
+      k: Int = 10, cells: Int = 16, nProbe: Int = 4): DataFrame =
+    recallAtK(bruteForceTopKMulti(s, dir, queryIds, k),
+      ivfTopK(s, dir, queryIds, k, cells, nProbe), k)
+
   /** H-bit random-hyperplane signature. Plane weights are deterministic
     * pseudo-randoms (splitmix64 of (plane, dim) mapped to [-1, 1]) — no
     * RNG state, reproducible on any cluster. Single-pass custom
@@ -71,23 +117,41 @@ object Similarity {
       graft.functions.SketchExpressions.hyperplaneBands(v, planes, 1, planeOffset),
       1)
 
-  /** Bucketed ANN: assign every vector an LSH bucket; for each query in
-    * `queryIds`, rank only vectors sharing its bucket. Returns top-k per
-    * query within the bucket (approximate; recall measured in tests). */
+  /** Banded LSH ANN: every vector gets `bands` independent `planes`-bit
+    * signatures (disjoint hyperplane sets); a vector is a candidate for a
+    * query iff they share AT LEAST ONE band bucket, and candidates are
+    * ranked by exact cosine. Multi-band probing is what makes hyperplane
+    * LSH usable: for a neighbor at angle θ a single H-bit bucket match
+    * has probability (1-θ/π)^H ≈ 0 for useful H, while 1-(1-(1-θ/π)^p)^b
+    * with p-bit bands recovers it (the round-2 single-band shape measured
+    * recall ≈ 0 at sf0.01 — quantified by `lshRecallAtK`, which is the
+    * gate for this operator).
+    *
+    * Scale shape: the signature index is (vec_id, band, bucket) longs —
+    * never embeddings; the few query rows broadcast; candidates dedup on
+    * (q_id, vec_id) before the exact-cosine join pulls vectors. On
+    * clustered real corpora buckets are dense exactly where neighbors
+    * are, so the candidate fraction stays small; hive-partitioning the
+    * index by (band, bucket) turns each probe into a pruned read. */
   def lshTopK(s: SparkSession, dir: String, queryIds: Seq[Long],
-      k: Int = 10, planes: Int = 8): DataFrame = {
+      k: Int = 10, planes: Int = 4, bands: Int = 8): DataFrame = {
     val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        lshSignature(col("embedding"), planes).as("bucket"))
-    val queries = emb
-      .filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("bucket"))
+    val sig = emb.select(col("vec_id"),
+      posexplode(graft.functions.SketchExpressions.hyperplaneBands(
+        col("embedding"), planes, bands)).as(Seq("band", "bucket")))
+    val qsig = sig.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("band"), col("bucket"))
+    val cands = sig.join(broadcast(qsig), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    emb.join(broadcast(queries), Seq("bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
+    cands.join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         Num.t6(cosine(col("embedding"), col("q_emb"))).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
@@ -186,9 +250,32 @@ object Similarity {
     *    then verified with exact cosine. */
   def embeddingNearDupPairs(s: SparkSession, dir: String,
       threshold: Double = 0.9, planes: Int = 8, bands: Int = 4,
+      maxBucket: Int = 1000): DataFrame =
+    embeddingNearDupPairsOn(t(s, dir, "embeddings"), threshold, planes,
+      bands, maxBucket)
+
+  /** Gate variant with deterministic planted near-dups: every `every`-th
+    * vector is copied under `vec_id + 1000000` and unioned in, so the
+    * expected output is exactly the planted (id, id+1M) pairs — the
+    * synthetic corpus has no natural pair above cos 0.61 (measured at
+    * sf0.01/sf0.1), which made the un-planted gate row vacuous (0 rows
+    * verified only that the query RAN). With planting the full pipeline —
+    * banded signatures, bucket cap, candidate join, exact verify — must
+    * fire to produce the rows, and the result is oracle-checkable: the
+    * pair set AND each pair's self-cosine are computable in SQL. */
+  def embeddingNearDupPlanted(s: SparkSession, dir: String,
+      every: Int = 50, threshold: Double = 0.9): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") % every === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    embeddingNearDupPairsOn(emb.unionByName(planted), threshold)
+  }
+
+  private def embeddingNearDupPairsOn(embIn: DataFrame,
+      threshold: Double = 0.9, planes: Int = 8, bands: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = t(s, dir, "embeddings")
+    val emb = embIn
     val sigs = emb.select(col("vec_id"),
       posexplode(graft.functions.SketchExpressions.hyperplaneBands(
         col("embedding"), planes, bands))

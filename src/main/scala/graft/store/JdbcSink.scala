@@ -97,15 +97,27 @@ object JdbcSink {
     * its own connection and transaction, batches flushed every
     * `batchSize` rows (no row ever reaches the driver).
     *
+    * Retry-idempotent: rows are repartitioned by `hour(time)` so each
+    * task exclusively owns its hours, and each task's transaction DELETEs
+    * its hour slice before inserting it. A task retry or speculative
+    * duplicate that re-runs after a first attempt committed then deletes
+    * exactly the rows that attempt wrote before re-inserting — without
+    * this, executor-side commits re-applied under Spark's task retry
+    * would silently duplicate data. The driver's day-wide DELETE still
+    * runs first to clear hours present in the warehouse but absent from
+    * this batch (day-overwrite semantics); the hour DELETEs are no-ops on
+    * a clean first run.
+    *
     * Atomicity is deliberately weaker than `upsertDay`'s single
     * transaction: a reader can observe a partially loaded day mid-job.
-    * Idempotence is preserved the same way the reference's is — any
-    * re-run starts by deleting the day again. The single-txn variant
-    * remains for reference parity; the Parquet `PartitionedStore` is the
-    * primary at-scale warehouse (SURVEY.md §7.4.2). */
+    * The single-txn variant remains for reference parity; the Parquet
+    * `PartitionedStore` is the primary at-scale warehouse (SURVEY.md
+    * §7.4.2). */
   def upsertDayDistributed(df: DataFrame, day: java.sql.Date,
       connect: () => Connection, batchSize: Int = 1000): Unit = {
     val prepped = loadable(df)
+      .repartition(org.apache.spark.sql.functions
+        .hour(org.apache.spark.sql.functions.col("time")))
     val conn = connect()
     try {
       conn.setAutoCommit(false)
@@ -126,8 +138,21 @@ object JdbcSink {
         try {
           c.setAutoCommit(false)
           val ins = c.prepareStatement(insertSql)
+          val del = c.prepareStatement(
+            "DELETE FROM public.weather_hourly WHERE CAST(time AS DATE) = ?" +
+              " AND EXTRACT(HOUR FROM time) = ?")
+          val seenHours = scala.collection.mutable.Set.empty[Int]
           var n = 0
           rows.foreach { r =>
+            val h = r.getTimestamp(0).toLocalDateTime.getHour
+            if (seenHours.add(h)) {
+              // flush pending inserts BEFORE deleting a new hour slice, so
+              // the delete can never eat rows this txn already staged
+              ins.executeBatch()
+              del.setDate(1, day)
+              del.setInt(2, h)
+              del.executeUpdate()
+            }
             bindRow(ins, r)
             n += 1
             if (n % batchSize == 0) ins.executeBatch()

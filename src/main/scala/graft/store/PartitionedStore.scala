@@ -26,7 +26,27 @@ object PartitionedStore {
     * groups — the intra-file complement of `date=` partition pruning.
     * Free at write (a per-task sort of one day's rows), paid back on
     * every time-sliced read at 100 TB. */
-  def upsertDaily(df: DataFrame, path: String, dateCol: String = "time"): Unit = {
+  def upsertDaily(df: DataFrame, path: String, dateCol: String = "time"): Unit =
+    dynamicOverwrite(df, path, dateCol, Nil)
+
+  /** Keyed variant for UPDATE-mode streaming aggregates: partition by
+    * `(date, keyCols...)` so the dynamic overwrite replaces exactly the
+    * GROUPS present in the batch, never the whole day. An update-mode
+    * micro-batch carries only the (day, key) groups it changed — each with
+    * its full new aggregate value — so overwrite-at-group-granularity is
+    * both correct and the minimal write. Overwriting at day granularity
+    * instead would DELETE the day's untouched groups (the round-2 advisor
+    * finding): an hourly batch containing only some event types for a day
+    * silently dropped the rest.
+    *
+    * Key columns become hive partition directories; keep them
+    * low-cardinality strings (e.g. `event_type`). */
+  def upsertKeyed(df: DataFrame, path: String, dateCol: String,
+      keyCols: Seq[String]): Unit =
+    dynamicOverwrite(df, path, dateCol, keyCols)
+
+  private def dynamicOverwrite(df: DataFrame, path: String, dateCol: String,
+      keyCols: Seq[String]): Unit = {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -35,7 +55,7 @@ object PartitionedStore {
         .sortWithinPartitions(col("date"), col(dateCol))
         .write
         .mode("overwrite")
-        .partitionBy("date")
+        .partitionBy("date" +: keyCols: _*)
         .option("compression", "zstd") // weather_hourly_pipeline.py:73
         .parquet(path)
     } finally {

@@ -94,9 +94,12 @@ object HourlyStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // update-mode batches hold one row per changed (day, type) — tiny
         // at ANY corpus size — so collapse to one writer task per day
-        // instead of letting all shuffle partitions emit splinter files
-        PartitionedStore.upsertDaily(
-          batch.repartition(col("day")), warehouse, "day")
+        // instead of letting all shuffle partitions emit splinter files.
+        // Keyed upsert: the warehouse is partitioned (date, event_type) so
+        // a batch touching only SOME of a day's event types overwrites
+        // exactly those groups, never the day's other types.
+        PartitionedStore.upsertKeyed(
+          batch.repartition(col("day")), warehouse, "day", Seq("event_type"))
       }
       .start()
     try {
@@ -104,8 +107,11 @@ object HourlyStream {
     } finally {
       q.stop()
     }
+    // event_type is a hive partition dir now; pin it back to string in
+    // case partition-column type inference sees numeric-looking values
     s.read.parquet(warehouse)
-      .select("day", "event_type", "n_events", "sum_value")
+      .select(col("day"), col("event_type").cast("string").as("event_type"),
+        col("n_events"), col("sum_value"))
       .orderBy("day", "event_type")
     }
   }
@@ -159,36 +165,68 @@ object HourlyStream {
 
   /** Custom streaming state (SURVEY.md §7.2 step 6 / prompt §2.8):
     * per-user cumulative event count and last-seen day maintained in a
-    * `mapGroupsWithState` state store — the shape every custom sessionizer
-    * / feature accumulator takes at scale (state partitioned by key,
-    * incremental per micro-batch). */
-  case class UserState(n: Long, lastDay: String)
+    * state store — the shape every custom feature accumulator takes at
+    * scale (state partitioned by key, incremental per micro-batch).
+    *
+    * State is BOUNDED: `EventTimeTimeout` with a `retentionDays` TTL from
+    * the user's last event. When the watermark passes last-seen +
+    * retention, the state is removed and emits nothing (the running
+    * counts were already emitted in update mode on every change) — so
+    * state is O(users active inside the retention window), not O(every
+    * user ever seen), on an unbounded stream. A user reappearing after
+    * expiry re-accumulates from zero, the standard TTL'd-feature-store
+    * semantics. */
+  case class UserState(n: Long, lastDay: String, lastUs: Long)
   case class UserCount(user_id: Long, n_events: Long, last_day: String)
 
-  def runningUserCounts(s: SparkSession, srcDir: String): DataFrame = {
-    import s.implicits._
+  /** Per-user running-count stream (library surface; `runUserCountsOnce`
+    * is the synchronous harness). */
+  def userCountStream(events: DataFrame, retentionDays: Int = 30) = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    val retentionMs = retentionDays * 24L * 3600L * 1000L
+    events
+      .withWatermark("ts", "1 day")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserCount](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            // TTL expiry: drop the state, emit nothing (counts already
+            // emitted on their last change)
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(UserState(0L, "", 0L))
+            rows.foreach { case (_, _, us) =>
+              // UTC day from event-time micros (deterministic across JVMs,
+              // independent of driver default timezone)
+              val day = java.time.LocalDate.ofEpochDay(
+                Math.floorDiv(us, 86400000000L)).toString
+              st = UserState(st.n + 1,
+                if (day > st.lastDay) day else st.lastDay,
+                math.max(st.lastUs, us))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastUs / 1000L + retentionMs)
+            Iterator.single(UserCount(user, st.n, st.lastDay))
+          }
+      }
+  }
+
+  def runningUserCounts(s: SparkSession, srcDir: String,
+      retentionDays: Int = 30,
+      statePartitions: Int = 8): DataFrame = withStatePartitions(s, statePartitions) {
     val name = "graft_stream_state_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
-    val events = readEvents(s, srcDir)
-      .select(col("user_id"), col("ts"))
-      .as[(Long, java.sql.Timestamp)]
-    val counted = events
-      .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
-         state: GroupState[UserState]) =>
-          var st = state.getOption.getOrElse(UserState(0L, ""))
-          rows.foreach { case (_, ts) =>
-            val day = ts.toString.substring(0, 10)
-            st = UserState(st.n + 1, if (day > st.lastDay) day else st.lastDay)
-          }
-          state.update(st)
-          UserCount(user, st.n, st.lastDay)
-      }
-    val q = counted.toDF()
+    val q = userCountStream(readEvents(s, srcDir), retentionDays)
+      .toDF()
       .writeStream
-      .outputMode(OutputMode.Update)
+      .outputMode("update")
       .format("memory")
       .queryName(name)
       .option("checkpointLocation",
@@ -249,16 +287,24 @@ object HourlyStream {
             Iterator.single(
               SessionRow(user, open.startUs, open.endUs, open.n))
           } else {
-            val ts = rows.map(_._3).toArray.sorted
+            // Sweep-merge the batch's events WITH the parked open session
+            // as one sorted interval list: a late event arriving in a later
+            // micro-batch that precedes the open session either extends it
+            // backward (within gap: start = min) or closes as its own
+            // EARLIER session (beyond gap) — the two cases the naive
+            // append-only fold got wrong (round-2 advisor finding).
+            val items: Array[OpenSession] =
+              (rows.map { case (_, _, t) => OpenSession(t, t, 1L) } ++
+                state.getOption.iterator).toArray.sortBy(_.startUs)
             val closed = scala.collection.mutable.ArrayBuffer[SessionRow]()
-            var open = state.getOption.orNull
-            ts.foreach { t =>
-              if (open == null) open = OpenSession(t, t, 1L)
-              else if (t - open.endUs > gapUs) {
+            var open: OpenSession = null
+            items.foreach { iv =>
+              if (open == null) open = iv
+              else if (iv.startUs - open.endUs > gapUs) {
                 closed += SessionRow(user, open.startUs, open.endUs, open.n)
-                open = OpenSession(t, t, 1L)
-              } else open = OpenSession(open.startUs, math.max(open.endUs, t),
-                open.n + 1L)
+                open = iv
+              } else open = OpenSession(open.startUs,
+                math.max(open.endUs, iv.endUs), open.n + iv.n)
             }
             if (open != null) {
               state.update(open)
@@ -319,10 +365,15 @@ object HourlyStream {
     * callers manage lifecycle.
     *
     * UPDATE mode is load-bearing at scale: only changed (day, type) groups
-    * reach `foreachBatch` (the dynamic partition overwrite then touches
-    * only those days), and the 1-day watermark evicts closed windows from
-    * the state store. In complete mode the watermark never evicts and each
-    * hourly batch would rewrite every day since stream start. */
+    * reach `foreachBatch`, and the 1-day watermark evicts closed windows
+    * from the state store. In complete mode the watermark never evicts and
+    * each hourly batch would rewrite every day since stream start.
+    *
+    * The warehouse is partitioned `(date, event_type)` and upserted at
+    * that granularity: because an update-mode batch holds only the groups
+    * it CHANGED, overwriting whole `date=` partitions would delete a
+    * day's untouched event types whenever a batch carries a partial day
+    * (any hourly batch, any re-run over a shared warehouse). */
   def continuousDailyUpsert(s: SparkSession, srcDir: String,
       warehousePath: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 hour")) = {
@@ -332,7 +383,8 @@ object HourlyStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        PartitionedStore.upsertDaily(batch, warehousePath, "day")
+        PartitionedStore.upsertKeyed(batch, warehousePath, "day",
+          Seq("event_type"))
       }
       .start()
   }

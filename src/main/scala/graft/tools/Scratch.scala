@@ -14,22 +14,19 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-    def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      f
-      println(f"[scratch] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
-    }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
 
-    // two full passes over all contract queries, alphabetical (Bench order),
-    // with a GC nudge between queries (drives ContextCleaner)
-    for (pass <- 1 to 2) {
-      graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        time(s"p$pass $name")(noop(fn(spark, dir)))
-        System.gc()
-      }
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val lsh = graft.operators.Similarity.lshRecallAtK(spark, dir, qids)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1))
+      println(s"[scratch] $dir lsh recall@10: ${lsh.mkString(", ")}")
+      val ivf = graft.operators.Similarity.ivfRecallAtK(spark, dir, qids)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1))
+      println(s"[scratch] $dir ivf recall@10: ${ivf.mkString(", ")}")
+      val vol = graft.operators.Dedup.minhashCandidateVolume(spark, dir)
+        .collect()
+      println(s"[scratch] $dir candidate volume: ${vol.mkString(";")}")
+      System.gc()
     }
     spark.stop()
   }

@@ -30,6 +30,20 @@ class CatalogSpec extends AnyFunSuite {
     assert(!s2.catalog.tableExists("mart_daily_events"))
   }
 
+  test("tag exclusion skips the excluded subset (dbt --exclude analog)") {
+    val s2 = spark.newSession()
+    Catalog.registerAll(s2, TestSpark.sf, exclude = Some("weather"))
+    assert(s2.catalog.tableExists("mart_daily_events"))
+    assert(s2.catalog.tableExists("stg_hourly_events"))
+    assert(!s2.catalog.tableExists("mart_weather_daily"))
+    assert(!s2.catalog.tableExists("stg_weather_hourly"))
+    // exclusion wins over selection on the same tag (dbt semantics)
+    val s3 = spark.newSession()
+    Catalog.registerAll(s3, TestSpark.sf,
+      tag = Some("weather"), exclude = Some("weather"))
+    assert(!s3.catalog.tableExists("mart_weather_daily"))
+  }
+
   test("re-registration is idempotent (CREATE OR REPLACE semantics)") {
     Catalog.registerAll(spark, TestSpark.sf)
     Catalog.registerAll(spark, TestSpark.sf)

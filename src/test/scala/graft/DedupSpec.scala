@@ -68,4 +68,41 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Dedup.minhashPairs(spark, TestSpark.sf, threshold = 0.5).count()
     assert(pairs > 0, "expected the synthetic corpus's near-dups to surface")
   }
+
+  test("mega-cluster: the bucket cap bounds the candidate join") {
+    import org.apache.spark.sql.functions._
+    // a 5000-copy boilerplate cluster — uncapped it alone yields
+    // 5000*4999/2 ≈ 12.5M candidate pairs; every one of its band buckets
+    // exceeds maxBucket=1000, so the cap must drop them all
+    val clones = spark.range(5000)
+      .select((col("id") + 100000L).as("doc_id"),
+        lit(base).as("text"), lit("en").as("lang"), lit("s0").as("source"),
+        lit(base.length.toLong).as("n_chars"))
+    val corpus = graft.Tables.load(spark, TestSpark.sf, "documents")
+      .unionByName(clones)
+    val cands = Dedup.minhashCandidates(corpus)
+    val clonePairs = cands
+      .filter(col("doc_a") >= 100000L && col("doc_b") >= 100000L).count()
+    assert(clonePairs === 0L,
+      "capped buckets must contribute zero clone-cluster pairs")
+    val total = cands.count()
+    assert(total < 100000L, s"candidates stay bucket-bounded, got $total")
+    // the mega-cluster is still fully owned by exact-hash grouping
+    val g = corpus.groupBy(md5(col("text"))).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(g >= 5000L)
+    // simhash path: identical docs share all band keys -> same cap applies
+    val simPairs = Dedup.simhashPairsOn(corpus)
+      .filter(col("doc_a") >= 100000L && col("doc_b") >= 100000L).count()
+    assert(simPairs === 0L, "simhash cap must also bound the clone cluster")
+  }
+
+  test("candidate volume: banding keeps candidates a small all-pairs fraction") {
+    val row = Dedup.minhashCandidateVolume(spark, TestSpark.sf).head()
+    val (nDocs, nCand, nAll, frac) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    assert(nAll === nDocs * (nDocs - 1) / 2)
+    assert(nCand < nAll / 10,
+      s"candidates must be <10% of all-pairs, got $nCand of $nAll ($frac)")
+  }
 }

@@ -145,6 +145,39 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(rest.count(_ == "commit") === rest.count(_.startsWith("prepare:INSERT")))
   }
 
+  test("upsertDayDistributed: task txn deletes its hour slice before inserting") {
+    import spark.implicits._
+    val key = "upsert_dist_hourslice"
+    // two rows in the SAME hour -> one hour-partition -> deterministic log
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2025-08-20 07:$m%02d:00")
+    val df = Seq(
+      (ts(0), 17.1, 82.0, ts(30)),
+      (ts(15), 16.8, 84.0, ts(30)))
+      .toDF("time", "temperature_2m", "relative_humidity_2m", "ingested_at")
+    JdbcSink.upsertDayDistributed(df, day, () => RecordingJdbc.connection(key))
+    val rest = RecordingJdbc.entries(key).drop(5) // past the driver prep txn
+    // the hour-scoped DELETE runs inside the task txn BEFORE that hour's
+    // inserts — so a task retry first wipes what its earlier attempt
+    // committed (retry-idempotence), and the flush-before-delete ordering
+    // never eats rows the txn already staged
+    assert(rest === List(
+      "prepare:INSERT INTO", "prepare:DELETE FROM",
+      "executeBatch", "executeUpdate",
+      "addBatch", "addBatch", "executeBatch",
+      "commit", "close"))
+  }
+
+  test("upsertDayDistributed: one hour-slice DELETE per distinct hour") {
+    val key = "upsert_dist_hours"
+    // fixture rows span hours 00 and 01 -> two hour slices
+    JdbcSink.upsertDayDistributed(fixtureDf, day,
+      () => RecordingJdbc.connection(key))
+    val rest = RecordingJdbc.entries(key).drop(5)
+    assert(rest.count(_ == "executeUpdate") === 2, "one DELETE per owned hour")
+    assert(rest.count(_.startsWith("prepare:DELETE")) ===
+      rest.count(_.startsWith("prepare:INSERT")), "hour DELETE prepared per task txn")
+  }
+
   test("upsertDayDistributed: executor failure rolls back its partition") {
     val key = "upsert_dist_rollback"
     intercept[Exception] {

@@ -81,6 +81,51 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("recall gates: banded LSH and IVF clear their floors at k=10") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    // measured at current params on sf0.01: lsh 0.4..1.0 (mean .64),
+    // ivf 0.2..0.7 (mean .46) — floors sit under the observed minima so
+    // a regression in banding/probing trips them, noise does not
+    val lsh = Similarity.lshRecallAtK(spark, TestSpark.sf, qids)
+      .collect().map(_.getDouble(1))
+    assert(lsh.length === qids.length)
+    assert(lsh.forall(_ >= 0.2), s"per-query LSH recall floor: ${lsh.mkString(",")}")
+    assert(lsh.sum / lsh.length >= 0.4, s"mean LSH recall floor: ${lsh.mkString(",")}")
+    val ivf = Similarity.ivfRecallAtK(spark, TestSpark.sf, qids)
+      .collect().map(_.getDouble(1))
+    assert(ivf.length === qids.length)
+    assert(ivf.forall(_ >= 0.1), s"per-query IVF recall floor: ${ivf.mkString(",")}")
+    assert(ivf.sum / ivf.length >= 0.3, s"mean IVF recall floor: ${ivf.mkString(",")}")
+  }
+
+  test("recall of a planted identical vector is perfect for both ANN paths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rec_").toString
+    val emb = graft.Tables.load(spark, TestSpark.sf, "embeddings")
+    val dup = emb.filter($"vec_id" === 5L)
+      .withColumn("vec_id", org.apache.spark.sql.functions.lit(6666L))
+    emb.union(dup).write.parquet(s"$dir/embeddings.parquet")
+    // an identical copy is the rank-1 exact neighbor; both approximate
+    // paths must surface it (all band signatures / home cell coincide)
+    val lsh = Similarity.lshTopK(spark, dir, Seq(5L), k = 1).collect()
+    assert(lsh.head.getLong(1) === 6666L)
+    val ivf = Similarity.ivfTopK(spark, dir, Seq(5L), k = 1).collect()
+    assert(ivf.head.getLong(1) === 6666L)
+  }
+
+  test("cosine: ragged lengths and null elements propagate NULL") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0)),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect()
+    assert(math.abs(df(0).getDouble(0) - 1.0) < 1e-12)
+    assert(df(1).isNullAt(0), "length mismatch must yield NULL, not a truncated sim")
+    assert(df(2).isNullAt(0), "null element must propagate NULL")
+  }
+
   test("norms: positive, oracle-rounded") {
     val out = Similarity.norms(spark, TestSpark.sf).collect()
     assert(out.length === 500)

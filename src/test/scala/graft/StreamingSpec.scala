@@ -91,6 +91,105 @@ class StreamingSpec extends AnyFunSuite {
     assert(byDay("2024-01-10") === ((2L, 2.0)), "in-watermark event merged across runs")
   }
 
+  test("user-count state expires after the TTL and re-initializes") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_ttl_").toString
+    def ns(iso: String): Long =
+      java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+    def write(name: String, rows: Seq[(Long, Long, Long, String, Double, String)],
+        modTime: Long): Unit = {
+      val scratch = Files.createTempDirectory("graft_ttl_part_").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$src/$name")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(modTime)
+    }
+    val ckpt = Files.createTempDirectory("graft_ttl_ck_").toString
+    val outDir = Files.createTempDirectory("graft_ttl_out_").toString + "/counts"
+    def run(): Unit = {
+      val q = graft.streaming.HourlyStream
+        .userCountStream(
+          graft.streaming.HourlyStream.readEvents(spark, src),
+          retentionDays = 30)
+        .toDF()
+        .writeStream.outputMode("update")
+        // file sinks are append-only; foreachBatch gives update-mode
+        // emissions a checkpoint-recoverable sink
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // run 1: user 1 has two events in January
+    write("events_a.parquet", Seq(
+      (1L, ns("2024-01-01T10:00:00Z"), 1L, "click", 1.0, "{}"),
+      (2L, ns("2024-01-02T10:00:00Z"), 1L, "click", 1.0, "{}")), 1000000L)
+    run()
+    // run 2: unrelated user in April -> watermark passes user 1's
+    // last-seen + 30d TTL -> state expires silently
+    write("events_b.parquet", Seq(
+      (3L, ns("2024-04-01T00:00:00Z"), 2L, "click", 1.0, "{}")), 2000000L)
+    run()
+    // run 3: user 1 reappears -> count restarts from zero (TTL semantics)
+    write("events_c.parquet", Seq(
+      (4L, ns("2024-04-01T01:00:00Z"), 1L, "click", 1.0, "{}")), 3000000L)
+    run()
+    val rows = spark.read.parquet(outDir)
+      .filter($"user_id" === 1L)
+      .orderBy($"batch_id".desc, $"n_events".desc)
+      .collect()
+    assert(rows.head.getAs[Long]("n_events") === 1L,
+      s"expired user must re-initialize, got ${rows.mkString(";")}")
+    assert(rows.exists(_.getAs[Long]("n_events") === 2L),
+      "pre-expiry count was emitted before the TTL fired")
+  }
+
+  test("partial-day update batch preserves the day's untouched event types") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_keyed_").toString
+    def ns(iso: String): Long =
+      java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+    def write(name: String, rows: Seq[(Long, Long, Long, String, Double, String)],
+        modTime: Long): Unit = {
+      val scratch = Files.createTempDirectory("graft_keyed_part_").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .get
+      val dest = new java.io.File(s"$src/$name")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(modTime)
+    }
+    val ckpt = Files.createTempDirectory("graft_keyed_ck_").toString
+    val wh = Files.createTempDirectory("graft_keyed_wh_").toString + "/daily"
+    // run 1: one day, TWO event types
+    write("events_a.parquet", Seq(
+      (1L, ns("2024-01-01T01:00:00Z"), 1L, "click", 1.0, "{}"),
+      (2L, ns("2024-01-01T02:00:00Z"), 1L, "click", 1.0, "{}"),
+      (3L, ns("2024-01-01T03:00:00Z"), 1L, "view", 5.0, "{}")), 1000000L)
+    HourlyStream.runDailyAggOnce(spark, src,
+      checkpointDir = Some(ckpt), warehouseDir = Some(wh)).collect()
+    // run 2: a late-but-in-watermark event touching ONLY the click group.
+    // The update-mode batch then carries (day1, click) alone; the round-2
+    // advisor finding was that day-granularity overwrite deleted (day1,
+    // view) here.
+    write("events_b.parquet", Seq(
+      (4L, ns("2024-01-01T04:00:00Z"), 1L, "click", 1.0, "{}")), 2000000L)
+    val out = HourlyStream.runDailyAggOnce(spark, src,
+      checkpointDir = Some(ckpt), warehouseDir = Some(wh)).collect()
+    val byType = out.map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(byType("click") === ((3L, 3.0)), "updated group reflects the new event")
+    assert(byType("view") === ((1L, 5.0)), "untouched group must survive the upsert")
+  }
+
   test("flatMapGroupsWithState sessionizer: in-batch closes + event-time timeout") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_sess_").toString
@@ -137,6 +236,66 @@ class StreamingSpec extends AnyFunSuite {
     val second = run()
     assert(second.exists(r => r.getLong(0) === 1L && r.getLong(3) === 1L),
       s"open session should time out and emit: ${second.mkString(";")}")
+  }
+
+  test("sessionizer: late events BEFORE the open session split or extend backward") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_sessb_").toString
+    def ns(iso: String): Long =
+      java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+    def us(iso: String): Long =
+      java.time.Instant.parse(iso).getEpochSecond * 1000000L
+    def write(name: String, rows: Seq[(Long, Long, Long, String, Double, String)],
+        modTime: Long): Unit = {
+      val scratch = Files.createTempDirectory("graft_sessb_part_").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$src/$name")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(modTime)
+    }
+    val ckpt = Files.createTempDirectory("graft_sessb_ck_").toString
+    val outDir = Files.createTempDirectory("graft_sessb_out_").toString + "/sessions"
+    def run(): Array[org.apache.spark.sql.Row] = {
+      val q = graft.streaming.HourlyStream
+        .sessionizedStream(graft.streaming.HourlyStream.readEvents(spark, src))
+        .toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      spark.read.parquet(outDir).orderBy("user_id", "start_us").collect()
+    }
+    // run 1: open session (10:00, 10:10) parks in state
+    write("events_a.parquet", Seq(
+      (1L, ns("2024-01-01T10:00:00Z"), 1L, "click", 1.0, "{}"),
+      (2L, ns("2024-01-01T10:10:00Z"), 1L, "click", 1.0, "{}")), 1000000L)
+    run()
+    // run 2 (in-watermark — watermark sits a day back): one event 4 h
+    // BEFORE the open session (beyond gap -> its own earlier session) and
+    // one 10 min before its start (within gap -> extends start backward).
+    // The round-2 advisor finding: the append-only fold merged the 06:00
+    // event into the 10:00 session and never moved start_us back.
+    write("events_b.parquet", Seq(
+      (3L, ns("2024-01-01T06:00:00Z"), 1L, "click", 1.0, "{}"),
+      (4L, ns("2024-01-01T09:50:00Z"), 1L, "click", 1.0, "{}")), 2000000L)
+    val afterB = run()
+    assert(afterB.exists(r => r.getLong(0) === 1L &&
+      r.getLong(1) === us("2024-01-01T06:00:00Z") && r.getLong(3) === 1L),
+      s"4h-early late event must close as its own session: ${afterB.mkString(";")}")
+    // run 3: far-future event advances the watermark -> open session times
+    // out; its start must have been extended back to 09:50 and n to 3
+    write("events_c.parquet", Seq(
+      (5L, ns("2024-01-05T00:00:00Z"), 2L, "click", 1.0, "{}")), 3000000L)
+    val afterC = run()
+    assert(afterC.exists(r => r.getLong(0) === 1L &&
+      r.getLong(1) === us("2024-01-01T09:50:00Z") &&
+      r.getLong(2) === us("2024-01-01T10:10:00Z") && r.getLong(3) === 3L),
+      s"within-gap early event must extend the open session backward: ${afterC.mkString(";")}")
   }
 
   test("continuous session sink: append-only, day-partitioned session facts") {
