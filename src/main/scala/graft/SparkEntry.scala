@@ -100,6 +100,8 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     // candidate-volume observability (rows-only: LSH banding not SQL-expressible)
     "dedup_candidates" -> ((s: SparkSession, d: String) => Dedup.minhashCandidateVolume(s, d)),
+    // transitive near-dup clusters (rows-only: iterative component labels)
+    "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
     // -- similarity search (embeddings) --
     "embed_norms" -> (Similarity.norms _),
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),

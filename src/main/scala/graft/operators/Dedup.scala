@@ -145,6 +145,94 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---- transitive near-dup clusters ----
+
+  /** Connected components over an undirected pair graph (doc_a, doc_b) by
+    * iterative min-label propagation: every node repeatedly adopts the
+    * smallest label among itself and its neighbors until fixpoint. The
+    * label space collapses toward each component's minimum doc_id, so the
+    * result is deterministic and the component representative is "keep
+    * the smallest id" — the dedup rule `minhashDedup` already uses for
+    * single pairs, lifted to transitive chains (A≈B, B≈C ⇒ {A,B,C} one
+    * cluster even when A,C never co-occur in a bucket).
+    *
+    * Scale shape: each iteration is one join of the edge list with the
+    * current labels — shuffle on node id, no driver-side data, and the
+    * iteration count is bounded by the component DIAMETER (near-dup
+    * clusters are dense, diameters are small; `maxIter` caps adversarial
+    * chains). One ACTION per round: the convergence `count` both
+    * materializes the round's label cache and reports how many labels
+    * moved (a second per-round job — eager checkpoint — measured ~2x the
+    * runtime at test scale). The cached labels are an InMemoryRelation,
+    * so per-round plans stay shallow instead of doubling.
+    *
+    * Returns (doc_id, cluster_id) for every node of `pairs`. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // both edge directions from ONE scan of `pairs` (a union of two
+    // selects would compute the upstream pair pipeline twice)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .cache()
+    val init = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .cache()
+    var labels = init
+    var prevCache = init // the cached frame backing `labels`
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // smallest label among self + neighbors, as ONE union+groupBy (a
+      // single shuffle) instead of join-then-left-join; the self rows
+      // carry the previous label so convergence is read off the SAME
+      // materialized result that becomes next round's input (no extra job)
+      val nbr = edges
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("cluster_id", "lbl"), Seq("dst"))
+        .select(col("src").as("doc_id"), col("lbl"),
+          lit(null).cast("long").as("prev"))
+      val self = labels.select(col("doc_id"), col("cluster_id").as("lbl"),
+        col("cluster_id").as("prev"))
+      val stepped = nbr.unionByName(self)
+        .groupBy(col("doc_id"))
+        .agg(min(col("lbl")).as("cluster_id"), max(col("prev")).as("prev"))
+        .cache()
+      changed = stepped.filter(col("cluster_id") =!= col("prev")).count()
+      prevCache.unpersist()
+      labels = stepped.select("doc_id", "cluster_id") // lazy view over cache
+      prevCache = stepped
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup clusters of the corpus: verified MinHash pairs -> connected
+    * components. One row per clustered doc (singletons are implicitly
+    * their own cluster and are omitted, matching the pair-based view). */
+  def nearDupClusters(s: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame =
+    connectedComponents(minhashPairs(s, dir, threshold))
+      .orderBy("doc_id")
+
+  /** Cluster-aware dedup: keep the minimum doc_id of every transitive
+    * near-dup cluster (strictly stronger than the pairwise
+    * `minhashDedup`, which can keep B of A≈B, B≈C if the (B,C) pair
+    * shares no bucket with (A,B)). */
+  def clusterDedup(s: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val drop = nearDupClusters(s, dir, threshold)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    t(s, dir, "documents")
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   // ---- SimHash ----
 
   /** Hamming distance between two packed 64-bit signatures. */

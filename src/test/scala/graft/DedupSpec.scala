@@ -97,6 +97,33 @@ class DedupSpec extends AnyFunSuite {
     assert(simPairs === 0L, "simhash cap must also bound the clone cluster")
   }
 
+  test("connected components: chains collapse to the min-id cluster") {
+    import org.apache.spark.sql.functions.col
+    // two components: a 6-node PATH (diameter forces multiple label
+    // rounds) and a disjoint pair
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (10L to 15L).foreach(id => assert(got(id) === 10L, s"node $id"))
+    assert(got(20L) === 20L && got(21L) === 20L)
+  }
+
+  test("cluster dedup: transitive near-dups keep only the cluster min") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_").toString
+    planted.write.parquet(s"$dir/documents.parquet")
+    // planted: 1 exact-dups 0, 2 near-dups 0 -> one cluster {0,1,2}, keep 0
+    val clusters = Dedup.nearDupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(0L) === 0L && clusters(1L) === 0L && clusters(2L) === 0L)
+    assert(!clusters.contains(3L), "unrelated doc is no cluster member")
+    val kept = Dedup.clusterDedup(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 3L))
+  }
+
   test("candidate volume: banding keeps candidates a small all-pairs fraction") {
     val row = Dedup.minhashCandidateVolume(spark, TestSpark.sf).head()
     val (nDocs, nCand, nAll, frac) =
