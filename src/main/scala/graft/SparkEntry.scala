@@ -138,6 +138,8 @@ object SparkEntry {
       graft.streaming.HourlyStream.runSessionsOnce(s, d)),
     "stream_user_counts" -> ((s: SparkSession, d: String) =>
       graft.streaming.HourlyStream.runningUserCounts(s, d)),
+    "stream_join" -> ((s: SparkSession, d: String) =>
+      graft.streaming.HourlyStream.runAttributionOnce(s, d)),
     // -- source-contract checks (the reference's dbt not_null test) --
     "contract_nulls" -> (graft.operators.Contract.eventNullContract _),
   )
@@ -638,6 +640,17 @@ object SparkEntry {
         |   (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM events)
         |    - 86400000000
         | ORDER BY user_id, start_us""".stripMargin.replace("\n", ""),
+    // Stream-stream interval join in ONE AvailableNow pass = the batch
+    // interval join (watermark starts at 0, so nothing is late-dropped
+    // and every in-window pair emits).
+    "stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        | p.user_id, p.value
+        | FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        | ORDER BY purchase_id, click_id""".stripMargin.replace("\n", ""),
     // Final TTL'd-state counts = plain GROUP BY: within one AvailableNow
     // pass nothing expires mid-batch (timeouts only fire in the trailing
     // no-data batch, after every count was already emitted), so the last

@@ -263,6 +263,61 @@ object HourlyStream {
       .orderBy("user_id")
   }
 
+  /** Stream-stream interval join (click→purchase attribution): each
+    * purchase joins the same user's clicks from the preceding
+    * `windowMinutes`. The time-bound condition is what makes this safe on
+    * an unbounded stream: with watermarks on BOTH sides, the join state
+    * for a click can be dropped once the watermark passes
+    * click_ts + window (no purchase can match it anymore), so state is
+    * O(events inside the window + watermark), not O(history). An
+    * unbounded-condition stream join would keep every row forever — the
+    * streaming analog of the n² candidate blowup the dedup caps guard
+    * against. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 day")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 day")
+    p.join(c, expr(
+      s"""p_user = c_user
+         | AND click_ts >= purchase_ts - INTERVAL $windowMinutes MINUTES
+         | AND click_ts <= purchase_ts""".stripMargin))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("value"))
+  }
+
+  /** Run the attribution join synchronously over `srcDir` (AvailableNow,
+    * memory sink). In one pass nothing is beyond the initial watermark,
+    * so the emitted set equals the batch interval join — which is exactly
+    * the oracle the driver checks it against. */
+  def runAttributionOnce(s: SparkSession, srcDir: String,
+      windowMinutes: Int = 30,
+      // a stream-stream join keeps FOUR keyed state stores (two per side);
+      // per-partition commit cost dominates until state is huge, so the
+      // default sits low (measured 6.2s at 8 partitions -> ~4s at 4)
+      statePartitions: Int = 4): DataFrame = withStatePartitions(s, statePartitions) {
+    val name = "graft_stream_attr_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val events1 = readEvents(s, srcDir).filter(col("event_type") === "click")
+    val events2 = readEvents(s, srcDir).filter(col("event_type") === "purchase")
+    val q = attributionJoin(events1, events2, windowMinutes)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.table(name).orderBy("purchase_id", "click_id")
+  }
+
   /** Event-time session windows via `flatMapGroupsWithState` +
     * `EventTimeTimeout` — the custom-state sessionizer shape (SURVEY.md
     * §2.8 / the batch `sessionize` operator's streaming twin):

@@ -13,7 +13,10 @@ object ExplainDump {
     "q1_pricing", "q5_region", "q3_shipping", "q6_forecast", "q4_priority",
     "mart_daily", "day_slice", "top10_per_day", "join_semi", "sessionize",
     "asof_join", "minhash_pairs", "embed_neardup_pairs", "ann_brute_topk",
-    "ann_ivf_topk", "text_stats", "mm_meta", "contract_nulls")
+    // (no stream_* or dedup_clusters here: building those DFs EXECUTES
+    // the stream / the iterative rounds, not just plans them)
+    "ann_ivf_topk", "ann_lsh_topk", "ann_lsh_recall", "dedup_candidates",
+    "text_stats", "mm_meta", "mm_resize", "contract_nulls")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -38,6 +38,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === exact)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = HourlyStream.runAttributionOnce(spark, TestSpark.sf)
+      .collect()
+    val ev = graft.Tables.load(spark, TestSpark.sf, "events")
+    ev.createOrReplaceTempView("ev_attr")
+    val expect = spark.sql(
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        | p.user_id, p.value
+        | FROM ev_attr p JOIN ev_attr c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 30 MINUTES AND c.ts <= p.ts
+        | ORDER BY purchase_id, click_id""".stripMargin).collect()
+    assert(streamed.length === expect.length)
+    assert(streamed.length > 0, "the corpus must contain in-window pairs")
+    streamed.zip(expect).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("mapGroupsWithState: final per-user counts equal the batch group-by") {
     val stateful = HourlyStream.runningUserCounts(spark, TestSpark.sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
