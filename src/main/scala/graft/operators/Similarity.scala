@@ -230,6 +230,59 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Materialized IVF index: the corpus written hive-partitioned by home
+    * cell (`cell=N/` directories) with the centroid table alongside. This
+    * is the storage layout the in-memory `ivfTopK` Scaladoc promises: at
+    * 100 TB a probe must not SCAN the corpus and filter — it must read
+    * only the probed cells' files, which hive partition pruning gives for
+    * free once the cell is a partition column (plan-asserted in
+    * `SimilaritySpec`). */
+  def writeIvfIndex(s: SparkSession, dir: String, indexPath: String,
+      cells: Int = 16): Unit = {
+    val emb = t(s, dir, "embeddings")
+    val cents = ivfCentroids(emb, cells)
+    emb.select(col("vec_id"), col("embedding"),
+      cellRanking(cents).getItem(0).getField("cent").as("cell"))
+      .repartition(col("cell")) // one writer task per cell -> one file set
+      .write.mode("overwrite")
+      .partitionBy("cell")
+      .option("compression", "zstd")
+      .parquet(s"$indexPath/vectors")
+    import s.implicits._
+    cents.toSeq.toDF("cent_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/centroids")
+  }
+
+  /** Probe the materialized index: rank the stored centroids against the
+    * query vector (driver-side, k rows of metadata), then read ONLY the
+    * `nProbe` nearest cells' partitions and rank exact cosine inside
+    * them. The scan's PartitionFilters prune every other `cell=` dir —
+    * the 100 TB probe cost is `nProbe/cells` of one corpus scan, from
+    * layout alone. */
+  def ivfProbeIndexed(s: SparkSession, indexPath: String,
+      query: Array[Float], k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val cents = s.read.parquet(s"$indexPath/centroids")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+      while (i < a.length) {
+        xy += a(i).toDouble * b(i); xx += a(i).toDouble * a(i)
+        yy += b(i).toDouble * b(i); i += 1
+      }
+      xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    val probeCells = cents.map { case (cid, v) => (-cos(v, query), cid) }
+      .sorted.take(nProbe).map(_._2)
+    s.read.parquet(s"$indexPath/vectors")
+      .filter(col("cell").isin(probeCells: _*)) // partition pruning
+      .select(col("vec_id"),
+        Num.t6(cosine(col("embedding"), typedlit(query))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold — the
     * embedding analog of MinHash near-dup dedup, and shaped the same way
     * (`Dedup.minhashCandidates`):

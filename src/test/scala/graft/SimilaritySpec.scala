@@ -112,6 +112,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.head.getLong(1) === 6666L)
   }
 
+  test("materialized IVF index: probe prunes to nProbe cell partitions") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString
+    Similarity.writeIvfIndex(spark, TestSpark.sf, idx)
+    // cell= dirs exist on disk (the prunable layout)
+    val dirs = new java.io.File(s"$idx/vectors").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(dirs > 4, s"expected many cell partitions, got $dirs")
+    val q = graft.Tables.load(spark, TestSpark.sf, "embeddings")
+      .filter($"vec_id" === 0L).head.getSeq[Float](1).toArray
+    val probe = Similarity.ivfProbeIndexed(spark, idx, q, k = 11, nProbe = 4)
+    val rows = probe.collect()
+    // the scan must prune on the cell partition column
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[.*cell.*"),
+      s"expected cell PartitionFilters in:\n${plan.take(1500)}")
+    // rank 1 is the query vector itself (it lives in a probed cell)
+    assert(rows.head.getLong(0) === 0L && rows.head.getDouble(1) >= 0.999999)
+    // dropping self, the result IS the in-memory IVF top-k (same
+    // centroids, same probed cells, same scores)
+    val mem = Similarity.ivfTopK(spark, TestSpark.sf, Seq(0L), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(rows.tail.map(_.getLong(0)).toSet === mem.keySet)
+    rows.tail.foreach(r => assert(mem(r.getLong(0)) === r.getDouble(1)))
+  }
+
   test("cosine: ragged lengths and null elements propagate NULL") {
     import org.apache.spark.sql.functions._
     val df = Seq(
