@@ -140,6 +140,8 @@ object SparkEntry {
       graft.streaming.HourlyStream.runningUserCounts(s, d)),
     "stream_join" -> ((s: SparkSession, d: String) =>
       graft.streaming.HourlyStream.runAttributionOnce(s, d)),
+    "stream_join_outer" -> ((s: SparkSession, d: String) =>
+      graft.streaming.HourlyStream.runAttributionOuterOnce(s, d)),
     // -- source-contract checks (the reference's dbt not_null test) --
     "contract_nulls" -> (graft.operators.Contract.eventNullContract _),
   )
@@ -651,6 +653,32 @@ object SparkEntry {
         |  AND c.user_id = p.user_id
         |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
         | ORDER BY purchase_id, click_id""".stripMargin.replace("\n", ""),
+    // Outer emitted set = all matched pairs + null rows for unmatched
+    // purchases whose match window the FINAL watermark closed. Each side
+    // filters its event_type before withWatermark, so the global
+    // watermark is min(max click ts, max purchase ts) - 1 day; a
+    // purchase can match clicks up to its own ts, so its null row emits
+    // iff purchase_ts < that watermark (verified empirically at sf0.01
+    // AND sf0.1 — using the corpus-wide max instead is off by the rows
+    // in the sliver between the two maxes).
+    "stream_join_outer" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        | p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        | wm AS (SELECT least(
+        |   (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM c),
+        |   (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM p))
+        |   - 86400000000 AS us)
+        | SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.user_id, p.value
+        | FROM p JOIN c ON c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        | UNION ALL
+        | SELECT p.event_id, CAST(NULL AS BIGINT), p.user_id, p.value
+        | FROM p, wm
+        | WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |   AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts)
+        |  AND epoch_us(CAST(p.ts AS TIMESTAMP)) < wm.us
+        | ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin.replace("\n", ""),
     // Final TTL'd-state counts = plain GROUP BY: within one AvailableNow
     // pass nothing expires mid-batch (timeouts only fire in the trailing
     // no-data batch, after every count was already emitted), so the last

@@ -291,6 +291,55 @@ object HourlyStream {
         col("value"))
   }
 
+  /** Left-outer variant: purchases with NO in-window click still emit,
+    * with null click_id — but only once the click-side watermark passes
+    * the purchase's match window, proving no matching click can still
+    * arrive. On an unbounded stream that is the fundamental outer-join
+    * deal: null results are DELAYED by the watermark, never wrong. In an
+    * AvailableNow pass the trailing no-data batch advances the watermark
+    * to max(ts) - delay, so the emitted set is: all matched pairs (as the
+    * inner join) plus null rows for unmatched purchases old enough that
+    * the final watermark closed their window (pinned empirically in
+    * `StreamingSpec` and mirrored in the oracle SQL). */
+  def attributionJoinOuter(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 day")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 day")
+    p.join(c, expr(
+      s"""p_user = c_user
+         | AND click_ts >= purchase_ts - INTERVAL $windowMinutes MINUTES
+         | AND click_ts <= purchase_ts""".stripMargin), "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("value"))
+  }
+
+  def runAttributionOuterOnce(s: SparkSession, srcDir: String,
+      windowMinutes: Int = 30,
+      statePartitions: Int = 4): DataFrame = withStatePartitions(s, statePartitions) {
+    val name = "graft_stream_oattr_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = attributionJoinOuter(
+      readEvents(s, srcDir).filter(col("event_type") === "click"),
+      readEvents(s, srcDir).filter(col("event_type") === "purchase"),
+      windowMinutes)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.table(name).orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** Run the attribution join synchronously over `srcDir` (AvailableNow,
     * memory sink). In one pass nothing is beyond the initial watermark,
     * so the emitted set equals the batch interval join — which is exactly

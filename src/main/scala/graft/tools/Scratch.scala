@@ -14,56 +14,44 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[scratch] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      r
-    }
-    val pairs = time("minhashPairs count") {
-      val p = graft.operators.Dedup.minhashPairs(spark, dir).cache()
-      p.count()
-      p
-    }
-    val edges = time("edges") {
-      val e = pairs
-        .select(explode(array(
-          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .distinct().cache()
-      e.count()
-      e
-    }
-    var labels = time("init labels") {
-      val l = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id")).cache()
-      l.count()
-      l
-    }
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < 20) {
-      changed = time(s"round $i") {
-        val nbr = edges
-          .join(labels.withColumnRenamed("doc_id", "dst")
-            .withColumnRenamed("cluster_id", "lbl"), Seq("dst"))
-          .select(col("src").as("doc_id"), col("lbl"),
-            lit(null).cast("long").as("prev"))
-        val self = labels.select(col("doc_id"), col("cluster_id").as("lbl"),
-          col("cluster_id").as("prev"))
-        val stepped = nbr.unionByName(self)
-          .groupBy(col("doc_id"))
-          .agg(min(col("lbl")).as("cluster_id"), max(col("prev")).as("prev"))
-          .cache()
-        val c = stepped.filter(col("cluster_id") =!= col("prev")).count()
-        labels = stepped.select("doc_id", "cluster_id")
-        c
+    val dir = "/root/testdata/sf0.1"
+    val out = graft.streaming.HourlyStream.runAttributionOuterOnce(spark, dir)
+      .cache()
+    val matched = out.filter(col("click_id").isNotNull).count()
+    val nulls = out.filter(col("click_id").isNull).cache()
+    println(s"[scratch] outer: matched=$matched nulls=${nulls.count()}")
+    // boundary: max purchase ts among emitted null rows, vs corpus max ts
+    val ev = graft.Tables.load(spark, dir, "events")
+    ev.createOrReplaceTempView("ev")
+    val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val nullIds = nulls.select("purchase_id")
+    val nullTs = ev.join(nullIds, ev("event_id") === nullIds("purchase_id"))
+      .agg(max(unix_micros(col("ts"))), min(unix_micros(col("ts"))))
+      .head()
+    println(s"[scratch] maxTs=$maxTs nullRowsMaxTs=${nullTs.getLong(0)} " +
+      s"delta=${(maxTs - nullTs.getLong(0)) / 1000000.0}s")
+    // per-side watermarks: each stream filters its event_type BEFORE
+    // withWatermark, so global wm = min(side maxes) - 1d
+    val maxClick = ev.filter(col("event_type") === "click")
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val maxPurch = ev.filter(col("event_type") === "purchase")
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wmUs = math.min(maxClick, maxPurch) - 86400000000L
+    val wmMsUs = (math.min(maxClick, maxPurch) / 1000L - 86400000L) * 1000L
+    println(s"[scratch] maxClick=$maxClick maxPurch=$maxPurch")
+    for ((bound, tag) <- Seq((wmUs, "wm_us"), (wmMsUs, "wm_ms_floor"))) {
+      for (op <- Seq("<", "<=")) {
+        val n = spark.sql(
+          s"""SELECT count(*) FROM ev p
+             | WHERE p.event_type = 'purchase'
+             | AND NOT EXISTS (SELECT 1 FROM ev c WHERE c.event_type = 'click'
+             |   AND c.user_id = p.user_id
+             |   AND c.ts >= p.ts - INTERVAL 30 MINUTES AND c.ts <= p.ts)
+             | AND unix_micros(p.ts) $op $bound""".stripMargin)
+          .head().getLong(0)
+        println(s"[scratch] unmatched $tag $op: $n")
       }
-      i += 1
     }
-    println(s"[scratch] rounds: $i")
     spark.stop()
   }
 }

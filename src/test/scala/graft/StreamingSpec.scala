@@ -56,6 +56,33 @@ class StreamingSpec extends AnyFunSuite {
     streamed.zip(expect).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("outer stream join: matches + watermark-released null rows") {
+    val streamed = HourlyStream.runAttributionOuterOnce(spark, TestSpark.sf)
+      .collect()
+    val ev = graft.Tables.load(spark, TestSpark.sf, "events")
+    ev.createOrReplaceTempView("ev_oattr")
+    // the global watermark is min over BOTH sides' filtered streams
+    val expect = spark.sql(
+      """WITH c AS (SELECT * FROM ev_oattr WHERE event_type = 'click'),
+        | p AS (SELECT * FROM ev_oattr WHERE event_type = 'purchase'),
+        | wm AS (SELECT least((SELECT max(unix_micros(ts)) FROM c),
+        |   (SELECT max(unix_micros(ts)) FROM p)) - 86400000000 AS us)
+        | SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.user_id, p.value
+        | FROM p JOIN c ON c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 30 MINUTES AND c.ts <= p.ts
+        | UNION ALL
+        | SELECT p.event_id, CAST(NULL AS BIGINT), p.user_id, p.value
+        | FROM p, wm
+        | WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |   AND c.ts >= p.ts - INTERVAL 30 MINUTES AND c.ts <= p.ts)
+        |  AND unix_micros(p.ts) < wm.us
+        | ORDER BY purchase_id, click_id""".stripMargin).collect()
+    assert(streamed.length === expect.length)
+    assert(streamed.count(_.isNullAt(1)) > 0, "null rows must be released")
+    streamed.zip(expect).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("mapGroupsWithState: final per-user counts equal the batch group-by") {
     val stateful = HourlyStream.runningUserCounts(spark, TestSpark.sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
