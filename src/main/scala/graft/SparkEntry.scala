@@ -45,6 +45,10 @@ object SparkEntry {
     "q5_region" -> (Relational.q5Region _),
     "q6_forecast" -> (Relational.q6Forecast _),
     "q4_priority" -> (Relational.q4Priority _),
+    "q7_volume" -> (Relational.q7Volume _),
+    "q10_returns" -> (Relational.q10Returns _),
+    "q12_late" -> (Relational.q12Late _),
+    "q14_promo" -> (Relational.q14Promo _),
     // -- joins / set ops / windows / grouping sets / subqueries --
     "join_left" -> (RelationalExt.joinLeft _),
     "join_semi" -> (RelationalExt.joinSemi _),
@@ -237,6 +241,52 @@ object SparkEntry {
         |   WHERE l_orderkey = o_orderkey
         |    AND l_shipdate > CAST(o_orderdate AS DATE) + 60)
         | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", ""),
+    "q7_volume" ->
+      """SELECT supp_nation, cust_nation,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        | FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN (SELECT n_nationkey AS s_nk, n_name AS supp_nation FROM nation) n1
+        |  ON s_nationkey = s_nk
+        | JOIN (SELECT n_nationkey AS c_nk, n_name AS cust_nation FROM nation) n2
+        |  ON c_nationkey = c_nk
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND supp_nation <> cust_nation
+        | GROUP BY supp_nation, cust_nation
+        | ORDER BY supp_nation, cust_nation""".stripMargin.replace("\n", ""),
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        | FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        | GROUP BY c_custkey, c_name, c_acctbal, n_name
+        | ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin.replace("\n", ""),
+    "q12_late" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS high_prio_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  THEN 0 ELSE 1 END) AS BIGINT) AS low_prio_count
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  AND l_shipdate > CAST(o_orderdate AS DATE) + 90
+        | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", ""),
+    "q14_promo" ->
+      """SELECT floor((CAST(sum(CASE WHEN p_type = 'PROMO'
+        |   THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))
+        |   ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) * 100.0
+        |  / CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE))
+        |  * 1000000.0) / 1000000.0 AS promo_revenue
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin.replace("\n", ""),
     "join_left" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         | FROM customer LEFT JOIN orders ON c_custkey = o_custkey

@@ -208,4 +208,79 @@ object Relational {
       .agg(count(lit(1)).as("order_count"))
       .orderBy("o_orderpriority")
   }
+
+  /** TPC-H Q7 shape (volume shipping): revenue between DISTINCT nation
+    * pairs for one shipping year. The nation dim joins twice under
+    * different roles (supplier's vs customer's) — both broadcast; the
+    * year filter pushes to the lineitem scan before any join. */
+  def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation")
+  }
+
+  /** TPC-H Q10 shape (returned items): top-20 customers by lost revenue
+    * from returned lines in one quarter. Both selective filters (order
+    * quarter, returnflag) push to their scans before the 3-way join. */
+  def q10Returns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          && col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q12 shape (late shipments by priority class; the reference
+    * corpus has no shipmode column, so the split is URGENT+HIGH vs rest):
+    * conditional aggregation over the late-line join — each branch is a
+    * codegen'd CASE inside one partial aggregate, not two passes. */
+  def q12Late(s: SparkSession, dir: String): DataFrame = {
+    val highPrio = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > date_add(col("o_orderdate"), 90))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(highPrio, lit(1L)).otherwise(lit(0L))).as("high_prio_count"),
+        sum(when(!highPrio, lit(1L)).otherwise(lit(0L))).as("low_prio_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q14 shape (promo revenue share): one scalar — the percentage
+    * of one month's discounted revenue from PROMO-type parts. Conditional
+    * numerator and total in a single aggregate; part joins broadcast. */
+  def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .join(broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(graft.functions.Num.t6(
+        dsum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0)))
+          * lit(100.0) / dsum(disc)).as("promo_revenue"))
+  }
 }
