@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ingest.WeatherIngest
 import graft.models.WeatherModels
-import graft.operators.{Dedup, Relational, RelationalExt, RelationalMore, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Relational, RelationalExt, RelationalMore, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -95,6 +95,13 @@ object SparkEntry {
     "lang_id" -> (TextAnalysis.langIdPredictions _),
     "fingerprints" -> (TextAnalysis.fingerprints _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
+    // -- corpus curation (documents) --
+    "hash_split" -> (Curation.hashSplit _),
+    "hash_sample" -> ((s: SparkSession, d: String) => Curation.hashSample(s, d)),
+    "corpus_mix" -> (Curation.corpusMix _),
+    "pii_redact" -> (Curation.piiRedact _),
+    "boilerplate_scores" -> (Curation.boilerplateScores _),
+    "curate_corpus" -> (Curation.curateCorpus _),
     // -- deduplication (documents) --
     "dedup_exact_groups" -> (Dedup.exactGroups _),
     "dedup_exact" -> (Dedup.exactDedup _),
@@ -578,6 +585,60 @@ object SparkEntry {
         | (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
         |  FROM documents)
         | GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin.replace("\n", ""),
+    "hash_split" ->
+      """SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train'
+        |  WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        | FROM (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "hash_sample" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        | WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 < 20
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "corpus_mix" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 AS bucket,
+        |   CAST(substr(source, 4) AS BIGINT) % 4 AS m
+        |  FROM documents)
+        | WHERE bucket < CASE WHEN m = 0 THEN 100 WHEN m = 1 THEN 50
+        |  WHEN m = 2 THEN 25 ELSE 10 END
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "pii_redact" ->
+      """SELECT doc_id, raw,
+        | regexp_replace(regexp_replace(regexp_replace(raw,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+        |   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+        | FROM (SELECT doc_id,
+        |  substr(text,1,40) || ' contact user' || CAST(doc_id AS VARCHAR)
+        |   || '@example.com or 555-'
+        |   || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |   || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS raw
+        |  FROM documents)
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "boilerplate_scores" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+        | floor((1.0 - CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |   / CAST(len(string_split(text,' ')) AS DOUBLE)) * 1000000.0)/1000000.0 AS repeat_ratio
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    "curate_corpus" ->
+      """SELECT split, count(*) AS n_docs FROM (
+        |  SELECT CASE WHEN bucket < 90 THEN 'train'
+        |   WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM (
+        |   SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 AS bucket
+        |   FROM (
+        |    SELECT min(doc_id) AS doc_id FROM documents
+        |    WHERE lang = 'en'
+        |     AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |       / CAST(len(string_split(text,' ')) AS DOUBLE) > 0.5
+        |    GROUP BY md5(text))))
+        | GROUP BY split ORDER BY split""".stripMargin.replace("\n", ""),
     "dedup_exact_groups" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies FROM documents

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Num
+
+/** Corpus-curation operators for training-data pipelines (extension
+  * surface): deterministic sampling / splitting, weighted corpus mixing,
+  * PII redaction, and boilerplate scoring over the `documents` table.
+  *
+  * The design constraint shared by every operator here is **determinism
+  * without coordination**: at 100 TB a sample or split must be (a) a pure
+  * narrow projection — no shuffle, no global sort, no `rand()` whose
+  * result depends on partitioning or task retries — and (b) reproducible
+  * across engines and runs, so the same document always lands in the same
+  * split. We get both by bucketing on the md5 of the stable document key:
+  * `bucket = int(md5(doc_id)[0:8], 16) % 100`. Every operator below is a
+  * scan-project-filter over that bucket (plus the odd broadcast-free
+  * aggregation), so it parallelizes embarrassingly on 1000 executors.
+  * `rand()`-based `randomSplit` has none of these properties (re-rolls on
+  * task retry, not portable to the DuckDB oracle) — which is why it is
+  * deliberately absent.
+  */
+object Curation {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Stable 0..99 bucket from the md5 of a key column. Codegen'd built-ins
+    * only (`md5`/`substring`/`conv`): identical hex in every engine, so
+    * the DuckDB oracle reproduces assignments bit-for-bit. */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  /** Deterministic train/val/test split (90/5/5) keyed on `doc_id`.
+    * Pure projection — the full corpus is assigned in one narrow pass;
+    * the same doc_id lands in the same split on every run, engine, and
+    * cluster size. Emits every assignment so the gate verifies the whole
+    * mapping, not just the counts. */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), hashBucket(col("doc_id")).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  /** Deterministic p% sample: `bucket(doc_id) < pct`. A filter, not a
+    * `TABLESAMPLE`: stable under retries, composable with any downstream
+    * operator, and the complement (`>= pct`) is exactly the rest of the
+    * corpus — the property train/holdout protocols need. */
+  def hashSample(s: SparkSession, dir: String, pct: Int = 20): DataFrame =
+    t(s, dir, "documents")
+      .filter(hashBucket(col("doc_id")) < pct)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Weighted corpus mixing: each source is down-sampled to its mixing
+    * rate by the same hash-bucket trick (rate per source-family here, a
+    * stand-in for the per-corpus weights of a data recipe). One narrow
+    * pass over the union'd corpus — no per-source jobs, no shuffle; the
+    * mix is re-derivable from (doc_id, source) alone, so recipe changes
+    * re-run cheaply without re-reading rejected sources' bytes elsewhere.
+    * Rates: src suffix % 4 -> 100%, 50%, 25%, 10%. */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("src_n") % 4 === 0, 100)
+      .when(col("src_n") % 4 === 1, 50)
+      .when(col("src_n") % 4 === 2, 25)
+      .otherwise(10)
+    t(s, dir, "documents")
+      .withColumn("src_n", substring(col("source"), 4, 10).cast("long"))
+      .filter(hashBucket(col("doc_id")) < rate)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction: regexp-scrub emails, North-American phone numbers and
+    * IPv4 addresses to typed placeholder tags. Chained `regexp_replace`
+    * stays inside whole-stage codegen (one generated loop per row, no
+    * UDF). The synthetic corpus carries no PII, so the query plants a
+    * deterministic contact line per document before scrubbing — the gate
+    * then checks actual redaction behavior on every row rather than
+    * passing vacuously on text the regexes never touch. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val planted = concat(
+      substring(col("text"), 1, 40),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), planted.as("raw"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"), email, "<EMAIL>"),
+            phone, "<PHONE>"),
+          ipv4, "<IP>"))
+      .orderBy("doc_id")
+  }
+
+  /** Boilerplate signal: repeated-token ratio `1 - distinct/total` per
+    * document (template/boilerplate text repeats its vocabulary; prose
+    * does not). Array built-ins only (`split`/`array_distinct`/`size`) —
+    * no lambda HOFs, so nothing re-evaluates per element and the whole
+    * projection codegens. Narrow scan, no shuffle. */
+  def boilerplateScores(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        Num.t6(lit(1.0) -
+          size(array_distinct(toks)).cast("double") /
+            size(toks).cast("double")).as("repeat_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end curation funnel — the flagship composition a training-data
+    * pipeline runs nightly: keep declared-English documents below a
+    * repeated-token ceiling, exact-dedup on text (keep the smallest
+    * doc_id, the same survivor rule as [[Dedup.exactDedup]]), then assign
+    * deterministic train/val/test splits and report corpus sizes per
+    * split. One shuffle total (the dedup group-by on the 16-byte text
+    * digest); filters run before it so rejected documents never shuffle.
+    */
+  def curateCorpus(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val kept = t(s, dir, "documents")
+      .filter(col("lang") === "en")
+      .filter(size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double") > 0.5)
+    val deduped = kept
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    deduped
+      .select(hashBucket(col("doc_id")).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split")
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+/** Corpus-curation invariants the DuckDB oracle cannot express:
+  * determinism across runs, the sample/complement partition property,
+  * redaction completeness, and the shuffle-free plan shape that makes
+  * hash bucketing the 100 TB answer. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("hash split is deterministic and partitions the corpus") {
+    val a = Curation.hashSplit(spark, sf).collect()
+    val b = Curation.hashSplit(spark, sf).collect()
+    assert(a.sameElements(b)) // identical across runs — no rand()
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(a.length == total) // every document assigned exactly once
+    val bySplit = a.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // 90/5/5 within binomial slack on a small corpus
+    assert(bySplit("train").toDouble / total > 0.8)
+    assert(bySplit("val") > 0 && bySplit("test") > 0)
+  }
+
+  test("sample(p) and its complement partition the corpus exactly") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf, "documents")
+    val in = Curation.hashSample(spark, sf, pct = 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = docs
+      .filter(Curation.hashBucket(col("doc_id")) >= 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(in.intersect(out).isEmpty)
+    assert(in.size + out.size == docs.count())
+  }
+
+  test("hash split plans as a narrow scan — no Exchange") {
+    val plan = Curation.hashSplit(spark, sf).queryExecution.executedPlan
+      .toString.split("== Initial Plan ==").head
+    // the presentation orderBy sorts, but assignment itself never shuffles
+    val beforeSort = plan.linesIterator.filterNot(_.contains("Sort"))
+    assert(!beforeSort.exists(_.contains("Exchange hashpartitioning")))
+  }
+
+  test("redaction leaves no email / phone / ipv4 behind") {
+    val rows = Curation.piiRedact(spark, sf).collect()
+    val leftovers = rows.filter { r =>
+      val red = r.getString(2)
+      red.contains("@") ||
+        "[0-9]{3}-[0-9]{3}-[0-9]{4}".r.findFirstIn(red).isDefined ||
+        "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b".r
+          .findFirstIn(red).isDefined
+    }
+    assert(leftovers.isEmpty)
+    // and every row was actually touched (the plant guarantees targets)
+    assert(rows.forall(r => r.getString(2).contains("<EMAIL>") &&
+      r.getString(2).contains("<PHONE>") && r.getString(2).contains("<IP>")))
+  }
+
+  test("corpus mix respects per-source rates monotonically") {
+    val mixed = Curation.corpusMix(spark, sf).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val bySuffix = (m: Int) => mixed.collect {
+      case (src, n) if src.stripPrefix("src").toInt % 4 == m => n
+    }.sum
+    // rate 100% keeps everything; each lower tier keeps fewer
+    val docs = Tables.load(spark, sf, "documents")
+    import org.apache.spark.sql.functions._
+    val per = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = per.collect {
+      case (src, n) if src.stripPrefix("src").toInt % 4 == 0 => n
+    }.sum
+    assert(bySuffix(0).toLong == full) // 100% tier intact
+    assert(bySuffix(3) <= bySuffix(1)) // 10% tier ≤ 50% tier
+  }
+
+  test("curation funnel only shuffles once (the dedup group-by)") {
+    val plan = Curation.curateCorpus(spark, sf).queryExecution.executedPlan
+      .toString.split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator
+      .count(_.trim.startsWith("Exchange hashpartitioning"))
+    // digest group-by + final tiny split group-by; no join, no sort-based
+    // repartition — rejected docs never reach a shuffle
+    assert(exchanges <= 2)
+  }
+}
