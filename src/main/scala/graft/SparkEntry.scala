@@ -111,6 +111,8 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     // candidate-volume observability (rows-only: LSH banding not SQL-expressible)
     "dedup_candidates" -> ((s: SparkSession, d: String) => Dedup.minhashCandidateVolume(s, d)),
+    // value-checked banding invariant: candidates exist AND stay capped
+    "dedup_candidates_gate" -> ((s: SparkSession, d: String) => Dedup.minhashCandidateGate(s, d)),
     // transitive near-dup clusters (rows-only: iterative component labels)
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
     // -- similarity search (embeddings) --
@@ -120,12 +122,20 @@ object SparkEntry {
       Similarity.lshTopK(s, d, Seq(0L, 1L, 2L, 3L, 4L))),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopK(s, d, Seq(0L, 1L, 2L, 3L, 4L))),
-    // recall gates: overlap@k vs the exact baseline, one number per query
-    // (rows-only in the driver; floors pinned in SimilaritySpec)
+    // recall observability: overlap@k vs the exact baseline, one number
+    // per query (rows-only in the driver; floors pinned in SimilaritySpec)
     "ann_lsh_recall" -> ((s: SparkSession, d: String) =>
       Similarity.lshRecallAtK(s, d, Seq(0L, 1L, 2L, 3L, 4L))),
     "ann_ivf_recall" -> ((s: SparkSession, d: String) =>
       Similarity.ivfRecallAtK(s, d, Seq(0L, 1L, 2L, 3L, 4L))),
+    // value-checked recall gates: (q_id, recall >= floor) hash-matched
+    // against a constant-TRUE oracle — a hard gate, not just a row count
+    "ann_lsh_recall_gate" -> ((s: SparkSession, d: String) =>
+      Similarity.recallGate(
+        Similarity.lshRecallAtK(s, d, Seq(0L, 1L, 2L, 3L, 4L)), 0.2)),
+    "ann_ivf_recall_gate" -> ((s: SparkSession, d: String) =>
+      Similarity.recallGate(
+        Similarity.ivfRecallAtK(s, d, Seq(0L, 1L, 2L, 3L, 4L)), 0.1)),
     // planted variant: the synthetic corpus has no natural pair above cos
     // 0.61, so the un-planted gate was vacuous (0 rows). Planted identical
     // copies make the row set non-trivial AND oracle-checkable.
@@ -304,7 +314,8 @@ object SparkEntry {
         | ORDER BY c_custkey""".stripMargin.replace("\n", ""),
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
         | ORDER BY c_custkey""".stripMargin.replace("\n", ""),
     "join_full" ->
       """SELECT coalesce(c_nationkey, s_nationkey) AS nationkey, n_cust, n_supp
@@ -322,7 +333,7 @@ object SparkEntry {
         | ORDER BY nationkey""".stripMargin.replace("\n", ""),
     "set_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
-        | EXCEPT SELECT s_nationkey FROM supplier
+        | EXCEPT SELECT s_nationkey FROM supplier WHERE s_nationkey < 15
         | ORDER BY nationkey""".stripMargin.replace("\n", ""),
     "set_intersect_all" ->
       """SELECT c_nationkey AS nationkey FROM customer
@@ -677,6 +688,46 @@ object SparkEntry {
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
         |  FROM embeddings WHERE vec_id % 50 = 0)
         | ORDER BY id_a, id_b""".stripMargin.replace("\n", ""),
+    // value-checked invariant gates: the Spark side computes the invariant
+    // (recall >= floor / candidates capped); the oracle is the constant-
+    // TRUE relation it must equal. A hash match proves the invariant held.
+    "ann_lsh_recall_gate" ->
+      """SELECT CAST(i AS BIGINT) AS q_id, TRUE AS pass
+        | FROM (SELECT unnest([0,1,2,3,4]) AS i)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    "ann_ivf_recall_gate" ->
+      """SELECT CAST(i AS BIGINT) AS q_id, TRUE AS pass
+        | FROM (SELECT unnest([0,1,2,3,4]) AS i)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    "dedup_candidates_gate" ->
+      "SELECT TRUE AS has_candidates, TRUE AS capped",
+    // md5 of the whitespace-normalized token sequence (ASCII corpus, so
+    // varchar md5 digests the same bytes Spark's binary md5 does)
+    "fingerprints" ->
+      """SELECT doc_id,
+        | md5(array_to_string(list_filter(
+        |  regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0),
+        |  ' ')) AS fp
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // stub features = 16-bit big-endian slices of md5(payload) / 65536;
+    // n/65536 is a power-of-two divide so float->double is exact and the
+    // DuckDB double arithmetic reproduces it bit-identically
+    "mm_features" ->
+      """SELECT media_id, kind, n_bytes,
+        | CAST(CAST('0x' || substring(h, 1, 4) AS INTEGER) AS DOUBLE) / 65536.0 AS f0,
+        | CAST(CAST('0x' || substring(h, 5, 4) AS INTEGER) AS DOUBLE) / 65536.0 AS f1,
+        | CAST(CAST('0x' || substring(h, 9, 4) AS INTEGER) AS DOUBLE) / 65536.0 AS f2,
+        | CAST(CAST('0x' || substring(h, 13, 4) AS INTEGER) AS DOUBLE) / 65536.0 AS f3,
+        | CAST(CAST('0x' || substring(h, 17, 4) AS INTEGER) AS DOUBLE) / 65536.0 AS f4,
+        | CAST(CAST('0x' || substring(h, 21, 4) AS INTEGER) AS DOUBLE) / 65536.0 AS f5,
+        | CAST(CAST('0x' || substring(h, 25, 4) AS INTEGER) AS DOUBLE) / 65536.0 AS f6,
+        | CAST(CAST('0x' || substring(h, 29, 4) AS INTEGER) AS DOUBLE) / 65536.0 AS f7
+        | FROM (SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |   WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS n_bytes, md5(text) AS h
+        |  FROM documents)
+        | ORDER BY media_id""".stripMargin.replace("\n", ""),
     "mm_meta" ->
       """SELECT doc_id AS media_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

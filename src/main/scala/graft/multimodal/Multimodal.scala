@@ -61,18 +61,20 @@ object Multimodal {
       .orderBy("media_id")
 
   /** ======== STUB ========
-    * Deterministic fake "decode + embed": 8 floats derived from xxhash64
-    * of the payload. A real deployment replaces ONLY this function with a
-    * codec/model call (per-partition init amortized by mapPartitions); the
-    * signature — bytes in, fixed-width float vector out — is the real
-    * contract. */
+    * Deterministic fake "decode + embed": 8 floats derived from the md5
+    * digest of the payload — each feature is a 16-bit big-endian slice of
+    * the digest scaled to [0, 1) (n/65536 is a power-of-two divide, so the
+    * float is exact and the double projection is bit-identical to any
+    * engine computing hexint/65536.0 — this is what makes `mm_features`
+    * oracle-checkable in DuckDB). A real deployment replaces ONLY this
+    * function with a codec/model call (per-partition init amortized by
+    * mapPartitions); the signature — bytes in, fixed-width float vector
+    * out — is the real contract. */
   private[multimodal] def stubDecodeFeatures(payload: Array[Byte]): Array[Float] = {
-    var h = 0x9E3779B97F4A7C15L
-    var i = 0
-    while (i < payload.length) { h = (h ^ payload(i)) * 0x100000001B3L; i += 1 }
+    val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
     Array.tabulate(8) { j =>
-      val hj = graft.functions.SketchExpressions.splitmix64(h + j)
-      (hj.toDouble / 9.223372036854776e18).toFloat
+      val n = ((d(2 * j) & 0xff) << 8) | (d(2 * j + 1) & 0xff)
+      (n / 65536.0).toFloat
     }
   }
 

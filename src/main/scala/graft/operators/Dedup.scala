@@ -114,6 +114,18 @@ object Dedup {
           / (col("n_docs") * (col("n_docs") - 1))).as("candidate_fraction"))
   }
 
+  /** Value-checked banding invariant over [[minhashCandidateVolume]]:
+    * candidates exist (banding actually fires on the planted near-dups)
+    * AND stay far below all-pairs (the cap holds). Both booleans are
+    * constant-TRUE relations the driver hash-matches — the quadratic-
+    * blowup guard as a hard gate rather than a rows-only summary. */
+  def minhashCandidateGate(s: SparkSession, dir: String,
+      maxFraction: Double = 0.05): DataFrame =
+    minhashCandidateVolume(s, dir)
+      .select(
+        (col("n_candidates") > 0).as("has_candidates"),
+        (col("candidate_fraction") <= maxFraction).as("capped"))
+
   /** Full MinHash-LSH near-dup pipeline: candidates -> exact word-shingle
     * Jaccard verification -> pairs above threshold. */
   def minhashPairs(s: SparkSession, dir: String,

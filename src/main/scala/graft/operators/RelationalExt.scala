@@ -41,11 +41,15 @@ object RelationalExt {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
-  /** LEFT ANTI join (NOT EXISTS): customers with no orders. */
+  /** LEFT ANTI join (NOT EXISTS): customers with no 1995 orders. The
+    * right side is filtered to a date slice so the result is non-empty at
+    * every SF (every synthetic customer has *some* order — an unfiltered
+    * anti-join returns 0 rows and verifies only the schema). */
   def joinAnti(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
-      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
-        "left_anti")
+      .join(
+        t(s, dir, "orders").filter(col("o_orderdate") < lit("1996-01-01")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
@@ -77,11 +81,15 @@ object RelationalExt {
         t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
       .orderBy("nationkey")
 
-  /** EXCEPT: nations with customers but no suppliers. */
+  /** EXCEPT: nations with customers but no low-numbered supplier. The
+    * supplier side is restricted to nations 0-14 so the difference is
+    * non-empty at every SF (suppliers otherwise cover all 25 nations and
+    * an empty EXCEPT verifies only the schema). */
   def setExcept(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
       .except(
-        t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        t(s, dir, "supplier").filter(col("s_nationkey") < 15)
+          .select(col("s_nationkey").as("nationkey")))
       .orderBy("nationkey")
 
   /** INTERSECT ALL (multiplicity-preserving). */

@@ -93,6 +93,16 @@ object Similarity {
       .agg(Num.t6(sum(coalesce(col("hit"), lit(0))) / lit(k)).as("recall"))
       .orderBy("q_id")
 
+  /** Value-checked recall gate: TRUE per query iff recall@k clears the
+    * floor. The raw recall number is approximation-dependent and so not
+    * SQL-oracle-expressible, but the *invariant* (recall >= floor) is a
+    * constant-TRUE relation the driver can hash-match — turning a
+    * rows-only observability query into a hard correctness gate. Floors
+    * sit at half the observed sf0.01 minima (see SimilaritySpec). */
+  def recallGate(recall: DataFrame, floor: Double): DataFrame =
+    recall.select(col("q_id"), (col("recall") >= floor).as("pass"))
+      .orderBy("q_id")
+
   /** LSH recall gate: one recall number per query id. Quantifies the
     * approximation instead of row-count-only checking it. */
   def lshRecallAtK(s: SparkSession, dir: String, queryIds: Seq[Long],

@@ -50,11 +50,17 @@ object TextAnalysis {
         col("pred.lang").as("lang_pred"), col("pred.score").as("score"))
       .orderBy("doc_id")
 
-  /** Order-sensitive rolling-hash fingerprint per document (rows-only:
-    * xxhash64 is Spark-native). Equal fingerprint = duplicate candidate. */
+  /** Order-sensitive document fingerprint: md5 of the whitespace-
+    * normalized token sequence. Equal fingerprint = duplicate candidate
+    * (same tokens, same order, ignoring whitespace variation). md5 rather
+    * than the rolling-hash [[graft.functions.TextFunctions.fingerprint]]
+    * expression so the digest is oracle-reproducible; the rolling-hash
+    * variant remains the cheaper library API (one pass, no digest alloc)
+    * and is pinned by `SketchSpec`. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", tokens(col("text")))).as("fp"))
       .orderBy("doc_id")
 
   /** Corpus-level token frequency top-20 (explode -> hash aggregate ->

@@ -9,11 +9,20 @@ import graft.operators.{Relational, RelationalExt}
 class RelationalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("semi + anti partition the customer table") {
-    val semi = RelationalExt.joinSemi(spark, TestSpark.sf).count()
+  test("semi + anti partition the customer table on the same order slice") {
+    import org.apache.spark.sql.functions._
+    // joinAnti filters orders to < 1996 (so it is non-vacuous at every
+    // SF); the partition invariant must use the same slice on both sides.
+    val semi = Tables.load(spark, TestSpark.sf, "customer")
+      .join(
+        Tables.load(spark, TestSpark.sf, "orders")
+          .filter(col("o_orderdate") < lit("1996-01-01")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .count()
     val anti = RelationalExt.joinAnti(spark, TestSpark.sf).count()
     val all = Tables.load(spark, TestSpark.sf, "customer").count()
     assert(semi + anti === all)
+    assert(anti > 0 && semi > 0) // both sides non-empty: the gate is real
   }
 
   test("set algebra: |union| = |A| + |B| - |intersect|") {
