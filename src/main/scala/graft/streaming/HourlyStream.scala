@@ -162,9 +162,12 @@ object HourlyStream {
     * (count-only projection; memory sink). Dedup state holds one row per
     * distinct (event_id, ts) inside the watermark window, so unlike the
     * daily aggregate its partition count must scale with event volume —
-    * the default suits the bundled test SFs. */
+    * the default suits the bundled test SFs (StreamBench at sf0.1:
+    * 4 partitions ~1.3s vs ~1.9s at 8 — per-partition commit cost
+    * dominates until state is far larger; a 100 TB deployment raises
+    * this with volume). */
   def runDedupOnce(s: SparkSession, srcDir: String,
-      statePartitions: Int = 8): DataFrame =
+      statePartitions: Int = 4): DataFrame =
     withStatePartitions(s, statePartitions) {
     val name = "graft_stream_dedup_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
@@ -239,7 +242,7 @@ object HourlyStream {
 
   def runningUserCounts(s: SparkSession, srcDir: String,
       retentionDays: Int = 30,
-      statePartitions: Int = 8): DataFrame = withStatePartitions(s, statePartitions) {
+      statePartitions: Int = 4): DataFrame = withStatePartitions(s, statePartitions) {
     val name = "graft_stream_state_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val q = userCountStream(readEvents(s, srcDir), retentionDays)
@@ -442,7 +445,7 @@ object HourlyStream {
     * return the emitted (closed or timed-out) sessions. */
   def runSessionsOnce(s: SparkSession, srcDir: String,
       gapMinutes: Int = 30,
-      statePartitions: Int = 8): DataFrame = withStatePartitions(s, statePartitions) {
+      statePartitions: Int = 4): DataFrame = withStatePartitions(s, statePartitions) {
     val name = "graft_stream_sessions_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val q = sessionizedStream(readEvents(s, srcDir), gapMinutes)

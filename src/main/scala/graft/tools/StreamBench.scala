@@ -55,10 +55,14 @@ object StreamBench {
       }
 
       // fewer state partitions: state-store commit overhead is per
-      // partition per batch
+      // partition per batch (defaults are 4 everywhere as of round 5 —
+      // the 8-partition variants here keep the A/B honest)
       time(s"parts4_daily_r$rep") { noop(HourlyStream.runDailyAggOnce(spark, sfDir, statePartitions = 4)) }
-      time(s"parts4_dedup_r$rep") { noop(HourlyStream.runDedupOnce(spark, sfDir, statePartitions = 4)) }
+      time(s"parts8_dedup_r$rep") { noop(HourlyStream.runDedupOnce(spark, sfDir, statePartitions = 8)) }
       time(s"parts16_dedup_r$rep") { noop(HourlyStream.runDedupOnce(spark, sfDir, statePartitions = 16)) }
+      time(s"parts8_sessions_r$rep") { noop(HourlyStream.runSessionsOnce(spark, sfDir, statePartitions = 8)) }
+      time(s"parts8_ucounts_r$rep") { noop(HourlyStream.runningUserCounts(spark, sfDir, statePartitions = 8)) }
+      time(s"parts4_ucounts_r$rep") { noop(HourlyStream.runningUserCounts(spark, sfDir)) }
 
       // RocksDB state store: JNI + disk vs in-memory HDFS-backed maps
       withConf("spark.sql.streaming.stateStore.providerClass",
