@@ -94,6 +94,9 @@ object SparkEntry {
     "quality_scores" -> (TextAnalysis.qualityScores _),
     "lang_id" -> (TextAnalysis.langIdPredictions _),
     "fingerprints" -> (TextAnalysis.fingerprints _),
+    "repetition_scores" -> (TextAnalysis.repetitionScores _),
+    "entropy_scores" -> (TextAnalysis.entropyScores _),
+    "source_quantiles" -> (TextAnalysis.sourceLengthQuantiles _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
     // -- corpus curation (documents) --
     "hash_split" -> (Curation.hashSplit _),
@@ -701,6 +704,50 @@ object SparkEntry {
         | ORDER BY q_id""".stripMargin.replace("\n", ""),
     "dedup_candidates_gate" ->
       "SELECT TRUE AS has_candidates, TRUE AS capped",
+    // Gopher/C4 repetition filters: n-gram repeat fractions + top-word
+    // mass, floor-truncated to 6 decimals on both sides
+    "repetition_scores" ->
+      """SELECT doc_id,
+        | floor(CASE WHEN len(w) <= 2 THEN 0.0 ELSE
+        |  1.0 - CAST(len(list_distinct(list_transform(range(1, len(w)),
+        |   i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+        |   / CAST(len(w) - 1 AS DOUBLE) END * 1000000.0)/1000000.0
+        |  AS bigram_repeat_frac,
+        | floor(CASE WHEN len(w) <= 3 THEN 0.0 ELSE
+        |  1.0 - CAST(len(list_distinct(list_transform(range(1, len(w) - 1),
+        |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS DOUBLE)
+        |   / CAST(len(w) - 2 AS DOUBLE) END * 1000000.0)/1000000.0
+        |  AS trigram_repeat_frac,
+        | floor(CAST(list_max(list_transform(list_distinct(w),
+        |   x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
+        |  / CAST(len(w) AS DOUBLE) * 1000000.0)/1000000.0 AS top_word_frac
+        | FROM (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0) AS w
+        |  FROM documents) WHERE len(w) > 0
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // token-distribution entropy: per-position contributions folded in
+    // document order on BOTH engines (distinct-order is engine-specific
+    // and FP addition is order-sensitive), log2 floor-truncated to 6
+    "entropy_scores" ->
+      """SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(w)) AS BIGINT) AS n_vocab,
+        | floor(-list_aggregate(list_transform(w,
+        |   x -> log2(CAST(len(list_filter(w, y -> y = x)) AS DOUBLE)
+        |    / len(w)) / len(w)), 'sum') * 1000000.0)/1000000.0
+        |  AS token_entropy
+        | FROM (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0) AS w
+        |  FROM documents) WHERE len(w) > 0
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // exact linear-interpolation quantiles of doc length per source
+    "source_quantiles" ->
+      """SELECT source, count(*) AS n_docs,
+        | floor(quantile_cont(n_chars, 0.25) * 1000000.0)/1000000.0 AS q25,
+        | floor(quantile_cont(n_chars, 0.5) * 1000000.0)/1000000.0 AS q50,
+        | floor(quantile_cont(n_chars, 0.75) * 1000000.0)/1000000.0 AS q75
+        | FROM documents GROUP BY source ORDER BY source""".stripMargin.replace("\n", ""),
     // md5 of the whitespace-normalized token sequence (ASCII corpus, so
     // varchar md5 digests the same bytes Spark's binary md5 does)
     "fingerprints" ->

@@ -50,6 +50,34 @@ class TextFunctionsSpec extends AnyFunSuite {
       .getStruct(0).getString(0) === "es")
   }
 
+  test("repetition scores match a plain-Scala reimplementation") {
+    def frac(ws: Array[String], n: Int): Double = {
+      if (ws.length <= n) 0.0
+      else {
+        val grams = ws.sliding(n).map(_.mkString(" ")).toSeq
+        val raw = 1.0 - grams.distinct.length.toDouble / grams.length
+        math.floor(raw * 1e6) / 1e6
+      }
+    }
+    def top(ws: Array[String]): Double =
+      math.floor(ws.groupBy(identity).values.map(_.length).max.toDouble
+        / ws.length * 1e6) / 1e6
+    val texts = graft.Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.operators.TextAnalysis
+      .repetitionScores(spark, TestSpark.sf).collect()
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      val ws = texts(r.getLong(0)).trim.split("\\s+").filter(_.nonEmpty)
+      assert(r.getDouble(1) === frac(ws, 2), s"bigram doc ${r.getLong(0)}")
+      assert(r.getDouble(2) === frac(ws, 3), s"trigram doc ${r.getLong(0)}")
+      assert(r.getDouble(3) === top(ws), s"topword doc ${r.getLong(0)}")
+    }
+    // signals are non-degenerate on the corpus: some repetition exists
+    assert(rows.exists(_.getDouble(1) > 0.0))
+  }
+
   test("quality score is deterministic across evaluations") {
     val d = graft.Tables.load(spark, TestSpark.sf, "documents")
     val a = d.select(col("doc_id"), qualityScore(col("text")).as("q"))
