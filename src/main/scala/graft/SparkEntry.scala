@@ -108,16 +108,22 @@ object SparkEntry {
     // -- deduplication (documents) --
     "dedup_exact_groups" -> (Dedup.exactGroups _),
     "dedup_exact" -> (Dedup.exactDedup _),
-    "minhash_pairs" -> ((s: SparkSession, d: String) => Dedup.minhashPairs(s, d)),
-    "minhash_dedup" -> ((s: SparkSession, d: String) => Dedup.minhashDedup(s, d)),
-    "simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
-    "ngram_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
+    // planted variants (round-3 embed_neardup pattern): identical copies
+    // planted at doc_id+1e6 give each near-dup pipeline a closed-form,
+    // oracle-checkable answer; the un-planted pipelines remain the library
+    // API and still run un-planted inside dedup_clusters/dedup_candidates
+    "minhash_pairs" -> ((s: SparkSession, d: String) => Dedup.minhashPairsPlanted(s, d)),
+    "minhash_dedup" -> ((s: SparkSession, d: String) => Dedup.minhashDedupPlanted(s, d)),
+    "simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairsPlanted(s, d)),
+    "ngram_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPlanted(s, d)),
     // candidate-volume observability (rows-only: LSH banding not SQL-expressible)
     "dedup_candidates" -> ((s: SparkSession, d: String) => Dedup.minhashCandidateVolume(s, d)),
     // value-checked banding invariant: candidates exist AND stay capped
     "dedup_candidates_gate" -> ((s: SparkSession, d: String) => Dedup.minhashCandidateGate(s, d)),
     // transitive near-dup clusters (rows-only: iterative component labels)
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
+    // planted variant: closed-form labels, oracle-checked
+    "dedup_clusters_planted" -> ((s: SparkSession, d: String) => Dedup.nearDupClustersPlanted(s, d)),
     // -- similarity search (embeddings) --
     "embed_norms" -> (Similarity.norms _),
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -131,6 +137,7 @@ object SparkEntry {
       Similarity.lshRecallAtK(s, d, Seq(0L, 1L, 2L, 3L, 4L))),
     "ann_ivf_recall" -> ((s: SparkSession, d: String) =>
       Similarity.ivfRecallAtK(s, d, Seq(0L, 1L, 2L, 3L, 4L))),
+    "approx_stats_gate" -> (graft.operators.Sketches.approxStatsGate _),
     // value-checked recall gates: (q_id, recall >= floor) hash-matched
     // against a constant-TRUE oracle — a hard gate, not just a row count
     "ann_lsh_recall_gate" -> ((s: SparkSession, d: String) =>
@@ -704,6 +711,37 @@ object SparkEntry {
         | ORDER BY q_id""".stripMargin.replace("\n", ""),
     "dedup_candidates_gate" ->
       "SELECT TRUE AS has_candidates, TRUE AS capped",
+    // planted near-dup gates: each pipeline must recover every planted
+    // identical copy exactly (Jaccard 1.0 / Hamming 0); dedup must return
+    // precisely the original corpus (threshold 0.99 sits above the
+    // strongest natural pair, 0.989 at sf0.01)
+    "minhash_pairs" ->
+      """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+        | CAST(1.0 AS DOUBLE) AS jaccard
+        | FROM documents WHERE doc_id < 10 ORDER BY doc_a""".stripMargin.replace("\n", ""),
+    "dedup_clusters_planted" ->
+      """SELECT doc_id, doc_id AS cluster_id FROM documents WHERE doc_id < 10
+        | UNION ALL
+        | SELECT doc_id + 1000000 AS doc_id, doc_id AS cluster_id
+        |  FROM documents WHERE doc_id < 10
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // HLL++ estimate within its deterministic 10% envelope per group,
+    // quantile pair ordered — constant-TRUE relation
+    "approx_stats_gate" ->
+      """SELECT event_type, TRUE AS users_ok, TRUE AS pcts_ordered
+        | FROM (SELECT DISTINCT event_type FROM events)
+        | ORDER BY event_type""".stripMargin.replace("\n", ""),
+    "simhash_pairs" ->
+      """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+        | CAST(0 AS INTEGER) AS hamming
+        | FROM documents WHERE doc_id < 10 ORDER BY doc_a""".stripMargin.replace("\n", ""),
+    "ngram_jaccard_pairs" ->
+      """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+        | CAST(1.0 AS DOUBLE) AS jaccard
+        | FROM documents WHERE doc_id < 10 ORDER BY doc_a""".stripMargin.replace("\n", ""),
+    "minhash_dedup" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
     // Gopher/C4 repetition filters: n-gram repeat fractions + top-word
     // mass, floor-truncated to 6 decimals on both sides
     "repetition_scores" ->

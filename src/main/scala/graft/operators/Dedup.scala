@@ -126,11 +126,31 @@ object Dedup {
         (col("n_candidates") > 0).as("has_candidates"),
         (col("candidate_fraction") <= maxFraction).as("capped"))
 
+  // ---- planted ground truth ----
+
+  /** Offset separating planted copies from original doc_ids. */
+  val PlantOffset = 1000000L
+
+  /** The corpus plus identical copies of the `n` lowest doc_ids at
+    * doc_id + [[PlantOffset]]. The synthetic corpus has no natural pair at
+    * Jaccard 1.0, so planted identical copies give the near-dup pipelines
+    * a known, SQL-expressible answer — the round-3 `embed_neardup_pairs`
+    * pattern. Banding recovers an identical pair deterministically (equal
+    * signatures share every band bucket), so "each planted pair is
+    * emitted" is an exact expectation, not a probabilistic one. */
+  private[operators] def plantedDocs(docs: DataFrame, n: Int = 10): DataFrame =
+    docs.unionByName(
+      docs.filter(col("doc_id") < n)
+        .withColumn("doc_id", col("doc_id") + PlantOffset))
+
   /** Full MinHash-LSH near-dup pipeline: candidates -> exact word-shingle
     * Jaccard verification -> pairs above threshold. */
   def minhashPairs(s: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
-    val docs = t(s, dir, "documents")
+      threshold: Double = 0.5): DataFrame =
+    minhashPairsOn(t(s, dir, "documents"), threshold)
+
+  /** Same pipeline over an arbitrary (doc_id, text) frame. */
+  def minhashPairsOn(docs: DataFrame, threshold: Double): DataFrame = {
     val cands = minhashCandidates(docs)
     val sh = docs.select(col("doc_id"),
       SketchExpressions.wordShingles(tokens(col("text"))).as("sh"))
@@ -145,16 +165,46 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Planted-pair recovery gate: run the full pipeline over the planted
+    * corpus at a high threshold and keep only the (original, copy) pairs.
+    * Every planted identical pair MUST come back with Jaccard exactly 1.0
+    * — an oracle-checkable end-to-end proof of shingling -> MinHash ->
+    * banding -> bucket join -> exact verification. Natural near-dup pairs
+    * (max 0.989 at sf0.01) are excluded by the planted-pair filter, so
+    * the expected relation is closed-form. */
+  def minhashPairsPlanted(s: SparkSession, dir: String,
+      n: Int = 10): DataFrame =
+    minhashPairsOn(plantedDocs(t(s, dir, "documents"), n), threshold = 0.9)
+      .filter(col("doc_b") === col("doc_a") + PlantOffset)
+      .orderBy("doc_a")
+
   /** Near-dedup'd corpus: drop the higher doc_id of every confirmed
     * near-dup pair. */
   def minhashDedup(s: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
-    val dupes = minhashPairs(s, dir, threshold)
+      threshold: Double = 0.5): DataFrame =
+    minhashDedupOn(t(s, dir, "documents"),
+      t(s, dir, "documents"), threshold)
+
+  private def minhashDedupOn(pairSrc: DataFrame, keepSrc: DataFrame,
+      threshold: Double): DataFrame = {
+    val dupes = minhashPairsOn(pairSrc, threshold)
       .select(col("doc_b").as("doc_id")).distinct()
-    t(s, dir, "documents")
+    keepSrc
       .join(dupes, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
+  }
+
+  /** Planted dedup gate: near-dedup the planted corpus at a threshold
+    * above the strongest natural pair (0.99 > 0.989 at sf0.01) — the
+    * surviving set must be EXACTLY the original corpus, which the oracle
+    * states as `SELECT .. FROM documents`. Verifies the drop side of the
+    * pipeline end-to-end: every planted copy removed, nothing else. */
+  def minhashDedupPlanted(s: SparkSession, dir: String,
+      n: Int = 10): DataFrame = {
+    val docs = t(s, dir, "documents")
+    minhashDedupOn(plantedDocs(docs, n), plantedDocs(docs, n),
+      threshold = 0.99)
   }
 
   // ---- transitive near-dup clusters ----
@@ -230,6 +280,17 @@ object Dedup {
     connectedComponents(minhashPairs(s, dir, threshold))
       .orderBy("doc_id")
 
+  /** Planted clusters gate: over the planted corpus at threshold 0.99 the
+    * only edges are the (original, copy) pairs, so the component labels
+    * are closed-form — each original labels itself, each copy adopts its
+    * original. Verifies the label-propagation loop end-to-end. */
+  def nearDupClustersPlanted(s: SparkSession, dir: String,
+      n: Int = 10): DataFrame =
+    connectedComponents(
+      minhashPairsOn(plantedDocs(t(s, dir, "documents"), n),
+        threshold = 0.99))
+      .orderBy("doc_id")
+
   /** Cluster-aware dedup: keep the minimum doc_id of every transitive
     * near-dup cluster (strictly stronger than the pairwise
     * `minhashDedup`, which can keep B of A≈B, B≈C if the (B,C) pair
@@ -288,13 +349,35 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Planted SimHash gate: identical copies have identical 64-bit
+    * signatures, so every planted pair MUST surface with Hamming distance
+    * exactly 0 (banding on equal signatures always collides). Natural
+    * low-distance pairs are excluded by the planted-pair filter. */
+  def simhashPairsPlanted(s: SparkSession, dir: String,
+      n: Int = 10): DataFrame =
+    simhashPairsOn(plantedDocs(t(s, dir, "documents"), n))
+      .filter(col("doc_b") === col("doc_a") + PlantOffset)
+      .orderBy("doc_a")
+
   // ---- character n-gram Jaccard ----
 
   /** Exact char-5-gram Jaccard over MinHash candidates (LSH prunes the
     * pair space; the expensive set ops run on candidates only). */
   def ngramJaccardPairs(s: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
-    val docs = t(s, dir, "documents")
+      threshold: Double = 0.5): DataFrame =
+    ngramJaccardPairsOn(t(s, dir, "documents"), threshold)
+
+  /** Planted char-n-gram gate: identical copies have identical n-gram
+    * sets, so each planted pair MUST verify at Jaccard exactly 1.0. */
+  def ngramJaccardPlanted(s: SparkSession, dir: String,
+      n: Int = 10): DataFrame =
+    ngramJaccardPairsOn(plantedDocs(t(s, dir, "documents"), n),
+      threshold = 0.9)
+      .filter(col("doc_b") === col("doc_a") + PlantOffset)
+      .orderBy("doc_a")
+
+  /** Same pipeline over an arbitrary (doc_id, text) frame. */
+  def ngramJaccardPairsOn(docs: DataFrame, threshold: Double): DataFrame = {
     val cands = minhashCandidates(docs)
     val ng = docs.select(col("doc_id"),
       SketchExpressions.charNgramSet(normalizedText(col("text"))).as("ng"))

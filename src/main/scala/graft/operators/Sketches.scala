@@ -35,6 +35,26 @@ object Sketches {
         col("pcts").getItem(0).as("p50"), col("pcts").getItem(1).as("p95"))
       .orderBy("event_type")
 
+  /** Value-checked sketch-accuracy gate: per event type, the HLL++
+    * distinct-user estimate must sit within 10% of the exact count
+    * (rsd=0.01, so 10% is a >5-sigma envelope — and the sketch hash is
+    * seedless, making the estimate DETERMINISTIC for a fixed corpus), and
+    * the one-sketch quantile pair must be ordered. Constant-TRUE relation
+    * the driver hash-matches; the raw estimates stay observable via
+    * `approx_stats`. */
+  def approxStatsGate(s: SparkSession, dir: String): DataFrame = {
+    val exact = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    approxStats(s, dir)
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"),
+        (abs(col("approx_users") - col("exact_users"))
+          / col("exact_users") <= 0.1).as("users_ok"),
+        (col("p50") <= col("p95")).as("pcts_ordered"))
+      .orderBy("event_type")
+  }
+
   /** Skew-handling pattern: salted join. The big side scatters each row
     * of a hot key across `salts` sub-keys; the small side replicates each
     * row to all salts. No single reducer receives a whole hot key. (AQE
