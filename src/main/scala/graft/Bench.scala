@@ -64,7 +64,12 @@ object Bench {
       System.gc()
       sec
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated filter for local iteration on a few queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       runOnce(name, fn) // warm-up: codegen + scan caches, untimed
       val timed = Seq.fill(reps)(runOnce(name, fn)).sorted
       val median = timed(timed.length / 2)

@@ -55,8 +55,11 @@ object TextAnalysis {
       val grams = transform(
         sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
+      // gram count is just arithmetic on the token count — building the
+      // gram array a second time only to size() it doubled the row work
       when(size(w) <= n, lit(0.0)).otherwise(
-        lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+        lit(1.0) - size(array_distinct(grams)).cast("double")
+          / (size(w) - (n - 1)).cast("double"))
     }
     // most-frequent-word mass: distinct vocab is small per doc, so the
     // O(|vocab| * n) nested HOF stays cheap and codegen'd
