@@ -199,7 +199,13 @@ object Dedup {
     * above the strongest natural pair (0.99 > 0.989 at sf0.01) — the
     * surviving set must be EXACTLY the original corpus, which the oracle
     * states as `SELECT .. FROM documents`. Verifies the drop side of the
-    * pipeline end-to-end: every planted copy removed, nothing else. */
+    * pipeline end-to-end: every planted copy removed, nothing else.
+    *
+    * SF contract: holds at the verify SFs (sf0.001/sf0.01 have no natural
+    * pair at or above 0.99). sf0.1 contains 8 natural EXACT duplicates,
+    * which this gate would legitimately drop — at that SF the closed-form
+    * oracle no longer applies (the bench runs it rows-only there). Same
+    * caveat for [[nearDupClustersPlanted]]. */
   def minhashDedupPlanted(s: SparkSession, dir: String,
       n: Int = 10): DataFrame = {
     val docs = t(s, dir, "documents")

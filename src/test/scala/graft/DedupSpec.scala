@@ -124,6 +124,32 @@ class DedupSpec extends AnyFunSuite {
     assert(kept === Set(0L, 3L))
   }
 
+  test("planted gates: every pipeline recovers all 10 planted copies exactly") {
+    val mh = Dedup.minhashPairsPlanted(spark, TestSpark.sf).collect()
+    assert(mh.length === 10)
+    mh.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) + Dedup.PlantOffset)
+      assert(r.getDouble(2) === 1.0)
+    }
+    val sh = Dedup.simhashPairsPlanted(spark, TestSpark.sf).collect()
+    assert(sh.length === 10 && sh.forall(_.getInt(2) === 0))
+    val ng = Dedup.ngramJaccardPlanted(spark, TestSpark.sf).collect()
+    assert(ng.length === 10 && ng.forall(_.getDouble(2) === 1.0))
+    // dedup over the planted corpus returns exactly the original ids
+    val kept = Dedup.minhashDedupPlanted(spark, TestSpark.sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val orig = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === orig)
+    // cluster labels are closed-form: originals self-label, copies adopt
+    val cl = Dedup.nearDupClustersPlanted(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.size === 20)
+    (0L until 10L).foreach { i =>
+      assert(cl(i) === i && cl(i + Dedup.PlantOffset) === i)
+    }
+  }
+
   test("candidate volume: banding keeps candidates a small all-pairs fraction") {
     val row = Dedup.minhashCandidateVolume(spark, TestSpark.sf).head()
     val (nDocs, nCand, nAll, frac) =
