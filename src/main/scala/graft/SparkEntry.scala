@@ -105,6 +105,8 @@ object SparkEntry {
     "pii_redact" -> (Curation.piiRedact _),
     "boilerplate_scores" -> (Curation.boilerplateScores _),
     "curate_corpus" -> (Curation.curateCorpus _),
+    "decontaminate" -> ((s: SparkSession, d: String) => Curation.decontaminate(s, d)),
+    "pack_sequences" -> ((s: SparkSession, d: String) => Curation.packSequences(s, d)),
     // -- deduplication (documents) --
     "dedup_exact_groups" -> (Dedup.exactGroups _),
     "dedup_exact" -> (Dedup.exactDedup _),
@@ -711,6 +713,43 @@ object SparkEntry {
         | ORDER BY q_id""".stripMargin.replace("\n", ""),
     "dedup_candidates_gate" ->
       "SELECT TRUE AS has_candidates, TRUE AS capped",
+    // decontamination: word-8-gram overlap vs the doc_id%100==7 eval set,
+    // planted copies guarantee true positives; n-gram construction
+    // mirrored exactly (distinct 8-grams; whole doc when under 8 tokens)
+    "decontaminate" ->
+      """WITH g AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+        |   ELSE list_distinct(list_transform(range(0, len(w) - 7),
+        |    i -> array_to_string(w[i+1:i+8], ' '))) END AS grams
+        | FROM (SELECT doc_id, list_filter(
+        |   regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0) AS w FROM documents)),
+        | ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+        |  WHERE doc_id % 100 = 7),
+        | train AS (
+        |  SELECT doc_id + 1000000 AS doc_id, grams FROM g
+        |   WHERE doc_id % 100 = 7
+        |  UNION ALL SELECT doc_id, grams FROM g WHERE doc_id % 100 <> 7),
+        | hits AS (SELECT t.doc_id, count(*) AS n FROM
+        |  (SELECT doc_id, unnest(grams) AS gram FROM train) t
+        |  JOIN ev USING (gram) GROUP BY t.doc_id)
+        | SELECT train.doc_id, coalesce(n, 0) AS n_shared_grams,
+        |  coalesce(n, 0) > 0 AS contaminated
+        | FROM train LEFT JOIN hits ON train.doc_id = hits.doc_id
+        | ORDER BY train.doc_id""".stripMargin.replace("\n", ""),
+    // per-source greedy packing into 512-token windows by running sum
+    "pack_sequences" ->
+      """SELECT source, doc_id, n_tokens,
+        | CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+        | (cum - n_tokens) % 512 AS offset
+        | FROM (SELECT source, doc_id, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM (SELECT source, doc_id,
+        |   CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> length(t) > 0)) AS BIGINT) AS n_tokens FROM documents))
+        | ORDER BY source, doc_id""".stripMargin.replace("\n", ""),
     // planted near-dup gates: each pipeline must recover every planted
     // identical copy exactly (Jaccard 1.0 / Hamming 0); dedup must return
     // precisely the original corpus (threshold 0.99 sits above the

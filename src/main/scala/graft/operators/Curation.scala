@@ -125,6 +125,77 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: flag training documents sharing at least
+    * one word 8-gram with the held-out eval set (`doc_id % 100 == 7` — a
+    * deterministic pseudo-sample standing in for a benchmark suite). The
+    * classic contamination filter every pretraining corpus runs before
+    * training; 8 words is the standard overlap unit (long enough that
+    * coincidental collisions are negligible, short enough to catch
+    * paraphrase-free leakage).
+    *
+    * A copy of each eval document is planted into the training side at
+    * doc_id + 1e6 so the gate always has true positives: the planted rows
+    * MUST flag, and (at the verify SFs) nothing else shares an 8-gram.
+    *
+    * Scale shape: the eval side of any decontamination run is tiny by
+    * definition — its distinct-gram set broadcasts, so the training side
+    * stays a narrow scan + broadcast semi-join + per-doc aggregate; no
+    * all-pairs, no big-side shuffle before the aggregate. */
+  def decontaminate(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val docs = t(s, dir, "documents")
+    // single-pass custom expression (same distinct-gram semantics as the
+    // HOF `shingles`, one tokenization, no lambda re-evaluation exposure)
+    val grams = docs.select(col("doc_id"),
+      graft.functions.SketchExpressions
+        .wordShingles(tokens(col("text")), n).as("grams"))
+    val isEval = col("doc_id") % 100 === 7
+    val evalGrams = grams.filter(isEval)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val train = grams.filter(isEval)
+      .withColumn("doc_id", col("doc_id") + Dedup.PlantOffset)
+      .unionByName(grams.filter(!isEval))
+    // one pass over the training grams: LEFT join against the broadcast
+    // eval set and count the matches per doc — zero-hit documents stay in
+    // the output without a second scan (shingling is the expensive step;
+    // a join-back-for-zeros shape computed it twice)
+    train.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_shared_grams"))
+      .select(col("doc_id"), col("n_shared_grams"),
+        (col("n_shared_grams") > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing: assign documents to fixed-size context windows by
+    * cumulative token count, per source, in doc_id order — the GPT-style
+    * document-packing step that turns a curated corpus into training
+    * sequences. `seq_id` is the window containing the document's first
+    * token; `offset` its position inside that window.
+    *
+    * Scale shape: packing is per (source) partition — a running-sum
+    * window over each source's documents, so the only shuffle is the
+    * hash partition on source and no global order is ever imposed. At
+    * 100 TB the partition key widens to (source, shard) and the same
+    * plan holds; a single global running sum — one partition, no
+    * parallelism — is the anti-pattern this form exists to avoid. */
+  def packSequences(s: SparkSession, dir: String,
+      contextLen: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        floor((col("cum_tokens") - col("n_tokens"))
+          / lit(contextLen.toDouble)).cast("long").as("seq_id"),
+        ((col("cum_tokens") - col("n_tokens")) % contextLen).as("offset"))
+      .orderBy("source", "doc_id")
+  }
+
   /** End-to-end curation funnel — the flagship composition a training-data
     * pipeline runs nightly: keep declared-English documents below a
     * repeated-token ceiling, exact-dedup on text (keep the smallest
