@@ -69,6 +69,12 @@ object SketchExpressions {
 
   def cosineSim(a: Column, b: Column): Column =
     CB.column(CosineSim(CB.expression(a), CB.expression(b)))
+
+  def repetitionStats(tokens: Column): Column =
+    CB.column(RepetitionStats(CB.expression(tokens)))
+
+  def tokenEntropy(tokens: Column): Column =
+    CB.column(TokenEntropy(CB.expression(tokens)))
 }
 
 /** Cosine similarity of two array<float|double> vectors, fused single
@@ -385,5 +391,83 @@ case class SimHash64(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** Single-pass repetition statistics over an array<string> token
+  * sequence: distinct bigram count, distinct trigram count, and the
+  * highest single-token frequency, in one traversal with hash sets —
+  * O(n) per row where the HOF rendering (array_distinct over transform,
+  * plus a |vocab| x n nested filter for the top count) is O(n * vocab).
+  * Counts are exact integers, so any downstream ratio is identical to
+  * the HOF form's — no FP-order concern. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d2", IntegerType, nullable = false),
+    StructField("d3", IntegerType, nullable = false),
+    StructField("top", IntegerType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = Array.tabulate(n)(i => arr.getUTF8String(i))
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val g2 = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val g3 = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val cnt = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Int]()
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val c = cnt.merge(toks(i), 1, (a, b) => a + b)
+      if (c > top) top = c
+      if (i + 2 <= n) g2.add(
+        org.apache.spark.unsafe.types.UTF8String.concatWs(sep, toks(i), toks(i + 1)))
+      if (i + 3 <= n) g3.add(
+        org.apache.spark.unsafe.types.UTF8String.concatWs(sep, toks(i), toks(i + 1), toks(i + 2)))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(g2.size, g3.size, top)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
+    copy(child = c)
+}
+
+/** Shannon entropy (bits) of the token distribution, replicating the
+  * composed-HOF fold EXACTLY: counts from one hash-map pass, then the
+  * per-POSITION contribution log2(c/n)/n accumulated in document order —
+  * the same arithmetic sequence (log(x)/log(2), then /n, then +=) the
+  * `aggregate`+`filter` rendering performs, so results are bit-identical
+  * to it and to the DuckDB oracle, while the row cost drops from O(n^2)
+  * token comparisons to O(n). */
+case class TokenEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "token_entropy"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = Array.tabulate(n)(i => arr.getUTF8String(i))
+    val cnt = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Int]()
+    var i = 0
+    while (i < n) { cnt.merge(toks(i), 1, (a, b) => a + b); i += 1 }
+    val nd = n.toDouble
+    var acc = 0.0
+    i = 0
+    while (i < n) {
+      // exactly Spark's Log2 (math.log(x) / math.log(2)), then / n, then
+      // sequential += — do not reorder or refactor this arithmetic
+      acc += math.log(cnt.get(toks(i)).toDouble / nd) / math.log(2) / nd
+      i += 1
+    }
+    java.lang.Double.valueOf(-acc)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenEntropy =
     copy(child = c)
 }

@@ -51,29 +51,24 @@ object TextAnalysis {
     * token array is materialized as an attribute first, so lambdas
     * reference an attribute and nothing re-tokenizes per element. */
   def repetitionScores(s: SparkSession, dir: String): DataFrame = {
-    def ngramRepeatFrac(w: Column, n: Int): Column = {
-      val grams = transform(
-        sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
-      // gram count is just arithmetic on the token count — building the
-      // gram array a second time only to size() it doubled the row work
-      when(size(w) <= n, lit(0.0)).otherwise(
-        lit(1.0) - size(array_distinct(grams)).cast("double")
-          / (size(w) - (n - 1)).cast("double"))
-    }
-    // most-frequent-word mass: distinct vocab is small per doc, so the
-    // O(|vocab| * n) nested HOF stays cheap and codegen'd
-    def topWordFrac(w: Column): Column =
-      array_max(transform(array_distinct(w),
-        x => size(filter(w, y => y === x)))).cast("double") / size(w)
+    // one O(n) pass per row (hash-set distinct counts + top frequency);
+    // every emitted value is a ratio of exact integers, so this is
+    // value-identical to the O(n * vocab) HOF rendering it replaced
+    def frac(nGrams: Column, distinct: Column): Column =
+      lit(1.0) - distinct.cast("double") / nGrams.cast("double")
     t(s, dir, "documents")
       .withColumn("w", tokens(col("text")))
       .filter(size(col("w")) > 0)
+      .withColumn("st",
+        graft.functions.SketchExpressions.repetitionStats(col("w")))
       .select(
         col("doc_id"),
-        Num.t6(ngramRepeatFrac(col("w"), 2)).as("bigram_repeat_frac"),
-        Num.t6(ngramRepeatFrac(col("w"), 3)).as("trigram_repeat_frac"),
-        Num.t6(topWordFrac(col("w"))).as("top_word_frac"))
+        Num.t6(when(size(col("w")) <= 2, lit(0.0)).otherwise(
+          frac(size(col("w")) - 1, col("st.d2")))).as("bigram_repeat_frac"),
+        Num.t6(when(size(col("w")) <= 3, lit(0.0)).otherwise(
+          frac(size(col("w")) - 2, col("st.d3")))).as("trigram_repeat_frac"),
+        Num.t6(col("st.top").cast("double") / size(col("w")))
+          .as("top_word_frac"))
       .orderBy("doc_id")
   }
 
@@ -83,16 +78,13 @@ object TextAnalysis {
     * floor-truncated to 6 decimals so libm-vs-JVM last-ulp differences
     * cannot surface in the gate. */
   def entropyScores(s: SparkSession, dir: String): DataFrame = {
-    val w = col("w")
-    val n = size(w).cast("double")
-    // per-POSITION contribution log2(c_x/n)/n summed in document order: a
-    // left fold over the token array itself, not over array_distinct —
+    // per-POSITION contribution log2(c_x/n)/n summed in document order —
     // distinct-ordering is engine-specific and FP addition is order-
     // sensitive, so folding in a canonical order is what keeps the oracle
-    // bit-identical. O(n^2) token equality per row; n ~ 50 here.
-    val entropy = - aggregate(w, lit(0.0d),
-      (acc, x) => acc +
-        log2(size(filter(w, y => y === x)).cast("double") / n) / n)
+    // bit-identical. TokenEntropy replicates that exact fold in one O(n)
+    // pass (hash-map counts) instead of the O(n^2) HOF per-element scan.
+    val entropy =
+      graft.functions.SketchExpressions.tokenEntropy(col("w"))
     t(s, dir, "documents")
       .withColumn("w", tokens(col("text")))
       .filter(size(col("w")) > 0)
