@@ -19,7 +19,8 @@ object ExplainDump {
     "text_stats", "mm_meta", "mm_resize", "contract_nulls",
     "repetition_scores", "entropy_scores", "source_quantiles",
     "ann_lsh_recall_gate", "approx_stats_gate", "mm_features",
-    "fingerprints", "join_anti", "set_except")
+    "fingerprints", "join_anti", "set_except",
+    "decontaminate", "pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

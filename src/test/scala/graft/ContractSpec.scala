@@ -28,7 +28,9 @@ class ContractSpec extends AnyFunSuite {
   test("queries are deterministic: two runs, identical results (sample)") {
     for (name <- Seq("q1_pricing", "minhash_pairs", "top10_per_day",
         "ann_brute_topk", "fingerprints", "ann_ivf_topk", "asof_join",
-        "embed_neardup_pairs", "mm_resize")) {
+        "embed_neardup_pairs", "mm_resize",
+        "decontaminate", "pack_sequences", "repetition_scores",
+        "entropy_scores", "dedup_clusters_planted")) {
       val fn = SparkEntry.queries(name)
       val a = fn(spark, TestSpark.sf).collect()
       val b = fn(spark, TestSpark.sf).collect()
