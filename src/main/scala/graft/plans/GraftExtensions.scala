@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharNgramSet, CosineSim, HyperplaneBands, MinHashBandBuckets, MinHashSignature, SimHash64, TokenFingerprint, WordShingles}
+import graft.functions.{CharNgramSet, CosineSim, HyperplaneBands, MinHashBandBuckets, MinHashSignature, RepetitionStats, SimHash64, TokenEntropy, TokenFingerprint, WordShingles}
 
 /** SQL surface for the custom sketch expressions: registered in the
   * function registry, so `spark.sql("SELECT minhash_signature(...)")`
@@ -96,6 +96,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => CosineSim(a, b)
         case _ => throw new IllegalArgumentException("cosine_sim(a, b)")
+      }),
+    ("repetition_stats",
+      info("repetition_stats", "repetition_stats(tokens) - struct(d2, d3, top): distinct bigram/trigram counts and top token frequency"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => RepetitionStats(t)
+        case _ => throw new IllegalArgumentException("repetition_stats(tokens)")
+      }),
+    ("token_entropy",
+      info("token_entropy", "token_entropy(tokens) - Shannon entropy (bits) of the token distribution"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => TokenEntropy(t)
+        case _ => throw new IllegalArgumentException("token_entropy(tokens)")
       }))
 
   private def intArg(e: Expression, fn: String): Int = e match {

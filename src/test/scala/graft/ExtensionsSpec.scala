@@ -16,11 +16,18 @@ class ExtensionsSpec extends AnyFunSuite {
         | size(minhash_signature(array('x','y'), 32)) AS k,
         | simhash64(array('a','b')) AS sh,
         | size(char_ngram_set('abcdef', 5)) AS n_ng,
-        | token_fingerprint(array('a','b')) AS fp""".stripMargin).head()
+        | token_fingerprint(array('a','b')) AS fp,
+        | repetition_stats(array('a','b','a','b')) AS rs,
+        | token_entropy(array('a','a','b','b')) AS ent""".stripMargin).head()
     assert(r.getInt(0) === 2)
     assert(r.getInt(1) === 32)
     assert(r.getInt(3) === 2)
     assert(r.getLong(4) !== 0L)
+    // a b a b: bigrams {a b, b a} of 3; trigrams {a b a, b a b} of 2; top 2
+    val rs = r.getStruct(5)
+    assert(rs.getInt(0) === 2 && rs.getInt(1) === 2 && rs.getInt(2) === 2)
+    // two tokens, equal mass -> exactly 1 bit
+    assert(r.getDouble(6) === 1.0)
   }
 
   test("SQL and DataFrame paths produce identical sketches") {
