@@ -107,6 +107,7 @@ object SparkEntry {
     "curate_corpus" -> (Curation.curateCorpus _),
     "decontaminate" -> ((s: SparkSession, d: String) => Curation.decontaminate(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Curation.packSequences(s, d)),
+    "chunk_documents" -> ((s: SparkSession, d: String) => Curation.chunkDocuments(s, d)),
     // -- deduplication (documents) --
     "dedup_exact_groups" -> (Dedup.exactGroups _),
     "dedup_exact" -> (Dedup.exactDedup _),
@@ -738,6 +739,20 @@ object SparkEntry {
         |  coalesce(n, 0) > 0 AS contaminated
         | FROM train LEFT JOIN hits ON train.doc_id = hits.doc_id
         | ORDER BY train.doc_id""".stripMargin.replace("\n", ""),
+    // overlapping 32-token chunks at stride 16; md5 of the joined chunk
+    "chunk_documents" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        | CAST(len(w[CAST(i * 16 + 1 AS INTEGER) :
+        |   CAST(i * 16 + 32 AS INTEGER)]) AS INTEGER) AS n_chunk_tokens,
+        | md5(array_to_string(w[CAST(i * 16 + 1 AS INTEGER) :
+        |   CAST(i * 16 + 32 AS INTEGER)], ' ')) AS chunk_hash
+        | FROM (SELECT doc_id, w, unnest(range(0,
+        |   CAST(floor((len(w) - 1) / 16.0) AS BIGINT) + 1)) AS i
+        |  FROM (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'),
+        |    t -> length(t) > 0) AS w FROM documents)
+        |  WHERE len(w) > 0)
+        | ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", ""),
     // per-source greedy packing into 512-token windows by running sum
     "pack_sequences" ->
       """SELECT source, doc_id, n_tokens,

@@ -196,6 +196,32 @@ object Curation {
       .orderBy("source", "doc_id")
   }
 
+  /** Document chunking: overlapping fixed-size token windows (size 32,
+    * stride 16) per document — the preprocessing step that feeds an
+    * embedding model or a context-window trainer. Emits the md5 of each
+    * chunk's joined tokens rather than the text (compact, hashable, and
+    * what a downstream dedup-of-chunks keys on anyway). Chunk starts are
+    * every `stride` tokens while inside the document; the last chunk may
+    * be short. Pure narrow scan: explode is the only row amplification,
+    * there is no shuffle before the presentation sort. */
+  def chunkDocuments(s: SparkSession, dir: String,
+      chunkSize: Int = 32, stride: Int = 16): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val w = col("w")
+    val nChunkIdx = floor((size(w) - 1) / lit(stride.toDouble)).cast("int")
+    t(s, dir, "documents")
+      .withColumn("w", tokens(col("text")))
+      .filter(size(w) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunkIdx),
+          i => slice(w, i * stride + 1, lit(chunkSize))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** End-to-end curation funnel — the flagship composition a training-data
     * pipeline runs nightly: keep declared-English documents below a
     * repeated-token ceiling, exact-dedup on text (keep the smallest
