@@ -83,11 +83,15 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"total_sec":$total%.3f}"""
     println(line)
-    // full copy in the repo: immune to any driver-side stdout truncation
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-        (line + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    // full copy in the repo: immune to any driver-side stdout truncation.
+    // Only for full runs — a SPARK_GRAFT_BENCH_ONLY iteration must not
+    // clobber the complete map.
+    if (only.isEmpty) {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+          (line + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }
