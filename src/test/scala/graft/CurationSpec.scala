@@ -88,4 +88,42 @@ class CurationSpec extends AnyFunSuite {
     // repartition — rejected docs never reach a shuffle
     assert(exchanges <= 2)
   }
+
+  test("chunking covers every token; neighbors overlap by size - stride") {
+    import org.apache.spark.sql.functions.col
+    val nTok = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = Curation.chunkDocuments(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(chunks.keySet === nTok.keySet)
+    chunks.foreach { case (doc, rows) =>
+      val n = nTok(doc)
+      val byIdx = rows.sortBy(_.getInt(1))
+      // starts advance by stride; chunk sizes are full except the tail
+      byIdx.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(1) === i)
+        val expect = math.min(32L, n - i * 16L)
+        assert(r.getInt(2).toLong === expect, s"doc $doc chunk $i")
+      }
+      // the last chunk start is within the doc; one more would start past
+      val last = byIdx.length - 1
+      assert(last * 16 < n && (last + 1) * 16 >= n)
+    }
+  }
+
+  test("packing: offsets are in-window and cumulative counts reconstruct") {
+    val rows = Curation.packSequences(spark, sf).collect()
+    var cum = Map.empty[String, Long]
+    // rows arrive ordered (source, doc_id) — replay the running sum
+    rows.foreach { r =>
+      val (src, n, seq, off) =
+        (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      val start = cum.getOrElse(src, 0L)
+      assert(seq === start / 512, s"seq_id of ${r.getLong(1)}")
+      assert(off === start % 512, s"offset of ${r.getLong(1)}")
+      cum = cum.updated(src, start + n)
+    }
+  }
 }
