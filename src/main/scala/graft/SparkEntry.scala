@@ -129,6 +129,7 @@ object SparkEntry {
     "dedup_clusters_planted" -> ((s: SparkSession, d: String) => Dedup.nearDupClustersPlanted(s, d)),
     // -- similarity search (embeddings) --
     "embed_norms" -> (Similarity.norms _),
+    "label_centroids" -> (Similarity.labelCentroids _),
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) =>
       Similarity.lshTopK(s, d, Seq(0L, 1L, 2L, 3L, 4L))),
@@ -675,6 +676,15 @@ object SparkEntry {
       """SELECT vec_id, floor(sqrt(list_aggregate(list_transform(embedding,
         | x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * 1000000.0) / 1000000.0 AS norm
         | FROM embeddings ORDER BY vec_id""".stripMargin.replace("\n", ""),
+    // exact-decimal per-component mean per label (long format)
+    "label_centroids" ->
+      """SELECT label, CAST(i AS INTEGER) AS pos,
+        | floor(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+        |  / count(*) * 1000000.0)/1000000.0 AS c
+        | FROM (SELECT label, i,
+        |   embedding[CAST(i + 1 AS INTEGER)] AS v
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i))
+        | GROUP BY label, i ORDER BY label, pos""".stripMargin.replace("\n", ""),
     "ann_brute_topk" ->
       """SELECT e.vec_id, floor((
         | list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),

@@ -45,6 +45,23 @@ object Similarity {
       .select(col("vec_id"), Num.t6(l2norm(col("embedding"))).as("norm"))
       .orderBy("vec_id")
 
+  /** Per-label centroid components — the distributed vector-mean pattern
+    * (class centroids, coarse IVF training, cluster summaries): explode to
+    * (label, pos, value), one partial+final aggregate keyed on the tiny
+    * (label, pos) space, exact-decimal mean per component so the result is
+    * partitioning-invariant. Long format (label, pos, c): at 100 TB the
+    * shuffle carries labels x dim rows of partial sums, never vectors,
+    * and the consumer rebuilds arrays only for the handful of centroids. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(Num.t6(
+        sum(col("v").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast("double") / count(lit(1))).as("c"))
+      .orderBy("label", "pos")
+
   /** Exact top-k cosine neighbors of one stored vector (default query:
     * vec_id 0). The 1-row query side is broadcast; ranking is
     * TakeOrderedAndProject — only k rows survive per partition. */
