@@ -20,7 +20,7 @@ object ExplainDump {
     "repetition_scores", "entropy_scores", "source_quantiles",
     "ann_lsh_recall_gate", "approx_stats_gate", "mm_features",
     "fingerprints", "join_anti", "set_except",
-    "decontaminate", "pack_sequences")
+    "decontaminate", "pack_sequences", "chunk_documents", "label_centroids")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
