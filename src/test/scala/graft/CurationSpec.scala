@@ -89,6 +89,24 @@ class CurationSpec extends AnyFunSuite {
     assert(exchanges <= 2)
   }
 
+  test("decontamination joins the eval grams as a broadcast, never a sort-merge") {
+    val plan = Curation.decontaminate(spark, sf).queryExecution.executedPlan
+      .toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      "eval-gram join must broadcast (the eval side is tiny by definition)")
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge join here would shuffle the full training gram set")
+  }
+
+  test("packing shuffles once, on the source key") {
+    val plan = Curation.packSequences(spark, sf).queryExecution.executedPlan
+      .toString.split("== Initial Plan ==").head
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size === 1 && hashEx.head.contains("source"),
+      s"expected exactly the window's source partition: $hashEx")
+  }
+
   test("chunking covers every token; neighbors overlap by size - stride") {
     import org.apache.spark.sql.functions.col
     val nTok = Tables.load(spark, sf, "documents")
