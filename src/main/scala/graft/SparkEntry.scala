@@ -783,12 +783,19 @@ object SparkEntry {
       """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
         | CAST(1.0 AS DOUBLE) AS jaccard
         | FROM documents WHERE doc_id < 10 ORDER BY doc_a""".stripMargin.replace("\n", ""),
+    // components over the planted corpus = md5 text groups (identical
+    // docs always share every band; no natural NON-exact pair reaches the
+    // 0.99 threshold at any bundled SF — measured maxima 0.989 at sf0.01,
+    // 0.9898 at sf0.1), so the oracle models natural exact dups too and
+    // the gate is SF-robust
     "dedup_clusters_planted" ->
-      """SELECT doc_id, doc_id AS cluster_id FROM documents WHERE doc_id < 10
-        | UNION ALL
-        | SELECT doc_id + 1000000 AS doc_id, doc_id AS cluster_id
-        |  FROM documents WHERE doc_id < 10
-        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+      """WITH p AS (SELECT doc_id, md5(text) AS h FROM documents
+        | UNION ALL SELECT doc_id + 1000000, md5(text) FROM documents
+        |  WHERE doc_id < 10)
+        | SELECT doc_id, cluster_id FROM (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS cluster_id,
+        |   count(*) OVER (PARTITION BY h) AS sz FROM p)
+        | WHERE sz > 1 ORDER BY doc_id""".stripMargin.replace("\n", ""),
     // HLL++ estimate within its deterministic 10% envelope per group,
     // quantile pair ordered — constant-TRUE relation
     "approx_stats_gate" ->
@@ -803,9 +810,18 @@ object SparkEntry {
       """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
         | CAST(1.0 AS DOUBLE) AS jaccard
         | FROM documents WHERE doc_id < 10 ORDER BY doc_a""".stripMargin.replace("\n", ""),
+    // survivors of near-dedup at 0.99 = the min doc_id of every md5 text
+    // group over the planted corpus (same SF-robustness argument as the
+    // clusters gate above)
     "minhash_dedup" ->
-      """SELECT doc_id, lang, source, n_chars FROM documents
-        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+      """WITH p AS (
+        | SELECT doc_id, lang, source, n_chars, md5(text) AS h FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000, lang, source, n_chars, md5(text)
+        |  FROM documents WHERE doc_id < 10),
+        | keep AS (SELECT min(doc_id) AS doc_id FROM p GROUP BY h)
+        | SELECT p.doc_id, lang, source, n_chars FROM p
+        | JOIN keep USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", ""),
     // Gopher/C4 repetition filters: n-gram repeat fractions + top-word
     // mass, floor-truncated to 6 decimals on both sides
     "repetition_scores" ->

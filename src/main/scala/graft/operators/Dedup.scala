@@ -201,11 +201,12 @@ object Dedup {
     * states as `SELECT .. FROM documents`. Verifies the drop side of the
     * pipeline end-to-end: every planted copy removed, nothing else.
     *
-    * SF contract: holds at the verify SFs (sf0.001/sf0.01 have no natural
-    * pair at or above 0.99). sf0.1 contains 8 natural EXACT duplicates,
-    * which this gate would legitimately drop — at that SF the closed-form
-    * oracle no longer applies (the bench runs it rows-only there). Same
-    * caveat for [[nearDupClustersPlanted]]. */
+    * SF robustness: the oracle models natural EXACT duplicates too (an
+    * md5-text-group min on the planted corpus — sf0.1 has 8 such pairs),
+    * so the gate holds at every bundled SF. The remaining precondition is
+    * that no natural NON-exact pair reaches 0.99: measured maxima are
+    * 0.989 (sf0.01) and 0.9898 (sf0.1). Same argument for
+    * [[nearDupClustersPlanted]]. */
   def minhashDedupPlanted(s: SparkSession, dir: String,
       n: Int = 10): DataFrame = {
     val docs = t(s, dir, "documents")
