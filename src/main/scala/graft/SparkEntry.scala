@@ -97,6 +97,7 @@ object SparkEntry {
     "repetition_scores" -> (TextAnalysis.repetitionScores _),
     "entropy_scores" -> (TextAnalysis.entropyScores _),
     "source_quantiles" -> (TextAnalysis.sourceLengthQuantiles _),
+    "tfidf_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
     // -- corpus curation (documents) --
     "hash_split" -> (Curation.hashSplit _),
@@ -859,6 +860,27 @@ object SparkEntry {
         |   t -> length(t) > 0) AS w
         |  FROM documents) WHERE len(w) > 0
         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // per-doc top-3 terms by tf-idf (ln((N+1)/(df+1)), ties by term);
+    // ranking runs on the floor-truncated score on both engines so a
+    // sub-1e-6 ulp difference can never flip an order
+    "tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0)) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        | df AS (SELECT term, count(*) AS df FROM
+        |  (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+        | n AS (SELECT count(*) AS n_docs FROM documents),
+        | scored AS (SELECT doc_id, term,
+        |  floor(tf * ln((n_docs + 1.0) / (df + 1.0)) * 1000000.0)/1000000.0
+        |   AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        | ranked AS (SELECT doc_id, term, tfidf, row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        |  FROM scored)
+        | SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tfidf
+        | FROM ranked WHERE rnk <= 3
+        | ORDER BY doc_id, rnk""".stripMargin.replace("\n", ""),
     // exact linear-interpolation quantiles of doc length per source
     "source_quantiles" ->
       """SELECT source, count(*) AS n_docs,

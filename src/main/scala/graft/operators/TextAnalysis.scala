@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -93,6 +94,39 @@ object TextAnalysis {
         size(array_distinct(col("w"))).cast("long").as("n_vocab"),
         Num.t6(entropy).as("token_entropy"))
       .orderBy("doc_id")
+  }
+
+  /** Per-document top-3 terms by tf-idf (ln((N+1)/(df+1)) smoothing,
+    * deterministic ties by term) — corpus-level keyword extraction. Two
+    * aggregates: document frequency per term (the shuffle carries (term,
+    * partial df) pairs only, collapsed map-side), then per-doc term
+    * counts joined to the broadcast df table. At 100 TB the df table is
+    * |vocab|-sized — small for natural language — and everything else is
+    * a narrow scan + one shuffle keyed on doc_id. */
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // corpus size as a broadcast 1-row aggregate, not a driver count —
+    // the whole query stays one lazy plan
+    val nDf = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val tf = docs.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df = rows per term of tf (one row per (doc, term) already) — this
+    // branch shares tf's exchange (ReuseExchange), so the corpus is
+    // exploded and shuffled once, not twice
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDf))
+      .select(col("doc_id"), col("term"),
+        Num.t6(col("tf") *
+          log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+          .as("tfidf"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+      .orderBy("doc_id", "rnk")
   }
 
   /** Per-source length quantiles (exact linear-interpolation percentile —
