@@ -49,6 +49,10 @@ object SparkEntry {
     "q10_returns" -> (Relational.q10Returns _),
     "q12_late" -> (Relational.q12Late _),
     "q14_promo" -> (Relational.q14Promo _),
+    "q8_mktshare" -> (Relational.q8MarketShare _),
+    "q15_top_supplier" -> (Relational.q15TopSupplier _),
+    "q18_large_orders" -> ((s: SparkSession, d: String) => Relational.q18LargeOrders(s, d)),
+    "q19_disjunct" -> (Relational.q19Disjunct _),
     // -- joins / set ops / windows / grouping sets / subqueries --
     "join_left" -> (RelationalExt.joinLeft _),
     "join_semi" -> (RelationalExt.joinSemi _),
@@ -319,6 +323,57 @@ object SparkEntry {
         | FROM lineitem JOIN part ON l_partkey = p_partkey
         | WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin.replace("\n", ""),
+    "q8_mktshare" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | floor((CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |   THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))
+        |   ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE))
+        |  * 1000000.0) / 1000000.0 AS mkt_share
+        | FROM lineitem
+        | JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        | JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        | GROUP BY 1 ORDER BY o_year""".stripMargin.replace("\n", ""),
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+        |   AS total_revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        | GROUP BY l_suppkey)
+        | SELECT s_suppkey, s_name,
+        |  floor(total_revenue * 1000000.0)/1000000.0 AS total_revenue
+        | FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        | WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        | ORDER BY s_suppkey""".stripMargin.replace("\n", ""),
+    "q18_large_orders" ->
+      """WITH big AS (
+        | SELECT l_orderkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        | FROM lineitem GROUP BY l_orderkey
+        | HAVING sum_qty > 120.0)
+        | SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        | FROM orders JOIN big ON o_orderkey = l_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin.replace("\n", ""),
+    "q19_disjunct" ->
+      """SELECT floor(CAST(sum(CAST(l_extendedprice*(1-l_discount)
+        |   AS DECIMAL(28,6))) AS DOUBLE) * 1000000.0)/1000000.0 AS revenue
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_quantity <= 30 AND (
+        |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11) OR
+        |  (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10 AND 20) OR
+        |  (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20 AND 30))""".stripMargin.replace("\n", ""),
     "join_left" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         | FROM customer LEFT JOIN orders ON c_custkey = o_custkey

@@ -283,4 +283,96 @@ object Relational {
         dsum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0)))
           * lit(100.0) / dsum(disc)).as("promo_revenue"))
   }
+
+  /** TPC-H Q8 shape (national market share): the share of one supplier
+    * nation in yearly ECONOMY-part revenue sold to customers of one
+    * region. Two conditional sums in ONE aggregate (share = nation
+    * revenue / total revenue per year) — never two passes; all four dims
+    * broadcast; the selective part-type filter prunes lineitem through
+    * the join before any fact-to-fact shuffle. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val custNations = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")
+        .filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val suppNation = t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNations), col("c_nationkey") === col("c_nk"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(graft.functions.Num.t6(
+        dsum(when(col("supp_nation") === "NATION_3", disc).otherwise(lit(0.0)))
+          / dsum(disc)).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q15 shape (top supplier): suppliers achieving the maximum
+    * quarterly revenue — an aggregate of an aggregate. The 1-row max is
+    * broadcast back against the per-supplier revenue (no second scan of
+    * lineitem, no window over all suppliers). */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        graft.functions.Num.t6(col("total_revenue")).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): orders whose total quantity
+    * exceeds a threshold, with their customers. The HAVING filter runs in
+    * the grouped aggregate BEFORE the joins back to orders/customer —
+    * only qualifying orderkeys (a tiny set) drive the joins. */
+  def q18LargeOrders(s: SparkSession, dir: String,
+      minQty: Double = 120.0): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q19 shape (disjunctive predicates): revenue from three
+    * brand/size/quantity windows OR-ed together. The point is plan
+    * hygiene for disjunctions: the whole OR-of-ANDs evaluates inside the
+    * join's codegen'd filter, and the common `l_quantity <= 30` bound is
+    * factorable to the lineitem scan. */
+  def q19Disjunct(s: SparkSession, dir: String): DataFrame = {
+    val c1 = col("p_brand") === "Brand#1" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+    val c2 = col("p_brand") === "Brand#2" &&
+      col("p_size").between(1, 25) && col("l_quantity").between(10, 20)
+    val c3 = col("p_brand") === "Brand#3" &&
+      col("p_size").between(1, 35) && col("l_quantity").between(20, 30)
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") <= 30)
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(c1 || c2 || c3)
+      .agg(graft.functions.Num.t6(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"))
+  }
 }
