@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ingest.WeatherIngest
 import graft.models.WeatherModels
-import graft.operators.{Curation, Dedup, Relational, RelationalExt, RelationalMore, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Relational, RelationalExt, RelationalMore, RelationalTpch, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -53,6 +53,14 @@ object SparkEntry {
     "q15_top_supplier" -> (Relational.q15TopSupplier _),
     "q18_large_orders" -> ((s: SparkSession, d: String) => Relational.q18LargeOrders(s, d)),
     "q19_disjunct" -> (Relational.q19Disjunct _),
+    "q2_min_cost" -> (RelationalTpch.q2MinCost _),
+    "q9_profit" -> (RelationalTpch.q9Profit _),
+    "q11_important_stock" -> (RelationalTpch.q11ImportantStock _),
+    "q16_supplier_cnt" -> (RelationalTpch.q16SupplierCount _),
+    "q17_small_qty" -> (RelationalTpch.q17SmallQty _),
+    "q20_promotable" -> (RelationalTpch.q20PromotableSuppliers _),
+    "q21_waiting" -> (RelationalTpch.q21WaitingSuppliers _),
+    "q22_opportunity" -> (RelationalTpch.q22Opportunity _),
     // -- joins / set ops / windows / grouping sets / subqueries --
     "join_left" -> (RelationalExt.joinLeft _),
     "join_semi" -> (RelationalExt.joinSemi _),
@@ -374,6 +382,102 @@ object SparkEntry {
         |    AND l_quantity BETWEEN 10 AND 20) OR
         |  (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
         |    AND l_quantity BETWEEN 20 AND 30))""".stripMargin.replace("\n", ""),
+    "q2_min_cost" ->
+      """WITH supply AS (
+        | SELECT l_partkey, l_suppkey,
+        |  min(l_extendedprice/l_quantity) AS supply_cost
+        | FROM lineitem GROUP BY 1,2),
+        |rs AS (
+        | SELECT s_suppkey, s_acctbal, s_name, n_name FROM supplier
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey AND r_name = 'AMERICA')
+        | SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  floor(supply_cost*1000000.0)/1000000.0 AS supply_cost
+        | FROM (
+        |  SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost,
+        |   min(supply_cost) OVER (PARTITION BY p_partkey) AS min_cost
+        |  FROM part
+        |  JOIN supply ON p_partkey = l_partkey
+        |  JOIN rs ON l_suppkey = s_suppkey
+        |  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'SMALL')
+        | WHERE supply_cost = min_cost
+        | ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin.replace("\n", ""),
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount)
+        |  - 0.1*p_retailprice*l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit
+        | FROM lineitem
+        | JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget'
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin.replace("\n", ""),
+    "q11_important_stock" ->
+      """WITH v AS (
+        | SELECT l_partkey AS ps_partkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS value
+        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | WHERE s_nationkey < 8 GROUP BY 1)
+        | SELECT ps_partkey, value FROM v
+        | WHERE value > 1.5 * (SELECT
+        |   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)/count(value) FROM v)
+        | ORDER BY value DESC, ps_partkey""".stripMargin.replace("\n", ""),
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        | count(DISTINCT l_suppkey) AS supplier_cnt
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_brand <> 'Brand#1' AND p_size IN (5,10,15,20,25,30,35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        | GROUP BY 1,2,3
+        | ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin.replace("\n", ""),
+    "q17_small_qty" ->
+      """WITH pa AS (
+        | SELECT l_partkey AS pa_partkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)/count(l_quantity)
+        |   AS avg_qty
+        | FROM lineitem GROUP BY 1)
+        | SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+        |  / 7.0 * 1000000.0)/1000000.0 AS avg_yearly
+        | FROM lineitem
+        | JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
+        | JOIN pa ON pa_partkey = l_partkey
+        | WHERE l_quantity < 0.5 * avg_qty""".stripMargin.replace("\n", ""),
+    "q20_promotable" ->
+      """SELECT s_suppkey, s_name, n_name
+        | FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        | WHERE s_nationkey < 8 AND s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget')
+        |   AND l_quantity > 45
+        |   AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        | ORDER BY s_suppkey""".stripMargin.replace("\n", ""),
+    "q21_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+        | FROM supplier
+        | JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        | JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        | WHERE l1.l_shipdate > CAST(o_orderdate AS DATE) + 90
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3
+        |    ON o3.o_orderkey = l3.l_orderkey AND o3.o_orderstatus = 'F'
+        |   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |    AND l3.l_shipdate > CAST(o3.o_orderdate AS DATE) + 90)
+        | GROUP BY s_name
+        | ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin.replace("\n", ""),
+    "q22_opportunity" ->
+      """SELECT CAST(c_nationkey % 10 AS INTEGER) AS cntrycode,
+        | count(*) AS numcust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+        | FROM customer
+        | WHERE c_nationkey % 10 IN (1,2,3,4,5,6,7)
+        |  AND c_acctbal > (SELECT
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)/count(c_acctbal)
+        |   FROM customer WHERE c_acctbal > 0 AND c_nationkey % 10 IN (1,2,3,4,5,6,7))
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |   AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        | GROUP BY 1 ORDER BY cntrycode""".stripMargin.replace("\n", ""),
     "join_left" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
