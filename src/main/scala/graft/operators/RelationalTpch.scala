@@ -59,7 +59,9 @@ object RelationalTpch {
     val w = Window.partitionBy(col("p_partkey"))
     supply
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-      .join(regionSupp, col("l_suppkey") === col("s_suppkey"))
+      // supplier⋈nation⋈region is dim-sized at any SF, but after two joins
+      // Spark's size estimate is unknown → would SMJ; broadcast explicitly
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
       .withColumn("min_cost", min(col("supply_cost")).over(w))
       .filter(col("supply_cost") === col("min_cost"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
@@ -170,7 +172,10 @@ object RelationalTpch {
       .select(col("l_suppkey"))
     t(s, dir, "supplier")
       .filter(col("s_nationkey") < 8)
-      .join(bulkShippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      // the distinct bulk-shipper key set is bounded by |supplier| —
+      // broadcast the semi side instead of shuffling the supplier table
+      .join(broadcast(bulkShippers), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
       .join(broadcast(t(s, dir, "nation")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"))

@@ -20,7 +20,9 @@ object ExplainDump {
     "repetition_scores", "entropy_scores", "source_quantiles",
     "ann_lsh_recall_gate", "approx_stats_gate", "mm_features",
     "fingerprints", "join_anti", "set_except",
-    "decontaminate", "pack_sequences", "chunk_documents", "label_centroids")
+    "decontaminate", "pack_sequences", "chunk_documents", "label_centroids",
+    "q2_min_cost", "q9_profit", "q11_important_stock", "q16_supplier_cnt",
+    "q17_small_qty", "q20_promotable", "q21_waiting", "q22_opportunity")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
