@@ -110,6 +110,7 @@ object SparkEntry {
     "entropy_scores" -> (TextAnalysis.entropyScores _),
     "source_quantiles" -> (TextAnalysis.sourceLengthQuantiles _),
     "tfidf_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
+    "unigram_logprob" -> (TextAnalysis.unigramLogProb _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
     // -- corpus curation (documents) --
     "hash_split" -> (Curation.hashSplit _),
@@ -1040,6 +1041,22 @@ object SparkEntry {
         | SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tfidf
         | FROM ranked WHERE rnk <= 3
         | ORDER BY doc_id, rnk""".stripMargin.replace("\n", ""),
+    // unigram-LM mean log-probability per doc (corpus-trained); per-term
+    // contributions floor-truncated then decimal-summed on both engines
+    "unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0)) AS token FROM documents),
+        | tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        | ctf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+        | tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS n_total FROM ctf)
+        | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct, min(ctf) AS min_ctf,
+        |  floor(CAST(sum(CAST(floor(tf * ln(ctf / n_total) * 1000000.0)/1000000.0
+        |    AS DECIMAL(28,6))) AS DOUBLE) / CAST(sum(tf) AS BIGINT)
+        |   * 1000000.0)/1000000.0 AS mean_logprob
+        | FROM tf JOIN ctf USING (token) CROSS JOIN tot
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", ""),
     // exact linear-interpolation quantiles of doc length per source
     "source_quantiles" ->
       """SELECT source, count(*) AS n_docs,

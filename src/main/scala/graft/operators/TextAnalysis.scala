@@ -129,6 +129,37 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Unigram language-model scoring per document: mean token log-probability
+    * under the corpus's own unigram distribution — the classic
+    * low-perplexity/"natural text" quality signal (documents full of rare
+    * or garbage tokens score far below prose). Shape mirrors `tfidfTopTerms`:
+    * one exploded-token aggregate keyed (doc, token), the corpus term
+    * frequencies re-aggregated from it (|vocab|-sized → broadcast back), a
+    * 1-row total broadcast, one final shuffle on doc_id. Per-term log
+    * contributions are floor-truncated (Num.t6) then decimal-summed so the
+    * per-doc mean is bit-identical across engines and partitionings. */
+  def unigramLogProb(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val ctf = tf.groupBy(col("token")).agg(sum(col("tf")).as("ctf"))
+    val total = ctf.agg(sum(col("ctf")).as("n_total"))
+    tf.join(broadcast(ctf), Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        min(col("ctf")).as("min_ctf"),
+        (Relational.dsum(
+          Num.t6(col("tf") * log(col("ctf") / col("n_total"))))
+          / sum(col("tf"))).as("raw_mean"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("min_ctf"), Num.t6(col("raw_mean")).as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source length quantiles (exact linear-interpolation percentile —
     * the corpus-shape dashboard a curation run reads before choosing mix
     * weights). One shuffle on the handful of source keys. */

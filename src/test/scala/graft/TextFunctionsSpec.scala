@@ -78,6 +78,27 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(rows.exists(_.getDouble(1) > 0.0))
   }
 
+  test("unigram log-prob: counts reconcile and scores behave like an LM") {
+    val rows = graft.operators.TextAnalysis
+      .unigramLogProb(spark, TestSpark.sf).collect()
+    val stats = graft.operators.TextAnalysis
+      .textStats(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows.length === stats.size)
+    rows.foreach { r =>
+      val (id, n, d, minCtf, lp) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      // token accounting matches the independent text_stats tokenizer
+      assert(n === stats(id), s"doc $id token count")
+      assert(d >= 1 && d <= n)
+      assert(minCtf >= 1)
+      // probabilities are < 1 → every mean log-prob is strictly negative
+      assert(lp < 0.0, s"doc $id logprob")
+    }
+    // the signal separates documents (not a constant)
+    assert(rows.map(_.getDouble(4)).distinct.length > 1)
+  }
+
   test("quality score is deterministic across evaluations") {
     val d = graft.Tables.load(spark, TestSpark.sf, "documents")
     val a = d.select(col("doc_id"), qualityScore(col("text")).as("q"))
