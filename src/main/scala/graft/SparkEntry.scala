@@ -111,6 +111,7 @@ object SparkEntry {
     "source_quantiles" -> (TextAnalysis.sourceLengthQuantiles _),
     "tfidf_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "unigram_logprob" -> (TextAnalysis.unigramLogProb _),
+    "quality_logit" -> (TextAnalysis.qualityLogit _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
     // -- corpus curation (documents) --
     "hash_split" -> (Curation.hashSplit _),
@@ -144,6 +145,7 @@ object SparkEntry {
     // -- similarity search (embeddings) --
     "embed_norms" -> (Similarity.norms _),
     "label_centroids" -> (Similarity.labelCentroids _),
+    "kmeans_assign" -> (Similarity.kmeansAssign _),
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) =>
       Similarity.lshTopK(s, d, Seq(0L, 1L, 2L, 3L, 4L))),
@@ -846,6 +848,29 @@ object SparkEntry {
         |   embedding[CAST(i + 1 AS INTEGER)] AS v
         |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i))
         | GROUP BY label, i ORDER BY label, pos""".stripMargin.replace("\n", ""),
+    // one spherical-k-means Lloyd step from the exact label centroids;
+    // argmax on RAW cosine (identical doubles both engines), ties to the
+    // smallest cluster id, output score floor-truncated
+    "kmeans_assign" ->
+      """WITH cents AS (
+        | SELECT label AS cl, list(c ORDER BY pos) AS cent FROM (
+        |  SELECT label, i AS pos,
+        |   floor(CAST(sum(CAST(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+        |     AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 1000000.0)/1000000.0 AS c
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i)
+        |  GROUP BY label, i) GROUP BY label),
+        | sims AS (
+        |  SELECT e.vec_id, e.label, c.cl AS cluster,
+        |   list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.cent)
+        |   / (sqrt(list_aggregate(list_transform(e.embedding,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |    * sqrt(list_dot_product(c.cent, c.cent))) AS raw_sim
+        |  FROM embeddings e CROSS JOIN cents c)
+        | SELECT vec_id, label, cluster,
+        |  floor(raw_sim * 1000000.0)/1000000.0 AS cos_sim
+        | FROM (SELECT *, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY raw_sim DESC, cluster) AS rn FROM sims)
+        | WHERE rn = 1 ORDER BY vec_id""".stripMargin.replace("\n", ""),
     "ann_brute_topk" ->
       """SELECT e.vec_id, floor((
         | list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
@@ -1041,6 +1066,28 @@ object SparkEntry {
         | SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tfidf
         | FROM ranked WHERE rnk <= 3
         | ORDER BY doc_id, rnk""".stripMargin.replace("\n", ""),
+    // linear quality-classifier inference: fixed weights over the same
+    // feature definitions quality_scores uses; keep = raw logit > 0
+    "quality_logit" ->
+      """SELECT doc_id, floor(z * 1000000.0)/1000000.0 AS logit,
+        | floor(1.0/(1.0 + exp(-z)) * 1000000.0)/1000000.0 AS prob,
+        | z > 0.0 AS keep
+        | FROM (SELECT doc_id,
+        |  -1.0 + sw*2.0 + pr*(-4.0) + lenf*1.5 + alf*1.0 AS z
+        |  FROM (SELECT doc_id,
+        |   CAST(len(list_filter(toks, t -> list_contains(
+        |    ['the','a','an','and','or','of','to','in','is','it',
+        |     'that','for','on','with','as','at','by','be','this','are'], t)))
+        |    AS DOUBLE) / len(toks) AS sw,
+        |   CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |    AS DOUBLE) / length(text) AS pr,
+        |   least(CAST(len(toks) AS DOUBLE) / 256.0, 1.0) AS lenf,
+        |   least((CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |    / len(toks)) / 8.0, 1.0) AS alf
+        |   FROM (SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |     t -> length(t) > 0) AS toks FROM documents)))
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
     // unigram-LM mean log-probability per doc (corpus-trained); per-term
     // contributions floor-truncated then decimal-summed on both engines
     "unigram_logprob" ->

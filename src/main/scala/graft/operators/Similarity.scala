@@ -62,6 +62,37 @@ object Similarity {
           .cast("double") / count(lit(1))).as("c"))
       .orderBy("label", "pos")
 
+  /** One spherical-k-means Lloyd iteration (the SemDeDup / corpus-
+    * clustering primitive): assign every vector to its max-cosine centroid,
+    * warm-started from the labeled class centroids (`labelCentroids`, exact
+    * decimal means). The centroid table is k×dim METADATA — collected and
+    * inlined as literals exactly like `ivfCentroids` — so the assignment is
+    * one narrow shuffle-free projection over the corpus: per vector, k
+    * fused-cosine evaluations and an `array_sort` argmax. At 100 TB this is
+    * the map side of every Lloyd round; the reduce side (re-averaging) is
+    * `labelCentroids`' partial+final aggregate keyed on the tiny cluster id.
+    * Ties break toward the smallest cluster id on the RAW cosine (both
+    * engines see identical doubles, so the argmax never diverges). */
+  def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val cents: Array[(Int, Array[Double])] =
+      labelCentroids(s, dir).collect()
+        .groupBy(_.getInt(0))
+        .map { case (lbl, rows) =>
+          (lbl, rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
+        }
+        .toArray.sortBy(_._1)
+    val best = array_sort(array(cents.map { case (lbl, v) =>
+      struct((-cosine(col("embedding"), typedlit(v))).as("neg_sim"),
+        lit(lbl).as("cluster"))
+    }: _*)).getItem(0)
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), best.as("best"))
+      .select(col("vec_id"), col("label"),
+        col("best.cluster").as("cluster"),
+        Num.t6(-col("best.neg_sim")).as("cos_sim"))
+      .orderBy("vec_id")
+  }
+
   /** Exact top-k cosine neighbors of one stored vector (default query:
     * vec_id 0). The 1-row query side is broadcast; ranking is
     * TakeOrderedAndProject — only k rows survive per partition. */

@@ -129,6 +129,31 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Batch inference of a linear quality classifier (fastText/logistic-style
+    * doc filter): fixed published-style weights over four deterministic text
+    * features → logit, sigmoid probability, and a keep/drop decision. The
+    * model is a handful of literals compiled INTO the expression tree —
+    * broadcast-free, shuffle-free, whole-stage-codegen'd — which is exactly
+    * how a linear scorer should run over 100 TB (no per-row model lookup,
+    * no UDF). The keep decision compares the RAW logit (identical doubles
+    * on both engines); reported scores are floor-truncated. */
+  def qualityLogit(s: SparkSession, dir: String): DataFrame = {
+    val sw = stopwordRatio(col("text"))
+    val pr = punctRatio(col("text"))
+    val lenF = least(tokenCount(col("text")).cast("double") / lit(256.0),
+      lit(1.0))
+    val alF = least(avgTokenLen(col("text")) / lit(8.0), lit(1.0))
+    val z = lit(-1.0) + sw * lit(2.0) + pr * lit(-4.0) +
+      lenF * lit(1.5) + alF * lit(1.0)
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        Num.t6(z).as("logit"),
+        Num.t6(lit(1.0) / (lit(1.0) + exp(-z))).as("prob"),
+        (z > lit(0.0)).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Unigram language-model scoring per document: mean token log-probability
     * under the corpus's own unigram distribution — the classic
     * low-perplexity/"natural text" quality signal (documents full of rare

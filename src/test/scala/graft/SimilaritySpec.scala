@@ -156,4 +156,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.length === 500)
     assert(out.forall(_.getDouble(1) > 0))
   }
+
+  test("kmeans assignment: total, label-closed, and argmax-optimal") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val labels = emb.select("label").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val rows = Similarity.kmeansAssign(spark, TestSpark.sf).collect()
+    // every vector assigned exactly once, to a real cluster id
+    assert(rows.length === emb.count())
+    assert(rows.forall(r => labels.contains(r.getInt(2))))
+    assert(rows.forall(r => r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0))
+    // argmax optimality: the assigned cluster's cosine is at least the
+    // own-label centroid's cosine (recomputed independently in Scala)
+    val cents = Similarity.labelCentroids(spark, TestSpark.sf).collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rs) => l -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    def cos(a: Array[Float], c: Array[Double]): Double = {
+      var xy = 0.0; var xx = 0.0; var yy = 0.0
+      a.indices.foreach { i =>
+        xy += a(i) * c(i); xx += a(i).toDouble * a(i); yy += c(i) * c(i)
+      }
+      xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Float](1).toArray, r.getInt(2)))
+      .toMap
+    rows.foreach { r =>
+      val (v, label) = vecs(r.getLong(0))
+      val ownSim = cos(v, cents(label))
+      assert(r.getDouble(3) >= math.floor(ownSim * 1e6) / 1e6 - 1e-9,
+        s"vec ${r.getLong(0)}: assigned ${r.getDouble(3)} < own-label $ownSim")
+    }
+  }
 }

@@ -99,6 +99,22 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(4)).distinct.length > 1)
   }
 
+  test("quality logit: sigmoid consistency and a real decision boundary") {
+    val rows = graft.operators.TextAnalysis
+      .qualityLogit(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lg, p, keep) = (r.getDouble(1), r.getDouble(2), r.getBoolean(3))
+      assert(p > 0.0 && p < 1.0)
+      // keep decides on the raw logit; the truncated pair must agree up to
+      // the 1e-6 floor at the boundary
+      if (keep) assert(p >= 0.5 - 1e-6 && lg >= 0.0)
+      else assert(p <= 0.5 && lg <= 0.0)
+    }
+    // the classifier separates the corpus (both classes observed)
+    assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
+  }
+
   test("quality score is deterministic across evaluations") {
     val d = graft.Tables.load(spark, TestSpark.sf, "documents")
     val a = d.select(col("doc_id"), qualityScore(col("text")).as("q"))
