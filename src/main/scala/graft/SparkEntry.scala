@@ -117,6 +117,7 @@ object SparkEntry {
     "hash_split" -> (Curation.hashSplit _),
     "hash_sample" -> ((s: SparkSession, d: String) => Curation.hashSample(s, d)),
     "corpus_mix" -> (Curation.corpusMix _),
+    "temperature_mix" -> (Curation.temperatureMix _),
     "pii_redact" -> (Curation.piiRedact _),
     "boilerplate_scores" -> (Curation.boilerplateScores _),
     "curate_corpus" -> (Curation.curateCorpus _),
@@ -793,6 +794,19 @@ object SparkEntry {
         | WHERE bucket < CASE WHEN m = 0 THEN 100 WHEN m = 1 THEN 50
         |  WHEN m = 2 THEN 25 ELSE 10 END
         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // temperature-scaled language sampling: keep floor(sqrt(nmin/nl)*100)%
+    // of each language via the md5-bucket filter (sqrt is IEEE-exact)
+    "temperature_mix" ->
+      """WITH n AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
+        | m AS (SELECT min(nl) AS nmin FROM n),
+        | r AS (SELECT lang,
+        |  CAST(floor(sqrt(CAST(nmin AS DOUBLE) / nl) * 100.0) AS BIGINT) AS pct
+        |  FROM n CROSS JOIN m)
+        | SELECT d.doc_id, d.lang, r.pct
+        | FROM documents d JOIN r USING (lang)
+        | WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT)
+        |  % 100 < r.pct
+        | ORDER BY d.doc_id""".stripMargin.replace("\n", ""),
     "pii_redact" ->
       """SELECT doc_id, raw,
         | regexp_replace(regexp_replace(regexp_replace(raw,

@@ -78,6 +78,32 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled language sampling (the `p_l ∝ n_l^α` mixing rule
+    * multilingual LLM recipes use to keep the majority language from
+    * drowning the others): with α = 0.5, each language keeps
+    * `floor(sqrt(n_min / n_l) · 100)` percent of its documents, so the
+    * smallest language keeps 100% and a 100× larger one keeps 10%. (Keyed
+    * on `lang` — the corpus's genuinely skewed axis; its `source` sizes
+    * are uniform, which would make every rate 100 and the gate vacuous.)
+    * The per-language counts are a tiny aggregate; rates broadcast back;
+    * the sample itself is the same deterministic md5-bucket filter as
+    * `corpusMix` — one narrow pass, retry-stable, no `rand()`. `sqrt` is
+    * IEEE-correctly-rounded, so the integer percent is engine-exact. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val m = n.agg(min(col("nl")).as("nmin"))
+    val rates = n.crossJoin(broadcast(m))
+      .select(col("lang"),
+        floor(sqrt(col("nmin").cast("double") / col("nl")) * lit(100.0))
+          .cast("long").as("pct"))
+    t(s, dir, "documents")
+      .join(broadcast(rates), Seq("lang"))
+      .filter(hashBucket(col("doc_id")) < col("pct"))
+      .select(col("doc_id"), col("lang"), col("pct"))
+      .orderBy("doc_id")
+  }
+
   /** PII redaction: regexp-scrub emails, North-American phone numbers and
     * IPv4 addresses to typed placeholder tags. Chained `regexp_replace`
     * stays inside whole-stage codegen (one generated loop per row, no

@@ -131,6 +131,35 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mix: rates follow the sqrt law and the sample respects them") {
+    val docs = Tables.load(spark, sf, "documents")
+    val counts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nmin = counts.values.min
+    val rows = Curation.temperatureMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every emitted pct matches the closed-form sqrt(nmin/nl) rate
+    rows.foreach { r =>
+      val want = math.floor(math.sqrt(nmin.toDouble / counts(r.getString(1)))
+        * 100.0).toLong
+      assert(r.getLong(2) === want, s"rate for ${r.getString(1)}")
+    }
+    // the corpus is genuinely skewed → the majority language is actually
+    // down-sampled (the gate is non-vacuous), the smallest kept in full
+    val minLang = counts.minBy(_._2)._1
+    val maxLang = counts.maxBy(_._2)._1
+    assert(rows.count(_.getString(1) == minLang) === counts(minLang))
+    assert(rows.count(_.getString(1) == maxLang) < counts(maxLang))
+    // kept fraction per language lands near its rate (md5 buckets are
+    // uniform; generous slack at tiny SF)
+    counts.foreach { case (lang, n) =>
+      val kept = rows.count(_.getString(1) == lang)
+      val pct = math.floor(math.sqrt(nmin.toDouble / n) * 100.0) / 100.0
+      assert(math.abs(kept.toDouble / n - pct) < 0.25,
+        s"$lang kept $kept/$n vs rate $pct")
+    }
+  }
+
   test("packing: offsets are in-window and cumulative counts reconstruct") {
     val rows = Curation.packSequences(spark, sf).collect()
     var cum = Map.empty[String, Long]
