@@ -147,6 +147,7 @@ object SparkEntry {
     "embed_norms" -> (Similarity.norms _),
     "label_centroids" -> (Similarity.labelCentroids _),
     "kmeans_assign" -> (Similarity.kmeansAssign _),
+    "search_docs" -> ((s: SparkSession, d: String) => Similarity.searchDocs(s, d)),
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) =>
       Similarity.lshTopK(s, d, Seq(0L, 1L, 2L, 3L, 4L))),
@@ -862,6 +863,26 @@ object SparkEntry {
         |   embedding[CAST(i + 1 AS INTEGER)] AS v
         |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i))
         | GROUP BY label, i ORDER BY label, pos""".stripMargin.replace("\n", ""),
+    // cross-modal retrieval: exact top-5 cosine neighbors of vec 0,
+    // hydrated with the matching document's preview and language
+    "search_docs" ->
+      """SELECT t.vec_id, t.cos_sim, d.lang,
+        | substr(d.text, 1, 40) AS preview
+        | FROM (
+        |  SELECT e.vec_id, floor((
+        |   list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(q.embedding, x -> CAST(x AS DOUBLE)))
+        |   / (sqrt(list_aggregate(list_transform(e.embedding,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |    * sqrt(list_aggregate(list_transform(q.embedding,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))) * 1000000.0)
+        |    / 1000000.0 AS cos_sim
+        |  FROM embeddings e,
+        |   (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0
+        |  ORDER BY cos_sim DESC, e.vec_id LIMIT 5) t
+        | JOIN documents d ON t.vec_id = d.doc_id
+        | ORDER BY t.cos_sim DESC, t.vec_id""".stripMargin.replace("\n", ""),
     // one spherical-k-means Lloyd step from the exact label centroids;
     // argmax on RAW cosine (identical doubles both engines), ties to the
     // smallest cluster id, output score floor-truncated

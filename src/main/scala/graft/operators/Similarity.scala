@@ -109,6 +109,21 @@ object Similarity {
       .limit(k)
   }
 
+  /** Cross-modal retrieval (the RAG/semantic-search shape): exact top-k
+    * cosine neighbors of one query vector, hydrated with the matching
+    * document's text preview and language. Ranking happens FIRST — only
+    * k (vec_id, score) rows reach the documents join, so the wide text
+    * column is read for k rows, not the corpus (the k-row side
+    * broadcasts; at 100 TB the hydration join touches k parquet row
+    * groups, never a second corpus scan). */
+  def searchDocs(s: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 5): DataFrame =
+    broadcast(bruteForceTopK(s, dir, queryId, k))
+      .join(t(s, dir, "documents"), col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("cos_sim"), col("lang"),
+        substring(col("text"), 1, 40).as("preview"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+
   /** Exact top-k for a SET of queries (the recall baseline): broadcast
     * the q-row query side, one corpus scan, per-query window rank. Same
     * plan shape as `bruteForceTopK` — O(N·d·q) work, no shuffle before

@@ -22,7 +22,9 @@ object ExplainDump {
     "fingerprints", "join_anti", "set_except",
     "decontaminate", "pack_sequences", "chunk_documents", "label_centroids",
     "q2_min_cost", "q9_profit", "q11_important_stock", "q16_supplier_cnt",
-    "q17_small_qty", "q20_promotable", "q21_waiting", "q22_opportunity")
+    "q17_small_qty", "q20_promotable", "q21_waiting", "q22_opportunity",
+    "unigram_logprob", "quality_logit", "kmeans_assign", "temperature_mix",
+    "search_docs")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
