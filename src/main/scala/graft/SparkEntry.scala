@@ -118,6 +118,7 @@ object SparkEntry {
     "hash_sample" -> ((s: SparkSession, d: String) => Curation.hashSample(s, d)),
     "corpus_mix" -> (Curation.corpusMix _),
     "temperature_mix" -> (Curation.temperatureMix _),
+    "snapshot_diff" -> (Curation.snapshotDiff _),
     "pii_redact" -> (Curation.piiRedact _),
     "boilerplate_scores" -> (Curation.boilerplateScores _),
     "curate_corpus" -> (Curation.curateCorpus _),
@@ -808,6 +809,25 @@ object SparkEntry {
         | WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT)
         |  % 100 < r.pct
         | ORDER BY d.doc_id""".stripMargin.replace("\n", ""),
+    // snapshot diff: v2 derived deterministically (drop id%17=3, rewrite
+    // id%13=5, add id%29=7 at id+2e6); full-outer digest compare
+    "snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS d1 FROM documents),
+        | v2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 13 = 5
+        |    THEN md5(text || ' v2') ELSE md5(text) END AS d2
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, md5('new ' || text) AS d2
+        |  FROM documents WHERE doc_id % 29 = 7)
+        | SELECT doc_id, status FROM (
+        |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |   CASE WHEN v1.d1 IS NULL THEN 'added'
+        |    WHEN v2.d2 IS NULL THEN 'removed'
+        |    WHEN v1.d1 <> v2.d2 THEN 'changed'
+        |    ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        | WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "pii_redact" ->
       """SELECT doc_id, raw,
         | regexp_replace(regexp_replace(regexp_replace(raw,

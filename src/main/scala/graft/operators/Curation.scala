@@ -104,6 +104,36 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Corpus snapshot diff (the dataset-versioning primitive behind
+    * incremental re-training: which documents were added / removed /
+    * changed between two corpus versions?). Both snapshots reduce to
+    * narrow (doc_id, md5-digest) projections — the wide text column never
+    * reaches the join — then one full-outer join on doc_id classifies
+    * every id; unchanged rows are filtered out so the output is the edit
+    * script, not the corpus. V2 is derived deterministically from the
+    * corpus itself (drop id%17=3, rewrite id%13=5, add id%29=7 under new
+    * ids) so the expected diff is closed-form at every SF. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val v1 = docs.select(col("doc_id"), md5(col("text")).as("d1"))
+    val v2base = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 5,
+          md5(concat(col("text"), lit(" v2"))))
+          .otherwise(md5(col("text"))).as("d2"))
+    val v2new = docs.filter(col("doc_id") % 29 === 7)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        md5(concat(lit("new "), col("text"))).as("d2"))
+    v1.join(v2base.unionByName(v2new), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("d1").isNull, "added")
+          .when(col("d2").isNull, "removed")
+          .when(col("d1") =!= col("d2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+      .orderBy("doc_id")
+  }
+
   /** PII redaction: regexp-scrub emails, North-American phone numbers and
     * IPv4 addresses to typed placeholder tags. Chained `regexp_replace`
     * stays inside whole-stage codegen (one generated loop per row, no

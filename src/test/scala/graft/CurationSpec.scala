@@ -160,6 +160,20 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot diff: closed-form added/removed/changed accounting") {
+    val ids = Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val rows = Curation.snapshotDiff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byStatus = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byStatus("removed") === ids.filter(_ % 17 == 3).toSet)
+    assert(byStatus("added") === ids.filter(_ % 29 == 7).map(_ + 2000000L).toSet)
+    assert(byStatus("changed") ===
+      ids.filter(i => i % 13 == 5 && i % 17 != 3).toSet)
+    assert(rows.length ===
+      byStatus.values.map(_.size).sum) // nothing slips through unchanged
+  }
+
   test("packing: offsets are in-window and cumulative counts reconstruct") {
     val rows = Curation.packSequences(spark, sf).collect()
     var cum = Map.empty[String, Long]
