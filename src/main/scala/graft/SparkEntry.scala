@@ -119,6 +119,7 @@ object SparkEntry {
     "corpus_mix" -> (Curation.corpusMix _),
     "temperature_mix" -> (Curation.temperatureMix _),
     "snapshot_diff" -> (Curation.snapshotDiff _),
+    "profile_lineitem" -> (graft.operators.Profile.profileLineitem _),
     "pii_redact" -> (Curation.piiRedact _),
     "boilerplate_scores" -> (Curation.boilerplateScores _),
     "curate_corpus" -> (Curation.curateCorpus _),
@@ -809,6 +810,50 @@ object SparkEntry {
         | WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT)
         |  % 100 < r.pct
         | ORDER BY d.doc_id""".stripMargin.replace("\n", ""),
+    // one-pass column profile of lineitem (timestamps as epoch-second
+    // doubles; doubles never string-formatted — engines disagree on
+    // rendering, not on values)
+    "profile_lineitem" ->
+      """WITH t AS (SELECT count(*) AS n_rows FROM lineitem)
+        | SELECT col_name, n_rows, n_nulls, n_distinct,
+        |  min_num, max_num, min_str, max_str FROM t, (
+        | SELECT 'l_orderkey' AS col_name, count(*)-count(l_orderkey) AS n_nulls,
+        |  count(DISTINCT l_orderkey) AS n_distinct,
+        |  CAST(min(l_orderkey) AS DOUBLE) AS min_num,
+        |  CAST(max(l_orderkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        | FROM lineitem
+        | UNION ALL SELECT 'l_partkey', count(*)-count(l_partkey),
+        |  count(DISTINCT l_partkey), CAST(min(l_partkey) AS DOUBLE),
+        |  CAST(max(l_partkey) AS DOUBLE), NULL, NULL FROM lineitem
+        | UNION ALL SELECT 'l_suppkey', count(*)-count(l_suppkey),
+        |  count(DISTINCT l_suppkey), CAST(min(l_suppkey) AS DOUBLE),
+        |  CAST(max(l_suppkey) AS DOUBLE), NULL, NULL FROM lineitem
+        | UNION ALL SELECT 'l_linenumber', count(*)-count(l_linenumber),
+        |  count(DISTINCT l_linenumber), CAST(min(l_linenumber) AS DOUBLE),
+        |  CAST(max(l_linenumber) AS DOUBLE), NULL, NULL FROM lineitem
+        | UNION ALL SELECT 'l_quantity', count(*)-count(l_quantity),
+        |  count(DISTINCT l_quantity), CAST(min(l_quantity) AS DOUBLE),
+        |  CAST(max(l_quantity) AS DOUBLE), NULL, NULL FROM lineitem
+        | UNION ALL SELECT 'l_extendedprice', count(*)-count(l_extendedprice),
+        |  count(DISTINCT l_extendedprice), CAST(min(l_extendedprice) AS DOUBLE),
+        |  CAST(max(l_extendedprice) AS DOUBLE), NULL, NULL FROM lineitem
+        | UNION ALL SELECT 'l_discount', count(*)-count(l_discount),
+        |  count(DISTINCT l_discount), CAST(min(l_discount) AS DOUBLE),
+        |  CAST(max(l_discount) AS DOUBLE), NULL, NULL FROM lineitem
+        | UNION ALL SELECT 'l_tax', count(*)-count(l_tax),
+        |  count(DISTINCT l_tax), CAST(min(l_tax) AS DOUBLE),
+        |  CAST(max(l_tax) AS DOUBLE), NULL, NULL FROM lineitem
+        | UNION ALL SELECT 'l_returnflag', count(*)-count(l_returnflag),
+        |  count(DISTINCT l_returnflag), NULL, NULL,
+        |  min(l_returnflag), max(l_returnflag) FROM lineitem
+        | UNION ALL SELECT 'l_linestatus', count(*)-count(l_linestatus),
+        |  count(DISTINCT l_linestatus), NULL, NULL,
+        |  min(l_linestatus), max(l_linestatus) FROM lineitem
+        | UNION ALL SELECT 'l_shipdate', count(*)-count(l_shipdate),
+        |  count(DISTINCT l_shipdate), CAST(epoch(min(l_shipdate)) AS DOUBLE),
+        |  CAST(epoch(max(l_shipdate)) AS DOUBLE), NULL, NULL FROM lineitem)
+        | ORDER BY col_name""".stripMargin.replace("\n", ""),
     // snapshot diff: v2 derived deterministically (drop id%17=3, rewrite
     // id%13=5, add id%29=7 at id+2e6); full-outer digest compare
     "snapshot_diff" ->
