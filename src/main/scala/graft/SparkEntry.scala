@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ingest.WeatherIngest
 import graft.models.WeatherModels
-import graft.operators.{Curation, Dedup, Relational, RelationalExt, RelationalMore, RelationalTpch, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Relational, RelationalExt, RelationalMore, RelationalTpch, Retrieval, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -113,6 +113,17 @@ object SparkEntry {
     "unigram_logprob" -> (TextAnalysis.unigramLogProb _),
     "quality_logit" -> (TextAnalysis.qualityLogit _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
+    // -- lexical retrieval / corpus statistics (documents) --
+    "bm25_search" -> ((s: SparkSession, d: String) => Retrieval.bm25Search(s, d)),
+    "vocabulary" -> ((s: SparkSession, d: String) => Retrieval.vocabulary(s, d)),
+    "pmi_bigrams" -> ((s: SparkSession, d: String) => Retrieval.pmiBigrams(s, d)),
+    "inverted_postings" -> ((s: SparkSession, d: String) => Retrieval.invertedPostings(s, d)),
+    // exact heavy hitters + count-min-sketch accuracy gate
+    "top_ngrams" -> ((s: SparkSession, d: String) => graft.operators.Sketches.topNgrams(s, d)),
+    "cms_gate" -> ((s: SparkSession, d: String) => graft.operators.Sketches.cmsHeavyHittersGate(s, d)),
+    // asymmetric containment (quote/superset detection): planted A+A
+    // pairs, oracle recomputes shingle containment in SQL
+    "containment_pairs" -> ((s: SparkSession, d: String) => Dedup.containmentPlanted(s, d)),
     // -- corpus curation (documents) --
     "hash_split" -> (Curation.hashSplit _),
     "hash_sample" -> ((s: SparkSession, d: String) => Curation.hashSample(s, d)),
@@ -1367,5 +1378,143 @@ object SparkEntry {
         | count(*) - count(value) AS null_value,
         | count(*) - count(props) AS null_props
         | FROM events""".stripMargin.replace("\n", ""),
+    // Okapi BM25 top-10 for query {spark, join, window}; k1=1.25 b=0.75
+    // (exact-binary constants), non-negative idf, per-term contributions
+    // floor-truncated then decimal-summed so ranking is engine-identical
+    "bm25_search" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0) AS w FROM documents),
+        | dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+        | toks AS (SELECT doc_id, unnest(w) AS term FROM d),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | stats AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        | contrib AS (SELECT tf.doc_id,
+        |  floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |   * (CAST(tf AS DOUBLE) * (1.25 + 1.0))
+        |   / (tf + 1.25 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |   * 1000000.0)/1000000.0 AS c
+        |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN stats),
+        | scored AS (SELECT doc_id,
+        |  CAST(sum(CAST(c AS DECIMAL(28, 6))) AS DOUBLE) AS score,
+        |  count(*) AS n_terms FROM contrib GROUP BY 1),
+        | ranked AS (SELECT doc_id, score, n_terms,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM scored)
+        | SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, score, n_terms
+        | FROM ranked WHERE rnk <= 10 ORDER BY rnk""".stripMargin.replace("\n", ""),
+    // frequency-ranked vocabulary with cumulative coverage (exact-long
+    // cumsum; ties by term)
+    "vocabulary" ->
+      """WITH toks AS (SELECT
+        |  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0)) AS term FROM documents),
+        | c AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+        | tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+        | r AS (SELECT term, n,
+        |  row_number() OVER (ORDER BY n DESC, term) AS rnk,
+        |  CAST(sum(n) OVER (ORDER BY n DESC, term
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n FROM c)
+        | SELECT CAST(rnk AS INTEGER) AS rnk, term, n,
+        |  floor(CAST(cum_n AS DOUBLE) / n_total * 1000000.0)/1000000.0
+        |   AS coverage
+        | FROM r CROSS JOIN tot WHERE rnk <= 200 ORDER BY rnk"""
+        .stripMargin.replace("\n", ""),
+    // PMI collocations over adjacent word pairs (support >= 5, top 50,
+    // ranking on the floor-truncated score)
+    "pmi_bigrams" ->
+      """WITH d AS (SELECT
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0) AS w FROM documents),
+        | pairs AS (SELECT p[1] AS a, p[2] AS b FROM
+        |  (SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> [w[i], w[i+1]])) AS p FROM d WHERE len(w) >= 2)),
+        | big AS (SELECT a, b, count(*) AS n_ab FROM pairs GROUP BY 1, 2),
+        | uni AS (SELECT term, count(*) AS n FROM
+        |  (SELECT unnest(w) AS term FROM d) GROUP BY 1),
+        | tot AS (SELECT
+        |  (SELECT CAST(sum(n_ab) AS BIGINT) FROM big) AS t_big,
+        |  (SELECT CAST(sum(n) AS BIGINT) FROM uni) AS t_uni),
+        | scored AS (SELECT a, b, n_ab,
+        |  floor(ln((CAST(n_ab AS DOUBLE) / t_big)
+        |   / ((CAST(ua.n AS DOUBLE) / t_uni)
+        |    * (CAST(ub.n AS DOUBLE) / t_uni))) * 1000000.0)/1000000.0
+        |   AS pmi
+        |  FROM big JOIN uni ua ON big.a = ua.term
+        |  JOIN uni ub ON big.b = ub.term CROSS JOIN tot
+        |  WHERE n_ab >= 5),
+        | ranked AS (SELECT a, b, n_ab, pmi,
+        |  row_number() OVER (ORDER BY pmi DESC, a, b) AS rnk FROM scored)
+        | SELECT CAST(rnk AS INTEGER) AS rnk, a, b, n_ab, pmi
+        | FROM ranked WHERE rnk <= 50 ORDER BY rnk"""
+        .stripMargin.replace("\n", ""),
+    // planted containment gate: A vs A+A — every 3-shingle of A is in
+    // A+A, so containment is exactly 1.0 while Jaccard < 1; the oracle
+    // recomputes shingle containment with DuckDB list ops (real value
+    // check of the asymmetric metric, not a constant)
+    "containment_pairs" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0) AS w FROM documents WHERE doc_id < 10),
+        | p AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text || ' ' || text), '\s+'),
+        |   t -> length(t) > 0) AS w FROM documents WHERE doc_id < 10),
+        | sa AS (SELECT doc_id, CASE WHEN len(w) <= 3
+        |   THEN [array_to_string(w, ' ')]
+        |   ELSE list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh FROM d),
+        | sb AS (SELECT doc_id, CASE WHEN len(w) <= 3
+        |   THEN [array_to_string(w, ' ')]
+        |   ELSE list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh FROM p)
+        | SELECT sa.doc_id AS doc_a, sa.doc_id + 1000000 AS doc_b,
+        |  floor(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |   / len(sa.sh) * 1000000.0)/1000000.0 AS containment_a_in_b,
+        |  floor(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |   / len(list_distinct(sa.sh || sb.sh)) * 1000000.0)/1000000.0
+        |   AS jaccard
+        | FROM sa JOIN sb ON sa.doc_id = sb.doc_id ORDER BY doc_a"""
+        .stripMargin.replace("\n", ""),
+    // exact corpus-wide top-25 word bigrams (ties by gram)
+    "top_ngrams" ->
+      """WITH d AS (SELECT
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0) AS w FROM documents),
+        | grams AS (SELECT unnest(list_transform(range(1, len(w)),
+        |   i -> w[i] || ' ' || w[i+1])) AS gram FROM d WHERE len(w) >= 2),
+        | c AS (SELECT gram, count(*) AS n FROM grams GROUP BY 1),
+        | r AS (SELECT gram, n,
+        |  row_number() OVER (ORDER BY n DESC, gram) AS rnk FROM c)
+        | SELECT CAST(rnk AS INTEGER) AS rnk, gram, n
+        | FROM r WHERE rnk <= 25 ORDER BY rnk""".stripMargin.replace("\n", ""),
+    // count-min-sketch accuracy gate: estimate dominates the true count
+    // and sits inside the classic e*N/w envelope for every exact top-25
+    // bigram; constant-TRUE keyed by grams the oracle reproduces
+    "cms_gate" ->
+      """WITH d AS (SELECT
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0) AS w FROM documents),
+        | grams AS (SELECT unnest(list_transform(range(1, len(w)),
+        |   i -> w[i] || ' ' || w[i+1])) AS gram FROM d WHERE len(w) >= 2),
+        | c AS (SELECT gram, count(*) AS n FROM grams GROUP BY 1),
+        | r AS (SELECT gram, n,
+        |  row_number() OVER (ORDER BY n DESC, gram) AS rnk FROM c)
+        | SELECT gram, true AS dominates, true AS within_eps
+        | FROM r WHERE rnk <= 25 ORDER BY gram""".stripMargin.replace("\n", ""),
+    // inverted-index postings for a fixed term set: df + bounded sorted
+    // posting-list head (comma-joined, renderer-independent)
+    "inverted_postings" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0)) AS term FROM documents)
+        | SELECT term, count(DISTINCT doc_id) AS df,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  array_to_string(list_sort(list_distinct(list(doc_id)))[1:100], ',')
+        |   AS postings_head
+        | FROM toks WHERE term IN ('spark', 'join', 'window', 'hash', 'scan')
+        | GROUP BY term ORDER BY term""".stripMargin.replace("\n", ""),
   )
 }

@@ -383,6 +383,63 @@ object Dedup {
       .filter(col("doc_b") === col("doc_a") + PlantOffset)
       .orderBy("doc_a")
 
+  // ---- asymmetric containment ----
+
+  /** Shingle containment C(A⊆B) = |S(A)∩S(B)| / |S(A)| — the asymmetric
+    * near-dup signal Jaccard misses: a short document quoted verbatim
+    * inside a long one has Jaccard ≈ |A|/|B| (tiny) but containment 1.0.
+    * Runs over LSH candidates like the Jaccard pipelines (the expensive
+    * set ops touch candidate pairs only); keeps pairs where either
+    * direction clears `threshold`. */
+  def containmentPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame =
+    containmentPairsOn(t(s, dir, "documents"), threshold)
+
+  /** Same pipeline over an arbitrary (doc_id, text) frame. */
+  def containmentPairsOn(docs: DataFrame, threshold: Double): DataFrame = {
+    val cands = minhashCandidates(docs)
+    val sh = docs.select(col("doc_id"),
+      SketchExpressions.wordShingles(tokens(col("text"))).as("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    cands
+      .join(sh.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
+      .join(sh.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Num.t6(inter / size(col("sh_a"))).as("containment_a_in_b"),
+        Num.t6(inter / size(col("sh_b"))).as("containment_b_in_a"))
+      .filter(greatest(col("containment_a_in_b"),
+        col("containment_b_in_a")) >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Planted containment gate: for each of the `n` lowest doc_ids, build
+    * the "quoting" document A+A (the doc's token stream twice). Every
+    * 3-shingle of A appears in A+A, so C(A ⊆ A+A) is EXACTLY 1.0 while
+    * Jaccard(A, A+A) < 1 (the doubled doc adds boundary-crossing
+    * shingles) — the pair Jaccard-threshold dedup misses by construction.
+    * Pairs join by id (deterministic; banding on non-identical docs is
+    * probabilistic), and the oracle recomputes shingle containment with
+    * DuckDB list ops, so this is a real value check of the metric, not a
+    * constant. */
+  def containmentPlanted(s: SparkSession, dir: String,
+      n: Int = 10): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < n)
+    val orig = docs.select(col("doc_id"),
+      SketchExpressions.wordShingles(tokens(col("text"))).as("sh_a"))
+    val doubled = docs.select(col("doc_id"),
+      SketchExpressions.wordShingles(
+        tokens(concat_ws(" ", col("text"), col("text")))).as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    orig.join(doubled, Seq("doc_id"))
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + PlantOffset).as("doc_b"),
+        Num.t6(inter / size(col("sh_a"))).as("containment_a_in_b"),
+        Num.t6(jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
+      .orderBy("doc_a")
+  }
+
   /** Same pipeline over an arbitrary (doc_id, text) frame. */
   def ngramJaccardPairsOn(docs: DataFrame, threshold: Double): DataFrame = {
     val cands = minhashCandidates(docs)

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Num
+import graft.functions.TextFunctions._
+
+/** Keyword-retrieval and corpus-statistics operators over `documents`:
+  * BM25 ranking, vocabulary construction, PMI collocations, and inverted
+  * postings. The reference has no text surface (SURVEY.md §2.7); these are
+  * extension operators a training-data pipeline uses for corpus QA and
+  * lexical retrieval (the non-embedding half of `Similarity.searchDocs`).
+  *
+  * Scale shape shared by everything here: one narrow tokenize scan, one
+  * hash aggregate keyed on (doc, term) or (term) — the shuffle carries
+  * (key, partial count) pairs, never text — and |vocab|-sized side tables
+  * broadcast back. Natural-language vocabularies are ~1e6 terms at any
+  * corpus size, so the broadcast side stays small even at 100 TB.
+  */
+object Retrieval {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Default query for the BM25 / postings demos (terms present at every
+    * bundled SF). */
+  val DefaultQuery: Seq[String] = Seq("spark", "join", "window")
+
+  /** Okapi BM25 top-k for a fixed bag-of-words query.
+    *
+    * Classic formulation (Robertson/Spärck Jones):
+    * score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+    * with the non-negative idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Plan: tokenize once; per-(doc, query-term) tf with the doc length
+    * carried through the aggregate; df/N/avgdl as tiny broadcast
+    * aggregates; one final shuffle on doc_id. Per-term contributions are
+    * floor-truncated then decimal-summed so the per-doc score (and hence
+    * the ranking) is bit-identical across engines and partitionings. */
+  /* k1/b defaults are the textbook 1.2/0.75 rounded to exactly-
+   * representable doubles (1.25/0.75) so every literal is bit-identical
+   * in any engine's decimal->double conversion. */
+  def bm25Search(s: SparkSession, dir: String,
+      query: Seq[String] = DefaultQuery, k: Int = 10,
+      k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+    val qArr = array(query.map(lit): _*)
+    val hits = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(array_contains(qArr, col("term")))
+    val tf = hits.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val contrib = Num.t6(
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+        / (col("df") + lit(0.5))) *
+      (col("tf") * (lit(k1) + 1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(Relational.dsum(contrib).as("score"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("rnk").cast("int").as("rnk"), col("doc_id"),
+        col("score"), col("n_terms"))
+      .orderBy("rnk")
+  }
+
+  /** Frequency-ranked vocabulary with cumulative corpus coverage — the
+    * tokenizer-training prerequisite (what fraction of all token
+    * occurrences the top-r terms explain). Rank ties break by term;
+    * the cumulative sum is over exact longs, so coverage is
+    * engine-deterministic. One explode + one |vocab| aggregate; the
+    * rank/cumsum window runs on the |vocab|-sized result, not the corpus. */
+  def vocabulary(s: SparkSession, dir: String, k: Int = 200): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("n_total"))
+    val ord = Window.orderBy(col("n").desc, col("term"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("rnk", row_number().over(ord))
+      .withColumn("cum_n", sum(col("n")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rnk") <= k)
+      .select(col("rnk").cast("int").as("rnk"), col("term"), col("n"),
+        Num.t6(col("cum_n").cast("double") / col("n_total"))
+          .as("coverage"))
+      .orderBy("rnk")
+  }
+
+  /** Pointwise mutual information over adjacent word pairs — collocation
+    * mining (PMI = ln(p(ab) / (p(a)·p(b))) with p from corpus counts).
+    * Bigram and unigram tables are each one explode + one aggregate; the
+    * two unigram joins are broadcasts of the |vocab|-sized count table.
+    * Ranking runs on the floor-truncated score so a sub-1e-6 ulp
+    * difference can never flip an order. `minCount` floors the bigram
+    * support (PMI is noise on rare pairs). */
+  def pmiBigrams(s: SparkSession, dir: String,
+      minCount: Int = 5, k: Int = 50): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val big = toks.filter(size(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("a"),
+          element_at(col("w"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val uni = toks
+      .select(explode(col("w")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val totals = big.agg(sum(col("n_ab")).as("t_big"))
+      .crossJoin(uni.agg(sum(col("n")).as("t_uni")))
+    val ranked = Window.orderBy(col("pmi").desc, col("a"), col("b"))
+    big.filter(col("n_ab") >= minCount)
+      .join(broadcast(uni.withColumnRenamed("term", "a")
+        .withColumnRenamed("n", "n_a")), Seq("a"))
+      .join(broadcast(uni.withColumnRenamed("term", "b")
+        .withColumnRenamed("n", "n_b")), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("n_ab"),
+        Num.t6(log((col("n_ab").cast("double") / col("t_big"))
+          / ((col("n_a").cast("double") / col("t_uni"))
+            * (col("n_b").cast("double") / col("t_uni"))))).as("pmi"))
+      .withColumn("rnk", row_number().over(ranked))
+      .filter(col("rnk") <= k)
+      .select(col("rnk").cast("int").as("rnk"), col("a"), col("b"),
+        col("n_ab"), col("pmi"))
+      .orderBy("rnk")
+  }
+
+  /** Inverted-index postings for a fixed term set: document frequency plus
+    * a bounded posting-list head (first `headLen` doc_ids, ascending,
+    * comma-joined so the value is renderer-independent).
+    *
+    * The head bound is the scale contract: a full posting list for a
+    * common term is corpus-sized and must live as a partitioned/bucketed
+    * TABLE (one row per (term, doc_id), keyed on term — exactly the `tf`
+    * aggregate this derives from), never as one array row. The bounded
+    * head is the dashboard/debug view of that table. */
+  def invertedPostings(s: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "join", "window", "hash", "scan"),
+      headLen: Int = 100): DataFrame = {
+    val qArr = array(terms.map(lit): _*)
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(array_contains(qArr, col("term")))
+      .groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        concat_ws(",", slice(array_sort(collect_set(col("doc_id"))), 1,
+          headLen)).as("postings_head"))
+      .orderBy("term")
+  }
+}

@@ -1,9 +1,12 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Num
+import graft.functions.TextFunctions.tokens
 
 /** Approximate aggregates — the sketches that make 100 TB interactive:
   * HyperLogLog++ distinct counts and quantile summaries compute in one
@@ -71,6 +74,75 @@ object Sketches {
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  // ---- count-min sketch (heavy hitters) ----
+
+  /** Exploded word bigrams of the corpus — the stream the CMS summarizes. */
+  private def bigramStream(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i),
+          element_at(col("w"), i + 1)))).as("gram"))
+
+  /** Exact corpus-wide top-k bigram counts (ties by gram) — the ground
+    * truth [[cmsHeavyHittersGate]] compares against, and the exact
+    * heavy-hitters query in its own right. One explode + one hash
+    * aggregate; the rank window runs on the |bigram-vocab|-sized result. */
+  def topNgrams(s: SparkSession, dir: String, k: Int = 25): DataFrame =
+    bigramStream(s, dir)
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n").desc, col("gram"))))
+      .filter(col("rnk") <= k)
+      .select(col("rnk").cast("int").as("rnk"), col("gram"), col("n"))
+      .orderBy("rnk")
+
+  /** Count-min sketch as a RELATION: d hash rows × w buckets, stored as
+    * (seed, bucket, cnt). Point estimate = min over the d (seed, bucket)
+    * counters. This is the natural distributed CMS — building it is one
+    * explode(d) + one hash aggregate (map-side combined, the shuffle
+    * carries at most d·w counter partials regardless of corpus size), and
+    * merging sketches of two corpora is `union → groupBy → sum`. d·w rows
+    * (4096 here) broadcast back for point lookups. */
+  def cmsTable(grams: DataFrame, w: Int = 1024, d: Int = 4): DataFrame =
+    grams
+      .select(posexplode(array((0 until d).map(seed =>
+        pmod(xxhash64(lit(seed), col("gram")), lit(w.toLong))): _*))
+        .as(Seq("seed", "bucket")))
+      .groupBy(col("seed"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Value-checked CMS accuracy gate over the exact top-k bigrams: the
+    * count-min estimate (min over d counters) must dominate the true
+    * count (structural: counters only over-count) and sit within the
+    * classic ε·N envelope, ε = e/w (Cormode–Muthukrishnan; holds w.p.
+    * ≥ 1−(1/2)^d per query — deterministic here for a fixed corpus, so
+    * it either holds or the sketch is mis-built). Constant-TRUE relation
+    * keyed by the exact top-k grams, which the oracle reproduces in SQL. */
+  def cmsHeavyHittersGate(s: SparkSession, dir: String,
+      w: Int = 1024, d: Int = 4, k: Int = 25): DataFrame = {
+    val grams = bigramStream(s, dir)
+    val cms = cmsTable(grams, w, d)
+    val total = grams.agg(count(lit(1)).as("n_total"))
+    val top = topNgrams(s, dir, k)
+    val probes = top
+      .select(col("gram"), col("n"),
+        posexplode(array((0 until d).map(seed =>
+          pmod(xxhash64(lit(seed), col("gram")), lit(w.toLong))): _*))
+          .as(Seq("seed", "bucket")))
+      .join(broadcast(cms), Seq("seed", "bucket"))
+      .groupBy(col("gram"), col("n"))
+      .agg(min(col("cnt")).as("est"))
+    probes.crossJoin(broadcast(total))
+      .select(col("gram"),
+        (col("est") >= col("n")).as("dominates"),
+        (col("est") <= col("n")
+          + ceil(lit(math.E) * col("n_total") / w)).as("within_eps"))
+      .orderBy("gram")
   }
 
   /** Demo query: events (5 hot event_type keys over the whole table —

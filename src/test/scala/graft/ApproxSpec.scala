@@ -36,4 +36,26 @@ class ApproxSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(salted === plain)
   }
+
+  test("count-min: estimates dominate exact counts within the eps envelope") {
+    val gate = Sketches.cmsHeavyHittersGate(spark, TestSpark.sf).collect()
+    assert(gate.length === 25)
+    assert(gate.forall(r => r.getAs[Boolean]("dominates")))
+    assert(gate.forall(r => r.getAs[Boolean]("within_eps")))
+  }
+
+  test("count-min: sketch state is bounded by d*w and merges by summation") {
+    import spark.implicits._
+    val grams = (1 to 500).map(i => s"g${i % 37}").toDF("gram")
+    val whole = Sketches.cmsTable(grams, w = 64, d = 4)
+    assert(whole.count() <= 4L * 64)
+    // mergeability: sketch(all) == merge(sketch(first half), sketch(rest))
+    val h1 = Sketches.cmsTable((1 to 250).map(i => s"g${i % 37}").toDF("gram"),
+      w = 64, d = 4)
+    val h2 = Sketches.cmsTable((251 to 500).map(i => s"g${i % 37}").toDF("gram"),
+      w = 64, d = 4)
+    val merged = h1.unionByName(h2)
+      .groupBy("seed", "bucket").agg(sum("cnt").as("cnt"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
 }

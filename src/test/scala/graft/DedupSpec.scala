@@ -150,6 +150,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containment: doubled doc fully contains the original, jaccard < 1") {
+    val rows = Dedup.containmentPlanted(spark, TestSpark.sf).collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getAs[Double]("containment_a_in_b") === 1.0))
+    assert(rows.forall(_.getAs[Double]("jaccard") < 1.0))
+  }
+
+  test("containment pipeline: exact dup pair is mutually contained") {
+    val rows = Dedup.containmentPairsOn(planted, 0.8).collect()
+    val m = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getAs[Double]("containment_a_in_b"),
+        r.getAs[Double]("containment_b_in_a"))).toMap
+    assert(m.get((0L, 1L)).contains((1.0, 1.0)))
+    // the unrelated doc is never contained in anything
+    assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("candidate volume: banding keeps candidates a small all-pairs fraction") {
     val row = Dedup.minhashCandidateVolume(spark, TestSpark.sf).head()
     val (nDocs, nCand, nAll, frac) =

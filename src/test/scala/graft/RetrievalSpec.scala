@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** Retrieval/corpus-statistics invariants that the DuckDB hash-match can't
+  * express directly: BM25 ranking laws, coverage monotonicity, PMI
+  * symmetry of construction, postings consistency. */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("bm25: scores are positive, descending, and rank-dense") {
+    val rows = Retrieval.bm25Search(spark, sf).collect()
+    assert(rows.length === 10)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.getAs[Int]("rnk")).toSeq === (1 to 10))
+    // a doc can match at most the 3 query terms
+    assert(rows.forall(r => r.getAs[Long]("n_terms") >= 1 &&
+      r.getAs[Long]("n_terms") <= 3))
+  }
+
+  test("bm25: term-frequency weight is increasing and saturating") {
+    val k1 = 1.25; val b = 0.75
+    def w(tf: Double, dl: Double, avgdl: Double) =
+      tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    // one more occurrence raises the weight...
+    assert(w(2, 8, 8) > w(1, 8, 8))
+    // ...with shrinking marginal gain (the BM25 saturation property)
+    assert(w(3, 8, 8) - w(2, 8, 8) < w(2, 8, 8) - w(1, 8, 8))
+    // longer documents are penalized at equal tf
+    assert(w(2, 16, 8) < w(2, 8, 8))
+  }
+
+  test("vocabulary: coverage is monotone, bounded by 1, ranks dense") {
+    val rows = Retrieval.vocabulary(spark, sf).collect()
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    assert(cov.forall(c => c > 0.0 && c <= 1.0))
+    assert(rows.map(_.getAs[Int]("rnk")).toSeq === (1 to rows.length))
+    // counts are non-increasing down the ranking
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // full vocab at this SF is small, so the last row covers everything
+    assert(cov.last > 0.999999 - 1e-9)
+  }
+
+  test("pmi: supports respect the floor and pmi is finite") {
+    val rows = Retrieval.pmiBigrams(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_ab") >= 5L))
+    assert(rows.forall(r => !r.getAs[Double]("pmi").isNaN &&
+      !r.getAs[Double]("pmi").isInfinite))
+  }
+
+  test("postings: df equals the recount and heads are sorted ascending") {
+    val rows = Retrieval.invertedPostings(spark, sf).collect()
+    assert(rows.length === 5)
+    // recount df independently (distinct docs containing the term)
+    val recount = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("term"))
+      .filter(col("term").isin("spark", "join", "window", "hash", "scan"))
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") === recount(r.getAs[String]("term")))
+      val head = r.getAs[String]("postings_head").split(",").map(_.toLong)
+      assert(head.zip(head.tail).forall { case (a, b) => a < b })
+      assert(head.head === r.getAs[Long]("first_doc"))
+    }
+  }
+}
