@@ -137,6 +137,9 @@ object SparkEntry {
     "decontaminate" -> ((s: SparkSession, d: String) => Curation.decontaminate(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Curation.packSequences(s, d)),
     "chunk_documents" -> ((s: SparkSession, d: String) => Curation.chunkDocuments(s, d)),
+    "split_leakage" -> ((s: SparkSession, d: String) => Curation.splitLeakage(s, d)),
+    "snapshot_merge" -> (Curation.snapshotMerge _),
+    "embed_quantize" -> (Curation.embedQuantize _),
     // -- deduplication (documents) --
     "dedup_exact_groups" -> (Dedup.exactGroups _),
     "dedup_exact" -> (Dedup.exactDedup _),
@@ -884,6 +887,59 @@ object SparkEntry {
         |    ELSE 'unchanged' END AS status
         |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
         | WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // split-leakage audit: exact-dup text groups spanning >1 hash split
+    // (10 planted copies at +1e6 keep true positives at every SF; copies
+    // that hash back into train are correctly NOT leaks)
+    "split_leakage" ->
+      """WITH p AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10),
+        | a AS (SELECT doc_id, md5(text) AS digest,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |   ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, text,
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+        |    % 100 AS b FROM p)),
+        | g AS (SELECT digest, min(doc_id) AS keep_id, count(*) AS n_docs,
+        |  count(DISTINCT split) AS n_splits,
+        |  array_to_string(list_sort(list_distinct(list(split))), ',')
+        |   AS splits
+        |  FROM a GROUP BY digest)
+        | SELECT keep_id, digest, n_docs, n_splits, splits
+        | FROM g WHERE n_splits > 1 ORDER BY keep_id"""
+        .stripMargin.replace("\n", ""),
+    // snapshot merge: applying the edit script to v1 must reconstruct v2
+    // exactly, so the oracle IS v2 built directly
+    "snapshot_merge" ->
+      """SELECT doc_id, CASE WHEN doc_id % 13 = 5 THEN md5(text || ' v2')
+        |  ELSE md5(text) END AS digest
+        | FROM documents WHERE doc_id % 17 <> 3
+        | UNION ALL
+        | SELECT doc_id + 2000000, md5('new ' || text)
+        | FROM documents WHERE doc_id % 29 = 7
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // int8 symmetric quantization: round-half-up codes (floor(x+0.5) —
+    // tie-free across engines), exact max reconstruction error, and the
+    // error-bound boolean computed on raw doubles in both engines
+    "embed_quantize" ->
+      """WITH s1 AS (SELECT vec_id, embedding,
+        |  CASE WHEN m = 0 THEN 1.0 ELSE m END AS scale FROM
+        |  (SELECT vec_id, embedding, list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE)))) AS m FROM embeddings)),
+        | s2 AS (SELECT vec_id, embedding, scale,
+        |  list_transform(embedding, x -> CAST(floor(
+        |   CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS INTEGER)) AS codes
+        |  FROM s1),
+        | s3 AS (SELECT vec_id, embedding, scale, codes,
+        |  list_max(list_transform(range(1, len(embedding) + 1),
+        |   i -> abs(CAST(embedding[i] AS DOUBLE)
+        |    - codes[i] * scale / 127.0))) AS max_err FROM s2)
+        | SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n_dims,
+        |  floor(scale * 1000000.0)/1000000.0 AS scale,
+        |  array_to_string(codes, ',') AS codes,
+        |  floor(max_err * 1000000.0)/1000000.0 AS max_err,
+        |  max_err <= scale / 127.0 AS err_ok
+        | FROM s3 ORDER BY vec_id""".stripMargin.replace("\n", ""),
     "pii_redact" ->
       """SELECT doc_id, raw,
         | regexp_replace(regexp_replace(regexp_replace(raw,

@@ -134,6 +134,111 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Train/test split-leakage audit: exact-duplicate text groups whose
+    * members land in MORE THAN ONE split — the contamination mode a
+    * hash-split alone cannot prevent (splits key on doc_id; duplicate
+    * TEXT under different ids crosses freely). Output: one row per
+    * leaking digest group with its member count and the splits it spans.
+    *
+    * Copies of the `n` lowest doc_ids are planted at +[[Dedup.PlantOffset]]
+    * so the audit always has true positives whose split assignment is
+    * still the deterministic md5 rule (some copies land back in train —
+    * those are NOT leaks, and the oracle agrees from first principles).
+    * Natural exact duplicates (sf0.1 has 8 pairs) are audited identically.
+    *
+    * Scale shape: one shuffle on the 16-byte text digest (the exact-dedup
+    * exchange, reused semantics); split assignment stays a narrow
+    * projection. */
+  def splitLeakage(s: SparkSession, dir: String, n: Int = 10): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") < n)
+        .withColumn("doc_id", col("doc_id") + Dedup.PlantOffset))
+    planted
+      .select(col("doc_id"), md5(col("text")).as("digest"),
+        when(hashBucket(col("doc_id")) < 90, "train")
+          .when(hashBucket(col("doc_id")) < 95, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("split")).as("n_splits"),
+        concat_ws(",", sort_array(collect_set(col("split")))).as("splits"))
+      .filter(col("n_splits") > 1)
+      .select(col("keep_id"), col("digest"), col("n_docs"),
+        col("n_splits"), col("splits"))
+      .orderBy("keep_id")
+  }
+
+  /** Snapshot merge — the CDC-apply half of [[snapshotDiff]]: apply the
+    * edit script (added/removed/changed with payload digests) to v1 and
+    * emit the reconstructed corpus, which must equal v2 exactly (the
+    * oracle builds v2 directly). The MERGE INTO shape: base anti-joined
+    * against (removed ∪ changed) keys, unioned with the (added ∪ changed)
+    * payloads — two hash joins on doc_id and a union, no wide columns
+    * (digests stand in for document bytes, as in snapshotDiff). */
+  def snapshotMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val v1 = docs.select(col("doc_id"), md5(col("text")).as("digest"))
+    // the same deterministic v2 derivation as snapshotDiff, with payloads
+    val v2 = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 5,
+          md5(concat(col("text"), lit(" v2"))))
+          .otherwise(md5(col("text"))).as("digest"))
+      .unionByName(docs.filter(col("doc_id") % 29 === 7)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          md5(concat(lit("new "), col("text"))).as("digest")))
+    // the edit script as a diff consumer would receive it
+    val diff = v1.withColumnRenamed("digest", "d1")
+      .join(v2.withColumnRenamed("digest", "d2"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("d1").isNull, "added")
+          .when(col("d2").isNull, "removed")
+          .when(col("d1") =!= col("d2"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("d2"))
+      .filter(col("status") =!= "unchanged")
+    // apply: delete removed+changed, upsert added+changed
+    val deletes = diff.filter(col("status").isin("removed", "changed"))
+      .select("doc_id")
+    val upserts = diff.filter(col("status").isin("added", "changed"))
+      .select(col("doc_id"), col("d2").as("digest"))
+    v1.join(deletes, Seq("doc_id"), "left_anti")
+      .unionByName(upserts)
+      .orderBy("doc_id")
+  }
+
+  /** Int8 symmetric quantization of the embedding column — the 4×
+    * storage/bandwidth cut an ANN index takes before sharding. Per-vector
+    * max-abs scale; code = round-half-up(x/scale·127) (floor(·+0.5):
+    * round() half-ties differ between engines, floor never does). Emits
+    * the codes (comma-joined, renderer-independent), the scale, the exact
+    * max reconstruction error, and a value-checked bound: error ≤
+    * scale/127 (half-step 0.5·scale/127 plus float-widening slack).
+    * Pure narrow scan — quantization at 100 TB is embarrassingly
+    * parallel, and the codes column is what gets written/shuffled
+    * downstream, at a quarter the bytes. */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding")
+    val rawScale = array_max(transform(e, x => abs(x.cast("double"))))
+    t(s, dir, "embeddings")
+      .withColumn("scale",
+        when(rawScale === 0.0, lit(1.0)).otherwise(rawScale))
+      .withColumn("codes", transform(e,
+        x => floor(x.cast("double") / col("scale") * 127.0 + 0.5)
+          .cast("int")))
+      .withColumn("max_err", array_max(zip_with(e, col("codes"),
+        (x, c) => abs(x.cast("double")
+          - c.cast("double") * col("scale") / 127.0))))
+      .select(col("vec_id"), size(e).as("n_dims"),
+        Num.t6(col("scale")).as("scale"),
+        concat_ws(",", col("codes")).as("codes"),
+        Num.t6(col("max_err")).as("max_err"),
+        (col("max_err") <= col("scale") / 127.0).as("err_ok"))
+      .orderBy("vec_id")
+  }
+
   /** PII redaction: regexp-scrub emails, North-American phone numbers and
     * IPv4 addresses to typed placeholder tags. Chained `regexp_replace`
     * stays inside whole-stage codegen (one generated loop per row, no

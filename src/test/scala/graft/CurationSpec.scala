@@ -187,4 +187,56 @@ class CurationSpec extends AnyFunSuite {
       cum = cum.updated(src, start + n)
     }
   }
+
+  test("split leakage: flagged groups genuinely span splits; intra-split " +
+      "duplicates are not flagged") {
+    import org.apache.spark.sql.functions._
+    val flagged = Curation.splitLeakage(spark, sf).collect()
+    assert(flagged.nonEmpty)
+    flagged.foreach { r =>
+      assert(r.getAs[Long]("n_splits") > 1)
+      assert(r.getAs[String]("splits").split(",").length ===
+        r.getAs[Long]("n_splits"))
+    }
+    // first-principles recount: replay the split rule over the planted
+    // corpus and check the flagged digest set matches exactly
+    val docs = Tables.load(spark, sf, "documents")
+    val planted = docs.unionByName(docs.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+    val expect = planted
+      .select(md5(col("text")).as("digest"),
+        when(Curation.hashBucket(col("doc_id")) < 90, "train")
+          .when(Curation.hashBucket(col("doc_id")) < 95, "val")
+          .otherwise("test").as("split"))
+      .groupBy("digest").agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).collect().map(_.getString(0)).toSet
+    assert(flagged.map(_.getAs[String]("digest")).toSet === expect)
+  }
+
+  test("snapshot merge reconstructs v2 exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val v2 = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 5, md5(concat(col("text"), lit(" v2"))))
+          .otherwise(md5(col("text"))).as("digest"))
+      .unionByName(docs.filter(col("doc_id") % 29 === 7)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          md5(concat(lit("new "), col("text"))).as("digest")))
+    val merged = Curation.snapshotMerge(spark, sf)
+    assert(merged.exceptAll(v2).isEmpty && v2.exceptAll(merged).isEmpty)
+  }
+
+  test("quantization: codes bounded by ±127, error bound holds everywhere") {
+    val rows = Curation.embedQuantize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("err_ok"))
+      val codes = r.getAs[String]("codes").split(",").map(_.toInt)
+      assert(codes.length === r.getAs[Int]("n_dims"))
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      // max-abs scaling means some coordinate hits full scale
+      assert(codes.exists(c => math.abs(c) === 127))
+    }
+  }
 }
