@@ -246,8 +246,15 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .cache()
-    val init = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // start one propagation step ahead: label = min(self, neighbors) is
+    // the same single shuffle an identity init (distinct on src) would
+    // pay, but saves one full join round on every graph — a diameter-1
+    // component (the near-dup common case) then converges in ONE loop
+    // iteration (its change-detection round) instead of two
+    val init = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("m")).as("cluster_id"))
       .cache()
     var labels = init
     var prevCache = init // the cached frame backing `labels`
