@@ -111,6 +111,8 @@ object SparkEntry {
     "source_quantiles" -> (TextAnalysis.sourceLengthQuantiles _),
     "tfidf_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "unigram_logprob" -> (TextAnalysis.unigramLogProb _),
+    "bigram_logprob" -> (TextAnalysis.bigramLogProb _),
+    "gopher_filter" -> (TextAnalysis.gopherFilter _),
     "quality_logit" -> (TextAnalysis.qualityLogit _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
     // -- lexical retrieval / corpus statistics (documents) --
@@ -1271,6 +1273,53 @@ object SparkEntry {
         |   * 1000000.0)/1000000.0 AS mean_logprob
         | FROM tf JOIN ctf USING (token) CROSS JOIN tot
         | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // bigram LM with Laplace smoothing: mean ln((c(ab)+1)/(c(a)+V));
+    // per-position contributions floor-truncated then decimal-summed
+    "bigram_logprob" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0) AS w FROM documents),
+        | pairs AS (SELECT doc_id, p[1] AS a, p[2] AS b FROM
+        |  (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> [w[i], w[i+1]])) AS p FROM d WHERE len(w) >= 2)),
+        | cab AS (SELECT a, b, count(*) AS n_ab FROM pairs GROUP BY 1, 2),
+        | ca AS (SELECT a, count(*) AS n_a FROM
+        |  (SELECT unnest(w) AS a FROM d) GROUP BY 1),
+        | vv AS (SELECT count(*) AS v FROM ca)
+        | SELECT doc_id, count(*) AS n_bigrams,
+        |  floor(CAST(sum(CAST(floor(ln((CAST(n_ab AS DOUBLE) + 1.0)
+        |    / (n_a + v)) * 1000000.0)/1000000.0 AS DECIMAL(28,6)))
+        |   AS DOUBLE) / count(*) * 1000000.0)/1000000.0 AS mean_logprob
+        | FROM pairs JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN vv
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // Gopher-shape quality rules, thresholds adapted to the corpus's
+    // measured distributions; booleans decided on raw exact-ratio doubles
+    "gopher_filter" ->
+      """SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        | len(w) >= 50 AND len(w) <= 100000 AS ok_len,
+        | al >= 3.0 AND al <= 10.0 AS ok_wordlen,
+        | sw >= 0.03 AS ok_stop,
+        | tw <= 0.12 AS ok_top,
+        | br <= 0.08 AS ok_repeat,
+        | (len(w) >= 50 AND len(w) <= 100000) AND (al >= 3.0 AND al <= 10.0)
+        |  AND sw >= 0.03 AND tw <= 0.12 AND br <= 0.08 AS keep
+        | FROM (SELECT doc_id, w,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |   / len(w) AS al,
+        |  CAST(len(list_filter(w, t -> list_contains(
+        |   ['the','a','an','and','or','of','to','in','is','it',
+        |    'that','for','on','with','as','at','by','be','this','are'], t)))
+        |   AS DOUBLE) / len(w) AS sw,
+        |  CAST(list_max(list_transform(list_distinct(w),
+        |   x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w) AS tw,
+        |  CASE WHEN len(w) <= 2 THEN 0.0 ELSE
+        |   1.0 - CAST(len(list_distinct(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+        |    / (CAST(len(w) AS DOUBLE) - 1.0) END AS br
+        |  FROM (SELECT doc_id, text,
+        |   list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> length(t) > 0) AS w FROM documents) WHERE len(w) > 0)
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
     // exact linear-interpolation quantiles of doc length per source
     "source_quantiles" ->
       """SELECT source, count(*) AS n_docs,

@@ -185,6 +185,79 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style quality-rule filter: the published rule SHAPES (token
+    * count window, mean-word-length window, stopword floor, top-word and
+    * repeated-bigram ceilings) with thresholds adapted to this corpus's
+    * measured distributions so every rule except the always-true
+    * word-length window genuinely splits it (a threshold no document
+    * crosses would make its gate vacuous). Emits one boolean per rule
+    * plus the conjunction — the explainable form a curation dashboard
+    * needs (WHICH rule rejected a document, not just that one did).
+    * Comparisons run on raw doubles (exact integer ratios, identical
+    * IEEE division in both engines). Pure narrow scan, one
+    * RepetitionStats pass per row, no shuffle before the sort. */
+  def gopherFilter(s: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val st = col("st")
+    val nTok = size(w).cast("double")
+    val topFrac = st.getField("top").cast("double") / nTok
+    val biRepeat = when(size(w) <= 2, lit(0.0)).otherwise(
+      lit(1.0) - st.getField("d2").cast("double") / (nTok - 1.0))
+    t(s, dir, "documents")
+      .withColumn("w", tokens(col("text")))
+      .filter(size(w) > 0)
+      .withColumn("st",
+        graft.functions.SketchExpressions.repetitionStats(w))
+      .select(
+        col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        (size(w) >= 50 && size(w) <= 100000).as("ok_len"),
+        (avgTokenLen(col("text")) >= 3.0 &&
+          avgTokenLen(col("text")) <= 10.0).as("ok_wordlen"),
+        (stopwordRatio(col("text")) >= 0.03).as("ok_stop"),
+        (topFrac <= 0.12).as("ok_top"),
+        (biRepeat <= 0.08).as("ok_repeat"))
+      .withColumn("keep",
+        col("ok_len") && col("ok_wordlen") && col("ok_stop") &&
+          col("ok_top") && col("ok_repeat"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram language-model scoring with Laplace smoothing: mean
+    * log P(w_i | w_{i-1}) = ln((c(ab)+1)/(c(a)+V)) over a document's
+    * adjacent pairs — the conditional-probability upgrade of
+    * [[unigramLogProb]] (degenerate token ORDER scores low even when the
+    * unigram mix looks natural). Corpus bigram/unigram tables are
+    * |vocab|-sized broadcasts; per-position contributions floor-truncated
+    * then decimal-summed, so the mean is engine- and
+    * partitioning-identical. */
+  def bigramLogProb(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val pairs = toks.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("a"),
+          element_at(col("w"), i + 1).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val ca = toks.select(explode(col("w")).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("n_a"))
+    val vocab = ca.agg(count(lit(1)).as("v"))
+    val contrib = Num.t6(log(
+      (col("n_ab") + lit(1.0)) / (col("n_a") + col("v"))))
+    pairs
+      .join(broadcast(cab), Seq("a", "b"))
+      .join(broadcast(ca), Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (Relational.dsum(contrib) / count(lit(1))).as("raw_mean"))
+      .select(col("doc_id"), col("n_bigrams"),
+        Num.t6(col("raw_mean")).as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source length quantiles (exact linear-interpolation percentile —
     * the corpus-shape dashboard a curation run reads before choosing mix
     * weights). One shuffle on the handful of source keys. */

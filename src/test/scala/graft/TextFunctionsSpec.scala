@@ -115,6 +115,37 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
   }
 
+  test("gopher filter: keep is exactly the rule conjunction and both " +
+      "outcomes occur") {
+    val rows = graft.operators.TextAnalysis
+      .gopherFilter(spark, TestSpark.sf).collect()
+    rows.foreach { r =>
+      val expect = r.getAs[Boolean]("ok_len") &&
+        r.getAs[Boolean]("ok_wordlen") && r.getAs[Boolean]("ok_stop") &&
+        r.getAs[Boolean]("ok_top") && r.getAs[Boolean]("ok_repeat")
+      assert(r.getAs[Boolean]("keep") === expect)
+    }
+    val keeps = rows.count(_.getAs[Boolean]("keep"))
+    assert(keeps > 0 && keeps < rows.length) // no vacuous thresholds
+  }
+
+  test("bigram log-prob: position counts reconcile and scores are negative") {
+    import org.apache.spark.sql.functions._
+    val scored = graft.operators.TextAnalysis
+      .bigramLogProb(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // every (c+1)/(c_a+V) probability is < 1, so the mean log is < 0
+    assert(scored.values.forall(_.getAs[Double]("mean_logprob") < 0.0))
+    // a doc with n tokens has exactly n-1 scored positions
+    val nTok = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    scored.foreach { case (id, r) =>
+      assert(r.getAs[Long]("n_bigrams") === nTok(id) - 1)
+    }
+  }
+
   test("quality score is deterministic across evaluations") {
     val d = graft.Tables.load(spark, TestSpark.sf, "documents")
     val a = d.select(col("doc_id"), qualityScore(col("text")).as("q"))
