@@ -165,6 +165,7 @@ object SparkEntry {
     "embed_norms" -> (Similarity.norms _),
     "label_centroids" -> (Similarity.labelCentroids _),
     "kmeans_assign" -> (Similarity.kmeansAssign _),
+    "kmeans_step" -> (Similarity.kmeansStep _),
     "search_docs" -> ((s: SparkSession, d: String) => Similarity.searchDocs(s, d)),
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) =>
@@ -1040,6 +1041,32 @@ object SparkEntry {
         | FROM (SELECT *, row_number() OVER
         |   (PARTITION BY vec_id ORDER BY raw_sim DESC, cluster) AS rn FROM sims)
         | WHERE rn = 1 ORDER BY vec_id""".stripMargin.replace("\n", ""),
+    // Lloyd update step: re-average vectors into their ASSIGNED cluster
+    // (assignment replayed from the same warm-start centroids), exact
+    // decimal means per component plus member counts
+    "kmeans_step" ->
+      """WITH cents AS (
+        | SELECT label AS cl, list(c ORDER BY pos) AS cent FROM (
+        |  SELECT label, i AS pos,
+        |   floor(CAST(sum(CAST(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+        |     AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 1000000.0)/1000000.0 AS c
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i)
+        |  GROUP BY label, i) GROUP BY label),
+        | assign AS (
+        |  SELECT vec_id, cluster, embedding FROM (
+        |   SELECT e.vec_id, e.embedding, c.cl AS cluster,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |     list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.cent)
+        |     / (sqrt(list_aggregate(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |      * sqrt(list_dot_product(c.cent, c.cent))) DESC, c.cl) AS rn
+        |   FROM embeddings e CROSS JOIN cents c) WHERE rn = 1)
+        | SELECT cluster, CAST(i AS INTEGER) AS pos, count(*) AS n_members,
+        |  floor(CAST(sum(CAST(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+        |    AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 1000000.0)/1000000.0 AS c
+        | FROM assign, (SELECT unnest(range(0, 64)) AS i)
+        | GROUP BY cluster, i ORDER BY cluster, pos"""
+        .stripMargin.replace("\n", ""),
     "ann_brute_topk" ->
       """SELECT e.vec_id, floor((
         | list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),

@@ -73,7 +73,12 @@ object Similarity {
     * `labelCentroids`' partial+final aggregate keyed on the tiny cluster id.
     * Ties break toward the smallest cluster id on the RAW cosine (both
     * engines see identical doubles, so the argmax never diverges). */
-  def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+  /** struct(neg_sim, cluster) of the max-cosine centroid for
+    * `embedding`, with the k×dim centroid table collected as METADATA and
+    * inlined as literals (k-row collect, same justification as
+    * `ivfCentroids`). Shared by the assign and update halves of the
+    * Lloyd iteration. */
+  private def centroidArgmax(s: SparkSession, dir: String): Column = {
     val cents: Array[(Int, Array[Double])] =
       labelCentroids(s, dir).collect()
         .groupBy(_.getInt(0))
@@ -81,16 +86,42 @@ object Similarity {
           (lbl, rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
         }
         .toArray.sortBy(_._1)
-    val best = array_sort(array(cents.map { case (lbl, v) =>
+    array_sort(array(cents.map { case (lbl, v) =>
       struct((-cosine(col("embedding"), typedlit(v))).as("neg_sim"),
         lit(lbl).as("cluster"))
     }: _*)).getItem(0)
+  }
+
+  def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val best = centroidArgmax(s, dir)
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), best.as("best"))
       .select(col("vec_id"), col("label"),
         col("best.cluster").as("cluster"),
         Num.t6(-col("best.neg_sim")).as("cos_sim"))
       .orderBy("vec_id")
+  }
+
+  /** The update (reduce) half of the Lloyd iteration: re-average every
+    * vector into its ASSIGNED cluster — [[kmeansAssign]]'s map side and
+    * [[labelCentroids]]'s exact-decimal mean fused into ONE corpus scan
+    * (the assignment is a shuffle-free literal-argmax projection, so no
+    * join back to the embeddings is ever needed). Emits the new centroid
+    * components long-form plus the member count, i.e. everything the next
+    * Lloyd round (or a convergence check) consumes. The shuffle carries
+    * clusters × dim partial sums, never vectors. */
+  def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val best = centroidArgmax(s, dir)
+    t(s, dir, "embeddings")
+      .select(best.getField("cluster").as("cluster"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(count(lit(1)).as("n_members"),
+        Num.t6(
+          sum(col("v").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+            .cast("double") / count(lit(1))).as("c"))
+      .orderBy("cluster", "pos")
   }
 
   /** Exact top-k cosine neighbors of one stored vector (default query:

@@ -116,4 +116,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("bm25: vocabulary-sized sides broadcast; the corpus never SMJs") {
+    val p = plan(graft.operators.Retrieval.bm25Search(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "df/stats joins must broadcast, not shuffle the corpus")
+  }
+
+  test("ranking windows run on aggregated vocab tables, not the corpus") {
+    // the window input must be the post-aggregate (term, n) relation:
+    // exactly two aggregates feed it (partial+final), and no window sits
+    // below the first exchange
+    val df = graft.operators.Retrieval.vocabulary(spark, TestSpark.sf)
+    val p = plan(df)
+    val firstWindow = p.indexOf("Window")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstWindow >= 0 && firstAgg >= 0 && firstWindow < firstAgg,
+      "window (printed above) must consume the aggregate's output")
+  }
+
+  test("kmeans step: one corpus scan, no join back to embeddings") {
+    val p = plan(Similarity.kmeansStep(spark, TestSpark.sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "assignment is a literal-argmax projection fused with the " +
+        "re-average; a join means the fusion regressed")
+  }
 }

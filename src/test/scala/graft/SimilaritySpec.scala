@@ -188,4 +188,25 @@ class SimilaritySpec extends AnyFunSuite {
         s"vec ${r.getLong(0)}: assigned ${r.getDouble(3)} < own-label $ownSim")
     }
   }
+
+  test("kmeans step: membership accounting matches the assignment") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val step = Similarity.kmeansStep(spark, TestSpark.sf).collect()
+    // 64 component rows per surviving cluster, constant member count
+    // within a cluster
+    val byCluster = step.groupBy(_.getInt(0))
+    byCluster.foreach { case (cl, rs) =>
+      assert(rs.length === 64, s"cluster $cl has ${rs.length} components")
+      assert(rs.map(_.getLong(2)).distinct.length === 1,
+        s"cluster $cl member count varies across components")
+    }
+    // member counts sum to the corpus size (every vector lands somewhere)
+    assert(byCluster.values.map(_.head.getLong(2)).sum === emb.count())
+    // and agree cluster-by-cluster with the assignment query
+    val assigned = Similarity.kmeansAssign(spark, TestSpark.sf).collect()
+      .groupBy(_.getInt(2)).view.mapValues(_.length.toLong).toMap
+    byCluster.foreach { case (cl, rs) =>
+      assert(assigned(cl) === rs.head.getLong(2))
+    }
+  }
 }
