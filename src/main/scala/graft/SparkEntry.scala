@@ -166,6 +166,8 @@ object SparkEntry {
     "label_centroids" -> (Similarity.labelCentroids _),
     "kmeans_assign" -> (Similarity.kmeansAssign _),
     "kmeans_step" -> (Similarity.kmeansStep _),
+    "pq_codes" -> (Similarity.pqCodes _),
+    "pq_adc_topk" -> ((s: SparkSession, d: String) => Similarity.pqAdcTopK(s, d)),
     "search_docs" -> ((s: SparkSession, d: String) => Similarity.searchDocs(s, d)),
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) =>
@@ -1067,6 +1069,70 @@ object SparkEntry {
         | FROM assign, (SELECT unnest(range(0, 64)) AS i)
         | GROUP BY cluster, i ORDER BY cluster, pos"""
         .stripMargin.replace("\n", ""),
+    // PQ encode: per-subspace argmin squared-L2 against the seed
+    // codebooks (ties toward the smaller code); codebook seeds must
+    // encode to their own index with error 0
+    "pq_codes" ->
+      """WITH cb AS (SELECT vec_id AS c, embedding AS ce
+        |  FROM embeddings WHERE vec_id < 8),
+        | enc AS (SELECT e.vec_id, j.j, cb.c,
+        |  list_aggregate(list_transform(range(1, 17),
+        |   i -> (CAST(e.embedding[CAST(j.j*16 + i AS INTEGER)] AS DOUBLE)
+        |       - CAST(cb.ce[CAST(j.j*16 + i AS INTEGER)] AS DOUBLE))
+        |      * (CAST(e.embedding[CAST(j.j*16 + i AS INTEGER)] AS DOUBLE)
+        |       - CAST(cb.ce[CAST(j.j*16 + i AS INTEGER)] AS DOUBLE))),
+        |   'sum') AS d
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j CROSS JOIN cb),
+        | best AS (SELECT vec_id, j, c, d,
+        |  row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+        |  FROM enc)
+        | SELECT vec_id,
+        |  CAST(max(CASE WHEN j = 0 THEN c END) AS INTEGER) AS c0,
+        |  CAST(max(CASE WHEN j = 1 THEN c END) AS INTEGER) AS c1,
+        |  CAST(max(CASE WHEN j = 2 THEN c END) AS INTEGER) AS c2,
+        |  CAST(max(CASE WHEN j = 3 THEN c END) AS INTEGER) AS c3,
+        |  floor((((max(CASE WHEN j = 0 THEN d END)
+        |    + max(CASE WHEN j = 1 THEN d END))
+        |    + max(CASE WHEN j = 2 THEN d END))
+        |    + max(CASE WHEN j = 3 THEN d END)) * 1000000.0)/1000000.0
+        |   AS sq_err
+        | FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""
+        .stripMargin.replace("\n", ""),
+    // ADC search: full-precision query vs code-selected entries; the
+    // scan touches codes only, never the embedding column
+    "pq_adc_topk" ->
+      """WITH cb AS (SELECT vec_id AS c, embedding AS ce
+        |  FROM embeddings WHERE vec_id < 8),
+        | q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        | enc AS (SELECT e.vec_id, j.j, cb.c,
+        |  list_aggregate(list_transform(range(1, 17),
+        |   i -> (CAST(e.embedding[CAST(j.j*16 + i AS INTEGER)] AS DOUBLE)
+        |       - CAST(cb.ce[CAST(j.j*16 + i AS INTEGER)] AS DOUBLE))
+        |      * (CAST(e.embedding[CAST(j.j*16 + i AS INTEGER)] AS DOUBLE)
+        |       - CAST(cb.ce[CAST(j.j*16 + i AS INTEGER)] AS DOUBLE))),
+        |   'sum') AS d
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j CROSS JOIN cb),
+        | best AS (SELECT vec_id, j, c,
+        |  row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+        |  FROM enc),
+        | adc AS (SELECT b.vec_id, b.j,
+        |  list_aggregate(list_transform(range(1, 17),
+        |   i -> (CAST(q.qe[CAST(b.j*16 + i AS INTEGER)] AS DOUBLE)
+        |       - CAST(cb.ce[CAST(b.j*16 + i AS INTEGER)] AS DOUBLE))
+        |      * (CAST(q.qe[CAST(b.j*16 + i AS INTEGER)] AS DOUBLE)
+        |       - CAST(cb.ce[CAST(b.j*16 + i AS INTEGER)] AS DOUBLE))),
+        |   'sum') AS d
+        |  FROM best b JOIN cb ON cb.c = b.c CROSS JOIN q WHERE b.rn = 1)
+        | SELECT vec_id,
+        |  floor((((max(CASE WHEN j = 0 THEN d END)
+        |    + max(CASE WHEN j = 1 THEN d END))
+        |    + max(CASE WHEN j = 2 THEN d END))
+        |    + max(CASE WHEN j = 3 THEN d END)) * 1000000.0)/1000000.0
+        |   AS adc_dist
+        | FROM adc WHERE vec_id <> 0 GROUP BY vec_id
+        | ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin.replace("\n", ""),
     "ann_brute_topk" ->
       """SELECT e.vec_id, floor((
         | list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),

@@ -124,6 +124,108 @@ object Similarity {
       .orderBy("cluster", "pos")
   }
 
+  // ---- product quantization ----
+
+  /** PQ geometry: 64-dim vectors split into `PqM` subspaces of
+    * `PqSub` dims, `PqK` codebook entries per subspace. */
+  val PqM = 4
+  val PqSub = 16
+  val PqK = 8
+
+  /** Deterministic codebooks: subspace j's entries are the j-th
+    * subvectors of vec_ids 0..PqK-1, collected as METADATA (PqK rows —
+    * the ivfCentroids/kmeans justification) and inlined as literals. A
+    * production pipeline would train them with [[kmeansStep]] per
+    * subspace; the encode/search shape below is identical either way.
+    * Indexed [m][k][PqSub], doubles (exact float widening). */
+  private def pqCodebooks(s: SparkSession, dir: String):
+      Array[Array[Array[Double]]] = {
+    val seeds = t(s, dir, "embeddings")
+      .filter(col("vec_id") < PqK)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    Array.tabulate(PqM)(j =>
+      Array.tabulate(PqK)(c => seeds(c).slice(j * PqSub, (j + 1) * PqSub)))
+  }
+
+  /** Squared L2 distance of a (materialized) float subvector against a
+    * literal codebook entry — index-order left fold in double precision
+    * (the ann_brute_topk discipline, so oracles replay it exactly). */
+  private def sqDist(sub: Column, entry: Array[Double]): Column =
+    aggregate(
+      zip_with(sub, typedlit(entry),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Product-quantization encoding: per subspace, the argmin-squared-L2
+    * codebook entry (ties toward the smaller code), plus the vector's
+    * total quantization error. The 4 codes are 12 bits of index state
+    * replacing 256 float bytes — the memory arithmetic that makes
+    * billion-vector ANN fit RAM. Encoding is a shuffle-free narrow
+    * projection (the argmin runs as an inlined expression per row), so at
+    * 100 TB it is the map side of an IVF-PQ build; vectors 0..PqK-1 are
+    * codebook seeds and must encode to their own index with error 0 — a
+    * closed-form correctness anchor the spec and oracle both pin. */
+  def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebooks(s, dir)
+    val withSubs = (0 until PqM).foldLeft(t(s, dir, "embeddings")) {
+      (df, j) => df.withColumn(s"s$j",
+        slice(col("embedding"), j * PqSub + 1, PqSub))
+    }
+    val best = (0 until PqM).map { j =>
+      array_sort(array((0 until PqK).map { c =>
+        struct(sqDist(col(s"s$j"), cb(j)(c)).as("d"),
+          lit(c).as("code"))
+      }: _*)).getItem(0).as(s"b$j")
+    }
+    val scored = withSubs.select(col("vec_id") +: best: _*)
+    scored.select(
+      col("vec_id"),
+      col("b0.code").as("c0"), col("b1.code").as("c1"),
+      col("b2.code").as("c2"), col("b3.code").as("c3"),
+      Num.t6(col("b0.d") + col("b1.d") + col("b2.d") + col("b3.d"))
+        .as("sq_err"))
+      .orderBy("vec_id")
+  }
+
+  /** Asymmetric-distance (ADC) top-k search over the PQ codes: the query
+    * keeps full precision, database vectors are reduced to their 4 codes,
+    * and the distance is the sum of per-subspace query-to-codebook-entry
+    * squared distances selected BY CODE. The per-subspace distances are
+    * computed once against the PqK literal entries and picked with an
+    * 8-way CASE — the expression form of the k×m lookup table a real ADC
+    * scan precomputes; the scan touches codes only (12 bits/vector),
+    * never the embedding column, which is the entire point of PQ search.
+    * Exact for the codebook-seed query (vec 0 reconstructs itself), and
+    * ranked ascending with vec_id tie-break. */
+  def pqAdcTopK(s: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val cb = pqCodebooks(s, dir)
+    val q = t(s, dir, "embeddings")
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding")).collect()(0)
+      .getSeq[Float](0).toArray.map(_.toDouble)
+    val codes = pqCodes(s, dir)
+    // per-subspace distance of the query subvector to the SELECTED entry;
+    // the query subvector stays a literal, so the whole lookup folds into
+    // the expression tree (no join, no second scan)
+    def dist(j: Int, codeCol: Column): Column = {
+      val qSub = q.slice(j * PqSub, (j + 1) * PqSub)
+      (0 until PqK).foldLeft(lit(0.0)) { (acc, c) =>
+        when(codeCol === c, sqDist(typedlit(qSub), cb(j)(c))).otherwise(acc)
+      }
+    }
+    codes
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        Num.t6(dist(0, col("c0")) + dist(1, col("c1"))
+          + dist(2, col("c2")) + dist(3, col("c3"))).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Exact top-k cosine neighbors of one stored vector (default query:
     * vec_id 0). The 1-row query side is broadcast; ranking is
     * TakeOrderedAndProject — only k rows survive per partition. */

@@ -189,6 +189,46 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pq: codebook seeds self-encode at error 0; codes stay in range") {
+    val rows = Similarity.pqCodes(spark, TestSpark.sf).collect()
+    rows.foreach { r =>
+      val codes = Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(codes.forall(c => c >= 0 && c < Similarity.PqK))
+      assert(r.getDouble(5) >= 0.0)
+      if (r.getLong(0) < Similarity.PqK) {
+        assert(codes.forall(_ === r.getLong(0).toInt),
+          s"seed ${r.getLong(0)} must encode to its own index")
+        assert(r.getDouble(5) === 0.0)
+      }
+    }
+  }
+
+  test("pq adc: distances to codebook seeds are the EXACT L2^2 distances") {
+    // seeds' codes are exact, so ADC reconstructs the true squared
+    // distance to the query for them — recompute independently in Scala
+    val vecs = Tables.load(spark, TestSpark.sf, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2sq(a: Array[Float], b: Array[Float]): Double = {
+      // same per-subspace index-order folds, summed left-to-right
+      (0 until Similarity.PqM).map { j =>
+        var s = 0.0
+        (0 until Similarity.PqSub).foreach { i =>
+          val d = a(j * 16 + i).toDouble - b(j * 16 + i).toDouble
+          s += d * d
+        }
+        s
+      }.reduceLeft(_ + _)
+    }
+    val adc = Similarity.pqAdcTopK(spark, TestSpark.sf, k = 2000).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (1L until 8L).foreach { c =>
+      val expect = math.floor(l2sq(vecs(0L), vecs(c)) * 1e6) / 1e6
+      assert(adc(c) === expect, s"seed $c adc=${adc(c)} exact=$expect")
+    }
+  }
+
   test("kmeans step: membership accounting matches the assignment") {
     val emb = Tables.load(spark, TestSpark.sf, "embeddings")
     val step = Similarity.kmeansStep(spark, TestSpark.sf).collect()
