@@ -99,6 +99,8 @@ object SparkEntry {
     "win_frames" -> (RelationalMore.winFrames _),
     "multi_sort" -> (RelationalMore.multiSort _),
     "regex_funcs" -> (RelationalMore.regexFuncs _),
+    "retention_cohorts" -> (RelationalMore.retentionCohorts _),
+    "funnel_steps" -> (RelationalMore.funnelSteps _),
     "approx_stats" -> (graft.operators.Sketches.approxStats _),
     "salted_join" -> (graft.operators.Sketches.saltedJoinDemo _),
     // -- text analysis (documents) --
@@ -235,6 +237,32 @@ object SparkEntry {
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", ""),
     "batch_day" ->
       "SELECT min(CAST(ts AS DATE)) AS batch_day FROM events",
+    // retention cohorts: first-active day x day offset, distinct users
+    "retention_cohorts" ->
+      """WITH acts AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        | cohorts AS (SELECT user_id, min(d) AS cohort FROM acts GROUP BY 1)
+        | SELECT cohort,
+        |  CAST(datediff('day', cohort, d) AS BIGINT) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        | FROM acts a JOIN cohorts c ON a.user_id = c.user_id
+        | GROUP BY 1, 2 ORDER BY cohort, day_offset"""
+        .stripMargin.replace("\n", ""),
+    // ordered conversion funnel: each step's min ts must follow the
+    // previous step's qualifying ts
+    "funnel_steps" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        | t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= t1.t1 GROUP BY 1),
+        | t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= t2.t2 GROUP BY 1)
+        | SELECT 'step1_view' AS step, count(*) AS n_users FROM t1
+        | UNION ALL SELECT 'step2_click', count(*) FROM t2
+        | UNION ALL SELECT 'step3_purchase', count(*) FROM t3
+        | ORDER BY step""".stripMargin.replace("\n", ""),
     "day_slice" ->
       """SELECT event_id, event_type, value FROM events
         | WHERE CAST(ts AS DATE) = DATE '2024-01-05'

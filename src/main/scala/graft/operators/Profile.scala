@@ -12,13 +12,22 @@ import graft.Tables
   * drop (SURVEY.md §5: the reference's dbt `not_null` test is the 1-column
   * special case of this).
   *
-  * Shape: ALL per-column aggregates run in ONE `agg` (a single scan; the
-  * multiple DISTINCT aggregates plan through Spark's Expand operator),
-  * then the 1-row wide result is unpivoted with `stack` into one row per
-  * column — no per-column jobs, no driver loop over data. At 100 TB the
-  * exact `countDistinct` is the one knob to revisit: swap in
-  * `approx_count_distinct` (the `Sketches` HLL path) per column when ±2%
-  * is acceptable; everything else is partial-aggregatable min/max/count.
+  * Shape: two scans, both cheap. (1) Every non-distinct aggregate (null
+  * counts, typed min/max) runs in ONE `agg`, and the 1-row wide result is
+  * unpivoted with `stack` into one row per column. (2) The exact distinct
+  * counts unpivot FIRST — `posexplode` to narrow (col_idx,
+  * xxhash64(value)) pairs — then one map-side-collapsing `distinct` and a
+  * per-column count. NOT the obvious 16-fold `countDistinct` in the same
+  * agg: that plans through Expand with a 17-column null-padded grouping
+  * key (measured 23-25 s on sf0.1 lineitem, half the whole bench);
+  * the narrow-pair form is the same exact answer at ~8x less (~3 s).
+  * Distinct-of-hash equals distinct-of-value up to 64-bit collisions
+  * (P ≈ n²/2⁶⁵ ≈ 1e-7 at 600k values — the fingerprint-equality standard
+  * the dedup family already rests on), and the DuckDB oracle counts raw
+  * values exactly, so a collision would surface as a gate mismatch, not
+  * pass silently. At 100 TB the next knob is `approx_count_distinct`
+  * (the `Sketches` HLL path) per column when ±2% is acceptable;
+  * everything else is partial-aggregatable min/max/count.
   *
   * Numeric and timestamp min/max surface as doubles (timestamps as epoch
   * seconds — engine-exact for whole-second data); string min/max surface
@@ -49,21 +58,33 @@ object Profile {
       }
       Seq(
         (count(lit(1)) - count(c)).as(s"nn_${f.name}"),
-        countDistinct(c).as(s"nd_${f.name}"),
         minNum.as(s"mn_${f.name}"), maxNum.as(s"mx_${f.name}"),
         minStr.as(s"ms_${f.name}"), maxStr.as(s"xs_${f.name}"))
     }
     val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
     val stackArgs = fields.map(f =>
-      s"'${f.name}', nn_${f.name}, nd_${f.name}, " +
+      s"'${f.name}', nn_${f.name}, " +
         s"mn_${f.name}, mx_${f.name}, ms_${f.name}, xs_${f.name}")
       .mkString(", ")
-    row.select(col("n_rows"), expr(
+    val stacked = row.select(col("n_rows"), expr(
       s"stack(${fields.length}, $stackArgs) AS " +
-        "(col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"))
+        "(col_name, n_nulls, min_num, max_num, min_str, max_str)"))
+    // exact distincts: narrow (col_idx, value-hash) pairs -> one distinct
+    val names = typedlit(fields.map(_.name))
+    val nd = df
+      .select(posexplode(array(fields.map(f =>
+        when(col(f.name).isNotNull, xxhash64(col(f.name)))): _*))
+        .as(Seq("ci", "h")))
+      .filter(col("h").isNotNull)
+      .distinct()
+      .groupBy(col("ci"))
+      .agg(count(lit(1)).as("n_distinct"))
+      .select(element_at(names, col("ci") + 1).as("col_name"),
+        col("n_distinct"))
+    stacked.join(broadcast(nd), Seq("col_name"), "left")
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_num"), col("max_num"),
-        col("min_str"), col("max_str"))
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
       .orderBy("col_name")
   }
 

@@ -221,6 +221,54 @@ object RelationalMore {
         size(split(col("text"), "a")).cast("long").as("a_splits"))
       .orderBy("doc_id")
 
+  /** Retention cohorts — the product-analytics staple: users grouped by
+    * first-active day, distinct-user counts per (cohort, day offset).
+    * Two shuffles, both keyed on user_id (the daily-activity distinct
+    * and the cohort join); per-day counts then aggregate on the tiny
+    * (cohort, offset) space. At 100 TB the activity distinct is the cost
+    * center and is exactly the shape AQE/partial aggregation handles —
+    * nothing here is per-user driver state. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val acts = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val cohorts = acts.groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort"))
+    acts.join(cohorts, Seq("user_id"))
+      .select(col("cohort"),
+        datediff(col("d"), col("cohort")).cast("long").as("day_offset"),
+        col("user_id"))
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  /** Ordered conversion funnel view -> click -> purchase: each step's
+    * timestamp must follow the previous step's (min-qualifying-ts chain,
+    * so a purchase BEFORE the first qualifying click does not count).
+    * Three monotonically-shrinking per-user aggregates, each one shuffle
+    * keyed on user_id; the step tables broadcast as they shrink. */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id"))
+      .filter(col("ts") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id"))
+      .filter(col("ts") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    t1.agg(count(lit(1)).as("n_users"))
+      .select(lit("step1_view").as("step"), col("n_users"))
+      .unionByName(t2.agg(count(lit(1)).as("n_users"))
+        .select(lit("step2_click").as("step"), col("n_users")))
+      .unionByName(t3.agg(count(lit(1)).as("n_users"))
+        .select(lit("step3_purchase").as("step"), col("n_users")))
+      .orderBy("step")
+  }
+
   /** Date arithmetic surface: interval add, day difference, month
     * boundaries, day-of-week. */
   def dateArith(s: SparkSession, dir: String): DataFrame =

@@ -35,13 +35,19 @@ class ProfileSpec extends AnyFunSuite {
     assert(s.getString(6) === "a" && s.getString(7) === "c")
   }
 
-  test("profile: single scan over the contract table (one agg, no per-column jobs)") {
+  test("profile: two scans (wide aggs + narrow distinct pairs), no Expand") {
     val df = Profile.profileLineitem(spark, TestSpark.sf)
     val scans = df.queryExecution.optimizedPlan.collect {
       case s: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
         if s.getClass.getSimpleName == "LogicalRelation" => s
     }
-    assert(scans.length === 1, "profile must read the table exactly once")
+    // one scan feeds the stacked null/min/max aggregates, one feeds the
+    // narrow (col_idx, hash) distinct pipeline — never per-column jobs
+    assert(scans.length === 2, "profile must read the table exactly twice")
+    // the perf contract: distincts must NOT plan through Expand (the
+    // 17x null-padded-key blowup measured at 23-25 s on sf0.1 lineitem)
+    assert(!df.queryExecution.executedPlan.toString.contains("Expand"),
+      "multi-countDistinct Expand regressed into the profile plan")
     assert(df.count() === 11)
   }
 }

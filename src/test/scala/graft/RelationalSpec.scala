@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Relational, RelationalExt}
+import graft.operators.{Relational, RelationalExt, RelationalMore}
 
 /** Cross-operator consistency checks (the value-level gate is the DuckDB
   * oracle; these pin relationships between operators). */
@@ -55,5 +55,36 @@ class RelationalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate"))
     assert(plan.contains("Exchange"))
+  }
+
+  test("funnel: step counts shrink monotonically and start at the view users") {
+    import org.apache.spark.sql.functions._
+    val steps = RelationalMore.funnelSteps(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(steps("step1_view") >= steps("step2_click"))
+    assert(steps("step2_click") >= steps("step3_purchase"))
+    val viewers = Tables.load(spark, TestSpark.sf, "events")
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(steps("step1_view") === viewers)
+  }
+
+  test("retention: offset-0 row equals the cohort size; users conserved") {
+    import org.apache.spark.sql.functions._
+    val rows = RelationalMore.retentionCohorts(spark, TestSpark.sf).collect()
+    val byCohort = rows.groupBy(_.getDate(0))
+    // day-0 retention is definitionally every user of the cohort, and no
+    // later offset can exceed it
+    byCohort.foreach { case (c, rs) =>
+      val d0 = rs.find(_.getLong(1) == 0L).map(_.getLong(2))
+      assert(d0.nonEmpty, s"cohort $c missing its day-0 row")
+      assert(rs.forall(_.getLong(2) <= d0.get))
+    }
+    // each user is in exactly one cohort: day-0 counts sum to all users
+    val allUsers = Tables.load(spark, TestSpark.sf, "events")
+      .select("user_id").distinct().count()
+    val d0sum = byCohort.values
+      .map(_.find(_.getLong(1) == 0L).get.getLong(2)).sum
+    assert(d0sum === allUsers)
   }
 }
