@@ -101,6 +101,7 @@ object SparkEntry {
     "regex_funcs" -> (RelationalMore.regexFuncs _),
     "retention_cohorts" -> (RelationalMore.retentionCohorts _),
     "funnel_steps" -> (RelationalMore.funnelSteps _),
+    "value_outliers" -> ((s: SparkSession, d: String) => RelationalMore.valueOutliers(s, d)),
     "approx_stats" -> (graft.operators.Sketches.approxStats _),
     "salted_join" -> (graft.operators.Sketches.saltedJoinDemo _),
     // -- text analysis (documents) --
@@ -697,6 +698,21 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s2
         |  FROM lineitem GROUP BY 1)
         | ORDER BY l_returnflag""".stripMargin.replace("\n", ""),
+    // z-score outliers: mean/std from exact decimal moments so the
+    // |z| > 3 decision is the identical IEEE double on both engines
+    "value_outliers" ->
+      """WITH st AS (SELECT event_type,
+        |  s1 / nd AS mean,
+        |  sqrt((s2 - s1*s1/nd)/(nd - 1.0)) AS std
+        | FROM (SELECT event_type, CAST(count(*) AS DOUBLE) AS nd,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(value*value AS DECIMAL(28,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1))
+        | SELECT event_id, e.event_type, value,
+        |  floor((value - mean) / std * 1000000.0)/1000000.0 AS z
+        | FROM events e JOIN st ON e.event_type = st.event_type
+        | WHERE abs((value - mean) / std) > 3.0
+        | ORDER BY event_id""".stripMargin.replace("\n", ""),
     "listagg_types" ->
       """SELECT day, string_agg(event_type, ',' ORDER BY event_type) AS types
         | FROM (SELECT DISTINCT CAST(ts AS DATE) AS day, event_type FROM events)

@@ -221,6 +221,31 @@ object RelationalMore {
         size(split(col("text"), "a")).cast("long").as("a_splits"))
       .orderBy("doc_id")
 
+  /** Z-score outlier detection per event type — the distribution-shift /
+    * data-quality tripwire a pipeline runs on every new drop. Mean and
+    * sample-std come from exact decimal moments (one aggregate keyed on
+    * the handful of types, broadcast back), so the z each engine computes
+    * is the identical IEEE double and the |z| > threshold decision can
+    * never diverge; reported scores floor-truncated. Narrow scan + one
+    * tiny broadcast join at any scale. */
+  def valueOutliers(s: SparkSession, dir: String,
+      zThreshold: Double = 3.0): DataFrame = {
+    val n = count(lit(1)).cast("double")
+    val s1 = dsum(col("value"))
+    val s2 = dsum(col("value") * col("value"))
+    val stats = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg((s1 / n).as("mean"),
+        sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))).as("std"))
+    val z = (col("value") - col("mean")) / col("std")
+    t(s, dir, "events")
+      .join(broadcast(stats), Seq("event_type"))
+      .filter(abs(z) > zThreshold)
+      .select(col("event_id"), col("event_type"), col("value"),
+        Num.t6(z).as("z"))
+      .orderBy("event_id")
+  }
+
   /** Retention cohorts — the product-analytics staple: users grouped by
     * first-active day, distinct-user counts per (cohort, day offset).
     * Two shuffles, both keyed on user_id (the daily-activity distinct

