@@ -219,6 +219,8 @@ object SparkEntry {
       graft.streaming.HourlyStream.runAttributionOnce(s, d)),
     "stream_join_outer" -> ((s: SparkSession, d: String) =>
       graft.streaming.HourlyStream.runAttributionOuterOnce(s, d)),
+    "stream_enrich" -> ((s: SparkSession, d: String) =>
+      graft.streaming.HourlyStream.runEnrichOnce(s, d)),
     // -- source-contract checks (the reference's dbt not_null test) --
     "contract_nulls" -> (graft.operators.Contract.eventNullContract _),
   )
@@ -1540,6 +1542,17 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_id FROM (SELECT DISTINCT event_id, ts FROM events)
         | ORDER BY event_id""".stripMargin.replace("\n", ""),
+    // stream-static join: the static cohort dim derives from the same
+    // md5 bucket the oracle reproduces, and the inner join adds a column
+    // without dropping rows, so the final state = plain GROUP BY
+    "stream_enrich" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        | 'c' || CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,8))
+        |   AS BIGINT) % 100 % 4 AS VARCHAR) AS cohort,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        | FROM events GROUP BY 1, 2
+        | ORDER BY day, cohort""".stripMargin.replace("\n", ""),
     // Emitted sessions after one AvailableNow pass = every session except
     // each user's last (those closed in-batch), plus last sessions whose
     // event-time timeout (end + 30 min) fell behind the final watermark

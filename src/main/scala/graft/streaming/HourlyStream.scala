@@ -185,6 +185,62 @@ object HourlyStream {
     s.table(name).orderBy("event_id")
   }
 
+  /** Static per-user cohort dimension, derived deterministically from the
+    * md5 bucket of the user id (so the DuckDB oracle reproduces every
+    * assignment). Stands in for the user/account table a production
+    * enrichment joins against. */
+  def staticUserCohorts(s: SparkSession, srcDir: String): DataFrame =
+    graft.Tables.load(s, srcDir, "events")
+      .select(col("user_id")).distinct()
+      .withColumn("cohort", concat(lit("c"),
+        (graft.operators.Curation.hashBucket(col("user_id")) % 4)
+          .cast("string")))
+
+  /** Stream-STATIC join — the Structured Streaming join mode the other
+    * five streams don't exercise: streaming events enriched against a
+    * static dimension, then windowed per (day, cohort). The static side
+    * is a plain batch relation re-planned into every micro-batch (and
+    * broadcast at dimension size) — inner stream-static joins need no
+    * state and no watermark of their own; the downstream aggregate keeps
+    * the usual 1-day watermark. At 100 TB this is THE enrichment shape:
+    * the dimension lives in the warehouse, refreshes independently of
+    * the stream, and each micro-batch sees its latest snapshot. */
+  def cohortEnriched(events: DataFrame, userDim: DataFrame): DataFrame =
+    events
+      .join(userDim, Seq("user_id"))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("cohort"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(to_date(col("w.start")).as("day"), col("cohort"),
+        col("n_events"), col("sum_value"))
+
+  /** Run the enrichment stream synchronously (update mode + keyed upsert,
+    * the runDailyAggOnce discipline) and read the warehouse back. */
+  def runEnrichOnce(s: SparkSession, srcDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft_stream_wh_").toString + "/cohorts"
+    withStatePartitions(s, statePartitions) {
+      val q = cohortEnriched(readEvents(s, srcDir),
+        staticUserCohorts(s, srcDir))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          PartitionedStore.upsertKeyed(
+            batch.repartition(col("day")), warehouse, "day", Seq("cohort"))
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.read.parquet(warehouse)
+        .select(col("day"), col("cohort").cast("string").as("cohort"),
+          col("n_events"), col("sum_value"))
+        .orderBy("day", "cohort")
+    }
+  }
+
   /** Custom streaming state (SURVEY.md §7.2 step 6 / prompt §2.8):
     * per-user cumulative event count and last-seen day maintained in a
     * state store — the shape every custom feature accumulator takes at

@@ -381,4 +381,40 @@ class StreamingSpec extends AnyFunSuite {
       .count(_.getName.startsWith("date="))
     assert(days.toInt === dirs)
   }
+
+  test("stream-static join: stateless (only the aggregate holds state) " +
+      "and equal to the batch enrichment") {
+    import org.apache.spark.sql.functions._
+    val name = "graft_enrich_spec_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = HourlyStream.cohortEnriched(
+      HourlyStream.readEvents(spark, TestSpark.sf),
+      HourlyStream.staticUserCohorts(spark, TestSpark.sf))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // one stateful operator: the windowed aggregate. A second would mean
+    // the static join regressed into a symmetric (stateful) stream join.
+    val sos = q.lastProgress.stateOperators
+    assert(sos.length === 1, s"expected 1 state operator, got ${sos.length}")
+    // the aggregate's state op is stateStoreSave; a stateful stream join
+    // would surface as symmetricHashJoin
+    assert(sos.head.operatorName.toLowerCase.contains("statestoresave"))
+    val streamed = spark.table(name)
+      .select("day", "cohort", "n_events", "sum_value")
+    val batch = Tables.load(spark, TestSpark.sf, "events")
+      .join(HourlyStream.staticUserCohorts(spark, TestSpark.sf),
+        Seq("user_id"))
+      .groupBy(to_date(col("ts")).as("day"), col("cohort"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Relational.dsum(col("value")).as("sum_value"))
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
 }
