@@ -172,6 +172,8 @@ object SparkEntry {
     "kmeans_step" -> (Similarity.kmeansStep _),
     "pq_codes" -> (Similarity.pqCodes _),
     "pq_adc_topk" -> ((s: SparkSession, d: String) => Similarity.pqAdcTopK(s, d)),
+    "ann_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.filteredTopK(s, d)),
+    "length_percentiles" -> (TextAnalysis.lengthPercentiles _),
     "search_docs" -> ((s: SparkSession, d: String) => Similarity.searchDocs(s, d)),
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) =>
@@ -1217,6 +1219,32 @@ object SparkEntry {
         |   AS adc_dist
         | FROM adc WHERE vec_id <> 0 GROUP BY vec_id
         | ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin.replace("\n", ""),
+    // filtered search: per-label exact top-3, ranked on the truncated
+    // score with vec_id tie-break
+    "ann_filtered_topk" ->
+      """WITH scored AS (SELECT e.label, e.vec_id, floor((
+        | list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |  list_transform(q.embedding, x -> CAST(x AS DOUBLE)))
+        | / (sqrt(list_aggregate(list_transform(e.embedding,
+        |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |  * sqrt(list_aggregate(list_transform(q.embedding,
+        |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))))
+        |  * 1000000.0) / 1000000.0 AS cos_sim
+        | FROM embeddings e,
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        | WHERE e.vec_id <> 0),
+        | ranked AS (SELECT label, vec_id, cos_sim, row_number() OVER
+        |  (PARTITION BY label ORDER BY cos_sim DESC, vec_id) AS rnk
+        |  FROM scored)
+        | SELECT label, CAST(rnk AS INTEGER) AS rnk, vec_id, cos_sim
+        | FROM ranked WHERE rnk <= 3 ORDER BY label, rnk"""
+        .stripMargin.replace("\n", ""),
+    // within-source percentile rank of doc length (exact rank arithmetic)
+    "length_percentiles" ->
+      """SELECT doc_id, source, n_chars,
+        | floor(percent_rank() OVER (PARTITION BY source
+        |  ORDER BY n_chars, doc_id) * 1000000.0)/1000000.0 AS len_pctile
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "ann_brute_topk" ->
       """SELECT e.vec_id, floor((
         | list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),

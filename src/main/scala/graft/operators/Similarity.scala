@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -240,6 +241,33 @@ object Similarity {
         Num.t6(cosine(col("embedding"), col("q_emb"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Filtered (metadata-constrained) search: exact top-k cosine
+    * neighbors of the query PER LABEL — the vector-DB "filtered search"
+    * feature (restrict candidates by a metadata predicate, rank inside
+    * each group). One broadcast of the query row, one scan, and a
+    * per-label rank window; at 100 TB the label filter rides the scan
+    * (partition pruning when the index is label-partitioned, the
+    * `ivfTopK` cell layout applied to metadata instead of centroids).
+    * Ranking runs on the floor-truncated score so a sub-1e-6 ulp
+    * difference can never flip an order. */
+  def filteredTopK(s: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 3): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("label"), col("vec_id"),
+        Num.t6(cosine(col("embedding"), col("q_emb"))).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("label"), col("rnk").cast("int").as("rnk"),
+        col("vec_id"), col("cos_sim"))
+      .orderBy("label", "rnk")
   }
 
   /** Cross-modal retrieval (the RAG/semantic-search shape): exact top-k

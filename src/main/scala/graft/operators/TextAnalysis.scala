@@ -295,6 +295,22 @@ object TextAnalysis {
         md5(concat_ws(" ", tokens(col("text")))).as("fp"))
       .orderBy("doc_id")
 
+  /** Within-source percentile rank of document length — quantile
+    * normalization, the scale-free form of a length filter (a 2k-char
+    * doc is long for chat transcripts, short for books; the percentile
+    * is comparable across sources where the raw length is not). One
+    * shuffle on the source key; `percent_rank` is exact rank arithmetic
+    * ((rank-1)/(n-1), identical integers both engines), floor-truncated
+    * only at the output. */
+  def lengthPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        Num.t6(percent_rank().over(w)).as("len_pctile"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level token frequency top-20 (explode -> hash aggregate ->
     * top-k; the shuffle carries (token, partial count) pairs only). */
   def tokenHistogram(s: SparkSession, dir: String): DataFrame =

@@ -229,6 +229,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("filtered search: per-label groups complete, descending, and " +
+      "consistent with the unfiltered top-1") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.filteredTopK(spark, TestSpark.sf).collect()
+    val labels = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select("label").distinct().count()
+    assert(rows.length === labels * 3)
+    rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // the global best neighbor must be rank 1 inside its own label
+    val best = Similarity.bruteForceTopK(spark, TestSpark.sf, k = 1)
+      .collect()(0)
+    val bestLabel = Tables.load(spark, TestSpark.sf, "embeddings")
+      .filter(col("vec_id") === best.getLong(0))
+      .select("label").collect()(0).getInt(0)
+    val inGroup = rows.find(r =>
+      r.getInt(0) == bestLabel && r.getInt(1) == 1).get
+    assert(inGroup.getLong(2) === best.getLong(0))
+  }
+
   test("kmeans step: membership accounting matches the assignment") {
     val emb = Tables.load(spark, TestSpark.sf, "embeddings")
     val step = Similarity.kmeansStep(spark, TestSpark.sf).collect()

@@ -146,6 +146,19 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("length percentiles: 0 at each source's shortest doc, 1 at its " +
+      "longest, monotone in length") {
+    val rows = graft.operators.TextAnalysis
+      .lengthPercentiles(spark, TestSpark.sf).collect()
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val byLen = rs.sortBy(r => (r.getLong(2), r.getLong(0)))
+      assert(byLen.head.getDouble(3) === 0.0, s"$src shortest != 0")
+      assert(byLen.last.getDouble(3) >= 0.999999 - 1e-9, s"$src longest != 1")
+      val ps = byLen.map(_.getDouble(3))
+      assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("quality score is deterministic across evaluations") {
     val d = graft.Tables.load(spark, TestSpark.sf, "documents")
     val a = d.select(col("doc_id"), qualityScore(col("text")).as("q"))
