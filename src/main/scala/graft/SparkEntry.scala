@@ -124,6 +124,7 @@ object SparkEntry {
     "pmi_bigrams" -> ((s: SparkSession, d: String) => Retrieval.pmiBigrams(s, d)),
     "inverted_postings" -> ((s: SparkSession, d: String) => Retrieval.invertedPostings(s, d)),
     "textrank_keywords" -> ((s: SparkSession, d: String) => Retrieval.textrankKeywords(s, d)),
+    "hybrid_search" -> ((s: SparkSession, d: String) => Retrieval.hybridSearch(s, d)),
     // exact heavy hitters + count-min-sketch accuracy gate
     "top_ngrams" -> ((s: SparkSession, d: String) => graft.operators.Sketches.topNgrams(s, d)),
     "cms_gate" -> ((s: SparkSession, d: String) => graft.operators.Sketches.cmsHeavyHittersGate(s, d)),
@@ -1727,6 +1728,56 @@ object SparkEntry {
         |  row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM scored)
         | SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, score, n_terms
         | FROM ranked WHERE rnk <= 10 ORDER BY rnk""".stripMargin.replace("\n", ""),
+    // reciprocal-rank fusion of the full BM25 and cosine rankings
+    // (1/(60+rank) per side, absent side contributes 0); ranks CAST to
+    // DOUBLE so the fusion arithmetic is double on both engines
+    "hybrid_search" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0) AS w FROM documents),
+        | dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+        | toks AS (SELECT doc_id, unnest(w) AS term FROM d),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | stats AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        | contrib AS (SELECT tf.doc_id,
+        |  floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |   * (CAST(tf AS DOUBLE) * (1.25 + 1.0))
+        |   / (tf + 1.25 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |   * 1000000.0)/1000000.0 AS c
+        |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN stats),
+        | scored AS (SELECT doc_id,
+        |  CAST(sum(CAST(c AS DECIMAL(28, 6))) AS DOUBLE) AS score
+        |  FROM contrib GROUP BY 1),
+        | bm AS (SELECT doc_id, CAST(row_number() OVER
+        |  (ORDER BY score DESC, doc_id) AS INTEGER) AS bm25_rank
+        |  FROM scored),
+        | cosr AS (SELECT vec_id AS doc_id, CAST(row_number() OVER
+        |  (ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS cos_rank FROM
+        |  (SELECT e.vec_id, floor((
+        |   list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(q.embedding, x -> CAST(x AS DOUBLE)))
+        |   / (sqrt(list_aggregate(list_transform(e.embedding,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |    * sqrt(list_aggregate(list_transform(q.embedding,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))))
+        |   * 1000000.0) / 1000000.0 AS cos_sim
+        |  FROM embeddings e,
+        |   (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0)),
+        | fused AS (SELECT COALESCE(bm.doc_id, cosr.doc_id) AS doc_id,
+        |  bm25_rank, cos_rank,
+        |  floor((coalesce(1.0 / (60.0 + CAST(bm25_rank AS DOUBLE)), 0.0)
+        |    + coalesce(1.0 / (60.0 + CAST(cos_rank AS DOUBLE)), 0.0))
+        |   * 1000000.0)/1000000.0 AS rrf_score
+        |  FROM bm FULL OUTER JOIN cosr ON bm.doc_id = cosr.doc_id)
+        | SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, bm25_rank, cos_rank,
+        |  rrf_score FROM (SELECT *, row_number() OVER
+        |  (ORDER BY rrf_score DESC, doc_id) AS rnk FROM fused)
+        | WHERE rnk <= 10 ORDER BY rnk""".stripMargin.replace("\n", ""),
     // frequency-ranked vocabulary with cumulative coverage (exact-long
     // cumsum; ties by term)
     "vocabulary" ->

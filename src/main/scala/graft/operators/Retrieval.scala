@@ -197,6 +197,48 @@ object Retrieval {
       .orderBy("rnk")
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.
+    * '09 — the standard lexical+semantic fusion): full BM25 ranking and
+    * full cosine ranking of the corpus against the same query (query
+    * text = the fixed term set; query vector = the stored embedding of
+    * `queryId`, with vec_id aligned to doc_id in this corpus), fused as
+    * Σ 1/(60 + rank). Documents missing from a ranking (no BM25 hit)
+    * contribute nothing for that side — the standard treatment. Both
+    * rankings and the fusion rank on floor-truncated scores, ties by id,
+    * so the full chain is engine-deterministic. Scale shape: two ranked
+    * lists (each the already-scale-shaped bm25/cosine plan), one join on
+    * doc id, one top-k window. */
+  def hybridSearch(s: SparkSession, dir: String,
+      query: Seq[String] = DefaultQuery, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    // full BM25 ranking (no top-k cut: the fusion needs every rank)
+    val bm25 = bm25Search(s, dir, query, k = Int.MaxValue)
+      .select(col("doc_id"), col("rnk").as("bm25_rank"))
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val cosRanked = emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        Num.t6(graft.operators.Similarity.cosine(
+          col("embedding"), col("q_emb"))).as("cos_sim"))
+      .withColumn("cos_rank", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("doc_id"))))
+      .select(col("doc_id"), col("cos_rank"))
+    val rrf = Num.t6(
+      coalesce(lit(1.0) / (lit(60.0) + col("bm25_rank")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60.0) + col("cos_rank")), lit(0.0)))
+    bm25.join(cosRanked, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
+        rrf.as("rrf_score"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col("doc_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("rnk").cast("int").as("rnk"), col("doc_id"),
+        col("bm25_rank"), col("cos_rank"), col("rrf_score"))
+      .orderBy("rnk")
+  }
+
   /** Inverted-index postings for a fixed term set: document frequency plus
     * a bounded posting-list head (first `headLen` doc_ids, ascending,
     * comma-joined so the value is renderer-independent).

@@ -76,6 +76,28 @@ class RetrievalSpec extends AnyFunSuite {
       rows.map(r => (r.getAs[String]("term"), r.getAs[Double]("rank"))).toSeq)
   }
 
+  test("hybrid rrf: scores bounded by 2/61, descending, and dominated by " +
+      "double-listed docs") {
+    val rows = Retrieval.hybridSearch(spark, sf).collect()
+    assert(rows.length === 10)
+    val scores = rows.map(_.getAs[Double]("rrf_score"))
+    assert(scores.forall(s => s > 0.0 && s <= 2.0 / 61.0 + 1e-9))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // every fused row carries at least one source rank
+    assert(rows.forall(r =>
+      !r.isNullAt(r.fieldIndex("bm25_rank")) ||
+      !r.isNullAt(r.fieldIndex("cos_rank"))))
+    // a doc present in both lists beats a doc with one equal rank and no
+    // second list (structural RRF property spot-checked on the output):
+    // the top fused doc must appear in at least one list at rank <= 60
+    val top = rows.head
+    val bestRank = Seq(
+      Option(top.getAs[Integer]("bm25_rank")).map(_.toInt),
+      Option(top.getAs[Integer]("cos_rank")).map(_.toInt))
+      .flatten.min
+    assert(bestRank <= 60)
+  }
+
   test("postings: df equals the recount and heads are sorted ascending") {
     val rows = Retrieval.invertedPostings(spark, sf).collect()
     assert(rows.length === 5)
