@@ -145,6 +145,7 @@ object SparkEntry {
     "pack_sequences" -> ((s: SparkSession, d: String) => Curation.packSequences(s, d)),
     "chunk_documents" -> ((s: SparkSession, d: String) => Curation.chunkDocuments(s, d)),
     "split_leakage" -> ((s: SparkSession, d: String) => Curation.splitLeakage(s, d)),
+    "best_per_lang" -> ((s: SparkSession, d: String) => Curation.bestPerLang(s, d)),
     "snapshot_merge" -> (Curation.snapshotMerge _),
     "embed_quantize" -> (Curation.embedQuantize _),
     // -- deduplication (documents) --
@@ -851,6 +852,28 @@ object SparkEntry {
         |  FROM (SELECT doc_id, text,
         |   string_split_regex(trim(text), '\s+') AS toks FROM documents))
         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // top-k quality docs per language (ranking on the floor-truncated
+    // composite quality, ties by doc_id)
+    "best_per_lang" ->
+      """WITH q AS (SELECT doc_id, lang,
+        | floor(((CASE WHEN sw > 0.5 THEN 1.0 - sw ELSE sw END) * 2.0 * 0.4
+        |  + (1.0 - least(pr * 10.0, 1.0)) * 0.3
+        |  + least(nt / 64.0, 1.0) * 0.3) * 1000000.0) / 1000000.0 AS quality
+        | FROM (SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, t -> list_contains(
+        |   ['the','a','an','and','or','of','to','in','is','it',
+        |    'that','for','on','with','as','at','by','be','this','are'], t)))
+        |   AS DOUBLE) / len(toks) AS sw,
+        |  CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |   AS DOUBLE) / length(text) AS pr,
+        |  CAST(len(toks) AS DOUBLE) AS nt
+        |  FROM (SELECT doc_id, lang, text,
+        |   string_split_regex(trim(text), '\s+') AS toks FROM documents))),
+        | r AS (SELECT lang, doc_id, quality, row_number() OVER
+        |  (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rnk FROM q)
+        | SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id, quality
+        | FROM r WHERE rnk <= 25 ORDER BY lang, rnk"""
+        .stripMargin.replace("\n", ""),
     // argmax over per-language marker-hit ratios; ties resolve to the
     // lexicographically-last language, mirroring array_max on (score, lang)
     "lang_id" ->

@@ -134,6 +134,28 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Quality-stratified selection: the top-k quality documents per
+    * language — "keep the best of every stratum", the counterpart of
+    * uniform down-sampling when a data recipe wants quality-weighted
+    * mixtures without starving low-resource strata. Ranking runs on the
+    * floor-truncated composite quality (ties by doc_id), so order can
+    * never diverge between engines; one shuffle keyed on the language,
+    * rank window inside each stratum. */
+  def bestPerLang(s: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.qualityScore
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        qualityScore(col("text")).as("quality"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk").cast("int").as("rnk"),
+        col("doc_id"), col("quality"))
+      .orderBy("lang", "rnk")
+  }
+
   /** Train/test split-leakage audit: exact-duplicate text groups whose
     * members land in MORE THAN ONE split — the contamination mode a
     * hash-split alone cannot prevent (splits key on doc_id; duplicate

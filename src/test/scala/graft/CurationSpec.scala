@@ -213,6 +213,28 @@ class CurationSpec extends AnyFunSuite {
     assert(flagged.map(_.getAs[String]("digest")).toSet === expect)
   }
 
+  test("best-per-lang: full strata, descending quality, true per-lang argmax") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.bestPerLang(spark, sf).collect()
+    val langs = Tables.load(spark, sf, "documents")
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet === langs)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val qs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(qs.zip(qs.tail).forall { case (a, b) => a >= b })
+    }
+    // the rank-1 doc per lang must carry that lang's maximum quality,
+    // recomputed independently via the quality_scores operator
+    val best = graft.operators.TextAnalysis.qualityScores(spark, sf)
+      .join(Tables.load(spark, sf, "documents").select("doc_id", "lang"),
+        Seq("doc_id"))
+      .groupBy("lang").agg(max(col("quality")).as("qmax"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.filter(_.getInt(1) == 1).foreach { r =>
+      assert(r.getDouble(3) === best(r.getString(0)))
+    }
+  }
+
   test("snapshot merge reconstructs v2 exactly") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, sf, "documents")
