@@ -172,6 +172,8 @@ object SparkEntry {
     "label_centroids" -> (Similarity.labelCentroids _),
     "kmeans_assign" -> (Similarity.kmeansAssign _),
     "kmeans_step" -> (Similarity.kmeansStep _),
+    "kmeans_iterate" -> ((s: SparkSession, d: String) =>
+      Similarity.kmeansIterate(s, d, rounds = 2)),
     "pq_codes" -> (Similarity.pqCodes _),
     "pq_adc_topk" -> ((s: SparkSession, d: String) => Similarity.pqAdcTopK(s, d)),
     "ann_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.filteredTopK(s, d)),
@@ -197,6 +199,12 @@ object SparkEntry {
     "ann_ivf_recall_gate" -> ((s: SparkSession, d: String) =>
       Similarity.recallGate(
         Similarity.ivfRecallAtK(s, d, Seq(0L, 1L, 2L, 3L, 4L)), 0.1)),
+    // planted exact-duplicate probes: the rows-only ann_*_topk views'
+    // hash-matchable twins — the duplicate MUST come back at rank 1
+    "ann_lsh_planted" -> ((s: SparkSession, d: String) =>
+      Similarity.lshTopKPlanted(s, d)),
+    "ann_ivf_planted" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfTopKPlanted(s, d)),
     // planted variant: the synthetic corpus has no natural pair above cos
     // 0.61, so the un-planted gate was vacuous (0 rows). Planted identical
     // copies make the row set non-trivial AND oracle-checkable.
@@ -743,7 +751,10 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1)
         | ORDER BY l_returnflag""".stripMargin.replace("\n", ""),
     // z-score outliers: mean/std from exact decimal moments so the
-    // |z| > 3 decision is the identical IEEE double on both engines
+    // |z| > 3 decision is the identical IEEE double on both engines;
+    // degenerate groups (n < 2 or constant values) have no defined
+    // z-score and are excluded — without the guard NaN > 3.0 holds in
+    // both engines and every row of such a group would be "an outlier"
     "value_outliers" ->
       """WITH st AS (SELECT event_type,
         |  s1 / nd AS mean,
@@ -751,7 +762,8 @@ object SparkEntry {
         | FROM (SELECT event_type, CAST(count(*) AS DOUBLE) AS nd,
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
         |  CAST(sum(CAST(value*value AS DECIMAL(28,6))) AS DOUBLE) AS s2
-        |  FROM events GROUP BY 1))
+        |  FROM events GROUP BY 1)
+        | WHERE nd >= 2 AND sqrt((s2 - s1*s1/nd)/(nd - 1.0)) > 0)
         | SELECT event_id, e.event_type, value,
         |  floor((value - mean) / std * 1000000.0)/1000000.0 AS z
         | FROM events e JOIN st ON e.event_type = st.event_type
@@ -853,7 +865,10 @@ object SparkEntry {
         |   string_split_regex(trim(text), '\s+') AS toks FROM documents))
         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
     // top-k quality docs per language (ranking on the floor-truncated
-    // composite quality, ties by doc_id)
+    // composite quality, ties by doc_id); toks uses the empty-token-
+    // filtered form (matching the Spark side's tokens()) so whitespace-
+    // only documents yield len(toks)=0 -> NaN on BOTH engines rather
+    // than a defined ratio on one side only
     "best_per_lang" ->
       """WITH q AS (SELECT doc_id, lang,
         | floor(((CASE WHEN sw > 0.5 THEN 1.0 - sw ELSE sw END) * 2.0 * 0.4
@@ -868,7 +883,8 @@ object SparkEntry {
         |   AS DOUBLE) / length(text) AS pr,
         |  CAST(len(toks) AS DOUBLE) AS nt
         |  FROM (SELECT doc_id, lang, text,
-        |   string_split_regex(trim(text), '\s+') AS toks FROM documents))),
+        |   list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> length(t) > 0) AS toks FROM documents))),
         | r AS (SELECT lang, doc_id, quality, row_number() OVER
         |  (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rnk FROM q)
         | SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id, quality
@@ -1153,6 +1169,21 @@ object SparkEntry {
         | FROM (SELECT *, row_number() OVER
         |   (PARTITION BY vec_id ORDER BY raw_sim DESC, cluster) AS rn FROM sims)
         | WHERE rn = 1 ORDER BY vec_id""".stripMargin.replace("\n", ""),
+    // planted ANN gates: each probe's exact duplicate (vec_id + 1e6)
+    // must surface at rank 1 with cosine 1.0 under any banding / nProbe —
+    // the whole relation is closed-form
+    "ann_lsh_planted" ->
+      """SELECT CAST(q_id AS BIGINT) AS q_id,
+        | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
+        | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact
+        | FROM (SELECT unnest(range(0, 5)) AS q_id)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    "ann_ivf_planted" ->
+      """SELECT CAST(q_id AS BIGINT) AS q_id,
+        | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
+        | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact
+        | FROM (SELECT unnest(range(0, 5)) AS q_id)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
     // Lloyd update step: re-average vectors into their ASSIGNED cluster
     // (assignment replayed from the same warm-start centroids), exact
     // decimal means per component plus member counts
@@ -1177,6 +1208,50 @@ object SparkEntry {
         |  floor(CAST(sum(CAST(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
         |    AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 1000000.0)/1000000.0 AS c
         | FROM assign, (SELECT unnest(range(0, 64)) AS i)
+        | GROUP BY cluster, i ORDER BY cluster, pos"""
+        .stripMargin.replace("\n", ""),
+    // two full Lloyd rounds: warm-start label centroids -> assign ->
+    // floored decimal re-means -> assign -> re-means; every centroid
+    // component is floor-truncated before re-use exactly as the Spark
+    // side re-inlines Num.t6 values, so round 2 starts from identical
+    // doubles on both engines
+    "kmeans_iterate" ->
+      """WITH cents AS (
+        | SELECT label AS cl, list(c ORDER BY pos) AS cent FROM (
+        |  SELECT label, i AS pos,
+        |   floor(CAST(sum(CAST(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+        |     AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 1000000.0)/1000000.0 AS c
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i)
+        |  GROUP BY label, i) GROUP BY label),
+        | assign1 AS (
+        |  SELECT vec_id, cluster, embedding FROM (
+        |   SELECT e.vec_id, e.embedding, c.cl AS cluster,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |     list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.cent)
+        |     / (sqrt(list_aggregate(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |      * sqrt(list_dot_product(c.cent, c.cent))) DESC, c.cl) AS rn
+        |   FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        | cents2 AS (
+        | SELECT cluster AS cl, list(c ORDER BY pos) AS cent FROM (
+        |  SELECT cluster, i AS pos,
+        |   floor(CAST(sum(CAST(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+        |     AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 1000000.0)/1000000.0 AS c
+        |  FROM assign1, (SELECT unnest(range(0, 64)) AS i)
+        |  GROUP BY cluster, i) GROUP BY cluster),
+        | assign2 AS (
+        |  SELECT vec_id, cluster, embedding FROM (
+        |   SELECT e.vec_id, e.embedding, c.cl AS cluster,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |     list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.cent)
+        |     / (sqrt(list_aggregate(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |      * sqrt(list_dot_product(c.cent, c.cent))) DESC, c.cl) AS rn
+        |   FROM embeddings e CROSS JOIN cents2 c) WHERE rn = 1)
+        | SELECT cluster, CAST(i AS INTEGER) AS pos, count(*) AS n_members,
+        |  floor(CAST(sum(CAST(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+        |    AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 1000000.0)/1000000.0 AS c
+        | FROM assign2, (SELECT unnest(range(0, 64)) AS i)
         | GROUP BY cluster, i ORDER BY cluster, pos"""
         .stripMargin.replace("\n", ""),
     // PQ encode: per-subspace argmin squared-L2 against the seed
@@ -1751,9 +1826,11 @@ object SparkEntry {
         |  row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM scored)
         | SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, score, n_terms
         | FROM ranked WHERE rnk <= 10 ORDER BY rnk""".stripMargin.replace("\n", ""),
-    // reciprocal-rank fusion of the full BM25 and cosine rankings
-    // (1/(60+rank) per side, absent side contributes 0); ranks CAST to
-    // DOUBLE so the fusion arithmetic is double on both engines
+    // reciprocal-rank fusion of bounded top-1000 BM25 and cosine
+    // candidate lists (1/(60+rank) per side, absent-or-beyond-1000 side
+    // contributes 0 — mirrors the operator's WindowGroupLimit-prunable
+    // bound); ranks CAST to DOUBLE so the fusion arithmetic is double on
+    // both engines
     "hybrid_search" ->
       """WITH d AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(trim(text), '\s+'),
@@ -1775,10 +1852,11 @@ object SparkEntry {
         | scored AS (SELECT doc_id,
         |  CAST(sum(CAST(c AS DECIMAL(28, 6))) AS DOUBLE) AS score
         |  FROM contrib GROUP BY 1),
-        | bm AS (SELECT doc_id, CAST(row_number() OVER
+        | bm AS (SELECT * FROM (SELECT doc_id, CAST(row_number() OVER
         |  (ORDER BY score DESC, doc_id) AS INTEGER) AS bm25_rank
-        |  FROM scored),
-        | cosr AS (SELECT vec_id AS doc_id, CAST(row_number() OVER
+        |  FROM scored) WHERE bm25_rank <= 1000),
+        | cosr AS (SELECT * FROM (SELECT vec_id AS doc_id,
+        |  CAST(row_number() OVER
         |  (ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS cos_rank FROM
         |  (SELECT e.vec_id, floor((
         |   list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
@@ -1790,7 +1868,7 @@ object SparkEntry {
         |   * 1000000.0) / 1000000.0 AS cos_sim
         |  FROM embeddings e,
         |   (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        |  WHERE e.vec_id <> 0)),
+        |  WHERE e.vec_id <> 0)) WHERE cos_rank <= 1000),
         | fused AS (SELECT COALESCE(bm.doc_id, cosr.doc_id) AS doc_id,
         |  bm25_rank, cos_rank,
         |  floor((coalesce(1.0 / (60.0 + CAST(bm25_rank AS DOUBLE)), 0.0)

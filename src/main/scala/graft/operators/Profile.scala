@@ -69,7 +69,18 @@ object Profile {
     val stacked = row.select(col("n_rows"), expr(
       s"stack(${fields.length}, $stackArgs) AS " +
         "(col_name, n_nulls, min_num, max_num, min_str, max_str)"))
-    // exact distincts: narrow (col_idx, value-hash) pairs -> one distinct
+    // exact distincts: narrow (col_idx, value-hash) pairs -> one distinct.
+    // Cardinality bound for the hash-distinct: counting distinct 64-bit
+    // xxhash64 values instead of distinct raw values is collision-exact
+    // only while n^2 / 2^65 stays negligible — P(any collision) ~ 2.7e-7
+    // at n = 1e6 distinct values per column, ~2.7e-3 at n = 1e8, and
+    // likely beyond n ~ 6e9 (the birthday bound). At 100 TB, columns with
+    // >1e8 distinct values should flip to approx_count_distinct (HLL,
+    // ±2% default) — at that cardinality an "exact" count is a dashboard
+    // number anyway, and HLL's partial-merge aggregate shuffles sketch
+    // bytes instead of one row per distinct value. Below that bound this
+    // form is preferred: hashing keeps the exploded pair narrow (16
+    // bytes) no matter how wide the source column is.
     val names = typedlit(fields.map(_.name))
     val nd = df
       .select(posexplode(array(fields.map(f =>

@@ -235,8 +235,15 @@ object RelationalMore {
     val s2 = dsum(col("value") * col("value"))
     val stats = t(s, dir, "events")
       .groupBy(col("event_type"))
-      .agg((s1 / n).as("mean"),
+      .agg(count(lit(1)).as("n_grp"),
+        (s1 / n).as("mean"),
         sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))).as("std"))
+      // degenerate groups would make z NaN/Inf (a single row gives
+      // n-1 = 0; a constant group gives std = 0), and NaN compares
+      // GREATER than any threshold in both Spark and DuckDB — every row
+      // of such a group would be "an outlier" with z = NaN. No z-score
+      // is defined there, so the group is excluded, matching the oracle.
+      .filter(col("n_grp") >= 2 && col("std") > 0.0)
     val z = (col("value") - col("mean")) / col("std")
     t(s, dir, "events")
       .join(broadcast(stats), Seq("event_type"))

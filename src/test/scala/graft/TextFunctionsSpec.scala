@@ -146,6 +146,24 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram log-prob: bigram-count join is a shuffle join, never a " +
+      "broadcast (bigram types grow with corpus size — unigram side only)") {
+    val df = graft.operators.TextAnalysis.bigramLogProb(spark, TestSpark.sf)
+    df.collect() // force the AQE-final plan
+    // the AQE print repeats joins in its "== Initial Plan ==" tail —
+    // count only the final section
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "pairs ⋈ cab must shuffle on (a, b):\n" + p.take(1500))
+    // exactly one broadcast join remains: the |vocab|-bounded unigram side
+    // (the scalar vocab count folds in as a broadcast nested-loop or
+    // literal, not a hash join)
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj === 1, s"expected only the unigram broadcast, got $bhj:\n" +
+      p.take(1500))
+  }
+
   test("length percentiles: 0 at each source's shortest doc, 1 at its " +
       "longest, monotone in length") {
     val rows = graft.operators.TextAnalysis
