@@ -23,6 +23,26 @@ import graft.store.PartitionedStore
   */
 object HourlyStream {
 
+  /** Scratch directory for the synchronous run-once harnesses' throwaway
+    * checkpoints and warehouses. The dominant fixed cost of an
+    * AvailableNow micro-batch is fsync traffic — offset/commit logs plus
+    * one state-store delta per partition per batch — so the scratch
+    * prefers a tmpfs volume (`/dev/shm`) when one is writable, else
+    * `java.io.tmpdir`; `SPARK_GRAFT_STREAM_SCRATCH` overrides both.
+    * This is harness plumbing only: a production stream passes its own
+    * durable `checkpointDir`/`warehouseDir` (every runner accepts them)
+    * because a checkpoint that evaporates on reboot defeats exactly-once
+    * recovery — the default here is for the test/bench path, where the
+    * checkpoint dies with the run by design. */
+  private[graft] def scratchDir(prefix: String): String = {
+    val base = sys.env.get("SPARK_GRAFT_STREAM_SCRATCH")
+      .orElse(Option("/dev/shm")
+        .filter(p => { val f = new java.io.File(p); f.isDirectory && f.canWrite }))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(base), prefix).toString
+  }
+
   /** The events schema as the streaming source declares it (ts arrives as
     * nanosecond longs — see Tables.load — and is converted to µs). */
   val eventsRawSchema: StructType = StructType(Seq(
@@ -73,8 +93,7 @@ object HourlyStream {
       checkpointDir: Option[String] = None,
       warehouseDir: Option[String] = None,
       statePartitions: Int = 4): DataFrame = {
-    val warehouse = warehouseDir.getOrElse(java.nio.file.Files
-      .createTempDirectory("graft_stream_wh_").toString + "/daily")
+    val warehouse = warehouseDir.getOrElse(scratchDir("graft_stream_wh_") + "/daily")
     // State partition count is pinned by the FIRST checkpoint, so it is a
     // deployment decision, not a tuning afterthought. The daily aggregate
     // keeps one state row per (day, event_type) — map-side partial
@@ -89,7 +108,7 @@ object HourlyStream {
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir.getOrElse(
-        java.nio.file.Files.createTempDirectory("graft_ckpt_").toString))
+        scratchDir("graft_ckpt_")))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // update-mode batches hold one row per changed (day, type) — tiny
@@ -178,7 +197,7 @@ object HourlyStream {
       .format("memory")
       .queryName(name)
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+        scratchDir("graft_ckpt_"))
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
@@ -218,15 +237,14 @@ object HourlyStream {
     * the runDailyAggOnce discipline) and read the warehouse back. */
   def runEnrichOnce(s: SparkSession, srcDir: String,
       statePartitions: Int = 4): DataFrame = {
-    val warehouse = java.nio.file.Files
-      .createTempDirectory("graft_stream_wh_").toString + "/cohorts"
+    val warehouse = scratchDir("graft_stream_wh_") + "/cohorts"
     withStatePartitions(s, statePartitions) {
       val q = cohortEnriched(readEvents(s, srcDir),
         staticUserCohorts(s, srcDir))
         .writeStream
         .outputMode("update")
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+          scratchDir("graft_ckpt_"))
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
           PartitionedStore.upsertKeyed(
@@ -308,7 +326,7 @@ object HourlyStream {
       .format("memory")
       .queryName(name)
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+        scratchDir("graft_ckpt_"))
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
@@ -392,7 +410,7 @@ object HourlyStream {
       .format("memory")
       .queryName(name)
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+        scratchDir("graft_ckpt_"))
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
@@ -419,7 +437,7 @@ object HourlyStream {
       .format("memory")
       .queryName(name)
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+        scratchDir("graft_ckpt_"))
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
@@ -511,7 +529,7 @@ object HourlyStream {
       .format("memory")
       .queryName(name)
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
+        scratchDir("graft_ckpt_"))
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
