@@ -82,8 +82,18 @@ object TextFunctions {
     * Returns a struct(lang, score). A real system would use char n-gram
     * profiles; the shape (per-language score -> argmax) is identical and
     * fully codegen'd. */
-  def langId(c: Column): Column = {
-    val toks = tokens(c)
+  def langId(c: Column): Column = langIdOnTokens(tokens(c))
+
+  /** [[langId]] over an already-materialized token ATTRIBUTE. The token
+    * array is referenced once per language plus once for the length
+    * guard; passing `tokens(text)` as an inline expression duplicates
+    * that split into every reference (6 regex tokenizations per row —
+    * the same re-evaluation hazard [[shingles]] documents for HOF
+    * lambdas). Callers on a hot path should project the tokens first —
+    * CollapseProject keeps a non-cheap multi-referenced alias
+    * materialized, so the two-step select really does evaluate the split
+    * once. */
+  def langIdOnTokens(toks: Column): Column = {
     val n = greatest(size(toks), lit(1)).cast("double")
     val scored = langMarkers.map { case (code, markers) =>
       val arr = array(markers.map(lit): _*)
