@@ -205,6 +205,11 @@ object SparkEntry {
       Similarity.lshTopKPlanted(s, d)),
     "ann_ivf_planted" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopKPlanted(s, d)),
+    // SemDeDup planted gate: cluster-bounded embedding dedup must strip
+    // exactly the planted copies (survivors = the original corpus)
+    "semdedup_planted" -> ((s: SparkSession, d: String) =>
+      Similarity.semDedupPlanted(s, d)),
+    "dsir_weights" -> (TextAnalysis.dsirWeights _),
     // planted variant: the synthetic corpus has no natural pair above cos
     // 0.61, so the un-planted gate was vacuous (0 rows). Planted identical
     // copies make the row set non-trivial AND oracle-checkable.
@@ -1169,6 +1174,36 @@ object SparkEntry {
         | FROM (SELECT *, row_number() OVER
         |   (PARTITION BY vec_id ORDER BY raw_sim DESC, cluster) AS rn FROM sims)
         | WHERE rn = 1 ORDER BY vec_id""".stripMargin.replace("\n", ""),
+    // SemDeDup planted gate: threshold 0.99 sits far above the natural
+    // within-cluster max cosine (~0.51) and below the planted copies'
+    // 1.0, so the survivor set is closed-form: the original corpus
+    "semdedup_planted" ->
+      """SELECT vec_id, label FROM embeddings
+        | ORDER BY vec_id""".stripMargin.replace("\n", ""),
+    // DSIR importance weight: mean log-ratio of the lang='en' unigram LM
+    // over the whole-corpus LM, Laplace-smoothed on the shared vocab;
+    // per-term contributions floor-truncated then decimal-summed
+    "dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0)) AS token FROM documents),
+        | tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        | src AS (SELECT token, CAST(count(*) AS BIGINT) AS c_src
+        |  FROM toks GROUP BY 1),
+        | tgt AS (SELECT token, CAST(count(*) AS BIGINT) AS c_tgt
+        |  FROM toks WHERE lang = 'en' GROUP BY 1),
+        | tot AS (SELECT CAST(sum(c_src) AS BIGINT) AS n_src,
+        |  count(*) AS v FROM src),
+        | tt AS (SELECT CAST(sum(c_tgt) AS BIGINT) AS n_tgt FROM tgt)
+        | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  floor(CAST(sum(CAST(floor(tf * (
+        |    ln((coalesce(c_tgt, 0) + 1.0) / (n_tgt + v))
+        |    - ln((c_src + 1.0) / (n_src + v))) * 1000000.0)/1000000.0
+        |    AS DECIMAL(28,6))) AS DOUBLE) / CAST(sum(tf) AS BIGINT)
+        |   * 1000000.0)/1000000.0 AS dsir_weight
+        | FROM tf JOIN src USING (token) LEFT JOIN tgt USING (token)
+        | CROSS JOIN tot CROSS JOIN tt
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", ""),
     // planted ANN gates: each probe's exact duplicate (vec_id + 1e6)
     // must surface at rank 1 with cosine 1.0 under any banding / nProbe —
     // the whole relation is closed-form

@@ -54,7 +54,11 @@ object Similarity {
     * shuffle carries labels x dim rows of partial sums, never vectors,
     * and the consumer rebuilds arrays only for the handful of centroids. */
   def labelCentroids(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings")
+    labelCentroidsOn(t(s, dir, "embeddings"))
+
+  /** Same aggregate over an arbitrary (label, embedding) frame. */
+  def labelCentroidsOn(emb: DataFrame): DataFrame =
+    emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg(Num.t6(
@@ -413,6 +417,59 @@ object Similarity {
   def ivfTopKPlanted(s: SparkSession, dir: String, n: Int = 5): DataFrame =
     plantedRank1(ivfTopKOn(plantedEmb(t(s, dir, "embeddings"), n),
       (0L until n.toLong)))
+
+  // ---- SemDeDup ----
+
+  /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic dedup in
+    * embedding space — cluster the corpus, then compare pairwise ONLY
+    * within a cluster and drop all but one of each near-duplicate group.
+    * Clustering is what makes this tractable: pairwise cost is
+    * Σ|cluster|², so the cluster count k is the scale knob (the paper
+    * runs 50k clusters on LAION; here clusters come from the
+    * [[kmeansAssign]] argmax over the corpus's label centroids — swap in
+    * [[kmeansIterate]] output for trained cells, everything downstream
+    * is unchanged). An identical copy always lands in ITS original's
+    * cluster (same embedding → same argmax), so recall on exact
+    * duplicates is structural, not probabilistic.
+    *
+    * Keep rule: lowest vec_id of each near-dup group survives (the
+    * deterministic rendering of the paper's keep-one; matches
+    * [[graft.operators.Dedup]]'s drop-the-higher-id convention).
+    * Scale shape: one k-row centroid collect (metadata), a shuffle-free
+    * argmax projection, ONE shuffle on the cluster key for the bounded
+    * self-join, and an anti-join — embeddings never broadcast. */
+  def semDedupOn(emb: DataFrame, threshold: Double): DataFrame = {
+    val cents = collectCentroids(labelCentroidsOn(emb), "label")
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      argmaxOver(cents).getField("cluster").as("cluster"))
+    val left = assigned.select(col("cluster"), col("vec_id").as("ia"),
+      col("embedding").as("ea"))
+    val right = assigned.select(col("cluster"), col("vec_id").as("ib"),
+      col("embedding").as("eb"))
+    val drops = left.join(right, Seq("cluster"))
+      .filter(col("ia") < col("ib"))
+      .filter(cosine(col("ea"), col("eb")) >= threshold)
+      .select(col("ib").as("vec_id")).distinct()
+    emb.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
+  /** Library entry: SemDeDup over the stored embeddings. The bundled
+    * corpora are near-isotropic (measured within-cluster max cosine
+    * ~0.51 at sf0.1), so thresholds in the paper's 0.9+ regime drop
+    * nothing here — the value-checked variant is [[semDedupPlanted]]. */
+  def semDedup(s: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame =
+    semDedupOn(t(s, dir, "embeddings"), threshold)
+
+  /** Planted SemDeDup gate (the [[graft.operators.Dedup]] planted-corpus
+    * pattern): run the full pipeline over the corpus plus exact copies at
+    * threshold 0.99 — far above the natural maximum (~0.51) and below
+    * the copies' cosine 1.0 — so the survivor set must be EXACTLY the
+    * original corpus, which the oracle states closed-form. */
+  def semDedupPlanted(s: SparkSession, dir: String, n: Int = 5): DataFrame =
+    semDedupOn(plantedEmb(t(s, dir, "embeddings"), n), threshold = 0.99)
 
   /** H-bit random-hyperplane signature. Plane weights are deterministic
     * pseudo-randoms (splitmix64 of (plane, dim) mapped to [-1, 1]) — no

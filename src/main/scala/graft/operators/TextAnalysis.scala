@@ -266,6 +266,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance weights (Xie et al. '23, arXiv:2302.03169 —
+    * Data Selection via Importance Resampling): per document, the mean
+    * log-likelihood ratio of a TARGET-domain unigram LM over the
+    * SOURCE (whole-corpus) LM, Laplace-smoothed over the shared corpus
+    * vocabulary. Positive weight = the document looks more like the
+    * target domain than the corpus at large — the score a curation run
+    * resamples on to tilt a 100 TB crawl toward a target distribution.
+    * (The paper hashes n-gram features; raw unigrams keep the estimator
+    * oracle-expressible — the pipeline shape is identical.)
+    *
+    * Target here = the `lang = 'en'` slice (standing in for any target
+    * corpus). Scale shape mirrors [[unigramLogProb]]: both count tables
+    * are vocab-bounded (plateau ~1e6 on web corpora) so they broadcast
+    * to the per-doc tf join; per-term contributions floor-truncated then
+    * decimal-summed, so the mean is engine- and partitioning-identical.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text")))
+        .as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val src = toks.groupBy(col("token")).agg(count(lit(1)).as("c_src"))
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy(col("token")).agg(count(lit(1)).as("c_tgt"))
+    val totals = src.agg(sum(col("c_src")).as("n_src"),
+      count(lit(1)).as("v"))
+    val nTgt = tgt.agg(sum(col("c_tgt")).as("n_tgt"))
+    val contrib = Num.t6(col("tf") * (
+      log((col("c_tgt") + lit(1.0)) / (col("n_tgt") + col("v"))) -
+      log((col("c_src") + lit(1.0)) / (col("n_src") + col("v")))))
+    tf.join(broadcast(src), Seq("token"))
+      .join(broadcast(tgt), Seq("token"), "left")
+      .na.fill(0L, Seq("c_tgt"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(nTgt))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        (Relational.dsum(contrib) / sum(col("tf"))).as("raw_mean"))
+      .select(col("doc_id"), col("n_tokens"),
+        Num.t6(col("raw_mean")).as("dsir_weight"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source length quantiles (exact linear-interpolation percentile —
     * the corpus-shape dashboard a curation run reads before choosing mix
     * weights). One shuffle on the handful of source keys. */

@@ -293,6 +293,19 @@ class SimilaritySpec extends AnyFunSuite {
       "every vector must land in exactly one round-2 cluster")
   }
 
+  test("semdedup: planted copies are dropped, originals survive, and the " +
+      "natural corpus is untouched at the same threshold") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val survivors = Similarity.semDedupPlanted(spark, TestSpark.sf)
+      .collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === all,
+      "planted-corpus survivors must be exactly the original corpus")
+    // the library entry at the paper's threshold regime drops nothing on
+    // this near-isotropic corpus (max within-cluster cosine ~0.51)
+    assert(Similarity.semDedup(spark, TestSpark.sf).count() === emb.count())
+  }
+
   test("planted ANN gates: the exact duplicate surfaces at rank 1 with " +
       "cosine 1.0 for every probe, on both the LSH and IVF paths") {
     for (gate <- Seq(

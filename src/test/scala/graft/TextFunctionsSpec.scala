@@ -146,6 +146,29 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir weights: English documents score higher than non-English " +
+      "on the lang=en target, and weights are finite") {
+    import org.apache.spark.sql.functions._
+    val w = graft.operators.TextAnalysis.dsirWeights(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.values.forall(v => !v.isNaN && !v.isInfinite))
+    val langs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val en = w.collect { case (id, v) if langs(id) == "en" => v }
+    val other = w.collect { case (id, v) if langs(id) != "en" => v }
+    assert(en.nonEmpty && other.nonEmpty)
+    // the estimator's whole point: target-domain docs look MORE like the
+    // target LM than the corpus LM (mean weight positive), non-target
+    // docs less (negative). The gap is small when the corpus is mostly
+    // target-language — the corpus LM is then close to the target LM —
+    // so the structural check is the sign split, not a wide margin.
+    val mEn = en.sum / en.size
+    val mOther = other.sum / other.size
+    assert(mEn > 0 && mOther < 0 && mEn > mOther,
+      s"mean en weight $mEn must be positive and exceed non-en $mOther")
+  }
+
   test("bigram log-prob: bigram-count join is a shuffle join, never a " +
       "broadcast (bigram types grow with corpus size — unigram side only)") {
     val df = graft.operators.TextAnalysis.bigramLogProb(spark, TestSpark.sf)
