@@ -97,10 +97,10 @@ object Similarity {
   /** The literal-inlined max-cosine argmax over a collected centroid
     * table (see [[centroidArgmax]] for the scale argument). */
   private def argmaxOver(cents: Array[(Int, Array[Double])]): Column =
-    array_sort(array(cents.map { case (lbl, v) =>
+    array_min(array(cents.map { case (lbl, v) =>
       struct((-cosine(col("embedding"), typedlit(v))).as("neg_sim"),
         lit(lbl).as("cluster"))
-    }: _*)).getItem(0)
+    }: _*))
 
   private def centroidArgmax(s: SparkSession, dir: String): Column =
     argmaxOver(collectCentroids(labelCentroids(s, dir), "label"))
