@@ -114,6 +114,7 @@ object SparkEntry {
     "source_quantiles" -> (TextAnalysis.sourceLengthQuantiles _),
     "tfidf_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "unigram_logprob" -> (TextAnalysis.unigramLogProb _),
+    "ppl_buckets" -> (TextAnalysis.pplBuckets _),
     "bigram_logprob" -> (TextAnalysis.bigramLogProb _),
     "gopher_filter" -> (TextAnalysis.gopherFilter _),
     "quality_logit" -> (TextAnalysis.qualityLogit _),
@@ -134,6 +135,7 @@ object SparkEntry {
     // -- corpus curation (documents) --
     "hash_split" -> (Curation.hashSplit _),
     "hash_sample" -> ((s: SparkSession, d: String) => Curation.hashSample(s, d)),
+    "shard_assign" -> ((s: SparkSession, d: String) => Curation.shardAssign(s, d)),
     "corpus_mix" -> (Curation.corpusMix _),
     "temperature_mix" -> (Curation.temperatureMix _),
     "snapshot_diff" -> (Curation.snapshotDiff _),
@@ -142,6 +144,17 @@ object SparkEntry {
     "boilerplate_scores" -> (Curation.boilerplateScores _),
     "curate_corpus" -> (Curation.curateCorpus _),
     "decontaminate" -> ((s: SparkSession, d: String) => Curation.decontaminate(s, d)),
+    // duplicated-substring spans (Lee et al. '22 n-gram rendering):
+    // natural corpus report + planted shared-prefix gate
+    "dup_spans" -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
+    "dup_spans_planted" -> ((s: SparkSession, d: String) =>
+      Dedup.dupSpansPlanted(s, d)),
+    // MOSS winnowing: window-min fingerprint selection + set digest
+    "winnow_fingerprints" -> ((s: SparkSession, d: String) =>
+      Dedup.winnowFingerprints(s, d)),
+    // span-level dedup removal: keep each dup gram's first occurrence,
+    // scrub the rest; gate checks the md5 of the surviving token stream
+    "span_scrub" -> ((s: SparkSession, d: String) => Dedup.spanScrub(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Curation.packSequences(s, d)),
     "chunk_documents" -> ((s: SparkSession, d: String) => Curation.chunkDocuments(s, d)),
     "split_leakage" -> ((s: SparkSession, d: String) => Curation.splitLeakage(s, d)),
@@ -281,6 +294,21 @@ object SparkEntry {
 
   /** DuckDB-dialect ANSI SQL oracles, one per oracle-expressible query.
     * Numeric discipline mirrors Relational.dsum/davg exactly. */
+  /** DuckDB rendering of Spark's exact `percentile` interpolation for
+    * decile `i` over a sorted list column `v` of size `n`:
+    * (higher-rank)*lower + (rank-lower)*higher, with the integral-rank
+    * and equal-key early returns that skip the arithmetic entirely.
+    * DuckDB's own quantile_cont uses a different FP formula whose
+    * last-ulp drift flips decile boundary assignments. */
+  private def pplEdgeSql(i: Int): String = {
+    val r = s"(CAST($i AS DOUBLE)/10.0 * (n-1))"
+    val lo = s"v[CAST(floor($r) AS INTEGER)+1]"
+    val hi = s"v[CAST(ceil($r) AS INTEGER)+1]"
+    s"floor((CASE WHEN ceil($r) = floor($r) OR $lo = $hi THEN $lo " +
+      s"ELSE (ceil($r) - $r) * $lo + ($r - floor($r)) * $hi END) " +
+      s"* 1000000.0)/1000000.0 AS e$i"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "textrank_keywords" -> textrankOracleSql(),
     "stg_hourly" ->
@@ -938,6 +966,14 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars FROM documents
         | WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 < 20
         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // deterministic shard + in-shard position by ascending md5 digest
+    "shard_assign" ->
+      """SELECT doc_id, shard, CAST(row_number() OVER
+        |  (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos
+        | FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 8 AS shard
+        |  FROM documents)
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
     "corpus_mix" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,
@@ -1443,6 +1479,125 @@ object SparkEntry {
         |  coalesce(n, 0) > 0 AS contaminated
         | FROM train LEFT JOIN hits ON train.doc_id = hits.doc_id
         | ORDER BY train.doc_id""".stripMargin.replace("\n", ""),
+    // duplicated 8-gram spans (gaps-and-islands over repeated-gram
+    // positions; island coverage = last - first + 8)
+    "dup_spans" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |   regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0) AS w FROM documents),
+        | gr AS (SELECT doc_id, i AS p,
+        |   md5(array_to_string(w[CAST(i+1 AS INTEGER):CAST(i+8 AS INTEGER)], ' ')) AS g
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 7)) AS i
+        |   FROM d WHERE len(w) >= 8)),
+        | c AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
+        | h AS (SELECT doc_id, p FROM gr JOIN c USING (g)),
+        | i2 AS (SELECT doc_id, p, lag(p) OVER
+        |   (PARTITION BY doc_id ORDER BY p) AS prev FROM h),
+        | j AS (SELECT doc_id, p, sum(CASE WHEN prev IS NULL OR p - prev > 8
+        |   THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY p
+        |   ROWS UNBOUNDED PRECEDING) AS isl FROM i2),
+        | sp AS (SELECT doc_id, isl, max(p) - min(p) + 8 AS covered
+        |  FROM j GROUP BY 1, 2),
+        | a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(covered) AS BIGINT) AS dup_tokens FROM sp GROUP BY 1)
+        | SELECT d.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  floor(CAST(coalesce(dup_tokens, 0) AS DOUBLE)
+        |   / CAST(len(w) AS DOUBLE) * 1000000.0)/1000000.0 AS dup_frac
+        | FROM d LEFT JOIN a USING (doc_id)
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // winnowing: 60-bit numeric gram hashes, 4-wide window min,
+    // order-independent sorted-set digest
+    "winnow_fingerprints" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |   regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0) AS w FROM documents),
+        | lens AS (SELECT doc_id,
+        |  CAST(greatest(len(w) - 6, 0) AS BIGINT) AS n_windows FROM d),
+        | gr AS (SELECT doc_id, i AS p, len(w) - 3 AS gcnt,
+        |   CAST(('0x' || substr(md5(array_to_string(
+        |    w[CAST(i+1 AS INTEGER):CAST(i+4 AS INTEGER)], ' ')),1,15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 3)) AS i
+        |   FROM d WHERE len(w) >= 4)),
+        | sel AS (SELECT doc_id, p, gcnt, min(h) OVER
+        |   (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh FROM gr),
+        | a AS (SELECT doc_id, CAST(count(DISTINCT mh) AS BIGINT) AS n_fp,
+        |   md5(array_to_string(list_sort(list(DISTINCT mh)), ',')) AS fp_digest
+        |  FROM sel WHERE p <= gcnt - 4 GROUP BY 1)
+        | SELECT lens.doc_id, n_windows,
+        |  CAST(coalesce(n_fp, 0) AS BIGINT) AS n_fp,
+        |  CASE WHEN n_windows > 0 THEN floor(CAST(coalesce(n_fp, 0) AS DOUBLE)
+        |   / CAST(n_windows AS DOUBLE) * 1000000.0)/1000000.0 ELSE 0.0 END AS density,
+        |  fp_digest
+        | FROM lens LEFT JOIN a USING (doc_id)
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // span scrub: globally-first occurrence survives (row_number over
+    // the gram digest), every later occurrence's 8 tokens removed; the
+    // surviving per-doc token stream is md5'd in original order
+    "span_scrub" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |   regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0) AS w FROM documents),
+        | gr AS (SELECT doc_id, i AS p,
+        |   md5(array_to_string(w[CAST(i+1 AS INTEGER):CAST(i+8 AS INTEGER)], ' ')) AS g
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 7)) AS i
+        |   FROM d WHERE len(w) >= 8)),
+        | dup AS (SELECT doc_id, p FROM (SELECT doc_id, p, row_number()
+        |   OVER (PARTITION BY g ORDER BY doc_id, p) AS rn FROM gr)
+        |  WHERE rn > 1),
+        | cov AS (SELECT DISTINCT doc_id, pos FROM
+        |  (SELECT doc_id, unnest(range(p, p + 8)) AS pos FROM dup)),
+        | tok AS (SELECT doc_id, i AS pos, w[CAST(i+1 AS INTEGER)] AS tok
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS i FROM d)),
+        | kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t LEFT JOIN cov c
+        |  ON t.doc_id = c.doc_id AND t.pos = c.pos WHERE c.doc_id IS NULL),
+        | ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |   md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_hash
+        |  FROM kept GROUP BY 1),
+        | ra AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        |  FROM cov GROUP BY 1)
+        | SELECT d.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept, kept_hash
+        | FROM d LEFT JOIN ra USING (doc_id) LEFT JOIN ka USING (doc_id)
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // planted gate: doc 0's 16-token prefix grafted onto the tails of
+    // docs 1..5 (as doc_id + 1e6), then the same span report closed-form
+    "dup_spans_planted" ->
+      """WITH pfx AS (SELECT array_to_string(w[1:16], ' ') AS pfx
+        |  FROM (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0) AS w FROM documents WHERE doc_id = 0)),
+        | corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id,
+        |   text || ' ' || (SELECT pfx FROM pfx) AS text
+        |   FROM documents WHERE doc_id BETWEEN 1 AND 5),
+        | d AS (SELECT doc_id, list_filter(
+        |   regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0) AS w FROM corpus),
+        | gr AS (SELECT doc_id, i AS p,
+        |   md5(array_to_string(w[CAST(i+1 AS INTEGER):CAST(i+8 AS INTEGER)], ' ')) AS g
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 7)) AS i
+        |   FROM d WHERE len(w) >= 8)),
+        | c AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
+        | h AS (SELECT doc_id, p FROM gr JOIN c USING (g)),
+        | i2 AS (SELECT doc_id, p, lag(p) OVER
+        |   (PARTITION BY doc_id ORDER BY p) AS prev FROM h),
+        | j AS (SELECT doc_id, p, sum(CASE WHEN prev IS NULL OR p - prev > 8
+        |   THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY p
+        |   ROWS UNBOUNDED PRECEDING) AS isl FROM i2),
+        | sp AS (SELECT doc_id, isl, max(p) - min(p) + 8 AS covered
+        |  FROM j GROUP BY 1, 2),
+        | a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(covered) AS BIGINT) AS dup_tokens FROM sp GROUP BY 1)
+        | SELECT d.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  floor(CAST(coalesce(dup_tokens, 0) AS DOUBLE)
+        |   / CAST(len(w) AS DOUBLE) * 1000000.0)/1000000.0 AS dup_frac
+        | FROM d LEFT JOIN a USING (doc_id)
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
     // overlapping 32-token chunks at stride 16; md5 of the joined chunk
     "chunk_documents" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
@@ -1612,6 +1767,41 @@ object SparkEntry {
         |   * 1000000.0)/1000000.0 AS mean_logprob
         | FROM tf JOIN ctf USING (token) CROSS JOIN tot
         | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // perplexity deciles: exact-percentile edges (t6-truncated) over the
+    // unigram mean-logprob, strict-greater bucket assignment
+    "ppl_buckets" ->
+      ("""WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0)) AS token FROM documents),
+        | tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        | ctf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+        | tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS n_total FROM ctf),
+        | lp AS (SELECT doc_id,
+        |  floor(CAST(sum(CAST(floor(tf * ln(ctf / n_total) * 1000000.0)/1000000.0
+        |    AS DECIMAL(28,6))) AS DOUBLE) / CAST(sum(tf) AS BIGINT)
+        |   * 1000000.0)/1000000.0 AS mean_logprob
+        |  FROM tf JOIN ctf USING (token) CROSS JOIN tot GROUP BY doc_id),
+        | sv AS (SELECT list_sort(list(mean_logprob)) AS v,
+        |   count(*) AS n FROM lp),
+        | e AS (SELECT """.stripMargin.replace("\n", "") +
+      (1 to 9).map(pplEdgeSql).mkString(", ") +
+      """ FROM sv)
+        | SELECT bucket, count(*) AS n_docs,
+        |  floor(CAST(sum(CAST(mean_logprob AS DECIMAL(28,6))) AS DOUBLE)
+        |   / count(*) * 1000000.0)/1000000.0 AS mean_lp,
+        |  min(mean_logprob) AS min_lp, max(mean_logprob) AS max_lp
+        | FROM (SELECT mean_logprob, CAST(
+        |   (CASE WHEN mean_logprob > e1 THEN 1 ELSE 0 END) +
+        |   (CASE WHEN mean_logprob > e2 THEN 1 ELSE 0 END) +
+        |   (CASE WHEN mean_logprob > e3 THEN 1 ELSE 0 END) +
+        |   (CASE WHEN mean_logprob > e4 THEN 1 ELSE 0 END) +
+        |   (CASE WHEN mean_logprob > e5 THEN 1 ELSE 0 END) +
+        |   (CASE WHEN mean_logprob > e6 THEN 1 ELSE 0 END) +
+        |   (CASE WHEN mean_logprob > e7 THEN 1 ELSE 0 END) +
+        |   (CASE WHEN mean_logprob > e8 THEN 1 ELSE 0 END) +
+        |   (CASE WHEN mean_logprob > e9 THEN 1 ELSE 0 END) AS INTEGER) AS bucket
+        |  FROM lp CROSS JOIN e)
+        | GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", "")),
     // bigram LM with Laplace smoothing: mean ln((c(ab)+1)/(c(a)+V));
     // per-position contributions floor-truncated then decimal-summed
     "bigram_logprob" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -58,6 +59,33 @@ object Curation {
       .filter(hashBucket(col("doc_id")) < pct)
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy("doc_id")
+
+  /** Deterministic training-shard assignment — the export-side global
+    * shuffle every training run needs made reproducible: each document
+    * hashes to a shard (`md5(doc_id) % nShards`) and gets a position
+    * inside its shard by ascending digest (a deterministic pseudo-random
+    * order — hash order IS the shuffle, so no `rand()`, and a retried
+    * export lands every document in the identical (shard, pos) slot).
+    * Feeds [[packSequences]]: shard → pack → write one file per shard.
+    *
+    * Scale shape: assignment is a narrow projection; the only shuffle is
+    * the hash partition on shard, and the per-shard `row_number` window
+    * never sees more than corpus/nShards rows. nShards bounds
+    * parallelism, but a real export sizes shards to ~1 GB — thousands of
+    * shards at 100 TB, so the window partitions stay both parallel and
+    * bounded. A single global `row_number` (one partition, the
+    * hybrid_search anti-pattern) is what this per-shard form avoids. */
+  def shardAssign(s: SparkSession, dir: String,
+      nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long") % nShards)
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+  }
 
   /** Weighted corpus mixing: each source is down-sampled to its mixing
     * rate by the same hash-bucket trick (rate per source-family here, a

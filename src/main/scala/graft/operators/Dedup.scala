@@ -462,4 +462,220 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
+
+  // ---- duplicate-span detection ----
+
+  /** Duplicated-substring span report (Lee et al. '22, arXiv:2107.06499
+    * "Deduplicating Training Data Makes Language Models Better", n-gram
+    * rendering of its suffix-array ExactSubstr): per document, the
+    * maximal token spans covered by word `n`-grams that occur MORE THAN
+    * ONCE in the corpus, and the fraction of the document's tokens inside
+    * such spans — the signal that drives span-level (not whole-doc)
+    * dedup of boilerplate, licenses, and quoted passages.
+    *
+    * Shape: positioned n-grams keyed by the md5 of the joined window
+    * (128-bit digest — collision-free at any corpus size, and 16 bytes
+    * on the wire instead of the window text); gram occurrence counts are
+    * one partial+final aggregate on the digest, and repeated-gram
+    * positions come back via a LEFT SEMI join on the same key — the
+    * gram stream is shuffled once and duplicated grams are never
+    * collected. Overlapping/adjacent hits merge into maximal spans with
+    * the standard gaps-and-islands window (per-doc partitions: a new
+    * island starts where the gap to the previous hit exceeds `n`, and
+    * since every hit covers exactly `n` tokens, an island's coverage is
+    * `last - first + n`). Zero-hit documents surface with zeroed
+    * counters via the final left join against the narrow per-doc token
+    * counts (no second tokenization: `n_tokens` rides along the gram
+    * scan's sibling projection). */
+  def dupSpans(s: SparkSession, dir: String, n: Int = 8): DataFrame =
+    dupSpansOn(t(s, dir, "documents"), n)
+
+  /** Same pipeline over an arbitrary (doc_id, text) frame. */
+  def dupSpansOn(docs: DataFrame, n: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val lens = toks.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_tokens"))
+    val grams = toks
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - n),
+          i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(n))))))
+          .as(Seq("p", "g")))
+    val dup = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("g"))
+    val hits = grams.join(dup, Seq("g"), "left_semi")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val prev = lag(col("p"), 1).over(wDoc)
+    val spans = hits
+      .withColumn("new_isl",
+        when(prev.isNull || col("p") - prev > n, 1).otherwise(0))
+      .withColumn("isl", sum(col("new_isl")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg((max(col("p")) - min(col("p")) + n).cast("long").as("covered"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("covered")).as("dup_tokens"))
+    lens.join(spans, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("dup_tokens"),
+        Num.t6(col("dup_tokens").cast("double") /
+          col("n_tokens").cast("double")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Span-level dedup REMOVAL — the action half of [[dupSpans]]'s
+    * report (Lee et al. '22 §4: delete all but one occurrence of any
+    * duplicated span, keeping the corpus's token-level information
+    * content while cutting repeated boilerplate): every word `n`-gram
+    * occurring more than once keeps its globally-first occurrence
+    * (lowest (doc_id, position) — deterministic, partitioning-free) and
+    * every other occurrence marks its `n` tokens for removal; a
+    * document's surviving text is its kept tokens in original order.
+    * Emits the removal accounting plus the md5 of the surviving token
+    * sequence, so the gate value-checks the actual scrubbed CONTENT,
+    * not just counts. A fully-duplicated later copy loses every token
+    * (n_kept = 0, null hash) — whole-doc dedup falls out as the
+    * degenerate case.
+    *
+    * Scale shape: occurrence ranking is a row_number window partitioned
+    * on the 128-bit gram digest (per-gram partitions are occurrence
+    * counts — tiny; the shuffle is the same single gram-keyed exchange
+    * [[dupSpans]] pays). Removal positions explode each non-kept
+    * occurrence to its `n` covered (doc, pos) rows — O(hits × n), never
+    * corpus²; the kept-sequence rebuild is a per-doc anti-join plus one
+    * bounded per-doc sort. */
+  def spanScrub(s: SparkSession, dir: String, n: Int = 8): DataFrame =
+    spanScrubOn(t(s, dir, "documents"), n)
+
+  /** Same pipeline over an arbitrary (doc_id, text) frame. */
+  def spanScrubOn(docs: DataFrame, n: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val lens = toks.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_tokens"))
+    val tokPos = toks.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("pos", "tok")))
+    val grams = toks
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - n),
+          i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(n))))))
+          .as(Seq("p", "g")))
+    val wg = Window.partitionBy(col("g")).orderBy(col("doc_id"), col("p"))
+    val covered = grams
+      .withColumn("rn", row_number().over(wg))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (n - 1))).as("pos"))
+      .distinct()
+    val removed = covered.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_removed"))
+    val kept = tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            _.getField("tok")))).as("kept_hash"))
+    lens.join(removed, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_removed", "n_kept"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        col("n_kept"), col("kept_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing fingerprints (Schleimer et al. '03, the MOSS local
+    * fingerprinting scheme), word-gram rendering: hash every word
+    * `n`-gram, slide a window of `w` consecutive hashes, select each
+    * window's minimum — the selected set is the document's fingerprint,
+    * with the scheme's guarantee that any shared run of at least
+    * `w + n - 1` tokens shares at least one selected fingerprint (the
+    * local property a sharded dedup needs: two documents can be compared
+    * by fingerprint intersection WITHOUT aligning positions, and
+    * selection is reproducible on any partitioning because it depends
+    * only on the document itself). Reports the fingerprint count,
+    * selection density (expected ~2/(w+1)), and an order-independent
+    * digest of the fingerprint set — identical documents MUST collide on
+    * `fp_digest`, which is how a fingerprint index keys its buckets.
+    *
+    * Scale shape: one narrow scan; the sliding-window min runs inside
+    * per-document window partitions; per-doc `collect_set` is bounded by
+    * the document's own gram count (never corpus-sized). Hashes are the
+    * top 60 bits of the gram's md5 (numeric, so window MIN and the
+    * sorted digest agree across engines). */
+  def winnowFingerprints(s: SparkSession, dir: String, n: Int = 4,
+      w: Int = 4): DataFrame =
+    winnowFingerprintsOn(t(s, dir, "documents"), n, w)
+
+  /** The selected fingerprint hashes themselves, one (doc_id, mh) row
+    * per distinct selection — the long-form feed a fingerprint index
+    * buckets on (key the table by `mh`, intersect posting lists to
+    * compare documents). */
+  def winnowSelections(docs: DataFrame, n: Int, w: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val grams = toks
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - n),
+          i => conv(substring(
+            md5(concat_ws(" ", slice(col("w"), i + 1, lit(n)))), 1, 15),
+            16, 10).cast("long"))).as(Seq("p", "h")))
+    val winMin = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val perDoc = Window.partitionBy(col("doc_id"))
+    grams
+      .withColumn("mh", min(col("h")).over(winMin))
+      .withColumn("g_cnt", count(lit(1)).over(perDoc))
+      .filter(col("p") <= col("g_cnt") - w)
+      .select(col("doc_id"), col("mh"))
+      .distinct()
+  }
+
+  /** Same pipeline over an arbitrary (doc_id, text) frame. */
+  def winnowFingerprintsOn(docs: DataFrame, n: Int, w: Int): DataFrame = {
+    val lens = docs
+      .select(col("doc_id"),
+        greatest(size(tokens(col("text"))) - (n + w - 2), lit(0))
+          .cast("long").as("n_windows"))
+    val fps = winnowSelections(docs, n, w)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("mh")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+        md5(concat_ws(",",
+          transform(array_sort(col("fps")), _.cast("string"))))
+          .as("fp_digest"))
+    lens.join(fps, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_fp"))
+      .select(col("doc_id"), col("n_windows"), col("n_fp"),
+        when(col("n_windows") > 0,
+          Num.t6(col("n_fp").cast("double") /
+            col("n_windows").cast("double"))).otherwise(0.0).as("density"),
+        col("fp_digest"))
+      .orderBy("doc_id")
+  }
+
+  /** Planted span gate: graft the first `n` tokens of doc 0 onto the
+    * tail of each of docs 1..`k` (below the natural corpus all sharing
+    * one passage is vanishingly unlikely; after planting it is certain).
+    * Every planted document must report a duplicated span reaching its
+    * final token, and doc 0's own prefix must flag too — the oracle
+    * recomputes the whole report closed-form over the modified corpus. */
+  def dupSpansPlanted(s: SparkSession, dir: String, k: Int = 5,
+      prefixLen: Int = 16): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val prefix = concat_ws(" ",
+      slice(tokens(col("text")), 1, prefixLen))
+    val donor = docs.filter(col("doc_id") === 0).select(prefix.as("pfx"))
+    val planted = docs.filter(col("doc_id") >= 1 && col("doc_id") <= k)
+      .crossJoin(broadcast(donor))
+      .select(col("doc_id") + PlantOffset,
+        concat_ws(" ", col("text"), col("pfx")).as("text"))
+      .toDF("doc_id", "text")
+    dupSpansOn(docs.select(col("doc_id"), col("text"))
+      .unionByName(planted), n = 8)
+  }
 }

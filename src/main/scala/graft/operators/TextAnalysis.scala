@@ -323,6 +323,45 @@ object TextAnalysis {
         Num.t6(percentile(col("n_chars"), lit(0.75))).as("q75"))
       .orderBy("source")
 
+  /** Perplexity-decile report over [[unigramLogProb]] — the
+    * distribution dashboard behind perplexity filtering (CCNet / Wenzek
+    * et al. '19 keep-the-low-perplexity-band recipe): documents bucketed
+    * into deciles of mean token log-probability, with per-bucket count,
+    * exact-decimal mean, and score range. A curation run reads this to
+    * pick the keep band before committing to a filter threshold.
+    *
+    * Scale shape: decile EDGES come from one exact-percentile aggregate
+    * over the per-doc scores (9 doubles — metadata, broadcast back), so
+    * bucket assignment is a narrow projection and the final aggregate
+    * is keyed on 10 bucket ids. No global sort, no single-partition
+    * rank window — the ntile rendering of this report funnels the whole
+    * corpus through one task, which is exactly the shape the
+    * hybrid_search fix removed. At 100 TB the one concession is the
+    * exact percentile itself (it buffers values per partial aggregate);
+    * swap `percentile` for `approx_percentile` there and every
+    * downstream line is unchanged — edges stop being bit-exact but
+    * bucket semantics survive. Edges and comparisons are
+    * floor-truncated doubles, so both engines assign every document to
+    * the same bucket. */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val lp = unigramLogProb(s, dir).select(col("doc_id"), col("mean_logprob"))
+    val edgeCols = (1 to 9).map(i =>
+      Num.t6(percentile(col("mean_logprob"), lit(i / 10.0))).as(s"e$i"))
+    val edges = lp.agg(edgeCols.head, edgeCols.tail: _*)
+    val bucket = (1 to 9).map(i =>
+      when(col("mean_logprob") > col(s"e$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    lp.crossJoin(broadcast(edges))
+      .select(bucket.cast("int").as("bucket"), col("mean_logprob"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        Num.t6(Relational.dsum(col("mean_logprob")) / count(lit(1)))
+          .as("mean_lp"),
+        min(col("mean_logprob")).as("min_lp"),
+        max(col("mean_logprob")).as("max_lp"))
+      .orderBy("bucket")
+  }
+
   /** Language-ID heuristic per document, with the table's labeled `lang`
     * for side-by-side comparison (rows-only check: marker-set heuristic is
     * not ANSI-SQL-expressible). */

@@ -249,6 +249,22 @@ class CurationSpec extends AnyFunSuite {
     assert(merged.exceptAll(v2).isEmpty && v2.exceptAll(merged).isEmpty)
   }
 
+  test("shard assign: every doc in exactly one shard, positions dense " +
+      "from 1, assignment deterministic") {
+    val a = Curation.shardAssign(spark, sf).collect()
+    val b = Curation.shardAssign(spark, sf).collect()
+    assert(a.sameElements(b)) // retry-stable: no rand(), no nondeterminism
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(a.length == total)
+    assert(a.map(_.getLong(0)).distinct.length == total)
+    val byShard = a.groupBy(_.getLong(1))
+    assert(byShard.keySet.forall(s => s >= 0 && s < 8))
+    // in-shard positions are a dense 1..|shard| sequence (the property
+    // a sharded export needs to address rows without gaps)
+    for ((_, rows) <- byShard)
+      assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to rows.length))
+  }
+
   test("quantization: codes bounded by ±127, error bound holds everywhere") {
     val rows = Curation.embedQuantize(spark, sf).collect()
     assert(rows.nonEmpty)

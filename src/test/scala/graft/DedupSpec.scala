@@ -167,6 +167,114 @@ class DedupSpec extends AnyFunSuite {
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dup spans: shared 12-token run yields one 12-token span on each " +
+      "side, untouched docs report zero") {
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val b = ((1 to 10).map(i => s"b$i") ++ (1 to 12).map(i => s"a$i"))
+      .mkString(" ")
+    val c = (1 to 20).map(i => s"c$i").mkString(" ")
+    val docs = Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "text")
+    val rows = Dedup.dupSpansOn(docs, n = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // the 12 shared tokens hold 5 overlapping 8-grams that merge into
+    // ONE island covering exactly 12 tokens on each side
+    assert(rows(0L) === ((20L, 1L, 12L)))
+    assert(rows(1L) === ((22L, 1L, 12L)))
+    assert(rows(2L) === ((20L, 0L, 0L)))
+  }
+
+  test("dup spans: two separated duplicated runs stay two islands") {
+    // doc 1 repeats doc 0's 8-token prefix AND 8-token suffix with an
+    // 8-token unique gap between them — islands must NOT merge
+    val a = (1 to 30).map(i => s"a$i").mkString(" ")
+    val b = ((1 to 8).map(i => s"a$i") ++ (1 to 8).map(i => s"g$i") ++
+      (23 to 30).map(i => s"a$i")).mkString(" ")
+    val docs = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val rows = Dedup.dupSpansOn(docs, n = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows(0L) === ((2L, 16L)), "doc 0: two 8-token spans")
+    assert(rows(1L) === ((2L, 16L)), "doc 1: two 8-token spans")
+  }
+
+  test("dup spans planted: grafted prefix flags donor and every planted " +
+      "tail; fully-copied originals reach dup_frac 1.0") {
+    val rows = Dedup.dupSpansPlanted(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getAs[Double]("dup_frac"))).toMap
+    // doc 0's 16-token prefix lives in 5 planted tails -> >= 16 dup tokens
+    assert(rows(0L)._2 >= 16L)
+    for (i <- 1L to 5L) {
+      // original 1..5: full text duplicated by its planted copy
+      assert(rows(i)._3 === 1.0, s"doc $i must be fully covered")
+      // planted copy: original text + 16-token prefix, all duplicated
+      val p = rows(i + Dedup.PlantOffset)
+      assert(p._2 >= p._1 - 1,
+        s"planted ${i + Dedup.PlantOffset} must be covered to its tail")
+    }
+  }
+
+  test("span scrub: first occurrence survives intact, the later exact " +
+      "copy is scrubbed to nothing, shared runs cut only on the later side") {
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val b = ((1 to 10).map(i => s"b$i") ++ (1 to 12).map(i => s"a$i"))
+      .mkString(" ")
+    val docs = Seq((0L, a), (1L, a), (2L, b)).toDF("doc_id", "text")
+    val rows = Dedup.spanScrubOn(docs, n = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[String]("kept_hash"))).toMap
+    // doc 0 owns every first occurrence: nothing removed
+    assert(rows(0L)._2 === 0L && rows(0L)._3 === 20L)
+    // doc 1 is an exact later copy: every token covered, null hash
+    assert(rows(1L) === ((20L, 20L, 0L, null)))
+    // doc 2: its a1..a12 tail (12 tokens) duplicates doc 0's prefix ->
+    // removed; the b-prefix survives
+    assert(rows(2L)._2 === 12L && rows(2L)._3 === 10L)
+    // surviving content is exactly the b-prefix, verified by hash
+    val bOnly = Seq((9L, (1 to 10).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bHash = Dedup.spanScrubOn(bOnly, n = 8).head().getAs[String]("kept_hash")
+    assert(rows(2L)._4 === bHash)
+  }
+
+  test("winnowing: identical docs collide on fp_digest, selection is " +
+      "bounded by the window count, short docs zero out") {
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val c = (100 to 140).map(i => s"x$i").mkString(" ")
+    val docs = Seq((0L, a), (1L, a), (2L, c), (3L, "t1 t2 t3 t4 t5"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.winnowFingerprintsOn(docs, n = 4, w = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getAs[Double]("density"), r.getAs[String]("fp_digest"))).toMap
+    assert(rows(0L)._4 === rows(1L)._4, "identical docs -> identical digest")
+    assert(rows(0L)._4 !== rows(2L)._4, "different docs -> different digest")
+    for (id <- Seq(0L, 1L, 2L)) {
+      val (nw, nfp, dens, _) = rows(id)
+      assert(nfp >= 1 && nfp <= nw, s"doc $id: 1 <= n_fp <= n_windows")
+      assert(dens > 0.0 && dens <= 1.0)
+    }
+    // 5 tokens: grams exist (5 >= n) but no full 4-window -> zeroed
+    assert(rows(3L) === ((0L, 0L, 0.0, null)))
+  }
+
+  test("winnowing guarantee: a shared run of w+n-1 tokens shares at " +
+      "least one selected fingerprint; disjoint docs share none") {
+    // docs share EXACTLY a 7-token run (w+n-1 with n=4, w=4); everything
+    // else differs, so any selection overlap must come from the run
+    val shared = (1 to 7).map(i => s"s$i").mkString(" ")
+    val a = (1 to 20).map(i => s"a$i").mkString(" ") + " " + shared
+    val b = shared + " " + (1 to 20).map(i => s"b$i").mkString(" ")
+    val c = (1 to 30).map(i => s"c$i").mkString(" ")
+    val docs = Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "text")
+    val sel = Dedup.winnowSelections(docs, n = 4, w = 4).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) =>
+        k -> v.map(_.getLong(1)).toSet }
+    assert((sel(0L) & sel(1L)).nonEmpty,
+      "shared 7-token run must surface in both selections")
+    assert((sel(0L) & sel(2L)).isEmpty && (sel(1L) & sel(2L)).isEmpty,
+      "no token overlap -> no fingerprint overlap")
+  }
+
   test("candidate volume: banding keeps candidates a small all-pairs fraction") {
     val row = Dedup.minhashCandidateVolume(spark, TestSpark.sf).head()
     val (nDocs, nCand, nAll, frac) =

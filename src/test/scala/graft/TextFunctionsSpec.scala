@@ -169,6 +169,25 @@ class TextFunctionsSpec extends AnyFunSuite {
       s"mean en weight $mEn must be positive and exceed non-en $mOther")
   }
 
+  test("ppl buckets: all 10 deciles populated, counts reconcile, and " +
+      "score ranges are disjoint and ordered") {
+    val rows = graft.operators.TextAnalysis.pplBuckets(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getAs[Double]("min_lp"), r.getAs[Double]("max_lp")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0 to 9))
+    val total = Tables.load(spark, TestSpark.sf, "documents").count()
+    assert(rows.map(_._2).sum === total)
+    // deciles: every bucket within a factor-2 band of n/10 (ties shift
+    // boundary docs but cannot starve a bucket on a continuous score)
+    assert(rows.forall(r => r._2 >= total / 20 && r._2 <= total / 5))
+    // bucket ranges never interleave
+    for (Array(lo, hi) <- rows.sliding(2))
+      assert(lo._4 <= hi._3,
+        s"bucket ${lo._1} max ${lo._4} must not exceed bucket ${hi._1} min")
+  }
+
   test("bigram log-prob: bigram-count join is a shuffle join, never a " +
       "broadcast (bigram types grow with corpus size — unigram side only)") {
     val df = graft.operators.TextAnalysis.bigramLogProb(spark, TestSpark.sf)
