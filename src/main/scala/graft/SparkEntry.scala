@@ -155,6 +155,14 @@ object SparkEntry {
     // span-level dedup removal: keep each dup gram's first occurrence,
     // scrub the rest; gate checks the md5 of the surviving token stream
     "span_scrub" -> ((s: SparkSession, d: String) => Dedup.spanScrub(s, d)),
+    // batch-vs-index dedup: exact digest lane + asymmetric LSH lane;
+    // oracle states both lanes closed-form from index digest groups
+    "incremental_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.incrementalDedup(s, d)),
+    // the same split as a STREAM: arriving crawl files anti-joined
+    // against the static index digest relation (stateless, no watermark)
+    "stream_index_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.CorpusStream.runIndexDedupOnce(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Curation.packSequences(s, d)),
     "chunk_documents" -> ((s: SparkSession, d: String) => Curation.chunkDocuments(s, d)),
     "split_leakage" -> ((s: SparkSession, d: String) => Curation.splitLeakage(s, d)),
@@ -1533,6 +1541,33 @@ object SparkEntry {
         |  fp_digest
         | FROM lens LEFT JOIN a USING (doc_id)
         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // incremental dedup: at the bundled SFs every >=0.99-Jaccard match
+    // is md5-exact (measured natural max 0.9898), so BOTH lanes resolve
+    // to the index digest-group min — LSH recall becomes a hard gate
+    "incremental_dedup" ->
+      """WITH idx AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 10 <> 3),
+        | batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM idx
+        |   WHERE doc_id % 100 = 0 AND doc_id < 500),
+        | dig AS (SELECT md5(text) AS h, min(doc_id) AS d FROM idx GROUP BY 1)
+        | SELECT b.doc_id, d AS exact_dup_of, d AS near_dup_of,
+        |  CASE WHEN d IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict
+        | FROM (SELECT doc_id, md5(text) AS h FROM batch) b
+        | LEFT JOIN dig USING (h) ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // streaming face of incremental_dedup's exact lane: survivors are
+    // the batch docs whose digest is absent from the index
+    "stream_index_dedup" ->
+      """WITH idx AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 10 <> 3),
+        | batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM idx
+        |   WHERE doc_id % 100 = 0 AND doc_id < 500),
+        | dig AS (SELECT DISTINCT md5(text) AS h FROM idx)
+        | SELECT b.doc_id FROM
+        |  (SELECT doc_id, md5(text) AS h FROM batch) b
+        | LEFT JOIN dig ON b.h = dig.h
+        | WHERE dig.h IS NULL ORDER BY doc_id""".stripMargin.replace("\n", ""),
     // span scrub: globally-first occurrence survives (row_number over
     // the gram digest), every later occurrence's 8 tokens removed; the
     // surviving per-doc token stream is md5'd in original order

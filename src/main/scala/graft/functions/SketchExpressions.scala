@@ -70,6 +70,9 @@ object SketchExpressions {
   def cosineSim(a: Column, b: Column): Column =
     CB.column(CosineSim(CB.expression(a), CB.expression(b)))
 
+  def wordGramMd5s(tokens: Column, n: Int): Column =
+    CB.column(WordGramMd5s(CB.expression(tokens), n))
+
   def repetitionStats(tokens: Column): Column =
     CB.column(RepetitionStats(CB.expression(tokens)))
 
@@ -214,6 +217,48 @@ case class TokenFingerprint(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): TokenFingerprint =
+    copy(child = c)
+}
+
+/** md5 hex digest of EVERY positioned word n-gram of an array<string>
+  * token sequence, in position order (index i = the gram starting at
+  * token i) — the single-pass feed of the span-dedup family
+  * ([[graft.operators.Dedup.dupSpans]] / spanScrub /
+  * winnowFingerprints), where gram IDENTITY must ride a fixed-width
+  * digest but positions must survive (unlike [[WordShingles]]' distinct
+  * set). Bit-compatible with the composed form it replaces
+  * (`transform(sequence(0, size-n), i -> md5(concat_ws(' ',
+  * slice(w, i+1, n))))`): same UTF8 bytes into the same md5, same hex
+  * rendering — only the per-gram interpreted-lambda round trips and
+  * the intermediate slice allocations are gone. Inputs shorter than
+  * `n` yield an empty array (the composed form's descending-sequence
+  * hazard simply cannot arise). */
+case class WordGramMd5s(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_gram_md5s"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val cnt = arr.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new Array[Any](cnt - n + 1)
+    var i = 0
+    while (i + n <= cnt) {
+      val parts = Array.tabulate(n)(j => arr.getUTF8String(i + j))
+      val joined =
+        org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(joined.getBytes))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordGramMd5s =
     copy(child = c)
 }
 

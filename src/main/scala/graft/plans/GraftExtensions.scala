@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharNgramSet, CosineSim, HyperplaneBands, MinHashBandBuckets, MinHashSignature, RepetitionStats, SimHash64, TokenEntropy, TokenFingerprint, WordShingles}
+import graft.functions.{CharNgramSet, CosineSim, HyperplaneBands, MinHashBandBuckets, MinHashSignature, RepetitionStats, SimHash64, TokenEntropy, TokenFingerprint, WordGramMd5s, WordShingles}
 
 /** SQL surface for the custom sketch expressions: registered in the
   * function registry, so `spark.sql("SELECT minhash_signature(...)")`
@@ -44,6 +44,12 @@ object GraftExtensions {
         case Seq(t) => WordShingles(t, 3)
         case Seq(t, n) => WordShingles(t, intArg(n, "word_shingles"))
         case _ => throw new IllegalArgumentException("word_shingles(tokens[, n])")
+      }),
+    ("word_gram_md5s",
+      info("word_gram_md5s", "word_gram_md5s(tokens, n) - md5 of every positioned word n-gram"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, n) => WordGramMd5s(t, intArg(n, "word_gram_md5s"))
+        case _ => throw new IllegalArgumentException("word_gram_md5s(tokens, n)")
       }),
     ("minhash_signature",
       info("minhash_signature", "minhash_signature(shingles[, k]) - k-wide MinHash signature"),

@@ -24,7 +24,12 @@ object ExplainDump {
     "q2_min_cost", "q9_profit", "q11_important_stock", "q16_supplier_cnt",
     "q17_small_qty", "q20_promotable", "q21_waiting", "q22_opportunity",
     "unigram_logprob", "quality_logit", "kmeans_assign", "temperature_mix",
-    "search_docs")
+    "search_docs",
+    // round 6: span-dedup family, winnowing, deciles, shard export,
+    // batch-vs-index dedup (stream_index_dedup excluded: runs a stream)
+    "dup_spans", "span_scrub", "winnow_fingerprints", "ppl_buckets",
+    "shard_assign", "incremental_dedup", "semdedup_planted",
+    "dsir_weights")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -214,6 +214,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: planted batch copies drop through BOTH lanes " +
+      "with the right index owner; the natural batch mostly keeps") {
+    val rows = Dedup.incrementalDedup(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getAs[String]("verdict"))).toMap
+    for (seed <- Seq(0L, 100L, 200L, 300L, 400L)) {
+      val (ex, near, verdict) = rows(seed + Dedup.PlantOffset)
+      assert(verdict === "drop")
+      // owner is the seed itself unless the seed has a lower-id exact
+      // twin in the index; either way both lanes agree
+      assert(ex.nonEmpty && near.nonEmpty && ex === near)
+      assert(ex.get <= seed)
+    }
+    val naturals = rows.filter(_._1 < Dedup.PlantOffset)
+    assert(naturals.values.count(_._3 == "keep") > naturals.size / 2,
+      "most of the natural batch slice must survive")
+    // lanes always agree at these SFs (no natural 0.99 non-exact pair)
+    assert(rows.values.forall(v => v._1 == v._2))
+  }
+
   test("span scrub: first occurrence survives intact, the later exact " +
       "copy is scrubbed to nothing, shared runs cut only on the later side") {
     val a = (1 to 20).map(i => s"a$i").mkString(" ")

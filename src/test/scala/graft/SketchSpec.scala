@@ -79,4 +79,27 @@ class SketchSpec extends AnyFunSuite {
       .select(jaccard($"x", $"y").as("j"))
     assert(df.head().getDouble(0) === 0.5)
   }
+
+  test("word gram md5s: bit-identical to the composed transform+md5 " +
+      "form, positioned, empty below n tokens") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      Tuple1(Seq("a", "b", "c", "d", "e")),
+      Tuple1((1 to 40).map(i => s"t${i % 7}")) // repeats -> dup hashes
+    ).toDF("w")
+    val composed = df.select(transform(
+      sequence(lit(0), size($"w") - 3),
+      i => md5(concat_ws(" ", slice($"w", i + 1, lit(3))))).as("g"))
+      .collect().map(_.getSeq[String](0))
+    val fused = df.select(
+      SketchExpressions.wordGramMd5s($"w", 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(fused(0) === composed(0))
+    assert(fused(1) === composed(1))
+    assert(fused(0).length === 3 && fused(0).distinct.length === 3)
+    val short = Seq(Tuple1(Seq("x", "y"))).toDF("w")
+      .select(SketchExpressions.wordGramMd5s($"w", 3).as("g"))
+      .head().getSeq[String](0)
+    assert(short.isEmpty, "below n tokens -> no grams")
+  }
 }

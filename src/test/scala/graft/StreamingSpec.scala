@@ -417,4 +417,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty &&
       batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streamed index dedup equals the batch operator's keep set and " +
+      "drops every planted copy") {
+    import org.apache.spark.sql.functions.col
+    val streamed = graft.streaming.CorpusStream
+      .runIndexDedupOnce(spark, TestSpark.sf)
+      .collect().map(_.getLong(0)).toSet
+    val batchKeep = graft.operators.Dedup
+      .incrementalDedup(spark, TestSpark.sf)
+      .filter(col("verdict") === "keep")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed === batchKeep,
+      "stream survivors must be exactly the batch keep set")
+    for (seed <- Seq(0L, 100L, 200L, 300L, 400L))
+      assert(!streamed.contains(seed + graft.operators.Dedup.PlantOffset),
+        s"planted copy of $seed must be dropped by the stream")
+  }
 }
