@@ -201,6 +201,9 @@ object SparkEntry {
     "length_percentiles" -> (TextAnalysis.lengthPercentiles _),
     "search_docs" -> ((s: SparkSession, d: String) => Similarity.searchDocs(s, d)),
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    // contrastive data prep: top-3 wrong-label neighbors per anchor
+    "hard_negatives" -> ((s: SparkSession, d: String) =>
+      Similarity.hardNegatives(s, d)),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) =>
       Similarity.lshTopK(s, d, Seq(0L, 1L, 2L, 3L, 4L))),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) =>
@@ -246,6 +249,8 @@ object SparkEntry {
     "mm_resize" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.resizeImages(s, d)),
     // -- structured streaming (1-day tumbling window + watermark) --
+    "stream_hopping" -> ((s: SparkSession, d: String) =>
+      graft.streaming.HourlyStream.runHoppingOnce(s, d)),
     "stream_daily" -> ((s: SparkSession, d: String) =>
       graft.streaming.HourlyStream.runDailyAggOnce(s, d)),
     "stream_dedup" -> ((s: SparkSession, d: String) =>
@@ -260,8 +265,15 @@ object SparkEntry {
       graft.streaming.HourlyStream.runAttributionOuterOnce(s, d)),
     "stream_enrich" -> ((s: SparkSession, d: String) =>
       graft.streaming.HourlyStream.runEnrichOnce(s, d)),
-    // -- source-contract checks (the reference's dbt not_null test) --
+    // -- source-contract checks (the reference's dbt not_null test,
+    //    plus the rest of dbt's standard schema-test set) --
     "contract_nulls" -> (graft.operators.Contract.eventNullContract _),
+    "contract_unique" -> (graft.operators.Contract.uniqueContract _),
+    "contract_refint" -> (graft.operators.Contract.refIntContract _),
+    "contract_values" -> ((s: SparkSession, d: String) =>
+      graft.operators.Contract.acceptedValuesContract(s, d)),
+    "contract_freshness" -> ((s: SparkSession, d: String) =>
+      graft.operators.Contract.freshnessContract(s, d)),
   )
 
   /** TextRank oracle: the fixed power iterations replayed as chained
@@ -1435,6 +1447,25 @@ object SparkEntry {
         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         | WHERE e.vec_id <> 0
         | ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin.replace("\n", ""),
+    // hard negatives: per anchor (vec_id < 8), top-3 cosine neighbors
+    // with a DIFFERENT label (ann_brute_topk cosine discipline)
+    "hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a_emb
+        | FROM embeddings WHERE vec_id < 8),
+        | s AS (SELECT anchor_id, e.vec_id AS neg_id, e.label AS neg_label,
+        |  floor((list_dot_product(
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)), a_emb)
+        |   / (sqrt(list_aggregate(list_transform(e.embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |    * sqrt(list_aggregate(list_transform(a_emb, x -> x * x),
+        |      'sum')))) * 1000000.0) / 1000000.0 AS cos_sim
+        | FROM embeddings e, a WHERE e.label <> a.anchor_label)
+        | SELECT anchor_id, CAST(rnk AS INTEGER) AS rnk, neg_id,
+        |  neg_label, cos_sim
+        | FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |   ORDER BY cos_sim DESC, neg_id) AS rnk FROM s)
+        | WHERE rnk <= 3 ORDER BY anchor_id, rnk""".stripMargin.replace("\n", ""),
     // Planted near-dup pairs: copies of every 50th vector under id+1M are
     // the only pairs above 0.9 (natural max ~0.6), each with its exact
     // floor-truncated self-cosine (same left-to-right double folds both
@@ -1959,6 +1990,16 @@ object SparkEntry {
         |    greatest(CAST(floor((n_chars % 640) / 64.0) AS INTEGER), 1) AS k
         |   FROM documents WHERE doc_id % 3 = 0))
         | ORDER BY media_id""".stripMargin.replace("\n", ""),
+    // hopping 1-day/12-hour windows: every event lands in exactly two
+    // windows (epoch-aligned starts b and b-12h)
+    "stream_hopping" ->
+      """WITH ev AS (SELECT CAST(floor(epoch(ts) / 43200) AS BIGINT) * 43200
+        |   AS b, event_type FROM events),
+        | hits AS (SELECT unnest([b, b - 43200]) AS ws, event_type FROM ev)
+        | SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M') AS win_start,
+        |  event_type, count(*) AS n_events
+        | FROM hits GROUP BY 1, 2
+        | ORDER BY win_start, event_type""".stripMargin.replace("\n", ""),
     "stream_daily" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
@@ -2058,6 +2099,56 @@ object SparkEntry {
         | count(*) - count(value) AS null_value,
         | count(*) - count(props) AS null_props
         | FROM events""".stripMargin.replace("\n", ""),
+    // dbt `unique`: per-key groupBy then a one-row re-aggregate; the
+    // declared-unique o_orderkey verifies, o_custkey measures
+    "contract_unique" ->
+      """SELECT * FROM (
+        | SELECT 'o_orderkey' AS col_name, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  count(*) AS n_distinct,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_rows,
+        |  CAST(count(CASE WHEN cnt > 1 THEN 1 END) AS BIGINT) AS n_dup_keys,
+        |  sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) = 0 AS is_unique
+        | FROM (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY 1)
+        | UNION ALL
+        | SELECT 'o_custkey', CAST(sum(cnt) AS BIGINT), count(*),
+        |  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT),
+        |  CAST(count(CASE WHEN cnt > 1 THEN 1 END) AS BIGINT),
+        |  sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) = 0
+        | FROM (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1))
+        | ORDER BY col_name""".stripMargin.replace("\n", ""),
+    // dbt `relationships`: orphan children via anti join on the
+    // parent's distinct keys
+    "contract_refint" ->
+      """WITH r AS (
+        | SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS rel,
+        |  (SELECT count(*) FROM lineitem) AS n_child,
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey
+        |   WHERE o.o_orderkey IS NULL) AS n_orphans
+        | UNION ALL
+        | SELECT 'events.user_id -> customer.c_custkey',
+        |  (SELECT count(*) FROM events),
+        |  (SELECT count(*) FROM events e LEFT JOIN
+        |    (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON e.user_id = c.c_custkey
+        |   WHERE c.c_custkey IS NULL))
+        | SELECT rel, n_child, n_orphans, n_orphans = 0 AS ok
+        | FROM r ORDER BY rel""".stripMargin.replace("\n", ""),
+    // dbt `accepted_values` on event_type ('error' deliberately
+    // undeclared -> measured as unexpected)
+    "contract_values" ->
+      """SELECT event_type, count(*) AS n,
+        | event_type IN ('view', 'click', 'purchase', 'signup') AS is_accepted
+        | FROM events GROUP BY event_type
+        | ORDER BY event_type""".stripMargin.replace("\n", ""),
+    // dbt source freshness vs the pinned as-of date
+    "contract_freshness" ->
+      """SELECT max_day, days_behind,
+        | days_behind <= 7 AS within_warn, days_behind <= 30 AS within_error
+        | FROM (SELECT CAST(max(CAST(ts AS DATE)) AS DATE) AS max_day,
+        |  CAST(DATE '2024-02-05' - CAST(max(CAST(ts AS DATE)) AS DATE) AS INTEGER)
+        |   AS days_behind FROM events)""".stripMargin.replace("\n", ""),
     // Okapi BM25 top-10 for query {spark, join, window}; k1=1.25 b=0.75
     // (exact-binary constants), non-negative idf, per-term contributions
     // floor-truncated then decimal-summed so ranking is engine-identical

@@ -285,6 +285,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining — the contrastive-training data-prep step
+    * (triplet/InfoNCE batches need negatives that are SIMILAR but
+    * wrong): for each anchor vector, the top-`k` most-cosine-similar
+    * vectors carrying a DIFFERENT label. Same-label vectors are the
+    * positive pool and are excluded; what survives is exactly the
+    * near-miss set a trainer wants in the denominator.
+    *
+    * Scale shape: the anchor batch is bounded by construction (mining
+    * runs over mini-batches of anchors, never anchor=corpus), so the
+    * batch broadcasts and the corpus is scanned ONCE for all anchors;
+    * ranking is a per-anchor window that Spark 4 prunes to k rows per
+    * partition (WindowGroupLimit — the filteredTopK discipline, ranks
+    * on floor-truncated scores so a sub-1e-6 ulp can never flip an
+    * order). For corpus-scale anchor sets, run batched or swap the
+    * scan for [[ivfTopKOn]]'s cell-pruned index — the per-anchor
+    * ranking is unchanged. */
+  def hardNegatives(s: SparkSession, dir: String, nAnchors: Int = 8,
+      k: Int = 3): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val anchors = emb.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"),
+        col("label").as("anchor_label"), col("embedding").as("a_emb"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("neg_id"))
+    emb.crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"),
+        Num.t6(cosine(col("embedding"), col("a_emb"))).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("anchor_id"), col("rnk").cast("int").as("rnk"),
+        col("neg_id"), col("neg_label"), col("cos_sim"))
+      .orderBy("anchor_id", "rnk")
+  }
+
   /** Filtered (metadata-constrained) search: exact top-k cosine
     * neighbors of the query PER LABEL — the vector-DB "filtered search"
     * feature (restrict candidates by a metadata predicate, rank inside

@@ -78,6 +78,45 @@ object HourlyStream {
       .select(to_date(col("w.start")).as("day"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** HOPPING (sliding) window counts — the overlapping-window mode the
+    * tumbling streams don't exercise: 1-day windows every 12 hours, so
+    * every event lands in exactly two windows and adjacent windows share
+    * half their data (the smoothing an alerting dashboard wants).
+    * Watermark eviction applies per window end; state holds
+    * (2 × days × types) rows — still group-bounded, never event-bounded.
+    * `win_start` renders as a minute string so both engines compare the
+    * same value (a raw timestamp would hash-differ on µs/ns physical
+    * types). */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm")
+        .as("win_start"), col("event_type"), col("n_events"))
+
+  /** Run the hopping stream synchronously (update mode; the bundled
+    * corpus arrives as one micro-batch, so the memory sink sees each
+    * (window, type) group exactly once and the trailing no-data batch
+    * emits nothing). */
+  def runHoppingOnce(s: SparkSession, srcDir: String,
+      statePartitions: Int = 4): DataFrame =
+    withStatePartitions(s, statePartitions) {
+      val name = "graft_stream_hopping_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = hoppingAgg(readEvents(s, srcDir))
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", scratchDir("graft_ckpt_"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name).orderBy("win_start", "event_type")
+    }
+
   /** Run the stream synchronously over whatever is in `srcDir` and return
     * the daily aggregate, read back from the upserted warehouse.
     *

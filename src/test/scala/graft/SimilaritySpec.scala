@@ -306,6 +306,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.semDedup(spark, TestSpark.sf).count() === emb.count())
   }
 
+  test("hard negatives: every mined negative carries a different label " +
+      "and is the true wrong-label cosine argmax chain") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.hardNegatives(spark, TestSpark.sf).collect()
+    assert(rows.length === 8 * 3)
+    for (anchor <- 0L until 8L) {
+      val mine = rows.filter(_.getLong(0) == anchor).sortBy(_.getInt(1))
+      assert(mine.map(_.getInt(1)).toSeq === Seq(1, 2, 3))
+      // wrong-label only
+      assert(mine.forall(r => labels(r.getLong(2)) != labels(anchor)))
+      // scores descend with rank
+      val sims = mine.map(_.getDouble(4))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("planted ANN gates: the exact duplicate surfaces at rank 1 with " +
       "cosine 1.0 for every probe, on both the LSH and IVF paths") {
     for (gate <- Seq(

@@ -42,4 +42,45 @@ class SourceContractSpec extends AnyFunSuite {
     assert(df.columns.toSeq === Seq("null_value", "null_props"))
     assert(df.count() === 1L)
   }
+
+  test("unique contract: the primary key verifies, the foreign key is " +
+      "measured with reconciling dup accounting") {
+    val rows = Contract.uniqueContract(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val pk = rows("o_orderkey")
+    assert(pk.getAs[Boolean]("is_unique") &&
+      pk.getAs[Long]("n_rows") === pk.getAs[Long]("n_distinct"))
+    val fk = rows("o_custkey")
+    assert(!fk.getAs[Boolean]("is_unique"))
+    // every duplicated key contributes at least 2 of the dup rows
+    assert(fk.getAs[Long]("n_dup_rows") >= 2 * fk.getAs[Long]("n_dup_keys"))
+    assert(fk.getAs[Long]("n_distinct") < fk.getAs[Long]("n_rows"))
+  }
+
+  test("relationships contract: both fact->dim edges hold with zero " +
+      "orphans") {
+    val rows = Contract.refIntContract(spark, TestSpark.sf).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orphans") === 0L && r.getAs[Boolean]("ok"),
+        r.getString(0))
+    }
+  }
+
+  test("accepted_values contract: declared values accepted, 'error' " +
+      "measured as unexpected") {
+    val rows = Contract.acceptedValuesContract(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rows("error")._2 === false && rows("error")._1 > 0)
+    for (v <- Seq("view", "click", "purchase", "signup"))
+      assert(rows(v)._2, s"$v must be accepted")
+  }
+
+  test("freshness contract: static corpus sits inside the warn window " +
+      "against the pinned as-of date") {
+    val r = Contract.freshnessContract(spark, TestSpark.sf).head()
+    assert(r.getAs[Int]("days_behind") >= 0)
+    assert(r.getAs[Boolean]("within_warn") && r.getAs[Boolean]("within_error"))
+  }
 }

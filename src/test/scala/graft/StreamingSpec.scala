@@ -418,6 +418,25 @@ class StreamingSpec extends AnyFunSuite {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streamed hopping windows equal the batch sliding-window groupBy " +
+      "and every event lands in exactly two windows") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.HourlyStream
+      .runHoppingOnce(spark, TestSpark.sf)
+    val ev = graft.Tables.load(spark, TestSpark.sf, "events")
+    val batch = ev
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm")
+        .as("win_start"), col("event_type"), col("n_events"))
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+    val total = streamed.agg(sum("n_events")).head().getLong(0)
+    assert(total === 2L * ev.count(),
+      "1-day windows at a 12-hour hop double-count every event exactly once")
+  }
+
   test("streamed index dedup equals the batch operator's keep set and " +
       "drops every planted copy") {
     import org.apache.spark.sql.functions.col
