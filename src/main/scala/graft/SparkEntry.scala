@@ -86,6 +86,8 @@ object SparkEntry {
     "above_nation_avg" -> (RelationalExt.aboveNationAvg _),
     // -- sessionization / as-of / JSON / pivot / stats / string-agg --
     "sessionize" -> (RelationalMore.sessionize _),
+    "range_join_binned" -> ((s: SparkSession, d: String) =>
+      RelationalMore.rangeJoinBinned(s, d)),
     "asof_latest" -> (RelationalMore.asofLatest _),
     "asof_join" -> (RelationalMore.asofJoin _),
     "props_json" -> (RelationalMore.propsJson _),
@@ -119,6 +121,8 @@ object SparkEntry {
     "gopher_filter" -> (TextAnalysis.gopherFilter _),
     "quality_logit" -> (TextAnalysis.qualityLogit _),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
+    "bpe_merges" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeMergeStep(s, d)),
     // -- lexical retrieval / corpus statistics (documents) --
     "bm25_search" -> ((s: SparkSession, d: String) => Retrieval.bm25Search(s, d)),
     "vocabulary" -> ((s: SparkSession, d: String) => Retrieval.vocabulary(s, d)),
@@ -750,6 +754,28 @@ object SparkEntry {
         |  FROM customer GROUP BY c_nationkey) na
         | ON c_nationkey = nk WHERE c_acctbal > na_avg
         | ORDER BY c_custkey""".stripMargin.replace("\n", ""),
+    // binned range join: oracle states the naive range predicate (same
+    // answer); the Spark side must reach it through the bin hash join
+    "range_join_binned" ->
+      """WITH inc AS (SELECT event_id AS inc_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS inc_sec
+        |  FROM events WHERE event_type = 'error'
+        |  ORDER BY ts, event_id LIMIT 5),
+        | ev AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+        | SELECT inc_id, count(*) AS n_within
+        | FROM inc JOIN ev ON abs(ev.sec - inc.inc_sec) <= 86400
+        | GROUP BY 1 ORDER BY inc_id""".stripMargin.replace("\n", ""),
+    // one BPE merge-selection step: adjacent char-pair counts over the
+    // vocab, weighted by word frequency (substr 2-windows, ties by pair)
+    "bpe_merges" ->
+      """WITH v AS (SELECT token, count(*) AS cnt FROM
+        |  (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> length(t) > 0)) AS token FROM documents) GROUP BY 1)
+        | SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM
+        |  (SELECT cnt, unnest(list_transform(range(1, length(token)),
+        |    i -> substr(token, CAST(i AS INTEGER), 2))) AS pair
+        |   FROM v WHERE length(token) >= 2)
+        | GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin.replace("\n", ""),
     "sessionize" ->
       """SELECT user_id, session_idx, count(*) AS n_events,
         | min(event_id) AS first_event, max(event_id) AS last_event

@@ -310,6 +310,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** One BPE merge-selection step (Sennrich et al. '16, arXiv:1508.07909
+    * — the statistic each round of byte-pair-encoding tokenizer training
+    * maximizes): adjacent symbol-pair frequencies over the corpus
+    * vocabulary, symbols initialized as characters, each word's pairs
+    * weighted by the word's corpus frequency; the top pair is the next
+    * merge. Emits the top-`k` candidates (count desc, pair asc — fully
+    * deterministic under ties).
+    *
+    * Scale shape: the ONLY corpus-sized work is the word-frequency
+    * aggregate (one token shuffle, the vocabulary plateaus ~1e6 on web
+    * corpora); pair expansion and counting run over the vocab table —
+    * exactly why production BPE trainers count on the vocabulary, never
+    * the raw corpus. Pairs come from `substr(token, i, 2)` windows, so
+    * the expression tree carries no per-char explode of corpus text. */
+  def bpeMergeStep(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val vocab = t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    vocab
+      .filter(length(col("token")) >= 2)
+      .select(col("cnt"),
+        explode(transform(sequence(lit(1), length(col("token")) - 1),
+          i => col("token").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Per-source length quantiles (exact linear-interpolation percentile —
     * the corpus-shape dashboard a curation run reads before choosing mix
     * weights). One shuffle on the handful of source keys. */

@@ -143,4 +143,25 @@ class PlanSpec extends AnyFunSuite {
       "assignment is a literal-argmax projection fused with the " +
         "re-average; a join means the fusion regressed")
   }
+
+  test("range_join_binned: the interval join runs as an equality hash " +
+      "join on the bin, never a nested loop, and matches the naive form") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.RelationalMore.rangeJoinBinned(spark, TestSpark.sf)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "bin bucketing must turn the range predicate into an equi-join key")
+    // ground truth: the naive range join, computed directly
+    val ev = graft.Tables.load(spark, TestSpark.sf, "events")
+      .select(col("ts").cast("long").as("sec"))
+    val inc = graft.Tables.load(spark, TestSpark.sf, "events")
+      .filter(col("event_type") === "error")
+      .orderBy(col("ts"), col("event_id")).limit(5)
+      .select(col("event_id").as("inc_id"), col("ts").cast("long").as("inc_sec"))
+    val naive = inc.crossJoin(ev)
+      .filter(abs(col("sec") - col("inc_sec")) <= 86400L)
+      .groupBy(col("inc_id")).agg(count(lit(1)).as("n_within"))
+    assert(df.exceptAll(naive).isEmpty && naive.exceptAll(df).isEmpty)
+  }
 }

@@ -169,6 +169,23 @@ class TextFunctionsSpec extends AnyFunSuite {
       s"mean en weight $mEn must be positive and exceed non-en $mOther")
   }
 
+  test("bpe merge step: pair counts match an independent Scala recompute " +
+      "and the top pair is the true argmax") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.TextAnalysis.bpeMergeStep(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // independent recompute: word freqs -> weighted adjacent char pairs
+    val words = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).trim.split("\\s+").filter(_.nonEmpty))
+    val freq = words.groupBy(identity).view.mapValues(_.size.toLong)
+    val pairs = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- freq; i <- 0 until w.length - 1)
+      pairs(w.substring(i, i + 2)) = pairs.getOrElse(w.substring(i, i + 2), 0L) + f
+    val expected = pairs.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq === expected)
+  }
+
   test("ppl buckets: all 10 deciles populated, counts reconcile, and " +
       "score ranges are disjoint and ordered") {
     val rows = graft.operators.TextAnalysis.pplBuckets(spark, TestSpark.sf)
