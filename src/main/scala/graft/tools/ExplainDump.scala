@@ -29,7 +29,8 @@ object ExplainDump {
     // batch-vs-index dedup (stream_index_dedup excluded: runs a stream)
     "dup_spans", "span_scrub", "winnow_fingerprints", "ppl_buckets",
     "shard_assign", "incremental_dedup", "semdedup_planted",
-    "dsir_weights")
+    "dsir_weights", "hard_negatives", "bpe_merges", "range_join_binned",
+    "contract_unique", "contract_refint")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
