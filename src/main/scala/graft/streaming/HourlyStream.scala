@@ -96,16 +96,22 @@ object HourlyStream {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm")
         .as("win_start"), col("event_type"), col("n_events"))
 
-  /** Run the hopping stream synchronously (update mode; the bundled
-    * corpus arrives as one micro-batch, so the memory sink sees each
-    * (window, type) group exactly once and the trailing no-data batch
-    * emits nothing). */
+  /** Run the hopping stream synchronously (update mode). The memory
+    * sink accumulates one row per (window, type) per micro-batch that
+    * CHANGED the group, so the read-back keeps each group's LAST
+    * emission — counts only grow across update emissions, so
+    * `max(n_events)` is exactly the final value whether the source
+    * arrived as one micro-batch or many (`maxFilesPerTrigger` replay —
+    * spec-pinned). A production deployment upserts from `foreachBatch`
+    * instead (the runDailyAggOnce discipline); this harness keeps the
+    * sink in-memory and the reduction explicit. */
   def runHoppingOnce(s: SparkSession, srcDir: String,
-      statePartitions: Int = 4): DataFrame =
+      statePartitions: Int = 4,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
     withStatePartitions(s, statePartitions) {
       val name = "graft_stream_hopping_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = hoppingAgg(readEvents(s, srcDir))
+      val q = hoppingAgg(readEvents(s, srcDir, maxFilesPerTrigger))
         .writeStream
         .outputMode("update")
         .format("memory")
@@ -114,7 +120,10 @@ object HourlyStream {
         .trigger(Trigger.AvailableNow())
         .start()
       try q.awaitTermination() finally q.stop()
-      s.table(name).orderBy("win_start", "event_type")
+      s.table(name)
+        .groupBy(col("win_start"), col("event_type"))
+        .agg(max(col("n_events")).as("n_events"))
+        .orderBy("win_start", "event_type")
     }
 
   /** Run the stream synchronously over whatever is in `srcDir` and return

@@ -437,6 +437,42 @@ class StreamingSpec extends AnyFunSuite {
       "1-day windows at a 12-hour hop double-count every event exactly once")
   }
 
+  test("hopping stream across a forced multi-batch replay still equals " +
+      "the batch sliding-window groupBy (update-mode read-back reduces)") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("graft_hop_").toString
+    // time-ordered terciles as three files: replay stays watermark-safe
+    // (each batch's events are newer than the watermark the previous
+    // batch advanced to) while forcing three real micro-batches
+    graft.Tables.load(spark, TestSpark.sf, "events") // pins ns-read conf
+    val raw = spark.read.parquet(TestSpark.sf + "/events.parquet")
+    val rows = raw.orderBy("ts").collect()
+    val chunk = (rows.length + 2) / 3
+    for ((part, i) <- rows.grouped(chunk).zipWithIndex) {
+      val scratch = Files.createTempDirectory("graft_hop_part_").toString
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(part.toSeq), raw.schema)
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val pf = new java.io.File(scratch).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$src/events_$i.parquet")
+      java.nio.file.Files.copy(pf.toPath, dest.toPath)
+      dest.setLastModified((i + 1) * 1000000L)
+    }
+    val streamed = graft.streaming.HourlyStream
+      .runHoppingOnce(spark, src, maxFilesPerTrigger = Some(1))
+    val batch = graft.Tables.load(spark, TestSpark.sf, "events")
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm")
+        .as("win_start"), col("event_type"), col("n_events"))
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "multi-batch hopping replay must converge to the batch answer")
+  }
+
   test("streamed index dedup equals the batch operator's keep set and " +
       "drops every planted copy") {
     import org.apache.spark.sql.functions.col
