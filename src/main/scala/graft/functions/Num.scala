@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions.floor
 object Num {
   /** Truncate to 6 decimals (tie-free cross-engine determinism). */
   def t6(e: Column): Column = floor(e * 1000000.0) / 1000000.0
+  /** Driver-side twin of [[t6]]: identical IEEE multiply/floor/divide on
+    * a Scala Double, for values computed on the driver (e.g. the
+    * ExactQuantiles edge metadata) that re-enter a plan as literals. */
+  def t6d(v: Double): Double = math.floor(v * 1000000.0) / 1000000.0
   /** Truncate to 2 decimals. */
   def t2(e: Column): Column = floor(e * 100.0) / 100.0
 }

@@ -71,6 +71,79 @@ class PlanLintSpec extends AnyFunSuite {
         offenders.map(_._1).mkString(", "))
   }
 
+  // ---- lint 2: value-buffering aggregates over corpus-sized input ----
+  //
+  // Spark's exact Percentile (and Median/percentile_disc, same base
+  // class) buffers EVERY input value in its aggregation buffer, and
+  // collect_list/collect_set buffer every value per group: fed by an
+  // unbounded-to-scan child, the buffer is corpus-proportional — the
+  // round-6 verdict's last scale-killer class (ppl_buckets'
+  // single-merge-task exact percentile). ExactQuantiles is the sanctioned
+  // replacement for percentile; collects are admissible only when the
+  // per-group buffer is bounded by something the plan cannot see,
+  // documented in the allowlist below.
+
+  /** Queries whose collect_* buffers are bounded off-plan. Keys must
+    * exactly equal the set of flagged queries — a stale entry fails the
+    * lint too, so the list cannot rot. */
+  private val boundedCollectJustifications: Map[String, String] = Map(
+    "listagg_types" -> ("collect_set(event_type) per day: buffer bounded " +
+      "by the event-type DOMAIN (a handful of values), not the corpus"),
+    "split_leakage" -> ("collect_set(split) per digest: split domain is " +
+      "{train,val,test}, 3 values max per group"),
+    "span_scrub" -> ("collect_list(pos,tok) per doc_id: buffer bounded " +
+      "by max document length, a corpus-format constant"),
+    "winnow_fingerprints" -> ("collect_set(minhash) per doc_id: bounded " +
+      "by windows-per-document, a corpus-format constant"))
+
+  private def bufferingAggs(p: SparkPlan): Seq[String] = p.collect {
+    case a: BaseAggregateExec if unboundedToScan(a.child) =>
+      a.aggregateExpressions.map(_.aggregateFunction).collect {
+        case f: org.apache.spark.sql.catalyst.expressions.aggregate
+          .PercentileBase => f.prettyName
+        case f: org.apache.spark.sql.catalyst.expressions.aggregate
+          .Collect[_] => f.prettyName
+      }
+  }.flatten
+
+  test("no query feeds a value-buffering aggregate (percentile / " +
+      "collect_list / collect_set) with corpus-sized input, except the " +
+      "documented domain/doc-bounded collects") {
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        if (name.startsWith("stream_")) None
+        else {
+          val bad = bufferingAggs(fn(spark, sf).queryExecution.sparkPlan)
+          if (bad.nonEmpty) Some(name -> bad.distinct) else None
+        }
+    }
+    val percentileOffenders = flagged.filter(_._2.exists(
+      f => f.contains("percentile") || f == "median"))
+    assert(percentileOffenders.isEmpty,
+      "corpus-fed exact-percentile aggregate (use ExactQuantiles) in: " +
+        percentileOffenders.map(_._1).mkString(", "))
+    val collectOffenders = flagged.map(_._1).toSet
+    assert(collectOffenders == boundedCollectJustifications.keySet,
+      s"corpus-fed collect aggregates changed: flagged=$collectOffenders " +
+        s"allowlisted=${boundedCollectJustifications.keySet} — every " +
+        "flagged query needs a documented bound, every allowlist entry " +
+        "must still be real")
+  }
+
+  test("lint 2 self-check: a corpus-fed exact percentile IS flagged; an " +
+      "aggregate-bounded one is not") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val bad = docs.agg(percentile(col("n_chars"), lit(0.5)).as("p"))
+    assert(bufferingAggs(bad.queryExecution.sparkPlan).nonEmpty,
+      "lint must flag percentile fed by a raw corpus scan")
+    val bounded = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .agg(percentile(col("n"), lit(0.5)).as("p"))
+    assert(bufferingAggs(bounded.queryExecution.sparkPlan).isEmpty,
+      "lint must accept percentile over an aggregate-bounded input")
+  }
+
   test("lint self-check: the round-5 hybrid_search defect shape (global " +
       "rank over a raw corpus scan, no bound) IS flagged") {
     import org.apache.spark.sql.expressions.Window
