@@ -123,6 +123,8 @@ object SparkEntry {
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
     "bpe_merges" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeMergeStep(s, d)),
+    "bpe_iterate" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeIterate(s, d)),
     // -- lexical retrieval / corpus statistics (documents) --
     "bm25_search" -> ((s: SparkSession, d: String) => Retrieval.bm25Search(s, d)),
     "vocabulary" -> ((s: SparkSession, d: String) => Retrieval.vocabulary(s, d)),
@@ -331,6 +333,41 @@ object SparkEntry {
     s"floor((CASE WHEN ceil($r) = floor($r) OR $lo = $hi THEN $lo " +
       s"ELSE (ceil($r) - $r) * $lo + ($r - floor($r)) * $hi END) " +
       s"* 1000000.0)/1000000.0 AS e$i"
+  }
+
+  /** Chained-CTE oracle for the iterated BPE trainer (the
+    * textrank_keywords trick: one CTE triple per round). Must mirror
+    * TextAnalysis.bpeIterate exactly: wrapped-symbol strings
+    * (`" a  b  c "` — space sentinels, double-space separators), pair
+    * identity = its own wrapped pattern, top pair by (count desc, pair
+    * asc), merge applied as a literal left-to-right non-overlapping
+    * replace. DuckDB's `replace` resumes after each replacement exactly
+    * like Spark's UTF8String.replace, so the greedy-merge semantics are
+    * engine-identical. */
+  private def bpeIterateOracleSql(rounds: Int = 6): String = {
+    val head =
+      """WITH toks AS (SELECT unnest(list_filter(
+        |   regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0)) AS token FROM documents),
+        | vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+        | w0 AS (SELECT regexp_replace(token, '(.)', ' \1 ', 'g') AS s,
+        |  cnt FROM vocab)""".stripMargin.replace("\n", "")
+    val perRound = (0 until rounds).map { r =>
+      s""", p$r AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM
+         |  (SELECT cnt, unnest(list_transform(range(1, len(sy)),
+         |    i -> ' ' || sy[i] || '  ' || sy[i+1] || ' ')) AS pair FROM
+         |   (SELECT string_split(trim(s), '  ') AS sy, cnt FROM w$r))
+         |  GROUP BY 1),
+         | b$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+         | w${r + 1} AS (SELECT replace(s, (SELECT pair FROM b$r),
+         |  ' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' ') AS s,
+         |  cnt FROM w$r)""".stripMargin.replace("\n", "")
+    }.mkString
+    val select = (0 until rounds).map(r =>
+      s"SELECT CAST(${r + 1} AS INTEGER) AS round, pair," +
+        s" replace(pair, ' ', '') AS merged, n FROM b$r")
+      .mkString(" UNION ALL ")
+    s"$head$perRound $select ORDER BY round"
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -776,6 +813,9 @@ object SparkEntry {
         |    i -> substr(token, CAST(i AS INTEGER), 2))) AS pair
         |   FROM v WHERE length(token) >= 2)
         | GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin.replace("\n", ""),
+    // iterated BPE training: chained CTEs, one (pairs -> best -> merge)
+    // triple per round over the wrapped-symbol vocab strings
+    "bpe_iterate" -> bpeIterateOracleSql(),
     "sessionize" ->
       """SELECT user_id, session_idx, count(*) AS n_events,
         | min(event_id) AS first_event, max(event_id) AS last_event

@@ -338,6 +338,69 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Iterated BPE tokenizer training (Sennrich et al. '16,
+    * arXiv:1508.07909): `rounds` full merge rounds — count adjacent
+    * symbol pairs over the vocabulary (each word weighted by its corpus
+    * frequency), select the top pair (count desc, pair asc — fully
+    * deterministic), apply the merge to every word, recount. Completes
+    * the training loop [[bpeMergeStep]]'s single selection started, the
+    * way `kmeansIterate` completed one Lloyd step.
+    *
+    * Encoding: each word's symbol sequence is ONE string — single-space
+    * sentinels, double-space separators (`" a  b  c "`). Tokens are
+    * whitespace-split so a space can never occur inside a symbol, which
+    * makes the wrapped form unambiguous, and a literal `replace` of
+    * `" a  b "` with `" ab "` is exactly greedy left-to-right
+    * non-overlapping BPE merging — in Spark and DuckDB alike (both
+    * resume scanning after a replacement, so a symbol just formed never
+    * re-merges within its round; `" a  a  a  a "` becomes
+    * `" aa  aa "`, matching the classic fold). The pair IS its wrapped
+    * pattern string, so the tie-break orders identically in both
+    * engines.
+    *
+    * Scale shape: the ONLY corpus-sized job is the word-frequency
+    * aggregate, persisted once; every round after that is a pair
+    * aggregate + top-1 collect (1 row of driver metadata per round —
+    * the kmeans-centroid pattern) + a narrow literal-replace projection
+    * over the vocab plateau (~1e6 rows on web corpora). Exactly how
+    * production BPE trainers iterate: on the vocabulary, never the raw
+    * corpus. */
+  def bpeIterate(s: SparkSession, dir: String, rounds: Int = 6): DataFrame = {
+    val vocab = t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val words0 = vocab.select(
+      regexp_replace(col("token"), "(.)", " $1 ").as("s"), col("cnt"))
+      .persist()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var words = words0
+    try {
+      for (r <- 1 to rounds) {
+        val sy = split(trim(col("s")), "  ")
+        val best = words
+          .filter(size(sy) >= 2)
+          .select(col("cnt"), explode(transform(
+            sequence(lit(1), size(sy) - 1),
+            i => concat(lit(" "), element_at(sy, i), lit("  "),
+              element_at(sy, i + 1), lit(" ")))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(1)
+          .collect()
+        if (best.nonEmpty) {
+          val pair = best(0).getString(0)
+          val merged = pair.replace(" ", "")
+          merges += ((r, pair, merged, best(0).getLong(1)))
+          words = words.select(
+            replace(col("s"), lit(pair), lit(" " + merged + " ")).as("s"),
+            col("cnt"))
+        }
+      }
+    } finally words0.unpersist(blocking = false)
+    s.createDataFrame(merges.toSeq).toDF("round", "pair", "merged", "n")
+      .orderBy("round")
+  }
+
   /** Per-source length quantiles (exact linear-interpolation percentile —
     * the corpus-shape dashboard a curation run reads before choosing mix
     * weights).

@@ -186,6 +186,55 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got.toSeq === expected)
   }
 
+  test("bpe_iterate matches an independent classic BPE trainer " +
+      "(symbol-list fold, no string-replace encoding)") {
+    // ground truth: the textbook algorithm over explicit symbol vectors —
+    // a deliberately DIFFERENT rendering from the operator's wrapped-
+    // string replace, so encoding bugs (boundary matches, overlap
+    // handling) cannot cancel out
+    val rounds = 6
+    val toks = Tables.load(spark, TestSpark.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(_.getString(0).trim.split("\\s+").filter(_.nonEmpty))
+    var words: Map[Vector[String], Long] = toks.groupBy(identity)
+      .map { case (t, occ) =>
+        t.map(_.toString).toVector -> occ.length.toLong }
+    def mergeSeq(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val expected = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        // tie-break on the wrapped pattern string, the operator's order
+        val ((a, b), n) = counts.toSeq
+          .minBy { case ((x, y), m) => (-m, s" $x  $y ") }
+        expected += ((r, s" $a  $b ", a + b, n))
+        words = words.map { case (syms, c) => mergeSeq(syms, a, b) -> c }
+      }
+    }
+    val got = graft.operators.TextAnalysis
+      .bpeIterate(spark, TestSpark.sf, rounds).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("ppl buckets: all 10 deciles populated, counts reconcile, and " +
       "score ranges are disjoint and ordered") {
     val rows = graft.operators.TextAnalysis.pplBuckets(spark, TestSpark.sf)
