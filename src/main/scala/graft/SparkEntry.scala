@@ -235,6 +235,10 @@ object SparkEntry {
       Similarity.lshTopKPlanted(s, d)),
     "ann_ivf_planted" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopKPlanted(s, d)),
+    // full index lifecycle: kmeansIterate-trained centroids -> hive
+    // cell=-partitioned build -> partition-pruned ivfProbeIndexed probes
+    "ann_ivf_indexed" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfIndexedPlanted(s, d)),
     // SemDeDup planted gate: cluster-bounded embedding dedup must strip
     // exactly the planted copies (survivors = the original corpus)
     "semdedup_planted" -> ((s: SparkSession, d: String) =>
@@ -1336,6 +1340,14 @@ object SparkEntry {
         | FROM (SELECT unnest(range(0, 5)) AS q_id)
         | ORDER BY q_id""".stripMargin.replace("\n", ""),
     "ann_ivf_planted" ->
+      """SELECT CAST(q_id AS BIGINT) AS q_id,
+        | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
+        | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact
+        | FROM (SELECT unnest(range(0, 5)) AS q_id)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    // trained-index lifecycle probe: same closed-form contract — the
+    // planted copy lives in the probe's #1 cell by construction
+    "ann_ivf_indexed" ->
       """SELECT CAST(q_id AS BIGINT) AS q_id,
         | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
         | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact

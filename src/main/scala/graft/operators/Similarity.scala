@@ -670,18 +670,25 @@ object Similarity {
     * layout alone. */
   def ivfProbeIndexed(s: SparkSession, indexPath: String,
       query: Array[Float], k: Int = 10, nProbe: Int = 4): DataFrame = {
+    // centroids may be stored float (sampled index) or double (trained
+    // index); widen to double — exact for floats, and the same values
+    // the build-side argmax expression saw
     val cents = s.read.parquet(s"$indexPath/centroids")
+      .select(col("cent_id"), col("centroid").cast("array<double>"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    def cos(a: Array[Float], b: Array[Float]): Double = {
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // identical accumulation order to the CosineSim expression, so the
+    // driver-side cell ranking agrees bit-for-bit with the build-side
+    // assignment
+    def cos(a: Array[Float], b: Array[Double]): Double = {
       var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
       while (i < a.length) {
-        xy += a(i).toDouble * b(i); xx += a(i).toDouble * a(i)
-        yy += b(i).toDouble * b(i); i += 1
+        val xi = a(i).toDouble; val yi = b(i)
+        xy += xi * yi; xx += xi * xi; yy += yi * yi; i += 1
       }
       xy / (math.sqrt(xx) * math.sqrt(yy))
     }
-    val probeCells = cents.map { case (cid, v) => (-cos(v, query), cid) }
+    val probeCells = cents.map { case (cid, v) => (-cos(query, v), cid) }
       .sorted.take(nProbe).map(_._2)
     s.read.parquet(s"$indexPath/vectors")
       .filter(col("cell").isin(probeCells: _*)) // partition pruning
@@ -689,6 +696,68 @@ object Similarity {
         Num.t6(cosine(col("embedding"), typedlit(query))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** End-to-end IVF index LIFECYCLE — train, build, probe as one flow
+    * (round-6 verdict item 4; the pieces existed separately):
+    *
+    *  1. TRAIN: two full Lloyd rounds ([[kmeansIterate]]) from the label
+    *     warm start; the trained centroids are cells×dim metadata.
+    *  2. BUILD: every vector (corpus + the planted exact copies) is
+    *     assigned to its trained-argmax cell and written hive
+    *     `cell=`-partitioned with the centroid table alongside —
+    *     [[writeIvfIndex]]'s layout with trained instead of sampled
+    *     centroids.
+    *  3. PROBE: each planted query goes through [[ivfProbeIndexed]] —
+    *     driver-side cell ranking against the STORED centroids, then a
+    *     partition-pruned read of only the nProbe nearest cells
+    *     (PartitionFilters, spec-asserted).
+    *
+    * The planted copy's home cell is by construction the probe's #1
+    * cell (identical vector, identical argmax — the driver cos replays
+    * CosineSim's accumulation order bit-for-bit, and ties break on the
+    * same (neg_sim, cell) order both sides), so the copy MUST come back
+    * at rank 1 with cosine ~1.0 under any nProbe >= 1: the relation is
+    * closed-form, the [[ivfTopKPlanted]] contract. Probes run eagerly so
+    * the scratch index can be deleted before returning (no tmpfs
+    * accumulation); the result is the 5-row gate relation. */
+  def ivfIndexedPlanted(s: SparkSession, dir: String, n: Int = 5,
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val emb = plantedEmb(t(s, dir, "embeddings"), n)
+    val trained = collectCentroids(kmeansIterate(s, dir, 2), "cluster")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-ivf-")
+    try {
+      val indexPath = scratch.toString
+      emb.select(col("vec_id"), col("embedding"),
+        argmaxOver(trained).getField("cluster").as("cell"))
+        .repartition(col("cell")) // one writer task per cell
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd")
+        .parquet(s"$indexPath/vectors")
+      import s.implicits._
+      trained.toSeq.map { case (c, v) => (c.toLong, v.toSeq) }
+        .toDF("cent_id", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexPath/centroids")
+      val queries = emb.filter(col("vec_id") < n)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val rows = queries.map { case (qid, qv) =>
+        val hit = ivfProbeIndexed(s, indexPath, qv, k, nProbe)
+          .filter(col("vec_id") =!= qid)
+          .collect().head
+        (qid, hit.getLong(0), 1, hit.getDouble(1) >= 0.999999)
+      }
+      s.createDataFrame(rows.toSeq)
+        .toDF("q_id", "vec_id", "rn", "is_exact")
+        .orderBy("q_id")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold — the

@@ -127,6 +127,15 @@ class SimilaritySpec extends AnyFunSuite {
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.matches("(?s).*PartitionFilters: \\[.*cell.*"),
       s"expected cell PartitionFilters in:\n${plan.take(1500)}")
+    // ...and prune to EXACTLY nProbe of the cell partitions: the 100 TB
+    // probe cost is nProbe/cells of one scan, from layout alone
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount === 4,
+      s"expected 4 selected cell partitions, got " +
+        s"${scans.head.selectedPartitions.partitionCount} of $dirs")
     // rank 1 is the query vector itself (it lives in a probed cell)
     assert(rows.head.getLong(0) === 0L && rows.head.getDouble(1) >= 0.999999)
     // dropping self, the result IS the in-memory IVF top-k (same
@@ -135,6 +144,20 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
     assert(rows.tail.map(_.getLong(0)).toSet === mem.keySet)
     rows.tail.foreach(r => assert(mem(r.getLong(0)) === r.getDouble(1)))
+  }
+
+  test("IVF lifecycle (train -> build -> probe): every planted probe " +
+      "recovers its copy at rank 1, and the scratch index is removed") {
+    val got = Similarity.ivfIndexedPlanted(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    assert(got.toSeq === (0L until 5L).map(q =>
+      (q, q + graft.operators.Dedup.PlantOffset, 1, true)))
+    // lifecycle cleans its scratch: no graft-ivf- dirs left behind
+    val tmp = new java.io.File(
+      System.getProperty("java.io.tmpdir")).listFiles()
+    assert(tmp == null ||
+      !tmp.exists(_.getName.startsWith("graft-ivf-")),
+      "lifecycle must delete its scratch index directory")
   }
 
   test("cosine: ragged lengths and null elements propagate NULL") {
