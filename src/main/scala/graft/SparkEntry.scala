@@ -120,6 +120,10 @@ object SparkEntry {
     "bigram_logprob" -> (TextAnalysis.bigramLogProb _),
     "gopher_filter" -> (TextAnalysis.gopherFilter _),
     "quality_logit" -> (TextAnalysis.qualityLogit _),
+    // the trainable half: one exact-decimal logistic-gradient step,
+    // Gopher rules as the weak-supervision labels
+    "quality_train" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.qualityLogitTrain(s, d)),
     "token_histogram" -> (TextAnalysis.tokenHistogram _),
     "bpe_merges" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeMergeStep(s, d)),
@@ -1993,6 +1997,54 @@ object SparkEntry {
         |   list_filter(regexp_split_to_array(trim(text), '\s+'),
         |    t -> length(t) > 0) AS w FROM documents) WHERE len(w) > 0)
         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // one logistic-gradient training step: Gopher-rule labels, raw-double
+    // features/sigmoid, t6-floored contributions, exact-decimal mean
+    "quality_train" ->
+      """WITH f AS (SELECT
+        |  CAST(len(list_filter(w, t -> list_contains(
+        |   ['the','a','an','and','or','of','to','in','is','it',
+        |    'that','for','on','with','as','at','by','be','this','are'], t)))
+        |   AS DOUBLE) / len(w) AS sw,
+        |  CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |   AS DOUBLE) / length(text) AS pr,
+        |  least(CAST(len(w) AS DOUBLE) / 256.0, 1.0) AS lenf,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |   / len(w) AS al,
+        |  CAST(list_max(list_transform(list_distinct(w),
+        |   x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w) AS tw,
+        |  CASE WHEN len(w) <= 2 THEN 0.0 ELSE
+        |   1.0 - CAST(len(list_distinct(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+        |    / (CAST(len(w) AS DOUBLE) - 1.0) END AS br,
+        |  len(w) AS nw
+        |  FROM (SELECT text,
+        |   list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> length(t) > 0) AS w FROM documents) WHERE len(w) > 0),
+        | r AS (SELECT sw, pr, lenf, least(al / 8.0, 1.0) AS alf,
+        |  (1.0 / (1.0 + exp(-(-1.0 + sw*2.0 + pr*(-4.0) + lenf*1.5
+        |    + least(al / 8.0, 1.0)*1.0)))
+        |   - CASE WHEN nw >= 50 AND nw <= 100000 AND al >= 3.0
+        |      AND al <= 10.0 AND sw >= 0.03 AND tw <= 0.12 AND br <= 0.08
+        |     THEN 1.0 ELSE 0.0 END) AS resid FROM f),
+        | c AS (
+        |  SELECT 'bias' AS feature, CAST(-1.0 AS DOUBLE) AS w_old,
+        |   floor(resid * 1.0 * 1000000.0)/1000000.0 AS c FROM r
+        |  UNION ALL SELECT 'stopword_ratio', CAST(2.0 AS DOUBLE),
+        |   floor(resid * sw * 1000000.0)/1000000.0 FROM r
+        |  UNION ALL SELECT 'punct_ratio', CAST(-4.0 AS DOUBLE),
+        |   floor(resid * pr * 1000000.0)/1000000.0 FROM r
+        |  UNION ALL SELECT 'len_feat', CAST(1.5 AS DOUBLE),
+        |   floor(resid * lenf * 1000000.0)/1000000.0 FROM r
+        |  UNION ALL SELECT 'avg_len_feat', CAST(1.0 AS DOUBLE),
+        |   floor(resid * alf * 1000000.0)/1000000.0 FROM r)
+        | SELECT feature, w_old,
+        |  floor(CAST(sum(CAST(c AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+        |   * 1000000.0)/1000000.0 AS grad,
+        |  floor((w_old - 0.5 * (floor(CAST(sum(CAST(c AS DECIMAL(28,6)))
+        |    AS DOUBLE) / count(*) * 1000000.0)/1000000.0))
+        |   * 1000000.0)/1000000.0 AS w_new
+        | FROM c GROUP BY feature, w_old
+        | ORDER BY feature""".stripMargin.replace("\n", ""),
     // exact linear-interpolation quantiles of doc length per source
     "source_quantiles" ->
       """SELECT source, count(*) AS n_docs,

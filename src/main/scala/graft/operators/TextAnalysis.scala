@@ -154,6 +154,69 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** One exact-decimal gradient-descent step of the linear quality
+    * classifier — [[qualityLogit]]'s trainable half (round-6 verdict
+    * item 5). Labels come from the Gopher rule conjunction
+    * ([[gopherFilter]]'s `keep`): the weak-supervision recipe behind
+    * fastText-style quality classifiers — an expensive rule set labels
+    * the corpus once, a fast linear scorer learns to mimic it. Starting
+    * from the published-style weights the scorer ships with, the step is
+    * the mean logistic-loss gradient
+    * `w' = w - lr * mean((sigmoid(w·x) - y) * x)` over the five features
+    * (bias + the four [[qualityLogit]] inputs). Emits one row per
+    * feature: old weight, gradient, new weight.
+    *
+    * Exactness discipline: features and the sigmoid run on raw doubles
+    * (the quality_logit precedent — identical IEEE ops both engines);
+    * per-document contributions are floor-truncated then decimal-summed
+    * (`Num.t6` + `Relational.dsum`) so the mean gradient is engine- and
+    * partitioning-identical, and `lr = 0.5` scales exactly. Scale shape:
+    * one narrow corpus scan (tokens + RepetitionStats materialized once
+    * per row), a 5-row stack, and an aggregate keyed on 5 features —
+    * nothing buffers, nothing broadcasts. */
+  def qualityLogitTrain(s: SparkSession, dir: String,
+      lr: Double = 0.5): DataFrame = {
+    val w = col("w")
+    val st = col("st")
+    val nTok = size(w).cast("double")
+    val topFrac = st.getField("top").cast("double") / nTok
+    val biRepeat = when(size(w) <= 2, lit(0.0)).otherwise(
+      lit(1.0) - st.getField("d2").cast("double") / (nTok - 1.0))
+    val keep = (size(w) >= 50 && size(w) <= 100000) &&
+      (avgTokenLen(col("text")) >= 3.0 && avgTokenLen(col("text")) <= 10.0) &&
+      (stopwordRatio(col("text")) >= 0.03) &&
+      (topFrac <= 0.12) && (biRepeat <= 0.08)
+    val sw = stopwordRatio(col("text"))
+    val pr = punctRatio(col("text"))
+    val lenF = least(tokenCount(col("text")).cast("double") / lit(256.0),
+      lit(1.0))
+    val alF = least(avgTokenLen(col("text")) / lit(8.0), lit(1.0))
+    val z = lit(-1.0) + sw * lit(2.0) + pr * lit(-4.0) +
+      lenF * lit(1.5) + alF * lit(1.0)
+    val resid = lit(1.0) / (lit(1.0) + exp(-z)) - keep.cast("double")
+    val w0 = Seq("bias" -> -1.0, "stopword_ratio" -> 2.0,
+      "punct_ratio" -> -4.0, "len_feat" -> 1.5, "avg_len_feat" -> 1.0)
+    val xs = Seq(lit(1.0), sw, pr, lenF, alF)
+    val stackArgs = w0.zip(xs).flatMap { case ((name, _), x) =>
+      Seq(lit(name), Num.t6(resid * x)) }
+    val wOld = w0.foldLeft(lit(null).cast("double")) {
+      case (acc, (name, v)) =>
+        when(col("feature") === name, lit(v)).otherwise(acc)
+    }
+    val grad = Num.t6(col("raw_grad"))
+    t(s, dir, "documents")
+      .withColumn("w", tokens(col("text")))
+      .filter(size(w) > 0)
+      .withColumn("st",
+        graft.functions.SketchExpressions.repetitionStats(w))
+      .select(stack((lit(5) +: stackArgs): _*).as(Seq("feature", "c")))
+      .groupBy(col("feature"))
+      .agg((Relational.dsum(col("c")) / count(lit(1))).as("raw_grad"))
+      .select(col("feature"), wOld.as("w_old"), grad.as("grad"),
+        Num.t6(wOld - lit(lr) * grad).as("w_new"))
+      .orderBy("feature")
+  }
+
   /** Unigram language-model scoring per document: mean token log-probability
     * under the corpus's own unigram distribution — the classic
     * low-perplexity/"natural text" quality signal (documents full of rare

@@ -235,6 +235,44 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("quality_train: the gradient step is internally consistent and " +
+      "DESCENDS the logistic loss against the Gopher labels") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val step = graft.operators.TextAnalysis
+      .qualityLogitTrain(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(step.keySet === Set("bias", "stopword_ratio", "punct_ratio",
+      "len_feat", "avg_len_feat"))
+    // w_new is exactly the t6-floored update from w_old and grad
+    step.foreach { case (f, (wOld, grad, wNew)) =>
+      assert(grad == grad && !grad.isInfinite, s"$f grad must be finite")
+      assert(wNew === graft.functions.Num.t6d(wOld - 0.5 * grad), f)
+    }
+    assert(step.exists(_._2._2 != 0.0), "at least one nonzero gradient")
+    // the step must reduce mean logistic loss on its own training set
+    val labels = graft.operators.TextAnalysis.gopherFilter(spark, TestSpark.sf)
+      .select(col("doc_id"), col("keep"))
+    val sw = stopwordRatio(col("text"))
+    val pr = punctRatio(col("text"))
+    val lenF = least(tokenCount(col("text")).cast("double") / 256.0, lit(1.0))
+    val alF = least(avgTokenLen(col("text")) / 8.0, lit(1.0))
+    def z(w: Map[String, Double]): org.apache.spark.sql.Column =
+      lit(w("bias")) + sw * w("stopword_ratio") + pr * w("punct_ratio") +
+        lenF * w("len_feat") + alF * w("avg_len_feat")
+    def loss(w: Map[String, Double]): Double =
+      Tables.load(spark, TestSpark.sf, "documents")
+        .join(labels, Seq("doc_id"))
+        .select(when(col("keep"), log(lit(1.0) + exp(-z(w))))
+          .otherwise(log(lit(1.0) + exp(z(w)))).as("l"))
+        .agg(avg(col("l"))).head.getDouble(0)
+    val old = step.view.mapValues(_._1).toMap
+    val neu = step.view.mapValues(_._3).toMap
+    assert(loss(neu) < loss(old),
+      s"gradient step must descend: ${loss(neu)} !< ${loss(old)}")
+  }
+
   test("ppl buckets: all 10 deciles populated, counts reconcile, and " +
       "score ranges are disjoint and ordered") {
     val rows = graft.operators.TextAnalysis.pplBuckets(spark, TestSpark.sf)
