@@ -178,37 +178,51 @@ object TextAnalysis {
       lr: Double = 0.5): DataFrame = {
     val w = col("w")
     val st = col("st")
-    val nTok = size(w).cast("double")
-    val topFrac = st.getField("top").cast("double") / nTok
-    val biRepeat = when(size(w) <= 2, lit(0.0)).otherwise(
-      lit(1.0) - st.getField("d2").cast("double") / (nTok - 1.0))
-    val keep = (size(w) >= 50 && size(w) <= 100000) &&
-      (avgTokenLen(col("text")) >= 3.0 && avgTokenLen(col("text")) <= 10.0) &&
-      (stopwordRatio(col("text")) >= 0.03) &&
-      (topFrac <= 0.12) && (biRepeat <= 0.08)
-    val sw = stopwordRatio(col("text"))
-    val pr = punctRatio(col("text"))
-    val lenF = least(tokenCount(col("text")).cast("double") / lit(256.0),
-      lit(1.0))
-    val alF = least(avgTokenLen(col("text")) / lit(8.0), lit(1.0))
-    val z = lit(-1.0) + sw * lit(2.0) + pr * lit(-4.0) +
-      lenF * lit(1.5) + alF * lit(1.0)
-    val resid = lit(1.0) / (lit(1.0) + exp(-z)) - keep.cast("double")
+    val nTokD = size(w).cast("double")
+    // token count exactly as tokenCount(): size -> long -> double
+    val nTokLD = size(w).cast("long").cast("double")
+    val stopArr = array(
+      graft.functions.TextFunctions.enStopwords.map(lit): _*)
+    // every feature materialized ONCE per row (the langId hoisting
+    // lesson: stack evaluates its argument expressions per branch, so an
+    // inline stopwordRatio would re-tokenize 5x per document); the
+    // arithmetic is bit-identical to the TextFunctions forms
+    val feats = t(s, dir, "documents")
+      .withColumn("w", tokens(col("text")))
+      .filter(size(w) > 0)
+      .withColumn("st",
+        graft.functions.SketchExpressions.repetitionStats(w))
+      .select(
+        (size(filter(w, t => array_contains(stopArr, t))).cast("double") /
+          nTokLD).as("sw"),
+        punctRatio(col("text")).as("pr"),
+        least(nTokLD / lit(256.0), lit(1.0)).as("lenf"),
+        (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          nTokLD).as("al"),
+        size(w).as("nw"),
+        (st.getField("top").cast("double") / nTokD).as("tw"),
+        when(size(w) <= 2, lit(0.0)).otherwise(
+          lit(1.0) - st.getField("d2").cast("double") / (nTokD - 1.0))
+          .as("br"))
+      .withColumn("alf", least(col("al") / lit(8.0), lit(1.0)))
+    val z = lit(-1.0) + col("sw") * lit(2.0) + col("pr") * lit(-4.0) +
+      col("lenf") * lit(1.5) + col("alf") * lit(1.0)
+    val keep = (col("nw") >= 50 && col("nw") <= 100000) &&
+      (col("al") >= 3.0 && col("al") <= 10.0) && (col("sw") >= 0.03) &&
+      (col("tw") <= 0.12) && (col("br") <= 0.08)
     val w0 = Seq("bias" -> -1.0, "stopword_ratio" -> 2.0,
       "punct_ratio" -> -4.0, "len_feat" -> 1.5, "avg_len_feat" -> 1.0)
-    val xs = Seq(lit(1.0), sw, pr, lenF, alF)
+    val xs = Seq(lit(1.0), col("sw"), col("pr"), col("lenf"), col("alf"))
     val stackArgs = w0.zip(xs).flatMap { case ((name, _), x) =>
-      Seq(lit(name), Num.t6(resid * x)) }
+      Seq(lit(name), Num.t6(col("resid") * x)) }
     val wOld = w0.foldLeft(lit(null).cast("double")) {
       case (acc, (name, v)) =>
         when(col("feature") === name, lit(v)).otherwise(acc)
     }
     val grad = Num.t6(col("raw_grad"))
-    t(s, dir, "documents")
-      .withColumn("w", tokens(col("text")))
-      .filter(size(w) > 0)
-      .withColumn("st",
-        graft.functions.SketchExpressions.repetitionStats(w))
+    feats
+      .withColumn("resid",
+        lit(1.0) / (lit(1.0) + exp(-z)) - keep.cast("double"))
       .select(stack((lit(5) +: stackArgs): _*).as(Seq("feature", "c")))
       .groupBy(col("feature"))
       .agg((Relational.dsum(col("c")) / count(lit(1))).as("raw_grad"))
