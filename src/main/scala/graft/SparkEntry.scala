@@ -2255,14 +2255,16 @@ object SparkEntry {
         |  (SELECT count(*) FROM lineitem l LEFT JOIN
         |    (SELECT DISTINCT o_orderkey FROM orders) o
         |    ON l.l_orderkey = o.o_orderkey
-        |   WHERE o.o_orderkey IS NULL) AS n_orphans
+        |   WHERE o.o_orderkey IS NULL
+        |    AND l.l_orderkey IS NOT NULL) AS n_orphans
         | UNION ALL
         | SELECT 'events.user_id -> customer.c_custkey',
         |  (SELECT count(*) FROM events),
         |  (SELECT count(*) FROM events e LEFT JOIN
         |    (SELECT DISTINCT c_custkey FROM customer) c
         |    ON e.user_id = c.c_custkey
-        |   WHERE c.c_custkey IS NULL))
+        |   WHERE c.c_custkey IS NULL
+        |    AND e.user_id IS NOT NULL))
         | SELECT rel, n_child, n_orphans, n_orphans = 0 AS ok
         | FROM r ORDER BY rel""".stripMargin.replace("\n", ""),
     // dbt `accepted_values` on event_type ('error' deliberately

@@ -87,7 +87,11 @@ object Contract {
 
   /** dbt `relationships` accounting for one child→parent edge: child
     * rows, orphan rows (children whose key is absent from the parent),
-    * verdict. The orphan count is a LEFT ANTI join against the parent's
+    * verdict. NULL child keys are excluded from the orphan count before
+    * the anti join — dbt's relationships test only checks non-null
+    * children (a null FK is `not_null`'s business, and a null key never
+    * matches an anti join anyway, which would silently count it as an
+    * orphan). The orphan count is a LEFT ANTI join against the parent's
     * distinct keys — count-only projections on both sides, so the join
     * carries keys, never rows; at 100 TB the parent key set either
     * broadcasts (dimension) or the anti join shuffles on the key both
@@ -96,6 +100,7 @@ object Contract {
       parentKey: String, relName: String): DataFrame = {
     val nChild = child.agg(count(lit(1)).as("n_child"))
     val orphans = child.select(col(childKey))
+      .filter(col(childKey).isNotNull)
       .join(parent.select(col(parentKey).as(childKey)).distinct(),
         Seq(childKey), "left_anti")
       .agg(count(lit(1)).as("n_orphans"))

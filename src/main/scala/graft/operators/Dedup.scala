@@ -612,7 +612,16 @@ object Dedup {
     * per distinct selection — the long-form feed a fingerprint index
     * buckets on (key the table by `mh`, intersect posting lists to
     * compare documents). */
-  def winnowSelections(docs: DataFrame, n: Int, w: Int): DataFrame = {
+  def winnowSelections(docs: DataFrame, n: Int, w: Int): DataFrame =
+    winnowSelectionsCounted(docs, n, w).select(col("doc_id"), col("mh"))
+
+  /** [[winnowSelections]] carrying each doc's gram count alongside, so a
+    * consumer can derive window counts WITHOUT a second tokenization of
+    * the corpus (g_cnt is already a by-product of the window-min pass;
+    * it is constant per doc, so the distinct's cardinality is
+    * unchanged). */
+  private def winnowSelectionsCounted(docs: DataFrame, n: Int,
+      w: Int): DataFrame = {
     val toks = docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
     val grams = toks
@@ -629,29 +638,31 @@ object Dedup {
       .withColumn("mh", min(col("h")).over(winMin))
       .withColumn("g_cnt", count(lit(1)).over(perDoc))
       .filter(col("p") <= col("g_cnt") - w)
-      .select(col("doc_id"), col("mh"))
+      .select(col("doc_id"), col("mh"), col("g_cnt"))
       .distinct()
   }
 
-  /** Same pipeline over an arbitrary (doc_id, text) frame. */
+  /** Same pipeline over an arbitrary (doc_id, text) frame. The document
+    * universe comes from a doc_id-only projection (column-pruned scan —
+    * no tokenization) and n_windows from the selection pass's own gram
+    * count (`g_cnt - (w-1)`, 0 when no grams exist), so the corpus text
+    * is tokenized exactly ONCE — the dupSpansOn discipline. */
   def winnowFingerprintsOn(docs: DataFrame, n: Int, w: Int): DataFrame = {
-    val lens = docs
-      .select(col("doc_id"),
-        greatest(size(tokens(col("text"))) - (n + w - 2), lit(0))
-          .cast("long").as("n_windows"))
-    val fps = winnowSelections(docs, n, w)
+    val fps = winnowSelectionsCounted(docs, n, w)
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("mh")).as("fps"))
-      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+      .agg(collect_set(col("mh")).as("fps"), max(col("g_cnt")).as("gc"))
+      .select(col("doc_id"),
+        greatest(col("gc") - (w - 1), lit(0)).cast("long").as("win"),
+        size(col("fps")).cast("long").as("n_fp"),
         md5(concat_ws(",",
           transform(array_sort(col("fps")), _.cast("string"))))
           .as("fp_digest"))
-    lens.join(fps, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_fp"))
-      .select(col("doc_id"), col("n_windows"), col("n_fp"),
-        when(col("n_windows") > 0,
+    docs.select(col("doc_id")).join(fps, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("win", "n_fp"))
+      .select(col("doc_id"), col("win").as("n_windows"), col("n_fp"),
+        when(col("win") > 0,
           Num.t6(col("n_fp").cast("double") /
-            col("n_windows").cast("double"))).otherwise(0.0).as("density"),
+            col("win").cast("double"))).otherwise(0.0).as("density"),
         col("fp_digest"))
       .orderBy("doc_id")
   }

@@ -34,13 +34,36 @@ object HourlyStream {
     * because a checkpoint that evaporates on reboot defeats exactly-once
     * recovery — the default here is for the test/bench path, where the
     * checkpoint dies with the run by design. */
+  // every scratch dir is deleted at JVM exit: /dev/shm is RAM-backed, so
+  // un-reaped checkpoints/warehouses from repeated bench/test runs would
+  // otherwise accumulate memory-resident files until reboot
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(q => java.nio.file.Files.deleteIfExists(q))
+        } catch { case _: Throwable => () }
+      }))
+
   private[graft] def scratchDir(prefix: String): String = {
-    val base = sys.env.get("SPARK_GRAFT_STREAM_SCRATCH")
-      .orElse(Option("/dev/shm")
-        .filter(p => { val f = new java.io.File(p); f.isDirectory && f.canWrite }))
+    // a missing/read-only path (env override included) falls through to
+    // the next candidate instead of throwing mid-stream-setup
+    def usable(p: String): Boolean = {
+      val f = new java.io.File(p); f.isDirectory && f.canWrite
+    }
+    val base = sys.env.get("SPARK_GRAFT_STREAM_SCRATCH").filter(usable)
+      .orElse(Option("/dev/shm").filter(usable))
       .getOrElse(System.getProperty("java.io.tmpdir"))
-    java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(base), prefix).toString
+    scratchCleanupHook
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(base), prefix)
+    scratchDirs.add(dir)
+    dir.toString
   }
 
   /** The events schema as the streaming source declares it (ts arrives as
@@ -84,9 +107,12 @@ object HourlyStream {
     * half their data (the smoothing an alerting dashboard wants).
     * Watermark eviction applies per window end; state holds
     * (2 × days × types) rows — still group-bounded, never event-bounded.
-    * `win_start` renders as a minute string so both engines compare the
-    * same value (a raw timestamp would hash-differ on µs/ns physical
-    * types). */
+    * An event later than the 1-day watermark is DROPPED from both of its
+    * windows (spec-pinned across a checkpoint restart) — the standard
+    * completeness/latency trade; widen the watermark if the source can
+    * deliver further behind event time. `win_start` renders as a minute
+    * string so both engines compare the same value (a raw timestamp
+    * would hash-differ on µs/ns physical types). */
   def hoppingAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 day")
@@ -102,9 +128,16 @@ object HourlyStream {
     * emission — counts only grow across update emissions, so
     * `max(n_events)` is exactly the final value whether the source
     * arrived as one micro-batch or many (`maxFilesPerTrigger` replay —
-    * spec-pinned). A production deployment upserts from `foreachBatch`
-    * instead (the runDailyAggOnce discipline); this harness keeps the
-    * sink in-memory and the reduction explicit. */
+    * spec-pinned). PRECONDITION of the replay harness: files must
+    * arrive roughly in event-time order — a file dropped more than the
+    * 1-day watermark behind an already-processed batch is discarded by
+    * [[hoppingAgg]]'s watermark (by design; the late-data spec pins it),
+    * so its events never reach this reduction. Equality with the batch
+    * answer holds only under ordered arrival; widen the watermark for
+    * sources that replay further out of order. A production deployment
+    * upserts from `foreachBatch` instead (the runDailyAggOnce
+    * discipline); this harness keeps the sink in-memory and the
+    * reduction explicit. */
   def runHoppingOnce(s: SparkSession, srcDir: String,
       statePartitions: Int = 4,
       maxFilesPerTrigger: Option[Int] = None): DataFrame =

@@ -67,6 +67,20 @@ class SourceContractSpec extends AnyFunSuite {
     }
   }
 
+  test("relationships contract: NULL child keys are not orphans (dbt " +
+      "parity), true orphans still count") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), None, Some(99L))
+      .toDF("fk") // 99 is a true orphan; the null is not_null's business
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Contract.refIntStats(child, "fk", parent, "pk", "t.fk -> p.pk")
+      .head()
+    assert(r.getAs[Long]("n_child") === 4L)
+    assert(r.getAs[Long]("n_orphans") === 1L,
+      "exactly the non-null missing key counts as an orphan")
+    assert(!r.getAs[Boolean]("ok"))
+  }
+
   test("accepted_values contract: declared values accepted, 'error' " +
       "measured as unexpected") {
     val rows = Contract.acceptedValuesContract(spark, TestSpark.sf)

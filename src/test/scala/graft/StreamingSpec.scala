@@ -473,6 +473,73 @@ class StreamingSpec extends AnyFunSuite {
       "multi-batch hopping replay must converge to the batch answer")
   }
 
+  test("hopping windows: late-beyond-watermark events are dropped across " +
+      "a checkpoint restart; in-watermark late events merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the tumbling late-data spec (runDailyAggOnce) at the 12-hour hop:
+    // every event lives in TWO windows, and watermark eviction must drop
+    // a late event from BOTH of its closed windows
+    val src = Files.createTempDirectory("graft_hoplate_").toString
+    def ns(iso: String): Long =
+      java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+    def write(name: String,
+        rows: Seq[(Long, Long, Long, String, Double, String)],
+        modTime: Long): Unit = {
+      val scratch = Files.createTempDirectory("graft_hoplate_part_").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$src/$name")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(modTime)
+    }
+    val ckpt = Files.createTempDirectory("graft_hoplate_ck_").toString
+    val outDir = Files.createTempDirectory("graft_hoplate_out_").toString +
+      "/hop"
+    def run(): Unit = {
+      val q = graft.streaming.HourlyStream
+        .hoppingAgg(graft.streaming.HourlyStream.readEvents(spark, src))
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // run 1: two day-1 events + one day-10 event -> watermark lands at
+    // day-9 00:30, closing all four day-1 hopping windows
+    write("events_a.parquet", Seq(
+      (1L, ns("2024-01-01T02:00:00Z"), 1L, "click", 1.0, "{}"),
+      (2L, ns("2024-01-01T02:30:00Z"), 1L, "click", 1.0, "{}"),
+      (3L, ns("2024-01-10T00:30:00Z"), 1L, "click", 1.0, "{}")), 1000000L)
+    run()
+    // run 2: a day-1 event behind the restored watermark (must vanish
+    // from BOTH its windows) + a fresh day-10 event (must merge in both)
+    write("events_b.parquet", Seq(
+      (4L, ns("2024-01-01T03:00:00Z"), 1L, "click", 1.0, "{}"),
+      (5L, ns("2024-01-10T01:00:00Z"), 1L, "click", 1.0, "{}")), 2000000L)
+    run()
+    // update emissions only grow a group's count: max = final value
+    val byWin = spark.read.parquet(outDir)
+      .groupBy(col("win_start"))
+      .agg(max(col("n_events")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byWin("2023-12-31 12:00") === 2L,
+      "late event must stay dropped from the first closed window")
+    assert(byWin("2024-01-01 00:00") === 2L,
+      "late event must stay dropped from the second closed window")
+    assert(byWin("2024-01-09 12:00") === 2L,
+      "in-watermark event must merge into the first open window")
+    assert(byWin("2024-01-10 00:00") === 2L,
+      "in-watermark event must merge into the second open window")
+  }
+
   test("streamed index dedup equals the batch operator's keep set and " +
       "drops every planted copy") {
     import org.apache.spark.sql.functions.col
