@@ -81,15 +81,22 @@ object Profile {
     // bytes instead of one row per distinct value. Below that bound this
     // form is preferred: hashing keeps the exploded pair narrow (16
     // bytes) no matter how wide the source column is.
+    // count(DISTINCT h) rather than a manual distinct()+count: for a
+    // single distinct aggregate Spark plans the SAME two-phase shape
+    // (partial (ci,h) groups, then a count per ci — no Expand), and the
+    // distinct-Count form is what the flag-gated ApproxRewrite rule
+    // recognizes, so `spark.graft.approxCountDistinct=true` flips this
+    // exact path to HLL++ per column (the documented >1e8-distinct
+    // escape hatch) with no code change and no effect on default
+    // sessions (spec-pinned both ways in ApproxRewriteSpec).
     val names = typedlit(fields.map(_.name))
     val nd = df
       .select(posexplode(array(fields.map(f =>
         when(col(f.name).isNotNull, xxhash64(col(f.name)))): _*))
         .as(Seq("ci", "h")))
       .filter(col("h").isNotNull)
-      .distinct()
       .groupBy(col("ci"))
-      .agg(count(lit(1)).as("n_distinct"))
+      .agg(count_distinct(col("h")).as("n_distinct"))
       .select(element_at(names, col("ci") + 1).as("col_name"),
         col("n_distinct"))
     stacked.join(broadcast(nd), Seq("col_name"), "left")

@@ -58,6 +58,33 @@ class ApproxRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("profile n_distinct rides the flag: HLL++ per column when on, " +
+      "exact two-phase distinct (no Expand) when off") {
+    val exactDf = graft.operators.Profile.profileLineitem(spark, TestSpark.sf)
+    val exact = exactDf.collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // default path: exact, no sketch, and still Expand-free (the 13x
+    // r4 regression shape must not come back via the count_distinct form)
+    val defPlan = exactDf.queryExecution.executedPlan.toString
+    assert(!defPlan.contains("approx_count_distinct"))
+    assert(!defPlan.contains("Expand"))
+    withRule {
+      spark.conf.set(ApproxRewrite.FlagKey, "true")
+      try {
+        val df = graft.operators.Profile.profileLineitem(spark, TestSpark.sf)
+        val rows = df.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+        assert(df.queryExecution.executedPlan.toString
+          .contains("approx_count_distinct"),
+          "flag must flip the profile's n_distinct to HLL++")
+        rows.foreach { case (c, approx) =>
+          val e = exact(c).toDouble
+          assert(e == 0.0 || math.abs(approx - e) / e < 0.05,
+            s"$c: approx $approx vs exact $e")
+        }
+      } finally spark.conf.set(ApproxRewrite.FlagKey, "false")
+    }
+  }
+
   test("sql surface honors the flag too (rule sees every session query)") {
     withRule {
       spark.conf.set(ApproxRewrite.FlagKey, "true")
