@@ -92,8 +92,7 @@ object SketchExpressions {
   * propagate NULL rather than silently truncating to the common prefix —
   * a plausible-but-wrong similarity is worse than no similarity. */
 case class CosineSim(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true // ragged/null-element inputs -> null
@@ -107,6 +106,55 @@ case class CosineSim(left: Expression, right: Expression)
   }
   private lazy val leftFloat = isFloat(left)
   private lazy val rightFloat = isFloat(right)
+
+  /** Generated form of [[nullSafeEval]] — same loop, same IEEE
+    * accumulation order, so codegen and interpreted paths (and the
+    * driver-side replicas in Similarity) stay bit-identical. Native
+    * codegen matters here more than for most expressions: the kmeans /
+    * IVF / SemDeDup argmax inlines k cosines per ROW, and the
+    * interpreted fallback boxed every element access and result
+    * (k × dim boxed reads per row; scoped bench moved kmeans_iterate
+    * ~2.3 → ~2.0 s at sf0.1 — the remaining floor is the exploded
+    * decimal re-mean aggregate, not the cosine). */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val xy = ctx.freshName("xy")
+      val xx = ctx.freshName("xx")
+      val yy = ctx.freshName("yy")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val bad = ctx.freshName("bad")
+      val getX = if (leftFloat) s"$a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (rightFloat) s"$b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $xy = 0.0, $xx = 0.0, $yy = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    final double $xi = (double) $getX;
+         |    final double $yi = (double) $getY;
+         |    $xy += $xi * $yi;
+         |    $xx += $xi * $xi;
+         |    $yy += $yi * $yi;
+         |  }
+         |  if ($bad) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} =
+         |      $xy / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
+         |  }
+         |}
+       """.stripMargin
+    })
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -30,7 +30,10 @@ object ExplainDump {
     "dup_spans", "span_scrub", "winnow_fingerprints", "ppl_buckets",
     "shard_assign", "incremental_dedup", "semdedup_planted",
     "dsir_weights", "hard_negatives", "bpe_merges", "range_join_binned",
-    "contract_unique", "contract_refint")
+    "contract_unique", "contract_refint",
+    // round 7: the trainable quality step (bpe_iterate/ann_ivf_indexed
+    // excluded: building those DFs EXECUTES the training rounds)
+    "quality_train")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
