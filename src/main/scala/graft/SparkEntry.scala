@@ -129,6 +129,8 @@ object SparkEntry {
       TextAnalysis.bpeMergeStep(s, d)),
     "bpe_iterate" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeIterate(s, d)),
+    "bpe_encode" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeEncode(s, d)),
     // -- lexical retrieval / corpus statistics (documents) --
     "bm25_search" -> ((s: SparkSession, d: String) => Retrieval.bm25Search(s, d)),
     "vocabulary" -> ((s: SparkSession, d: String) => Retrieval.vocabulary(s, d)),
@@ -352,7 +354,9 @@ object SparkEntry {
     * replace. DuckDB's `replace` resumes after each replacement exactly
     * like Spark's UTF8String.replace, so the greedy-merge semantics are
     * engine-identical. */
-  private def bpeIterateOracleSql(rounds: Int = 6): String = {
+  /** The shared training CTE chain: vocab, wrapped words, and one
+    * (pairs -> best -> merge) triple per round. */
+  private def bpeTrainCtes(rounds: Int): String = {
     val head =
       """WITH toks AS (SELECT unnest(list_filter(
         |   regexp_split_to_array(trim(text), '\s+'),
@@ -371,11 +375,41 @@ object SparkEntry {
          |  ' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' ') AS s,
          |  cnt FROM w$r)""".stripMargin.replace("\n", "")
     }.mkString
+    head + perRound
+  }
+
+  private def bpeIterateOracleSql(rounds: Int = 6): String = {
     val select = (0 until rounds).map(r =>
       s"SELECT CAST(${r + 1} AS INTEGER) AS round, pair," +
         s" replace(pair, ' ', '') AS merged, n FROM b$r")
       .mkString(" UNION ALL ")
-    s"$head$perRound $select ORDER BY round"
+    s"${bpeTrainCtes(rounds)} $select ORDER BY round"
+  }
+
+  /** Encode oracle: replay the trained merges (in training order) over
+    * every document token, then per-doc symbol accounting. */
+  private def bpeEncodeOracleSql(rounds: Int = 6): String = {
+    val nested = (0 until rounds).foldLeft(
+      "regexp_replace(token, '(.)', ' \\1 ', 'g')") { (acc, r) =>
+        s"replace($acc, (SELECT pair FROM b$r)," +
+          s" ' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' ')"
+    }
+    bpeTrainCtes(rounds) +
+      (""", toksd AS (SELECT doc_id, unnest(list_filter(
+        |   regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0)) AS token FROM documents),
+        | encd AS (SELECT doc_id, length(token) AS n_in, NESTED AS s
+        |  FROM toksd)
+        | SELECT doc_id, n_tokens, n_sym_in, n_sym_out,
+        |  floor(CAST(n_sym_out AS DOUBLE) / CAST(n_sym_in AS DOUBLE)
+        |   * 1000000.0)/1000000.0 AS ratio
+        | FROM (SELECT doc_id, count(*) AS n_tokens,
+        |   CAST(sum(n_in) AS BIGINT) AS n_sym_in,
+        |   CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT)
+        |    AS n_sym_out
+        |  FROM encd GROUP BY doc_id)
+        | ORDER BY doc_id""".stripMargin.replace("\n", "")
+          .replace("NESTED", nested))
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -824,6 +858,9 @@ object SparkEntry {
     // iterated BPE training: chained CTEs, one (pairs -> best -> merge)
     // triple per round over the wrapped-symbol vocab strings
     "bpe_iterate" -> bpeIterateOracleSql(),
+    // encode half of the tokenizer lifecycle: trained merges replayed
+    // over every document token, per-doc symbol accounting
+    "bpe_encode" -> bpeEncodeOracleSql(),
     "sessionize" ->
       """SELECT user_id, session_idx, count(*) AS n_events,
         | min(event_id) AS first_event, max(event_id) AS last_event

@@ -478,6 +478,44 @@ object TextAnalysis {
       .orderBy("round")
   }
 
+  /** Apply [[bpeIterate]]'s trained merges to the corpus — the ENCODE
+    * half of the tokenizer lifecycle (train → encode, the bpe twin of
+    * ann_ivf_indexed's train → build → probe): every document's tokens
+    * are wrapped-symbol encoded, the `rounds` learned merges replay in
+    * training order, and the result is per-document symbol accounting —
+    * tokens, pre-merge symbols (= characters), post-merge symbols, and
+    * the compression ratio a tokenizer report quotes.
+    *
+    * Scale shape: training touches the corpus once (see
+    * [[bpeIterate]]); encoding is ONE token explode + `rounds` literal
+    * `replace` projections (narrow, codegen'd, no shuffle) + one
+    * aggregate keyed on doc_id. The merge table rides in as literals —
+    * the classic broadcast-free "model in the expression tree" shape,
+    * same as [[qualityLogit]]. */
+  def bpeEncode(s: SparkSession, dir: String, rounds: Int = 6): DataFrame = {
+    val merges = bpeIterate(s, dir, rounds).collect()
+    val wrapped = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), length(col("tok")).as("n_in"),
+        regexp_replace(col("tok"), "(.)", " $1 ").as("s"))
+    val encoded = merges.foldLeft(wrapped) { (df, m) =>
+      df.withColumn("s", replace(col("s"), lit(m.getString(1)),
+        lit(" " + m.getString(2) + " ")))
+    }
+    encoded
+      .select(col("doc_id"), col("n_in"),
+        size(split(trim(col("s")), "  ")).as("n_out"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_in")).as("n_sym_in"),
+        sum(col("n_out").cast("long")).as("n_sym_out"))
+      .select(col("doc_id"), col("n_tokens"), col("n_sym_in"),
+        col("n_sym_out"),
+        Num.t6(col("n_sym_out").cast("double") /
+          col("n_sym_in").cast("double")).as("ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source length quantiles (exact linear-interpolation percentile —
     * the corpus-shape dashboard a curation run reads before choosing mix
     * weights).

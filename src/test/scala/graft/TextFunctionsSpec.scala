@@ -235,6 +235,43 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("bpe_encode: per-document symbol accounting matches an " +
+      "independent fold encoder applying the trained merges") {
+    val merges = graft.operators.TextAnalysis
+      .bpeIterate(spark, TestSpark.sf, 6).collect()
+      .map { r => val Array(a, b) = r.getString(1).trim.split("  "); (a, b) }
+    def encode(tok: String): Int = {
+      var syms = tok.map(_.toString).toVector
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length
+    }
+    val expected = Tables.load(spark, TestSpark.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap { r =>
+        val toks = r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+        if (toks.isEmpty) None
+        else Some(r.getLong(0) -> (toks.length.toLong,
+          toks.map(_.length.toLong).sum, toks.map(encode(_).toLong).sum))
+      }.toMap
+    val got = graft.operators.TextAnalysis.bpeEncode(spark, TestSpark.sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expected)
+    // merging can only shrink: every doc compresses or stays equal
+    got.values.foreach { case (_, in, out) => assert(out <= in) }
+  }
+
   test("quality_train: the gradient step is internally consistent and " +
       "DESCENDS the logistic loss against the Gopher labels") {
     import org.apache.spark.sql.functions._
