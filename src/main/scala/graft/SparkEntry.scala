@@ -249,6 +249,10 @@ object SparkEntry {
     // exactly the planted copies (survivors = the original corpus)
     "semdedup_planted" -> ((s: SparkSession, d: String) =>
       Similarity.semDedupPlanted(s, d)),
+    // the trained-cells deployment shape: kmeansIterate centroids, same
+    // closed-form survivor contract
+    "semdedup_trained" -> ((s: SparkSession, d: String) =>
+      Similarity.semDedupTrainedPlanted(s, d)),
     "dsir_weights" -> (TextAnalysis.dsirWeights _),
     // planted variant: the synthetic corpus has no natural pair above cos
     // 0.61, so the un-planted gate was vacuous (0 rows). Planted identical
@@ -1345,6 +1349,11 @@ object SparkEntry {
     // within-cluster max cosine (~0.51) and below the planted copies'
     // 1.0, so the survivor set is closed-form: the original corpus
     "semdedup_planted" ->
+      """SELECT vec_id, label FROM embeddings
+        | ORDER BY vec_id""".stripMargin.replace("\n", ""),
+    // trained-cells variant: identical survivor contract (an exact copy
+    // shares its original's argmax cell under ANY centroid set)
+    "semdedup_trained" ->
       """SELECT vec_id, label FROM embeddings
         | ORDER BY vec_id""".stripMargin.replace("\n", ""),
     // DSIR importance weight: mean log-ratio of the lang='en' unigram LM

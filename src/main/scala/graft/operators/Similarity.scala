@@ -474,8 +474,15 @@ object Similarity {
     * Scale shape: one k-row centroid collect (metadata), a shuffle-free
     * argmax projection, ONE shuffle on the cluster key for the bounded
     * self-join, and an anti-join — embeddings never broadcast. */
-  def semDedupOn(emb: DataFrame, threshold: Double): DataFrame = {
-    val cents = collectCentroids(labelCentroidsOn(emb), "label")
+  def semDedupOn(emb: DataFrame, threshold: Double): DataFrame =
+    semDedupOnWith(emb,
+      collectCentroids(labelCentroidsOn(emb), "label"), threshold)
+
+  /** Same pipeline against a CALLER-SUPPLIED centroid set — the "swap in
+    * kmeansIterate output for trained cells" path the SemDeDup scaladoc
+    * promises; everything downstream of the assignment is unchanged. */
+  private def semDedupOnWith(emb: DataFrame,
+      cents: Array[(Int, Array[Double])], threshold: Double): DataFrame = {
     val assigned = emb.select(col("vec_id"), col("embedding"),
       argmaxOver(cents).getField("cluster").as("cluster"))
     val left = assigned.select(col("cluster"), col("vec_id").as("ia"),
@@ -506,6 +513,21 @@ object Similarity {
     * original corpus, which the oracle states closed-form. */
   def semDedupPlanted(s: SparkSession, dir: String, n: Int = 5): DataFrame =
     semDedupOn(plantedEmb(t(s, dir, "embeddings"), n), threshold = 0.99)
+
+  /** SemDeDup over TRAINED cells — the paper's actual deployment shape
+    * (k-means-trained clusters, not labels): two Lloyd rounds train the
+    * centroids, then the identical planted-copy contract must hold,
+    * because an exact copy lands in its original's cluster under ANY
+    * centroid set (same embedding → same argmax) and no natural pair
+    * reaches cosine 0.99 (global natural max ≈ 0.61). Same closed-form
+    * oracle as [[semDedupPlanted]] — survivors are the original corpus —
+    * which makes this a hash-matched proof that the trained-cells path
+    * preserves recall on exact duplicates. */
+  def semDedupTrainedPlanted(s: SparkSession, dir: String,
+      n: Int = 5): DataFrame =
+    semDedupOnWith(plantedEmb(t(s, dir, "embeddings"), n),
+      collectCentroids(kmeansIterate(s, dir, 2), "cluster"),
+      threshold = 0.99)
 
   /** H-bit random-hyperplane signature. Plane weights are deterministic
     * pseudo-randoms (splitmix64 of (plane, dim) mapped to [-1, 1]) — no

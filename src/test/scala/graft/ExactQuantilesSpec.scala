@@ -79,6 +79,31 @@ class ExactQuantilesSpec extends AnyFunSuite {
     assertBitEqual(got, sparkPercentiles(df, "g", "x"))
   }
 
+  test("property: random grouped data (duplicates, negatives, skew) " +
+      "stays bit-equal to percentile across seeds and bin widths") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      g <- Gen.choose(0, 3)
+      // mixture: a coarse grid (exact ties), a skewed cluster packed
+      // into one bin, and negatives — the shapes that stress bin
+      // boundaries, min/max short-circuits, and the refinement path
+      x <- Gen.frequency(
+        3 -> Gen.choose(0, 40).map(_.toDouble / 4.0),
+        2 -> Gen.choose(0, 1000).map(i => 7.0 + i.toDouble / 65536.0),
+        1 -> Gen.choose(-500, 0).map(_.toDouble / 8.0))
+    } yield (g.toString, x)
+    for (seed <- 1L to 4L; binWidth <- Seq(0.25, 16.0)) {
+      val rows = Gen.listOfN(2000, rowGen)
+        .apply(Gen.Parameters.default, Seed(seed)).get
+      import spark.implicits._
+      val df = rows.toDF("g", "x")
+      val got = ExactQuantiles.percentiles(df, col("g"), col("x"), ps,
+        binWidth, selectCap = 64L)
+      assertBitEqual(got, sparkPercentiles(df, "g", "x"))
+    }
+  }
+
   test("n is the exact per-group row count") {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("source"), col("n_chars"))

@@ -146,6 +146,16 @@ class SimilaritySpec extends AnyFunSuite {
     rows.tail.foreach(r => assert(mem(r.getLong(0)) === r.getDouble(1)))
   }
 
+  test("semdedup over trained cells: planted copies dropped, originals " +
+      "survive — recall on exact duplicates is centroid-set-invariant") {
+    val out = Similarity.semDedupTrainedPlanted(spark, TestSpark.sf)
+      .collect().map(_.getLong(0)).toSet
+    val orig = graft.Tables.load(spark, TestSpark.sf, "embeddings")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(out === orig,
+      "survivors must be exactly the original corpus (copies dropped)")
+  }
+
   test("IVF lifecycle (train -> build -> probe): every planted probe " +
       "recovers its copy at rank 1, and the scratch index is removed") {
     val got = Similarity.ivfIndexedPlanted(spark, TestSpark.sf).collect()
