@@ -254,6 +254,9 @@ object SparkEntry {
     "semdedup_trained" -> ((s: SparkSession, d: String) =>
       Similarity.semDedupTrainedPlanted(s, d)),
     "dsir_weights" -> (TextAnalysis.dsirWeights _),
+    // the apply half: hash-acceptance importance resampling
+    "dsir_resample" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.dsirResample(s, d)),
     // planted variant: the synthetic corpus has no natural pair above cos
     // 0.61, so the un-planted gate was vacuous (0 rows). Planted identical
     // copies make the row set non-trivial AND oracle-checkable.
@@ -415,6 +418,31 @@ object SparkEntry {
         | ORDER BY doc_id""".stripMargin.replace("\n", "")
           .replace("NESTED", nested))
   }
+
+  /** Shared DSIR weight CTEs, terminal CTE `dw(doc_id, n_tokens,
+    * dsir_weight)` — consumed by both the weight report and the
+    * resample oracle. */
+  private def dsirCtes: String =
+    """WITH toks AS (SELECT doc_id, lang,
+      |  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |   t -> length(t) > 0)) AS token FROM documents),
+      | tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      | src AS (SELECT token, CAST(count(*) AS BIGINT) AS c_src
+      |  FROM toks GROUP BY 1),
+      | tgt AS (SELECT token, CAST(count(*) AS BIGINT) AS c_tgt
+      |  FROM toks WHERE lang = 'en' GROUP BY 1),
+      | tot AS (SELECT CAST(sum(c_src) AS BIGINT) AS n_src,
+      |  count(*) AS v FROM src),
+      | tt AS (SELECT CAST(sum(c_tgt) AS BIGINT) AS n_tgt FROM tgt),
+      | dw AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  floor(CAST(sum(CAST(floor(tf * (
+      |    ln((coalesce(c_tgt, 0) + 1.0) / (n_tgt + v))
+      |    - ln((c_src + 1.0) / (n_src + v))) * 1000000.0)/1000000.0
+      |    AS DECIMAL(28,6))) AS DOUBLE) / CAST(sum(tf) AS BIGINT)
+      |   * 1000000.0)/1000000.0 AS dsir_weight
+      | FROM tf JOIN src USING (token) LEFT JOIN tgt USING (token)
+      | CROSS JOIN tot CROSS JOIN tt
+      | GROUP BY doc_id)""".stripMargin.replace("\n", "")
 
   def oracleSql: Map[String, String] = Map(
     "textrank_keywords" -> textrankOracleSql(),
@@ -1360,26 +1388,19 @@ object SparkEntry {
     // over the whole-corpus LM, Laplace-smoothed on the shared vocab;
     // per-term contributions floor-truncated then decimal-summed
     "dsir_weights" ->
-      """WITH toks AS (SELECT doc_id, lang,
-        |  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |   t -> length(t) > 0)) AS token FROM documents),
-        | tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
-        | src AS (SELECT token, CAST(count(*) AS BIGINT) AS c_src
-        |  FROM toks GROUP BY 1),
-        | tgt AS (SELECT token, CAST(count(*) AS BIGINT) AS c_tgt
-        |  FROM toks WHERE lang = 'en' GROUP BY 1),
-        | tot AS (SELECT CAST(sum(c_src) AS BIGINT) AS n_src,
-        |  count(*) AS v FROM src),
-        | tt AS (SELECT CAST(sum(c_tgt) AS BIGINT) AS n_tgt FROM tgt)
-        | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-        |  floor(CAST(sum(CAST(floor(tf * (
-        |    ln((coalesce(c_tgt, 0) + 1.0) / (n_tgt + v))
-        |    - ln((c_src + 1.0) / (n_src + v))) * 1000000.0)/1000000.0
-        |    AS DECIMAL(28,6))) AS DOUBLE) / CAST(sum(tf) AS BIGINT)
-        |   * 1000000.0)/1000000.0 AS dsir_weight
-        | FROM tf JOIN src USING (token) LEFT JOIN tgt USING (token)
-        | CROSS JOIN tot CROSS JOIN tt
-        | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", ""),
+      (dsirCtes + " SELECT doc_id, n_tokens, dsir_weight FROM dw" +
+        " ORDER BY doc_id"),
+    // the apply half: deterministic hash-acceptance resampling with an
+    // exp(weight) envelope; keep decided on raw doubles
+    "dsir_resample" ->
+      (dsirCtes +
+        """ SELECT doc_id, dsir_weight, u,
+          |  floor(p * 1000000.0)/1000000.0 AS keep_prob, u < p AS keep
+          | FROM (SELECT doc_id, dsir_weight,
+          |   CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+          |     AS BIGINT) AS DOUBLE) / CAST(4294967296.0 AS DOUBLE) AS u,
+          |   least(CAST(1.0 AS DOUBLE), exp(dsir_weight)) AS p FROM dw)
+          | ORDER BY doc_id""".stripMargin.replace("\n", "")),
     // planted ANN gates: each probe's exact duplicate (vec_id + 1e6)
     // must surface at rank 1 with cosine 1.0 under any banding / nProbe —
     // the whole relation is closed-form

@@ -387,6 +387,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance RESAMPLING — the apply half of [[dsirWeights]]
+    * (Xie et al. '23 §2: after estimating importance weights, SAMPLE the
+    * corpus according to them). Rendered as deterministic hash-acceptance
+    * sampling: document kept iff `u(doc) < min(1, exp(weight))`, where
+    * `u` is the md5-derived uniform the hash_sample/hash_split family
+    * already uses (exact dyadic rational — identical double in every
+    * engine, stable under retries, no RNG state on a 1000-executor run).
+    * Documents that look more target-like than the corpus at large
+    * (weight > 0) are always kept; the rest keep with probability
+    * exponentially decaying in their negative log-ratio — acceptance
+    * sampling with an exp(w) envelope, the deterministic stand-in for
+    * the paper's Gumbel-top-k draw. The keep DECISION compares raw
+    * doubles (identical IEEE exp both engines — the quality_logit
+    * precedent); the reported probability is floor-truncated for
+    * display. One narrow projection over the weight table: the whole
+    * resample adds zero shuffles to [[dsirWeights]]. */
+  def dsirResample(s: SparkSession, dir: String): DataFrame =
+    dsirWeights(s, dir)
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").cast("double") / lit(4294967296.0))
+      .withColumn("p", least(lit(1.0), exp(col("dsir_weight"))))
+      .select(col("doc_id"), col("dsir_weight"), col("u"),
+        Num.t6(col("p")).as("keep_prob"), (col("u") < col("p")).as("keep"))
+      .orderBy("doc_id")
+
   /** One BPE merge-selection step (Sennrich et al. '16, arXiv:1508.07909
     * — the statistic each round of byte-pair-encoding tokenizer training
     * maximizes): adjacent symbol-pair frequencies over the corpus

@@ -235,6 +235,24 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("dsir_resample: keep decision replays min(1, exp(w)) acceptance " +
+      "against the hash uniform; target-like docs always survive") {
+    val rows = graft.operators.TextAnalysis.dsirResample(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, w, u, keep) =>
+      assert(u >= 0.0 && u < 1.0, s"doc $id uniform out of range: $u")
+      assert(keep === (u < math.min(1.0, math.exp(w))),
+        s"doc $id: keep must be the exact acceptance decision")
+      if (w >= 0.0) assert(keep, s"doc $id: weight>=0 must always keep")
+    }
+    // the resample genuinely filters (some negative-weight docs rejected)
+    assert(rows.exists(!_._4), "some documents must be rejected")
+    assert(rows.count(_._4) > rows.length / 4, "most docs survive at T=1")
+  }
+
   test("bpe_encode: per-document symbol accounting matches an " +
       "independent fold encoder applying the trained merges") {
     val merges = graft.operators.TextAnalysis
