@@ -66,11 +66,12 @@ object HourlyStream {
     dir.toString
   }
 
-  /** The events schema as the streaming source declares it (ts arrives as
-    * nanosecond longs — see Tables.load — and is converted to µs). */
-  val eventsRawSchema: StructType = StructType(Seq(
+  /** The events schema as the streaming source declares it, with `ts` in
+    * whatever physical form the drop files carry (see [[readEvents]]). */
+  def eventsRawSchema(tsType: org.apache.spark.sql.types.DataType)
+      : StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -78,15 +79,33 @@ object HourlyStream {
 
   /** Streaming source over a directory of parquet event drops.
     * `maxFilesPerTrigger` bounds micro-batch size (and, in tests, forces a
-    * multi-batch replay so watermark eviction is observable). */
+    * multi-batch replay so watermark eviction is observable).
+    *
+    * Drop files have arrived with three different `ts` annotations across
+    * generator versions — TIMESTAMP(NANOS) (readable only as long),
+    * µs-without-timezone (TIMESTAMP_NTZ), and plain µs TIMESTAMP — so the
+    * source sniffs the physical type from one batch footer read at setup
+    * (a production deployment pins the contract type instead) and
+    * normalizes to the session-local TIMESTAMP every downstream
+    * window/watermark expects. Session timezone is UTC repo-wide, so the
+    * NTZ wall clock and the instant coincide. */
   def readEvents(s: SparkSession, srcDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val tsType = s.read
+      .option("pathGlobFilter", "events*.parquet")
+      .parquet(srcDir).schema("ts").dataType
     val reader = s.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsRawSchema(tsType))
       .option("pathGlobFilter", "events*.parquet")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = reader.parquet(srcDir)
+    tsType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** 1-day tumbling-window aggregate with a 1-day watermark (late events
