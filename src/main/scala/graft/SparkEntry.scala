@@ -257,6 +257,21 @@ object SparkEntry {
     // the apply half: hash-acceptance importance resampling
     "dsir_resample" -> ((s: SparkSession, d: String) =>
       TextAnalysis.dsirResample(s, d)),
+    // DoReMi multiplicative-weights domain reweighting: one exact step
+    "doremi_step" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.doremiStep(s, d)),
+    // exact k-per-(lang,source) deterministic sample
+    "stratified_sample" -> ((s: SparkSession, d: String) =>
+      Curation.stratifiedSample(s, d)),
+    // best-documents-until-token-budget cut (banded running sum)
+    "token_budget" -> ((s: SparkSession, d: String) =>
+      Curation.tokenBudget(s, d)),
+    // ROUGE-style eval contamination: best-covered eval doc + recall
+    "rouge_recall" -> ((s: SparkSession, d: String) =>
+      Curation.rougeRecall(s, d)),
+    // Levenshtein verification of planted mutation pairs
+    "edit_verify" -> ((s: SparkSession, d: String) =>
+      Dedup.editVerifyPlanted(s, d)),
     // planted variant: the synthetic corpus has no natural pair above cos
     // 0.61, so the un-planted gate was vacuous (0 rows). Planted identical
     // copies make the row set non-trivial AND oracle-checkable.
@@ -1401,6 +1416,116 @@ object SparkEntry {
           |     AS BIGINT) AS DOUBLE) / CAST(4294967296.0 AS DOUBLE) AS u,
           |   least(CAST(1.0 AS DOUBLE), exp(dsir_weight)) AS p FROM dw)
           | ORDER BY doc_id""".stripMargin.replace("\n", "")),
+    // DoReMi multiplicative-weights domain reweighting over the unigram
+    // proxy loss; every mean is decimal-sum/count, exp on t6 excess
+    "doremi_step" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0)) AS token FROM documents),
+        | tf AS (SELECT doc_id, source, token, count(*) AS tf
+        |  FROM toks GROUP BY 1, 2, 3),
+        | ctf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+        | tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS n_total FROM ctf),
+        | lp AS (SELECT doc_id, source,
+        |  floor(CAST(sum(CAST(floor(tf * -ln(ctf / n_total) * 1000000.0)/1000000.0
+        |    AS DECIMAL(28,6))) AS DOUBLE) / CAST(sum(tf) AS BIGINT)
+        |   * 1000000.0)/1000000.0 AS loss
+        |  FROM tf JOIN ctf USING (token) CROSS JOIN tot GROUP BY doc_id, source),
+        | dm AS (SELECT source, count(*) AS n_docs,
+        |  floor(CAST(sum(CAST(loss AS DECIMAL(28,6))) AS DOUBLE)/count(*)
+        |   * 1000000.0)/1000000.0 AS mean_loss FROM lp GROUP BY 1),
+        | ref AS (SELECT floor(CAST(sum(CAST(loss AS DECIMAL(28,6))) AS DOUBLE)
+        |  /count(*) * 1000000.0)/1000000.0 AS ref_loss FROM lp),
+        | nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_domains FROM dm),
+        | st AS (SELECT source, n_docs, mean_loss,
+        |  floor(greatest(0.0, mean_loss - ref_loss) * 1000000.0)/1000000.0
+        |   AS excess FROM dm CROSS JOIN ref),
+        | w AS (SELECT source, n_docs, mean_loss, excess,
+        |  floor((1.0/n_domains) * exp(1.0 * excess) * 1000000.0)/1000000.0
+        |   AS w_raw FROM st CROSS JOIN nd),
+        | z AS (SELECT CAST(sum(CAST(w_raw AS DECIMAL(28,6))) AS DOUBLE) AS z FROM w)
+        | SELECT source, n_docs, mean_loss, excess,
+        |  floor(w_raw / z * 1000000.0)/1000000.0 AS w_new
+        | FROM w CROSS JOIN z ORDER BY source""".stripMargin.replace("\n", ""),
+    // exact k-per-stratum deterministic sample (md5 order inside strata)
+    "stratified_sample" ->
+      """SELECT doc_id, lang, source, rn FROM (
+        | SELECT doc_id, lang, source, CAST(row_number() OVER
+        |  (PARTITION BY lang, source
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+        | FROM documents)
+        | WHERE rn <= 5 ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // quality-ordered token-budget cut: global running sum in
+    // (logit DESC, doc_id) order, budget = half the corpus's tokens
+    "token_budget" ->
+      """WITH s AS (SELECT doc_id,
+        |  floor((-1.0 + sw*2.0 + pr*(-4.0) + lenf*1.5 + alf*1.0)
+        |   * 1000000.0)/1000000.0 AS logit,
+        |  CAST(nt AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id,
+        |   CAST(len(list_filter(toks, t -> list_contains(
+        |    ['the','a','an','and','or','of','to','in','is','it',
+        |     'that','for','on','with','as','at','by','be','this','are'], t)))
+        |    AS DOUBLE) / len(toks) AS sw,
+        |   CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |    AS DOUBLE) / length(text) AS pr,
+        |   least(CAST(len(toks) AS DOUBLE) / 256.0, 1.0) AS lenf,
+        |   least((CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |    / len(toks)) / 8.0, 1.0) AS alf,
+        |   len(toks) AS nt
+        |   FROM (SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |     t -> length(t) > 0) AS toks FROM documents))),
+        | b AS (SELECT CAST(floor(sum(n_tokens)/2.0) AS BIGINT) AS budget FROM s),
+        | c AS (SELECT doc_id, logit, n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY logit DESC, doc_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM s)
+        | SELECT doc_id, logit, n_tokens, cum_tokens
+        | FROM c CROSS JOIN b WHERE cum_tokens <= budget
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // ROUGE-style contamination: best-covered eval doc per training doc,
+    // recall = shared distinct 8-grams / eval doc's distinct 8-grams
+    "rouge_recall" ->
+      """WITH g AS (SELECT doc_id,
+        |  CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+        |   ELSE list_distinct(list_transform(range(0, len(w) - 7),
+        |    i -> array_to_string(w[i+1:i+8], ' '))) END AS grams
+        |  FROM (SELECT doc_id, list_filter(
+        |   regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0) AS w FROM documents)),
+        | ev AS (SELECT doc_id AS eval_doc, unnest(grams) AS gram FROM g
+        |  WHERE doc_id % 100 = 7),
+        | en AS (SELECT eval_doc, count(*) AS eval_n FROM ev GROUP BY 1),
+        | train AS (
+        |  SELECT doc_id + 1000000 AS doc_id, grams FROM g WHERE doc_id % 100 = 7
+        |  UNION ALL SELECT doc_id, grams FROM g WHERE doc_id % 100 <> 7),
+        | tg AS (SELECT doc_id, unnest(grams) AS gram FROM train),
+        | hits AS (SELECT tg.doc_id, ev.eval_doc, count(*) AS n_shared
+        |  FROM tg JOIN ev USING (gram) GROUP BY 1, 2),
+        | r AS (SELECT h.doc_id, h.eval_doc, n_shared,
+        |  floor(CAST(n_shared AS DOUBLE) / eval_n * 1000000.0)/1000000.0
+        |   AS recall FROM hits h JOIN en USING (eval_doc)),
+        | rk AS (SELECT *, row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY recall DESC, eval_doc) AS rn FROM r)
+        | SELECT doc_id, eval_doc, n_shared, recall FROM rk WHERE rn = 1
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // Levenshtein verification of the planted mutation pairs: the oracle
+    // recomputes the full DP on the same constructions
+    "edit_verify" ->
+      """WITH m AS (SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+        |  text AS text_a,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'xx ' || text
+        |   WHEN doc_id % 3 = 1 THEN substr(text, 6)
+        |   ELSE replace(text, 'a', 'o') END AS text_b
+        |  FROM documents WHERE doc_id < 10),
+        | d AS (SELECT doc_a, doc_b, levenshtein(text_a, text_b) AS dist,
+        |  greatest(length(text_a), length(text_b)) AS mx FROM m)
+        | SELECT doc_a, doc_b, CAST(dist AS INTEGER) AS edit_dist,
+        |  floor((1.0 - CAST(dist AS DOUBLE)/mx)*1000000.0)/1000000.0
+        |   AS edit_sim,
+        |  floor((1.0 - CAST(dist AS DOUBLE)/mx)*1000000.0)/1000000.0 >= 0.9
+        |   AS dup
+        | FROM d ORDER BY doc_a""".stripMargin.replace("\n", ""),
     // planted ANN gates: each probe's exact duplicate (vec_id + 1e6)
     // must surface at rank 1 with cosine 1.0 under any banding / nProbe —
     // the whole relation is closed-form

@@ -433,6 +433,131 @@ object Curation {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Exact k-per-stratum sample over (lang, source) — the class-balanced
+    * selection step (equal representation per language×source cell, e.g.
+    * for eval-set construction or annotation batches). "Random" order
+    * inside each stratum is the ascending md5 of the document key: fully
+    * deterministic, engine-portable, and stable under retries (the same
+    * discipline as [[hashSample]]), with EXACT per-stratum counts, which a
+    * probabilistic bucket filter cannot give.
+    *
+    * Scale shape: strata are bounded (languages × sources), so the window
+    * partition count is bounded, and the rank filter is a finite top-k —
+    * Spark 4 inserts WindowGroupLimit, so each task keeps only k rows per
+    * stratum before the shuffle (map-side prune; the plan never
+    * materializes a full stratum's ordering). One shuffle on the stratum
+    * key, nothing broadcast, nothing collected. */
+  def stratifiedSample(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("lang"), col("source"), col("rn"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget selection: take documents in quality order (the
+    * [[TextAnalysis.qualityLogit]] score, descending) until a token budget
+    * is exhausted — the "best N billion tokens" cut every
+    * fixed-compute-budget training run makes. Budget here = half the
+    * corpus's tokens, computed from the data so the query is meaningful at
+    * every SF.
+    *
+    * Scale shape: a global running sum in score order is the
+    * single-partition-window anti-pattern, so the cut is decomposed into
+    * bounded score BANDS (floor(logit·8): the logit is a bounded function
+    * of bounded features, z ∈ [-5, 3.5], so ≤ 68 bands exist): the
+    * running sum runs per-band (partitioned window), and each band adds
+    * the total of all strictly-better bands — a band-count-sized aggregate
+    * joined back by broadcast. Because floor is monotone, band-major order
+    * IS score order, and the banded prefix+cumsum equals the global
+    * running sum exactly (integer token counts — no FP reassociation).
+    * Same two-pass trick as the histogram deciles in
+    * [[TextAnalysis.pplBuckets]]; no task ever sees more than one band's
+    * slice. */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val z = lit(-1.0) + stopwordRatio(col("text")) * lit(2.0) +
+      punctRatio(col("text")) * lit(-4.0) +
+      least(tokenCount(col("text")).cast("double") / lit(256.0), lit(1.0)) *
+        lit(1.5) +
+      least(avgTokenLen(col("text")) / lit(8.0), lit(1.0)) * lit(1.0)
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), Num.t6(z).as("logit"),
+        tokenCount(col("text")).as("n_tokens"))
+      .withColumn("band", floor(col("logit") * 8.0).cast("long"))
+    val wIn = Window.partitionBy(col("band"))
+      .orderBy(col("logit").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bandTot = scored.groupBy(col("band"))
+      .agg(sum(col("n_tokens")).as("btot"))
+    val wPre = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = bandTot
+      .withColumn("prefix", coalesce(sum(col("btot")).over(wPre), lit(0L)))
+      .select(col("band"), col("prefix"))
+    val budget = scored
+      .agg(floor(sum(col("n_tokens")) / 2).cast("long").as("budget"))
+    scored
+      .withColumn("cum_in_band", sum(col("n_tokens")).over(wIn))
+      .join(broadcast(prefix), Seq("band"))
+      .crossJoin(broadcast(budget))
+      .withColumn("cum_tokens", col("prefix") + col("cum_in_band"))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("logit"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Eval-set contamination as ROUGE-style n-gram RECALL: for every
+    * training document sharing at least one 8-gram with an eval document,
+    * the best-covered eval document and the fraction of its distinct
+    * grams the training document reproduces. [[decontaminate]] answers
+    * "does this doc touch the eval set at all" (any-hit flag);
+    * this operator answers "HOW MUCH of WHICH eval item does it leak" —
+    * the score thresholded for soft decontamination (e.g. drop at
+    * recall ≥ 0.8) instead of the any-hit hard drop. Same planted
+    * construction as [[decontaminate]]: eval docs are re-planted shifted
+    * by [[Dedup.PlantOffset]], so full-recall (1.0) rows exist by
+    * construction at every SF.
+    *
+    * Scale shape: eval sets are bounded (benchmarks, not corpora), so the
+    * per-eval-doc gram lists broadcast (the decontaminate precedent); the
+    * train-side grams stream through one broadcast join and collapse
+    * immediately to (train_doc, eval_doc) counts — the only shuffle is on
+    * that pair key, already aggregated. The best-eval pick is a
+    * per-train-doc window (partitioned, WindowGroupLimit-prunable). */
+  def rougeRecall(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val grams = t(s, dir, "documents").select(col("doc_id"),
+      graft.functions.SketchExpressions
+        .wordShingles(tokens(col("text")), n).as("grams"))
+    val isEval = col("doc_id") % 100 === 7
+    val evalG = grams.filter(isEval)
+      .select(col("doc_id").as("eval_doc"), explode(col("grams")).as("gram"))
+    val evalN = evalG.groupBy(col("eval_doc"))
+      .agg(count(lit(1)).as("eval_n"))
+    val train = grams.filter(isEval)
+      .withColumn("doc_id", col("doc_id") + Dedup.PlantOffset)
+      .unionByName(grams.filter(!isEval))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val hits = train.join(broadcast(evalG), Seq("gram"))
+      .groupBy(col("doc_id"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("recall").desc, col("eval_doc"))
+    hits.join(broadcast(evalN), Seq("eval_doc"))
+      .withColumn("recall",
+        Num.t6(col("n_shared").cast("double") / col("eval_n").cast("double")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("eval_doc"), col("n_shared"), col("recall"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation funnel — the flagship composition a training-data
     * pipeline runs nightly: keep declared-English documents below a
     * repeated-token ceiling, exact-dedup on text (keep the smallest

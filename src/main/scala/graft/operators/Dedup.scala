@@ -178,6 +178,45 @@ object Dedup {
       .filter(col("doc_b") === col("doc_a") + PlantOffset)
       .orderBy("doc_a")
 
+  /** Edit-distance verification over candidate pairs carrying their
+    * texts — the second-stage verifier fuzzy dedup runs AFTER banding
+    * (exact Levenshtein is O(|a|·|b|) per pair, affordable only on the
+    * LSH-bounded candidate set, never all-pairs). `edit_sim` is the
+    * length-normalized similarity `1 - dist / max(|a|, |b|)`;
+    * `dup` thresholds it. Uses Spark's codegen'd `levenshtein` built-in —
+    * integer DP, bit-identical across engines, no FP concern beyond the
+    * final t6-floored normalization. */
+  def editVerifyOn(cand: DataFrame, simThreshold: Double = 0.9): DataFrame =
+    cand
+      .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")))
+      .withColumn("edit_sim", graft.functions.Num.t6(
+        lit(1.0) - col("edit_dist").cast("double") /
+          greatest(length(col("text_a")), length(col("text_b")))
+            .cast("double")))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        col("edit_sim"), (col("edit_sim") >= simThreshold).as("dup"))
+      .orderBy("doc_a")
+
+  /** Planted edit-verification gate: three known mutation families over
+    * the first `k` documents — a 3-char prefix insertion (`"xx " ++ t`),
+    * a 5-char prefix deletion, and a global character substitution —
+    * paired with their originals and pushed through [[editVerifyOn]].
+    * The oracle recomputes the full Levenshtein DP in SQL on the same
+    * constructions, so the cross-engine check exercises real insert /
+    * delete / substitute alignments, not a trivial distance-0 identity. */
+  def editVerifyPlanted(s: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val mutant = when(col("doc_id") % 3 === 0,
+        concat(lit("xx "), col("text")))
+      .when(col("doc_id") % 3 === 1, expr("substring(text, 6)"))
+      .otherwise(regexp_replace(col("text"), "a", "o"))
+    editVerifyOn(
+      t(s, dir, "documents").filter(col("doc_id") < k)
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + PlantOffset).as("doc_b"),
+          col("text").as("text_a"), mutant.as("text_b")))
+  }
+
   /** Near-dedup'd corpus: drop the higher doc_id of every confirmed
     * near-dup pair. */
   def minhashDedup(s: SparkSession, dir: String,

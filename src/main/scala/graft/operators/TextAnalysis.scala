@@ -659,6 +659,83 @@ object TextAnalysis {
 
   /** Corpus-level token frequency top-20 (explode -> hash aggregate ->
     * top-k; the shuffle carries (token, partial count) pairs only). */
+  /** One DoReMi-style domain-reweighting step (Xie et al. '23, Alg. 1
+    * rendered batch-exact): per-domain (`source`) EXCESS LOSS against a
+    * reference — here the proxy loss is each document's mean unigram
+    * negative log-likelihood (the [[unigramLogProb]] pipeline) and the
+    * reference is the corpus-wide mean of the same loss — followed by the
+    * multiplicative-weights update `w'_d ∝ w_d · exp(η · excess_d)`
+    * starting from uniform `w_d = 1/|domains|`, normalized. Domains whose
+    * documents the proxy LM finds harder than the corpus at large gain
+    * mixture weight; at-or-below-reference domains keep the uniform
+    * baseline (excess clamps at 0). Emits one row per domain: size, mean
+    * loss, clamped excess, and the normalized new weight.
+    *
+    * Exactness discipline: per-token contributions are floor-truncated
+    * then decimal-summed (the [[unigramLogProb]] pattern — note the sign
+    * lives INSIDE the floor, so the oracle mirrors `floor(-x·1e6)`), all
+    * means are decimal-sum / count, `exp` runs on the t6-floored excess
+    * (identical IEEE `exp` both engines — the quality_logit precedent),
+    * and the normalizer is a decimal sum over the domain table.
+    *
+    * Scale shape: the corpus is touched ONCE — the token aggregate feeds
+    * a per-domain (count, decimal-sum) aggregate, and decimal addition is
+    * associative, so the corpus-wide reference re-derives EXACTLY from
+    * the per-domain sums without a second pass. The domain table is
+    * bounded (data recipes mix dozens of domains, not millions), so it
+    * collects as driver metadata — the kmeans-centroid/PQ-codebook
+    * precedent — and the update itself is domain-count-sized arithmetic.
+    * A lazy-DataFrame rendering of the same step re-ran the corpus
+    * pipeline once per downstream scalar (ref / normalizer / final
+    * projection — measured 20 s where one pass costs 2 s); the explicit
+    * one-action shape is both the fast and the 100 TB-honest form. */
+  def doremiStep(s: SparkSession, dir: String,
+      eta: Double = 1.0): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("source"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val ctf = tf.groupBy(col("token")).agg(sum(col("tf")).as("ctf"))
+    val total = ctf.agg(sum(col("ctf")).as("n_total"))
+    val perDoc = tf.join(broadcast(ctf), Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"), col("source"))
+      .agg((Relational.dsum(
+        Num.t6(col("tf") * -log(col("ctf") / col("n_total"))))
+        / sum(col("tf"))).as("raw_loss"))
+      .select(col("source"), Num.t6(col("raw_loss")).as("loss"))
+    // the one action: per-domain exact loss sums (decimal) + doc counts
+    val dm = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("loss").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .as("loss_sum"))
+      .collect()
+    val n = dm.length
+    val totN = dm.map(_.getLong(1)).sum
+    val totS = dm.map(r => BigDecimal(r.getDecimal(2))).sum
+    val ref = Num.t6d(totS.toDouble / totN)
+    val stepped = dm.map { r =>
+      val meanLoss = Num.t6d(BigDecimal(r.getDecimal(2)).toDouble /
+        r.getLong(1))
+      val excess = Num.t6d(math.max(0.0, meanLoss - ref))
+      // same IEEE exp the codegen'd Column form runs (java.lang.Math)
+      val wRaw = Num.t6d(1.0 / n * math.exp(eta * excess))
+      (r.getString(0), r.getLong(1), meanLoss, excess, wRaw)
+    }
+    // normalizer = exact decimal sum of the t6 raw weights (the dsum
+    // discipline: round each double to 6 decimals half-up, sum exactly)
+    val z = stepped.map(t =>
+      BigDecimal(t._5).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    import s.implicits._
+    stepped.toSeq
+      .map { case (src, nd, ml, ex, wr) =>
+        (src, nd, ml, ex, Num.t6d(wr / z)) }
+      .toDF("source", "n_docs", "mean_loss", "excess", "w_new")
+      .orderBy("source")
+  }
+
   def tokenHistogram(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(explode(tokens(col("text"))).as("token"))

@@ -265,6 +265,85 @@ class CurationSpec extends AnyFunSuite {
       assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to rows.length))
   }
 
+  test("stratified sample: exact min(k, |stratum|) rows per stratum, " +
+      "deterministic, WindowGroupLimit prunes the rank") {
+    import org.apache.spark.sql.functions._
+    val k = 5
+    val out = Curation.stratifiedSample(spark, sf, k)
+    val rows = out.collect()
+    assert(rows.sameElements(Curation.stratifiedSample(spark, sf, k).collect()))
+    val strata = Tables.load(spark, sf, "documents")
+      .groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = rows.groupBy(r => (r.getString(1), r.getString(2)))
+    assert(got.keySet === strata.keySet) // every stratum represented
+    for ((s0, rs) <- got) {
+      assert(rs.length === math.min(k.toLong, strata(s0)).toInt)
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to rs.length))
+    }
+    // the rank filter must plan as WindowGroupLimit (map-side top-k
+    // prune) — the property that keeps a stratum's ordering bounded
+    // sparkPlan, not executedPlan: AQE wraps the tree before execution
+    val plan = out.queryExecution.sparkPlan
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window
+        .WindowGroupLimitExec]),
+      "stratified sample must prune via WindowGroupLimit")
+  }
+
+  test("token budget: banded cut equals the global greedy cut exactly " +
+      "and is maximal against the budget") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    import graft.functions.Num
+    val out = Curation.tokenBudget(spark, sf).collect()
+    // independent greedy recompute: score every document the
+    // quality_logit way, sort globally, run one cumulative sum in Scala
+    val z = lit(-1.0) + stopwordRatio(col("text")) * lit(2.0) +
+      punctRatio(col("text")) * lit(-4.0) +
+      least(tokenCount(col("text")).cast("double") / lit(256.0), lit(1.0)) *
+        lit(1.5) +
+      least(avgTokenLen(col("text")) / lit(8.0), lit(1.0)) * lit(1.0)
+    val scored = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), Num.t6(z).as("logit"),
+        tokenCount(col("text")).as("n_tokens"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, lg, _) => (-lg, id) }
+    val budget = scored.map(_._3).sum / 2
+    var cum = 0L
+    val expected = scored.iterator.map { case (id, lg, nt) =>
+      cum += nt; (id, lg, nt, cum)
+    }.takeWhile(_._4 <= budget).toSeq
+    val gotSorted = out.map(r =>
+      (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(gotSorted === expected.sortBy(_._1))
+    // greedy-maximal: the next document in score order would overflow
+    if (expected.length < scored.length)
+      assert(expected.lastOption.map(_._4).getOrElse(0L) +
+        scored(expected.length)._3 > budget)
+  }
+
+  test("rouge recall: planted eval copies reach recall 1.0 against " +
+      "their own eval doc; every recall is in (0, 1]") {
+    val rows = Curation.rougeRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rec = r.getDouble(3)
+      assert(rec > 0.0 && rec <= 1.0)
+    }
+    val planted = rows.filter(_.getLong(0) >=
+      graft.operators.Dedup.PlantOffset)
+    assert(planted.nonEmpty, "planted eval copies must surface")
+    planted.foreach { r =>
+      assert(r.getDouble(3) === 1.0,
+        s"planted ${r.getLong(0)} must fully cover its eval doc")
+      assert(r.getLong(1) === r.getLong(0) -
+        graft.operators.Dedup.PlantOffset)
+    }
+  }
+
   test("quantization: codes bounded by ±127, error bound holds everywhere") {
     val rows = Curation.embedQuantize(spark, sf).collect()
     assert(rows.nonEmpty)

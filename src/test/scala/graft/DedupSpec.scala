@@ -296,6 +296,46 @@ class DedupSpec extends AnyFunSuite {
       "no token overlap -> no fingerprint overlap")
   }
 
+  test("edit verify: Spark's levenshtein equals an independent DP and " +
+      "the planted mutation distances land on their closed forms") {
+    // independent reference DP (classic two-row Wagner–Fischer)
+    def lev(a: String, b: String): Int = {
+      var prev = (0 to b.length).toArray
+      for (i <- 1 to a.length) {
+        val cur = new Array[Int](b.length + 1)
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+      prev(b.length)
+    }
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 10)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Dedup.editVerifyPlanted(spark, TestSpark.sf).collect()
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val a = docs(r.getLong(0))
+      val b = r.getLong(0) % 3 match {
+        case 0 => "xx " + a
+        case 1 => a.substring(math.min(5, a.length))
+        case _ => a.replace('a', 'o')
+      }
+      val d = r.getInt(2)
+      assert(d === lev(a, b), s"doc ${r.getLong(0)}: engine DP diverges")
+      // closed forms where they exist: pure insertion / pure deletion
+      // mutations cost exactly the length delta
+      if (r.getLong(0) % 3 == 0) assert(d === 3)
+      if (r.getLong(0) % 3 == 1) assert(d === math.min(5, a.length))
+      val sim = r.getDouble(3)
+      assert(sim <= 1.0 && sim >= 0.0)
+      assert(r.getBoolean(4) === (sim >= 0.9))
+    }
+  }
+
   test("candidate volume: banding keeps candidates a small all-pairs fraction") {
     val row = Dedup.minhashCandidateVolume(spark, TestSpark.sf).head()
     val (nDocs, nCand, nAll, frac) =

@@ -387,4 +387,37 @@ class TextFunctionsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(a === b)
   }
+
+  test("doremi step: multiplicative-weights identity recomputes from the " +
+      "emitted excess, weights normalize, clamp and monotonicity hold") {
+    import graft.functions.Num
+    val rows = graft.operators.TextAnalysis
+      .doremiStep(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    // recompute the update from the emitted excess column alone: the
+    // spec is independent of the loss pipeline, pinning the algebra
+    val raw = rows.map(r => Num.t6d(1.0 / n * math.exp(r.getDouble(3))))
+    val z = raw.map(v =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    rows.zip(raw).foreach { case (r, w) =>
+      assert(r.getDouble(4) === Num.t6d(w / z),
+        s"${r.getString(0)}: w_new must be the normalized mw update")
+      assert(r.getDouble(3) >= 0.0, "excess is clamped at 0")
+    }
+    // weights sum to 1 within the t6 truncation slack
+    val tot = rows.map(_.getDouble(4)).sum
+    assert(math.abs(tot - 1.0) < n * 1e-6 + 1e-9, s"sum(w_new)=$tot")
+    // monotone: more excess loss never gets less weight
+    val sorted = rows.sortBy(_.getDouble(3))
+    sorted.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getDouble(4) <= hi.getDouble(4) + 1e-12)
+      case _ =>
+    }
+    // at least one domain sits at the uniform floor (excess 0: a domain
+    // at or below the corpus-wide reference always exists)
+    assert(rows.exists(_.getDouble(3) === 0.0))
+  }
 }
