@@ -260,6 +260,12 @@ object SparkEntry {
     // DoReMi multiplicative-weights domain reweighting: one exact step
     "doremi_step" -> ((s: SparkSession, d: String) =>
       TextAnalysis.doremiStep(s, d)),
+    // reliability curve: predicted keep-prob deciles vs Gopher labels
+    "quality_calibration" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.qualityCalibration(s, d)),
+    // streaming LSH near-dup ingestion filter (exact-lane closed form)
+    "stream_neardup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.CorpusStream.runNearDupOnce(s, d)),
     // exact k-per-(lang,source) deterministic sample
     "stratified_sample" -> ((s: SparkSession, d: String) =>
       Curation.stratifiedSample(s, d)),
@@ -1447,6 +1453,58 @@ object SparkEntry {
         | SELECT source, n_docs, mean_loss, excess,
         |  floor(w_raw / z * 1000000.0)/1000000.0 AS w_new
         | FROM w CROSS JOIN z ORDER BY source""".stripMargin.replace("\n", ""),
+    // calibration deciles: t6 prob bucketed, decimal-sum means, integer
+    // label fractions; bucket 10 (prob exactly 1.0) clamps into 9
+    "quality_calibration" ->
+      """SELECT bucket, count(*) AS n_docs,
+        | floor(CAST(sum(CAST(prob AS DECIMAL(28,6))) AS DOUBLE)/count(*)
+        |  * 1000000.0)/1000000.0 AS mean_prob,
+        | CAST(sum(y) AS BIGINT) AS n_keep,
+        | floor(CAST(sum(y) AS DOUBLE)/count(*) * 1000000.0)/1000000.0
+        |  AS frac_keep
+        | FROM (SELECT
+        |  least(CAST(floor(prob * 10.0) AS INTEGER), 9) AS bucket, prob, y
+        |  FROM (SELECT
+        |   floor(1.0/(1.0 + exp(-(-1.0 + sw*2.0 + pr*(-4.0) + lenf*1.5
+        |    + alf*1.0))) * 1000000.0)/1000000.0 AS prob,
+        |   CASE WHEN (nw >= 50 AND nw <= 100000) AND (al >= 3.0 AND al <= 10.0)
+        |    AND sw >= 0.03 AND tw <= 0.12 AND br <= 0.08
+        |    THEN 1 ELSE 0 END AS y
+        |   FROM (SELECT doc_id, len(w) AS nw,
+        |    CAST(len(list_filter(w, t -> list_contains(
+        |     ['the','a','an','and','or','of','to','in','is','it',
+        |      'that','for','on','with','as','at','by','be','this','are'], t)))
+        |     AS DOUBLE) / len(w) AS sw,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |     AS DOUBLE) / length(text) AS pr,
+        |    least(CAST(len(w) AS DOUBLE) / 256.0, 1.0) AS lenf,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |     / len(w) AS al,
+        |    least((CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |     / len(w)) / 8.0, 1.0) AS alf,
+        |    CAST(list_max(list_transform(list_distinct(w),
+        |     x -> len(list_filter(w, y2 -> y2 = x)))) AS DOUBLE) / len(w) AS tw,
+        |    CASE WHEN len(w) <= 2 THEN 0.0 ELSE
+        |     1.0 - CAST(len(list_distinct(list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+        |      / (CAST(len(w) AS DOUBLE) - 1.0) END AS br
+        |    FROM (SELECT doc_id, text,
+        |     list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> length(t) > 0) AS w FROM documents) WHERE len(w) > 0)))
+        | GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", ""),
+    // streaming LSH lane keep set == the exact-lane closed form (only
+    // exact-text groups cross the 0.99 threshold at any bundled SF)
+    "stream_neardup" ->
+      """WITH idx AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 10 <> 3),
+        | batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM idx
+        |   WHERE doc_id % 100 = 0 AND doc_id < 500),
+        | dig AS (SELECT DISTINCT md5(text) AS h FROM idx)
+        | SELECT b.doc_id FROM
+        |  (SELECT doc_id, md5(text) AS h FROM batch) b
+        | LEFT JOIN dig ON b.h = dig.h
+        | WHERE dig.h IS NULL ORDER BY doc_id""".stripMargin.replace("\n", ""),
     // exact k-per-stratum deterministic sample (md5 order inside strata)
     "stratified_sample" ->
       """SELECT doc_id, lang, source, rn FROM (

@@ -63,7 +63,7 @@ object Dedup {
 
   /** (doc_id, band, bucket) rows — the LSH index. Only 16 longs per doc
     * are shuffled, never text. */
-  private def bandIndex(docs: DataFrame, k: Int, bands: Int): DataFrame =
+  private[graft] def bandIndex(docs: DataFrame, k: Int, bands: Int): DataFrame =
     docs
       .select(col("doc_id"),
         SketchExpressions.minhashBands(

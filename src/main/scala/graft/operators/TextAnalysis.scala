@@ -736,6 +736,63 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Reliability (calibration) curve for the quality classifier: the
+    * [[qualityLogit]] keep-probability bucketed into deciles against the
+    * Gopher-rule weak labels ([[gopherFilter]]'s conjunction) — per
+    * bucket, how often "predicted p ≈ x" actually keeps. The diagnostic
+    * every learned quality filter ships with: a well-calibrated scorer
+    * has frac_keep tracking mean_prob; divergence tells you which score
+    * region to re-train or re-threshold before the next corpus cut.
+    *
+    * Exactness: prob is t6-floored per document BEFORE bucketing (so a
+    * sub-ulp engine difference can never flip a bucket), bucket means
+    * are decimal-sum / count, and the label fraction is an integer ratio.
+    * Scale shape: one corpus scan (features materialized once per row,
+    * the stack-hoisting lesson), one aggregate over ≤ 10 groups. */
+  def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val st = col("st")
+    val nTokD = size(w).cast("double")
+    val nTokLD = size(w).cast("long").cast("double")
+    val stopArr = array(
+      graft.functions.TextFunctions.enStopwords.map(lit): _*)
+    val feats = t(s, dir, "documents")
+      .withColumn("w", tokens(col("text")))
+      .filter(size(w) > 0)
+      .withColumn("st",
+        graft.functions.SketchExpressions.repetitionStats(w))
+      .select(
+        (size(filter(w, t => array_contains(stopArr, t))).cast("double") /
+          nTokLD).as("sw"),
+        punctRatio(col("text")).as("pr"),
+        least(nTokLD / lit(256.0), lit(1.0)).as("lenf"),
+        (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          nTokLD).as("al"),
+        size(w).as("nw"),
+        (st.getField("top").cast("double") / nTokD).as("tw"),
+        when(size(w) <= 2, lit(0.0)).otherwise(
+          lit(1.0) - st.getField("d2").cast("double") / (nTokD - 1.0))
+          .as("br"))
+      .withColumn("alf", least(col("al") / lit(8.0), lit(1.0)))
+    val z = lit(-1.0) + col("sw") * lit(2.0) + col("pr") * lit(-4.0) +
+      col("lenf") * lit(1.5) + col("alf") * lit(1.0)
+    val keep = (col("nw") >= 50 && col("nw") <= 100000) &&
+      (col("al") >= 3.0 && col("al") <= 10.0) && (col("sw") >= 0.03) &&
+      (col("tw") <= 0.12) && (col("br") <= 0.08)
+    feats
+      .select(Num.t6(lit(1.0) / (lit(1.0) + exp(-z))).as("prob"),
+        keep.cast("int").as("y"))
+      .withColumn("bucket",
+        least(floor(col("prob") * 10.0).cast("int"), lit(9)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        Num.t6(Relational.dsum(col("prob")) / count(lit(1)))
+          .as("mean_prob"),
+        sum(col("y")).as("n_keep"),
+        Num.t6(sum(col("y")) / count(lit(1))).as("frac_keep"))
+      .orderBy("bucket")
+  }
+
   def tokenHistogram(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(explode(tokens(col("text"))).as("token"))

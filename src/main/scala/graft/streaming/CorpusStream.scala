@@ -45,6 +45,86 @@ object CorpusStream {
       .join(indexDigests, Seq("h"), "left_anti")
       .select(col("doc_id"))
 
+  /** The streaming LSH lane: survivors of one arriving micro-batch
+    * against the static band index + shingle relation — the NEAR-dup
+    * counterpart of [[indexFiltered]], run in batch mode inside
+    * `foreachBatch` (candidate dedup and the per-doc verdict need
+    * `distinct`/`groupBy`, which would be stateful as a raw stream; the
+    * micro-batch boundary makes them stateless batch work, the
+    * runDailyAggOnce discipline). Arriving docs band once (the custom
+    * MinHashSignature expression runs fine in a batch projection), probe
+    * the capped index buckets, and only CANDIDATES pay the exact-Jaccard
+    * verification — the asymmetric probe shape of
+    * [[graft.operators.Dedup.incrementalDedup]]: the index never
+    * self-joins, and the stream side never sees index text except for
+    * its own candidates' shingle rows. */
+  def nearDupSurvivors(batch: DataFrame, iBands: DataFrame,
+      shI: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.TextFunctions.{jaccard, tokens}
+    val bBands = Dedup.bandIndex(batch, 64, 16)
+      .select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+    val cands = bBands.join(iBands, Seq("band", "bucket"))
+      .select(col("b_id"), col("i_id")).distinct()
+    val shB = batch.select(col("doc_id").as("b_id"),
+      graft.functions.SketchExpressions
+        .wordShingles(tokens(col("text"))).as("sh_b"))
+    val dropped = cands.join(shB, Seq("b_id")).join(shI, Seq("i_id"))
+      .filter(jaccard(col("sh_b"), col("sh_i")) >= threshold)
+      .select(col("b_id").as("doc_id")).distinct()
+    batch.select(col("doc_id")).join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  /** Run-once harness for the streaming near-dup filter: same
+    * batch/index split and planted index copies as [[runIndexDedupOnce]],
+    * but the arriving file is filtered through the LSH lane
+    * ([[nearDupSurvivors]]) instead of the exact digest lane. At the
+    * 0.99 threshold the only cross-split matches are exact-text groups
+    * (planted copies and natural exact dups — the measured
+    * incremental_dedup precondition), so the keep set is closed-form:
+    * batch docs whose text digest is absent from the index — the SAME
+    * oracle relation as the exact lane, reached through banding +
+    * verification, which is precisely what makes it a value-checked gate
+    * on the streaming LSH path. The static sides (capped band index,
+    * shingle relation) are re-planned per micro-batch; a deployment
+    * materializes both in the warehouse and refreshes them on index
+    * compaction. */
+  def runNearDupOnce(s: SparkSession, srcDir: String,
+      threshold: Double = 0.99, maxBucket: Int = 1000): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.load(s, srcDir, "documents")
+    val isBatch = col("doc_id") % 10 === 3
+    val index = docs.filter(!isBatch).select(col("doc_id"), col("text"))
+    val batchDir = HourlyStream.scratchDir("graft_neardup_drop_")
+    docs.filter(isBatch).select(col("doc_id"), col("text"))
+      .unionByName(index
+        .filter(col("doc_id") % 100 === 0 && col("doc_id") < 500)
+        .select((col("doc_id") + Dedup.PlantOffset).as("doc_id"),
+          col("text")))
+      .write.mode("overwrite").parquet(batchDir)
+    val iBands = Dedup.bandIndex(index, 64, 16)
+      .withColumn("bsz", count(lit(1))
+        .over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("bucket"), col("doc_id").as("i_id"))
+    val shI = index.select(col("doc_id").as("i_id"),
+      graft.functions.SketchExpressions
+        .wordShingles(tokens(col("text"))).as("sh_i"))
+    val warehouse =
+      HourlyStream.scratchDir("graft_neardup_wh_") + "/keep"
+    val q = readDocuments(s, batchDir)
+      .writeStream
+      .option("checkpointLocation", HourlyStream.scratchDir("graft_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        nearDupSurvivors(b, iBands, shI, threshold)
+          .write.mode("append").parquet(warehouse)
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.read.parquet(warehouse).orderBy("doc_id")
+  }
+
   /** Synchronous run-once harness over the bundled corpus, mirroring
     * [[graft.operators.Dedup.incrementalDedup]]'s split exactly: the
     * batch slice (doc_id % 10 == 3, plus the five planted index copies)

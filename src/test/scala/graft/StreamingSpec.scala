@@ -556,4 +556,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(!streamed.contains(seed + graft.operators.Dedup.PlantOffset),
         s"planted copy of $seed must be dropped by the stream")
   }
+
+  test("streamed LSH near-dup filter reaches the same keep set through " +
+      "banding + verification and drops every planted copy") {
+    import org.apache.spark.sql.functions.col
+    val streamed = graft.streaming.CorpusStream
+      .runNearDupOnce(spark, TestSpark.sf)
+      .collect().map(_.getLong(0)).toSet
+    // at the 0.99 threshold only exact-text groups cross the split, so
+    // the LSH lane must land on the exact-lane answer — via a genuinely
+    // different path (bands -> bucket probe -> Jaccard verify)
+    val batchKeep = graft.operators.Dedup
+      .incrementalDedup(spark, TestSpark.sf)
+      .filter(col("verdict") === "keep")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed === batchKeep,
+      "LSH stream survivors must equal the exact-lane keep set")
+    for (seed <- Seq(0L, 100L, 200L, 300L, 400L))
+      assert(!streamed.contains(seed + graft.operators.Dedup.PlantOffset),
+        s"planted copy of $seed must be dropped by the near-dup stream")
+  }
 }

@@ -420,4 +420,31 @@ class TextFunctionsSpec extends AnyFunSuite {
     // at or below the corpus-wide reference always exists)
     assert(rows.exists(_.getDouble(3) === 0.0))
   }
+
+  test("quality calibration: buckets partition the corpus, probabilities " +
+      "sit inside their decile, label counts bounded") {
+    val rows = graft.operators.TextAnalysis
+      .qualityCalibration(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    val corpus = Tables.load(spark, TestSpark.sf, "documents")
+      .filter(org.apache.spark.sql.functions
+        .size(tokens(col("text"))) > 0).count()
+    assert(total === corpus, "every scored document lands in one bucket")
+    rows.foreach { r =>
+      val (b, n, mp, nk) =
+        (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(b >= 0 && b <= 9)
+      // the bucket's mean prob lies inside the decile (bucket 9 also
+      // holds clamped prob-1.0 rows, so its upper edge is inclusive)
+      assert(mp >= b / 10.0 - 1e-9 && mp <= (b + 1) / 10.0 + 1e-9)
+      assert(nk >= 0 && nk <= n)
+      val frac = r.getDouble(4)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // labels must not be degenerate across the whole curve (some bucket
+    // keeps, some bucket drops — otherwise the curve diagnoses nothing)
+    assert(rows.exists(_.getLong(3) > 0) &&
+      rows.exists(r => r.getLong(3) < r.getLong(1)))
+  }
 }
