@@ -480,31 +480,46 @@ object Curation {
     * slice. */
   def tokenBudget(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
-    val z = lit(-1.0) + stopwordRatio(col("text")) * lit(2.0) +
+    // one tokenization per row (the stack-hoisting lesson — the Column
+    // helper forms each re-tokenize); arithmetic bit-identical to the
+    // quality_logit feature definitions (the qualityLogitTrain-proven
+    // hoisted forms)
+    val w = col("w")
+    val nTokLD = size(w).cast("long").cast("double")
+    val stopArr = array(enStopwords.map(lit): _*)
+    val z = lit(-1.0) +
+      (size(filter(w, t => array_contains(stopArr, t))).cast("double") /
+        nTokLD) * lit(2.0) +
       punctRatio(col("text")) * lit(-4.0) +
-      least(tokenCount(col("text")).cast("double") / lit(256.0), lit(1.0)) *
-        lit(1.5) +
-      least(avgTokenLen(col("text")) / lit(8.0), lit(1.0)) * lit(1.0)
+      least(nTokLD / lit(256.0), lit(1.0)) * lit(1.5) +
+      least((length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+        nTokLD) / lit(8.0), lit(1.0)) * lit(1.0)
     val scored = t(s, dir, "documents")
+      .withColumn("w", tokens(col("text")))
       .select(col("doc_id"), Num.t6(z).as("logit"),
-        tokenCount(col("text")).as("n_tokens"))
+        size(w).cast("long").as("n_tokens"))
       .withColumn("band", floor(col("logit") * 8.0).cast("long"))
     val wIn = Window.partitionBy(col("band"))
       .orderBy(col("logit").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE band aggregate yields both the better-band prefix sums and the
+    // total-token budget (window over the ≤68-row aggregate — bounded),
+    // so the corpus is scanned exactly twice: once into this aggregate,
+    // once for the selection itself.
     val bandTot = scored.groupBy(col("band"))
       .agg(sum(col("n_tokens")).as("btot"))
     val wPre = Window.orderBy(col("band").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prefix = bandTot
+    val wAll = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val meta = bandTot
       .withColumn("prefix", coalesce(sum(col("btot")).over(wPre), lit(0L)))
-      .select(col("band"), col("prefix"))
-    val budget = scored
-      .agg(floor(sum(col("n_tokens")) / 2).cast("long").as("budget"))
+      .withColumn("budget",
+        floor(sum(col("btot")).over(wAll) / 2).cast("long"))
+      .select(col("band"), col("prefix"), col("budget"))
     scored
       .withColumn("cum_in_band", sum(col("n_tokens")).over(wIn))
-      .join(broadcast(prefix), Seq("band"))
-      .crossJoin(broadcast(budget))
+      .join(broadcast(meta), Seq("band"))
       .withColumn("cum_tokens", col("prefix") + col("cum_in_band"))
       .filter(col("cum_tokens") <= col("budget"))
       .select(col("doc_id"), col("logit"), col("n_tokens"),

@@ -33,7 +33,11 @@ object ExplainDump {
     "contract_unique", "contract_refint",
     // round 7: the trainable quality step (bpe_iterate/ann_ivf_indexed
     // excluded: building those DFs EXECUTES the training rounds)
-    "quality_train")
+    "quality_train",
+    // round 7 session 2 (doremi_step excluded: collects the domain
+    // table while building; stream_neardup excluded: runs a stream)
+    "stratified_sample", "token_budget", "rouge_recall", "edit_verify",
+    "quality_calibration")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
