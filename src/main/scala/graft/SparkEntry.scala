@@ -269,6 +269,9 @@ object SparkEntry {
     // exact k-per-(lang,source) deterministic sample
     "stratified_sample" -> ((s: SparkSession, d: String) =>
       Curation.stratifiedSample(s, d)),
+    // per-source dataset card: volumes, language mix, dup rate
+    "source_datasheet" -> ((s: SparkSession, d: String) =>
+      Curation.sourceDatasheet(s, d)),
     // best-documents-until-token-budget cut (banded running sum)
     "token_budget" -> ((s: SparkSession, d: String) =>
       Curation.tokenBudget(s, d)),
@@ -1505,6 +1508,30 @@ object SparkEntry {
         |  (SELECT doc_id, md5(text) AS h FROM batch) b
         | LEFT JOIN dig ON b.h = dig.h
         | WHERE dig.h IS NULL ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // per-source dataset card: exact-integer aggregates, decimal-sum
+    // means, majority lang with count-desc/lang-asc tie-break
+    "source_datasheet" ->
+      """WITH base AS (SELECT doc_id, source, lang, n_chars,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+        |  md5(text) AS h FROM documents),
+        | agg AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT lang) AS n_langs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  floor(CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
+        |   /count(*) * 1000000.0)/1000000.0 AS mean_chars,
+        |  count(DISTINCT h) AS n_distinct_texts FROM base GROUP BY 1),
+        | lc AS (SELECT source, lang, count(*) AS lc FROM base GROUP BY 1, 2),
+        | mj AS (SELECT source, lang AS top_lang FROM (SELECT source, lang,
+        |  row_number() OVER (PARTITION BY source ORDER BY lc DESC, lang)
+        |   AS rn FROM lc) WHERE rn = 1)
+        | SELECT source, n_docs, total_tokens, n_langs, top_lang,
+        |  min_chars, max_chars, mean_chars, n_distinct_texts,
+        |  floor(CAST(n_docs - n_distinct_texts AS DOUBLE)/n_docs
+        |   * 1000000.0)/1000000.0 AS dup_frac
+        | FROM agg JOIN mj USING (source)
+        | ORDER BY source""".stripMargin.replace("\n", ""),
     // exact k-per-stratum deterministic sample (md5 order inside strata)
     "stratified_sample" ->
       """SELECT doc_id, lang, source, rn FROM (

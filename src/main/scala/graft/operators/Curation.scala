@@ -573,6 +573,50 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Per-source dataset card — the datasheet row every curated corpus
+    * export ships with: document and token volumes, language mix
+    * (count of declared langs + majority language with deterministic
+    * tie-break), size dispersion (min/max/mean chars), and an
+    * exact-duplicate rate within the source (distinct text digests vs
+    * rows — the first number a data audit asks for). One scan, one
+    * aggregate keyed on the bounded source set; the majority language
+    * is a second tiny aggregate over (source, lang) counts joined back
+    * by broadcast. Means are decimal-sum / count (engine-exact). */
+  def sourceDatasheet(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("text")).as("h"))
+    val agg = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        Num.t6(Relational.dsum(col("n_chars")) / count(lit(1)))
+          .as("mean_chars"),
+        countDistinct(col("h")).as("n_distinct_texts"))
+      .withColumn("dup_frac", Num.t6(
+        (col("n_docs") - col("n_distinct_texts")).cast("double") /
+          col("n_docs").cast("double")))
+    // majority language per source: count-desc, lang-asc tie-break —
+    // a (sources × langs)-sized aggregate, WindowGroupLimit-pruned
+    val lw = Window.partitionBy(col("source"))
+      .orderBy(col("lc").desc, col("lang"))
+    val major = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("lc"))
+      .withColumn("rn", row_number().over(lw))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    agg.join(broadcast(major), Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_langs"), col("top_lang"), col("min_chars"),
+        col("max_chars"), col("mean_chars"), col("n_distinct_texts"),
+        col("dup_frac"))
+      .orderBy("source")
+  }
+
   /** End-to-end curation funnel — the flagship composition a training-data
     * pipeline runs nightly: keep declared-English documents below a
     * repeated-token ceiling, exact-dedup on text (keep the smallest

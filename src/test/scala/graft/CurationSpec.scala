@@ -344,6 +344,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("source datasheet: volumes reconcile with the corpus, dup rate " +
+      "bounded, majority language is a real member of its source") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.sourceDatasheet(spark, sf).collect()
+    val docs = Tables.load(spark, sf, "documents")
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    val langsBySource = docs.groupBy("source")
+      .agg(collect_set(col("lang")).as("ls")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(8) <= r.getLong(1), "distinct texts <= docs")
+      val dup = r.getDouble(9)
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(langsBySource(src).contains(r.getString(4)),
+        s"$src: top_lang must be one of the source's languages")
+      assert(r.getLong(5) <= r.getLong(6), "min_chars <= max_chars")
+      assert(r.getDouble(7) >= r.getLong(5).toDouble - 1e-6 &&
+        r.getDouble(7) <= r.getLong(6).toDouble + 1e-6)
+    }
+  }
+
   test("quantization: codes bounded by ±127, error bound holds everywhere") {
     val rows = Curation.embedQuantize(spark, sf).collect()
     assert(rows.nonEmpty)
