@@ -192,6 +192,10 @@ object SparkEntry {
     "minhash_dedup" -> ((s: SparkSession, d: String) => Dedup.minhashDedupPlanted(s, d)),
     "simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairsPlanted(s, d)),
     "ngram_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPlanted(s, d)),
+    // estimator accuracy gate: signature agreement == exact Jaccard on
+    // planted identical pairs (closed form)
+    "minhash_est_gate" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashEstGate(s, d)),
     // candidate-volume observability (rows-only: LSH banding not SQL-expressible)
     "dedup_candidates" -> ((s: SparkSession, d: String) => Dedup.minhashCandidateVolume(s, d)),
     // value-checked banding invariant: candidates exist AND stay capped
@@ -2079,6 +2083,13 @@ object SparkEntry {
     "simhash_pairs" ->
       """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
         | CAST(0 AS INTEGER) AS hamming
+        | FROM documents WHERE doc_id < 10 ORDER BY doc_a""".stripMargin.replace("\n", ""),
+    // identical shingle sets hash to identical signatures component-for-
+    // component, so both the estimate and the exact Jaccard are 1.0
+    "minhash_est_gate" ->
+      """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+        | CAST(1.0 AS DOUBLE) AS est_jaccard,
+        | CAST(1.0 AS DOUBLE) AS exact_jaccard, TRUE AS est_exact
         | FROM documents WHERE doc_id < 10 ORDER BY doc_a""".stripMargin.replace("\n", ""),
     "ngram_jaccard_pairs" ->
       """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,

@@ -217,6 +217,43 @@ object Dedup {
           col("text").as("text_a"), mutant.as("text_b")))
   }
 
+  /** MinHash ESTIMATOR gate: the sketch's own accuracy contract, the
+    * number the banding math rests on. For each planted identical pair,
+    * the signature-agreement estimate (fraction of equal minhash
+    * components) must be EXACTLY 1.0 — identical shingle sets hash to
+    * identical signatures component-for-component, deterministically —
+    * alongside the exact shingle Jaccard it estimates. Closed-form
+    * oracle; [[DedupSpec]] additionally bounds |est − exact| on the
+    * NATURAL candidate pairs, where the estimate is genuinely
+    * probabilistic (k=64 components ⇒ stderr ≤ 1/16).
+    *
+    * Scale shape: signatures are k smallints per doc computed in the
+    * same single pass banding already pays; the gate touches only the
+    * planted pair rows. */
+  def minhashEstGate(s: SparkSession, dir: String,
+      n: Int = 10, k: Int = 64): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < n)
+    val sigged = docs.select(col("doc_id"),
+      SketchExpressions.minhash(
+        SketchExpressions.wordShingles(tokens(col("text"))), k).as("sig"),
+      SketchExpressions.wordShingles(tokens(col("text"))).as("sh"))
+    val a = sigged.select(col("doc_id").as("doc_a"),
+      col("sig").as("sig_a"), col("sh").as("sh_a"))
+    val b = sigged.select((col("doc_id") + PlantOffset).as("doc_b"),
+      col("sig").as("sig_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_b") === col("doc_a") + PlantOffset)
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.Num.t6(
+          size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => x === y), p => p)).cast("double") / lit(k))
+          .as("est_jaccard"),
+        graft.functions.Num.t6(
+          graft.functions.TextFunctions.jaccard(col("sh_a"), col("sh_b")))
+          .as("exact_jaccard"))
+      .withColumn("est_exact", col("est_jaccard") === col("exact_jaccard"))
+      .orderBy("doc_a")
+  }
+
   /** Near-dedup'd corpus: drop the higher doc_id of every confirmed
     * near-dup pair. */
   def minhashDedup(s: SparkSession, dir: String,

@@ -336,6 +336,38 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash estimator: exact on planted identicals, statistically " +
+      "tight on natural candidate pairs (k=64 => stderr <= 1/16)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{SketchExpressions => SE, TextFunctions => TF}
+    val gate = Dedup.minhashEstGate(spark, TestSpark.sf).collect()
+    assert(gate.length === 10)
+    gate.foreach { r =>
+      assert(r.getDouble(2) === 1.0 && r.getDouble(3) === 1.0 &&
+        r.getBoolean(4))
+    }
+    // natural pairs: estimate vs exact on the LSH candidate set — the
+    // probabilistic regime the banding math actually depends on
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val sigged = docs.select(col("doc_id"),
+      SE.minhash(SE.wordShingles(TF.tokens(col("text"))), 64).as("sig"),
+      SE.wordShingles(TF.tokens(col("text"))).as("sh"))
+    val errs = Dedup.minhashCandidates(docs)
+      .join(sigged.select(col("doc_id").as("doc_a"),
+        col("sig").as("sig_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sigged.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(abs(
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), p => p)).cast("double") / lit(64.0) -
+          TF.jaccard(col("sh_a"), col("sh_b"))).as("err"))
+      .collect().map(_.getDouble(0))
+    assert(errs.nonEmpty, "natural candidate pairs must exist")
+    val mean = errs.sum / errs.length
+    assert(mean <= 0.12, f"mean |est-exact| $mean%.3f exceeds 2x stderr")
+    assert(errs.max <= 0.45, f"worst-case error ${errs.max}%.3f too large")
+  }
+
   test("candidate volume: banding keeps candidates a small all-pairs fraction") {
     val row = Dedup.minhashCandidateVolume(spark, TestSpark.sf).head()
     val (nDocs, nCand, nAll, frac) =
