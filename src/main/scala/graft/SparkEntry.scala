@@ -276,6 +276,9 @@ object SparkEntry {
     // per-source dataset card: volumes, language mix, dup rate
     "source_datasheet" -> ((s: SparkSession, d: String) =>
       Curation.sourceDatasheet(s, d)),
+    // Z-order layout audit: Morton buckets + bounding boxes
+    "zorder_stats" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.zorderStats(s, d)),
     // best-documents-until-token-budget cut (banded running sum)
     "token_budget" -> ((s: SparkSession, d: String) =>
       Curation.tokenBudget(s, d)),
@@ -1512,6 +1515,18 @@ object SparkEntry {
         |  (SELECT doc_id, md5(text) AS h FROM batch) b
         | LEFT JOIN dig ON b.h = dig.h
         | WHERE dig.h IS NULL ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // Z-order audit: the Morton terms are generated by the same loop as
+    // the Column expression, so both engines interleave identically
+    "zorder_stats" ->
+      ("""WITH b AS (SELECT (l_partkey & 65535) AS x,
+        |  (l_suppkey & 65535) AS y FROM lineitem),
+        | zt AS (SELECT x, y, """.stripMargin.replace("\n", "") +
+        graft.operators.Layout.zValueSql("x", "y") +
+      """ AS z FROM b)
+        | SELECT (z >> 16) AS bucket, count(*) AS n_rows,
+        |  min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y
+        | FROM zt GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", "")),
     // per-source dataset card: exact-integer aggregates, decimal-sum
     // means, majority lang with count-desc/lang-asc tie-break
     "source_datasheet" ->

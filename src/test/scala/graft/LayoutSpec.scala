@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+
+/** Z-order invariants: the Column-expression Morton code matches an
+  * independent bit-twiddling reference, and the bucket bounding boxes
+  * exhibit exactly the rectangle locality data skipping depends on. */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Independent reference: classic parallel-prefix bit interleave. */
+  private def mortonRef(x: Long, y: Long): Long = {
+    def spread(v: Long): Long = {
+      var n = v & 0xffffL
+      n = (n | (n << 8)) & 0x00ff00ffL
+      n = (n | (n << 4)) & 0x0f0f0f0fL
+      n = (n | (n << 2)) & 0x33333333L
+      n = (n | (n << 1)) & 0x55555555L
+      n
+    }
+    spread(x) | (spread(y) << 1)
+  }
+
+  test("zValue equals the parallel-prefix reference on corpus keys") {
+    val rows = Tables.load(spark, TestSpark.sf, "lineitem")
+      .select(col("l_partkey").bitwiseAND(lit(65535L)).as("x"),
+        col("l_suppkey").bitwiseAND(lit(65535L)).as("y"))
+      .withColumn("z", Layout.zValue(col("x"), col("y")))
+      .limit(2000).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) === mortonRef(r.getLong(0), r.getLong(1)),
+        s"(${r.getLong(0)}, ${r.getLong(1)}): expression diverges")
+    }
+  }
+
+  test("zorder buckets are exact 256x256 rectangles and partition " +
+      "every row") {
+    val rows = Layout.zorderStats(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.load(spark, TestSpark.sf, "lineitem").count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    rows.foreach { r =>
+      val (bucket, minX, maxX, minY, maxY) = (r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      // bucket = top-16 Morton bits = the high 8 bits of each dimension:
+      // every bucket's box lives inside ONE 256-aligned 256x256 cell
+      assert(minX >> 8 === maxX >> 8,
+        s"bucket $bucket spans x cells ${minX >> 8}..${maxX >> 8}")
+      assert(minY >> 8 === maxY >> 8,
+        s"bucket $bucket spans y cells ${minY >> 8}..${maxY >> 8}")
+      // and the bucket id reconstructs from those high bits
+      val expected = mortonRef(minX >> 8, minY >> 8)
+      assert(bucket === expected,
+        s"bucket $bucket != morton(${minX >> 8}, ${minY >> 8})")
+    }
+  }
+}
