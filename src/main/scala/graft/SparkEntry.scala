@@ -279,6 +279,9 @@ object SparkEntry {
     // Z-order layout audit: Morton buckets + bounding boxes
     "zorder_stats" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.zorderStats(s, d)),
+    // join-key skew audit: heaviest keys + max/mean skew ratio
+    "skew_audit" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.skewAudit(s, d)),
     // best-documents-until-token-budget cut (banded running sum)
     "token_budget" -> ((s: SparkSession, d: String) =>
       Curation.tokenBudget(s, d)),
@@ -1527,6 +1530,19 @@ object SparkEntry {
         |  min(x) AS min_x, max(x) AS max_x,
         |  min(y) AS min_y, max(y) AS max_y
         | FROM zt GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", "")),
+    // skew audit: per-key counts reduced to heaviest keys + ratio
+    "skew_audit" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1),
+        | st AS (SELECT count(*) AS n_keys, max(n) AS max_n,
+        |  floor(CAST(sum(n) AS DOUBLE)/count(*) * 1000000.0)/1000000.0
+        |   AS mean_n FROM c),
+        | r AS (SELECT l_partkey, n, CAST(row_number() OVER
+        |  (ORDER BY n DESC, l_partkey) AS INTEGER) AS rnk FROM c)
+        | SELECT rnk, l_partkey, CAST(n AS BIGINT) AS n, n_keys, max_n,
+        |  mean_n, floor(CAST(max_n AS DOUBLE)/mean_n * 1000000.0)/1000000.0
+        |   AS skew_ratio
+        | FROM r CROSS JOIN st WHERE rnk <= 10
+        | ORDER BY rnk""".stripMargin.replace("\n", ""),
     // per-source dataset card: exact-integer aggregates, decimal-sum
     // means, majority lang with count-desc/lang-asc tie-break
     "source_datasheet" ->

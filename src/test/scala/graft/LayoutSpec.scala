@@ -37,6 +37,23 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("skew audit: ranks are dense, counts non-increasing, stats " +
+      "reconcile with an independent recount") {
+    val rows = Layout.skewAudit(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_.getInt(0)).toSeq === (1 to rows.length))
+    val ns = rows.map(_.getLong(2))
+    assert(ns.sameElements(ns.sortBy(-_)), "top keys must be count-desc")
+    // independent recount of the headline stats
+    val counts = Tables.load(spark, TestSpark.sf, "lineitem")
+      .groupBy("l_partkey").count().collect().map(_.getLong(1))
+    val r = rows.head
+    assert(r.getLong(3) === counts.length.toLong)
+    assert(r.getLong(4) === counts.max)
+    assert(r.getLong(2) === counts.max, "rank 1 carries the max count")
+    assert(r.getDouble(6) >= 1.0, "max/mean skew ratio is >= 1")
+  }
+
   test("zorder buckets are exact 256x256 rectangles and partition " +
       "every row") {
     val rows = Layout.zorderStats(spark, TestSpark.sf).collect()
