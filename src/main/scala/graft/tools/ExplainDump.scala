@@ -37,7 +37,8 @@ object ExplainDump {
     // round 7 session 2 (doremi_step excluded: collects the domain
     // table while building; stream_neardup excluded: runs a stream)
     "stratified_sample", "token_budget", "rouge_recall", "edit_verify",
-    "quality_calibration")
+    "quality_calibration", "source_datasheet", "minhash_est_gate",
+    "zorder_stats", "skew_audit")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
