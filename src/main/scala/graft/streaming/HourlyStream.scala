@@ -85,7 +85,9 @@ object HourlyStream {
     * generator versions — TIMESTAMP(NANOS) (readable only as long),
     * µs-without-timezone (TIMESTAMP_NTZ), and plain µs TIMESTAMP — so the
     * source sniffs the physical type from one batch footer read at setup
-    * (a production deployment pins the contract type instead) and
+    * — which requires at least one drop file to exist when the stream
+    * starts (every harness here stages the drop directory first; a
+    * production deployment pins the contract type instead) — and
     * normalizes to the session-local TIMESTAMP every downstream
     * window/watermark expects. Session timezone is UTC repo-wide, so the
     * NTZ wall clock and the instant coincide. */
