@@ -121,7 +121,15 @@ object CorpusStream {
           .write.mode("append").parquet(warehouse)
       }
       .start()
-    try q.awaitTermination() finally q.stop()
+    try q.awaitTermination() finally {
+      q.stop()
+      // the LSH lane leaves corpus-scale broadcast/shuffle state that
+      // only the ContextCleaner frees on GC; without this, back-to-back
+      // harness runs in one JVM degrade monotonically (measured
+      // 6.8 -> 11.2 s across bench reps; the repo-wide gc-between-
+      // queries discipline covers queries, not reps)
+      System.gc()
+    }
     s.read.parquet(warehouse).orderBy("doc_id")
   }
 
