@@ -276,6 +276,9 @@ object SparkEntry {
     // per-source dataset card: volumes, language mix, dup rate
     "source_datasheet" -> ((s: SparkSession, d: String) =>
       Curation.sourceDatasheet(s, d)),
+    // temperature-sampling token plan: shares, targets, epoch factors
+    "mix_plan" -> ((s: SparkSession, d: String) =>
+      Curation.mixPlan(s, d)),
     // Z-order layout audit: Morton buckets + bounding boxes
     "zorder_stats" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.zorderStats(s, d)),
@@ -1530,6 +1533,27 @@ object SparkEntry {
         |  min(x) AS min_x, max(x) AS max_x,
         |  min(y) AS min_y, max(y) AS max_y
         | FROM zt GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", "")),
+    // temperature token plan: sqrt shares over a decimal normalizer,
+    // floor targets, t6 epoch factors
+    "mix_plan" ->
+      """WITH td AS (SELECT source,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        | sq AS (SELECT source, n_tokens,
+        |  floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)/1000000.0 AS sq
+        |  FROM td),
+        | nm AS (SELECT CAST(sum(CAST(sq AS DECIMAL(28,6))) AS DOUBLE)
+        |   AS sq_sum,
+        |  CAST(floor(sum(n_tokens)/2.0) AS BIGINT) AS budget FROM sq)
+        | SELECT source, n_tokens,
+        |  floor(sq / sq_sum * 1000000.0)/1000000.0 AS share,
+        |  CAST(floor(floor(sq / sq_sum * 1000000.0)/1000000.0 * budget)
+        |   AS BIGINT) AS target_tokens,
+        |  floor(CAST(floor(floor(sq / sq_sum * 1000000.0)/1000000.0 * budget)
+        |   AS BIGINT) / CAST(n_tokens AS DOUBLE) * 1000000.0)/1000000.0
+        |   AS epochs
+        | FROM sq CROSS JOIN nm ORDER BY source""".stripMargin.replace("\n", ""),
     // skew audit: per-key counts reduced to heaviest keys + ratio
     "skew_audit" ->
       """WITH c AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1),

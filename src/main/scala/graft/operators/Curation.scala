@@ -132,6 +132,43 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Temperature-sampling TOKEN PLAN — the accounting table a data
+    * recipe publishes before training: per-source token counts reduced
+    * to α=0.5 temperature shares (`share_d ∝ sqrt(T_d)` — the
+    * majority-damping rule [[temperatureMix]] applies at row level),
+    * target token allocations against a total budget (half the corpus,
+    * the [[tokenBudget]] convention), and the implied EPOCH factor
+    * `target_d / T_d` — above 1 means the recipe upsamples that source
+    * (repeats data), below 1 means it subsamples; the number every
+    * mixture-ablation paper reports per domain.
+    *
+    * Exactness: sqrt over exact longs is IEEE-exact in every engine
+    * (the temperatureMix precedent); shares are t6(sqrt / decimal-sum
+    * of t6 sqrts); targets floor to whole tokens; epochs divide exact
+    * longs, t6-floored. Scale shape: one corpus token aggregate, then
+    * domain-count-sized arithmetic (the only broadcast is the 1-row
+    * share normalizer + budget). */
+  def mixPlan(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val td = t(s, dir, "documents")
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("sq", Num.t6(sqrt(col("n_tokens").cast("double"))))
+    val norm = td.agg(
+      Relational.dsum(col("sq")).as("sq_sum"),
+      floor(sum(col("n_tokens")) / 2).cast("long").as("budget"))
+    td.crossJoin(broadcast(norm))
+      .withColumn("share", Num.t6(col("sq") / col("sq_sum")))
+      .withColumn("target_tokens",
+        floor(col("share") * col("budget")).cast("long"))
+      .select(col("source"), col("n_tokens"), col("share"),
+        col("target_tokens"),
+        Num.t6(col("target_tokens").cast("double") /
+          col("n_tokens").cast("double")).as("epochs"))
+      .orderBy("source")
+  }
+
   /** Corpus snapshot diff (the dataset-versioning primitive behind
     * incremental re-training: which documents were added / removed /
     * changed between two corpus versions?). Both snapshots reduce to

@@ -366,6 +366,33 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("mix plan: temperature damping holds (shares flatter than raw " +
+      "token shares), targets respect the budget, epochs consistent") {
+    val rows = Curation.mixPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getDouble(2))
+    assert(math.abs(shares.sum - 1.0) < rows.length * 1e-6 + 1e-9)
+    val toks = rows.map(_.getLong(1))
+    val total = toks.sum.toDouble
+    // α=0.5 damping: every share sits between the raw token share and
+    // the uniform share (sqrt compresses toward uniform, never past it)
+    rows.foreach { r =>
+      val raw = r.getLong(1) / total
+      val uni = 1.0 / rows.length
+      val sh = r.getDouble(2)
+      val (lo, hi) = (math.min(raw, uni), math.max(raw, uni))
+      assert(sh >= lo - 1e-4 && sh <= hi + 1e-4,
+        s"${r.getString(0)}: share $sh outside damping band [$lo, $hi]")
+      // epochs recompute from the row's own columns
+      val eps = graft.functions.Num.t6d(
+        r.getLong(3).toDouble / r.getLong(1).toDouble)
+      assert(r.getDouble(4) === eps)
+    }
+    val budget = toks.sum / 2
+    assert(rows.map(_.getLong(3)).sum <= budget,
+      "floored targets can never exceed the budget")
+  }
+
   test("quantization: codes bounded by ±127, error bound holds everywhere") {
     val rows = Curation.embedQuantize(spark, sf).collect()
     assert(rows.nonEmpty)
