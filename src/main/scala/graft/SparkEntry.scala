@@ -106,6 +106,10 @@ object SparkEntry {
     "value_outliers" -> ((s: SparkSession, d: String) => RelationalMore.valueOutliers(s, d)),
     "approx_stats" -> (graft.operators.Sketches.approxStats _),
     "salted_join" -> (graft.operators.Sketches.saltedJoinDemo _),
+    // planted 60%-hot-key shuffle join, salted: the end-to-end skew fix
+    // (SkewJoinSpec asserts the straggler is gone at the task-metric level)
+    "skew_join_fixed" -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.skewJoinFixed(s, d)),
     // -- text analysis (documents) --
     "text_stats" -> (TextAnalysis.textStats _),
     "quality_scores" -> (TextAnalysis.qualityScores _),
@@ -1072,6 +1076,16 @@ object SparkEntry {
         |  ('signup', 4), ('view', 5)) AS dim(event_type, type_code)
         | USING (event_type)
         | GROUP BY type_code ORDER BY type_code""".stripMargin.replace("\n", ""),
+    // the salt is a physical rewrite only: the oracle is the PLAIN join
+    // of the planted-skew facts against the range-derived key dim
+    "skew_join_fixed" ->
+      """SELECT grp, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        | FROM (SELECT CASE WHEN event_id % 10 < 6 THEN 0
+        |   ELSE event_id % 97 END AS k, value FROM events) f
+        | JOIN (SELECT range AS k, range % 7 AS grp FROM range(0, 97)) d
+        | USING (k)
+        | GROUP BY grp ORDER BY grp""".stripMargin.replace("\n", ""),
     "text_stats" ->
       """SELECT doc_id, length(text) AS len_chars,
         | len(string_split_regex(trim(text), '\s+')) AS n_tokens,
@@ -1619,7 +1633,8 @@ object SparkEntry {
         |   len(toks) AS nt
         |   FROM (SELECT doc_id, text,
         |    list_filter(string_split_regex(trim(text), '\s+'),
-        |     t -> length(t) > 0) AS toks FROM documents))),
+        |     t -> length(t) > 0) AS toks FROM documents)
+        |   WHERE len(toks) > 0)),
         | b AS (SELECT CAST(floor(sum(n_tokens)/2.0) AS BIGINT) AS budget FROM s),
         | c AS (SELECT doc_id, logit, n_tokens,
         |  CAST(sum(n_tokens) OVER (ORDER BY logit DESC, doc_id

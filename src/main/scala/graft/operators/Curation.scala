@@ -533,6 +533,12 @@ object Curation {
         nTokLD) / lit(8.0), lit(1.0)) * lit(1.0)
     val scored = t(s, dir, "documents")
       .withColumn("w", tokens(col("text")))
+      // empty-document guard: a whitespace-only doc has size(w) = 0, so
+      // every ratio feature divides by zero and the logit goes null/NaN —
+      // Spark would then silently drop the row at the band-metadata inner
+      // join while the oracle would order NULLs last, a latent cross-engine
+      // divergence. Both lanes define the case identically: excluded.
+      .filter(size(w) > 0)
       .select(col("doc_id"), Num.t6(z).as("logit"),
         size(w).cast("long").as("n_tokens"))
       .withColumn("band", floor(col("logit") * 8.0).cast("long"))

@@ -68,13 +68,68 @@ object Sketches {
     * Aggregation-side skew needs no salting in Spark: map-side partial
     * aggregation already collapses hot keys before the shuffle. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-      salts: Int = 8): DataFrame = {
+      salts: Int = 8, forceShuffle: Boolean = false): DataFrame = {
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
-    val saltedSmall = small.withColumn("__salt",
+    val saltedSmall0 = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
+    // forceShuffle pins a sort-merge join (the skew DEMO needs the
+    // shuffle lane: a broadcast join has no reduce-side partitions to
+    // skew, and at real scale the dim side is past the broadcast
+    // threshold — which is exactly when salting is the only fix)
+    val saltedSmall =
+      if (forceShuffle) saltedSmall0.hint("merge") else saltedSmall0
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Planted-skew fact relation: 60% of event rows land on key 0, the
+    * rest spread over 96 cold keys — deterministic at every SF
+    * (event_id arithmetic, the planted-oracle discipline), which is what
+    * a zipfian production key looks like to a shuffle. This is the
+    * relation [[graft.operators.Layout.skewAudit]]'s diagnostic flags:
+    * top-key share ≈ 0.6 ≫ uniform share 1/97. */
+  private def skewedFacts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      when(col("event_id") % 10 < 6, 0L)
+        .otherwise(pmod(col("event_id"), lit(97L))).as("k"),
+      col("value"))
+
+  /** The cold-key dimension the skewed facts join against (97 rows,
+    * grouped into 7 reporting buckets). Derived from `range` so the
+    * DuckDB oracle reproduces it exactly. */
+  private def skewKeyDim(s: SparkSession): DataFrame =
+    s.range(0L, 97L).toDF("k")
+      .select(col("k"), pmod(col("k"), lit(7L)).as("grp"))
+
+  /** End-to-end proof of the skew DECISION ([[Layout.skewAudit]]
+    * diagnoses → salting fixes): the planted 60%-hot-key facts joined to
+    * the key dim through [[saltedJoin]] on the FORCED shuffle lane, then
+    * aggregated per reporting bucket. Unsalted, reducer
+    * hash(0) % nPartitions receives ≥ 60% of the fact table — the
+    * straggler that caps a 1000-executor cluster at one task's speed;
+    * salted, no reducer sees more than one salt's slice of the hot key.
+    * SkewJoinSpec measures BOTH lanes' per-task shuffle-read row counts
+    * with AQE skew handling OFF and asserts the spread bound — the
+    * metric, not the intent. Results are salt-invariant (the oracle is
+    * the plain join), which is the whole point: salting is a physical
+    * rewrite, never a semantic one. */
+  def skewJoinFixed(s: SparkSession, dir: String,
+      salts: Int = 8): DataFrame =
+    saltedJoin(skewedFacts(s, dir), skewKeyDim(s), "k",
+      salts, forceShuffle = true)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), Relational.dsum(col("value")).as("sum_value"))
+      .orderBy("grp")
+
+  /** The unsalted shuffle-join lane of [[skewJoinFixed]] — the straggler
+    * baseline the spec measures against (same join, same forced
+    * sort-merge lane, no salt). Not a contract query: it computes the
+    * same relation, it just computes it badly. */
+  def skewJoinBaseline(s: SparkSession, dir: String): DataFrame =
+    skewedFacts(s, dir).join(skewKeyDim(s).hint("merge"), Seq("k"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), Relational.dsum(col("value")).as("sum_value"))
+      .orderBy("grp")
 
   // ---- count-min sketch (heavy hitters) ----
 

@@ -74,6 +74,30 @@ object CorpusStream {
     batch.select(col("doc_id")).join(dropped, Seq("doc_id"), "left_anti")
   }
 
+  /** Exactly-once survivor sink for the streaming LSH lane: batch
+    * `batchId`'s survivors land under `batch_id=<id>` via dynamic
+    * partition overwrite (the [[graft.store.PartitionedStore]] upsert
+    * discipline), so a micro-batch REPLAYED after a crash between the
+    * parquet write and the checkpoint commit overwrites its OWN
+    * partition instead of double-appending. `foreachBatch`'s documented
+    * delivery contract is at-least-once with a replay-stable batchId —
+    * keying the overwrite on that id is what upgrades the sink to
+    * effectively-exactly-once. */
+  def upsertSurvivors(survivors: DataFrame, warehouse: String,
+      batchId: Long): Unit = {
+    val spark = survivors.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(warehouse)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Run-once harness for the streaming near-dup filter: same
     * batch/index split and planted index copies as [[runIndexDedupOnce]],
     * but the arriving file is filtered through the LSH lane
@@ -84,10 +108,24 @@ object CorpusStream {
     * batch docs whose text digest is absent from the index — the SAME
     * oracle relation as the exact lane, reached through banding +
     * verification, which is precisely what makes it a value-checked gate
-    * on the streaming LSH path. The static sides (capped band index,
-    * shingle relation) are re-planned per micro-batch; a deployment
-    * materializes both in the warehouse and refreshes them on index
-    * compaction. */
+    * on the streaming LSH path.
+    *
+    * Oracle-equivalence caveat (data-dependent, inherited from
+    * `incrementalDedup`): besides "only exact-text groups cross the 0.99
+    * threshold", the closed-form keep set also assumes no two documents
+    * with DIFFERENT bytes share an identical word-shingle set — texts
+    * differing only in whitespace runs tokenize identically, so their
+    * Jaccard is 1.0 and the LSH lane drops a doc the exact-md5 lane
+    * keeps. Both preconditions hold for the bundled generator (measured;
+    * StreamingSpec + the round oracles pin them); a future corpus
+    * generator that emits whitespace-variant near-copies will fail HERE,
+    * attributably, not in the operator.
+    *
+    * The static sides (capped band index, shingle relation) are
+    * re-planned per micro-batch; a deployment materializes both in the
+    * warehouse and refreshes them on index compaction. Survivors are
+    * written through [[upsertSurvivors]] — batchId-keyed idempotent
+    * overwrite, so checkpoint-replayed batches cannot double-append. */
   def runNearDupOnce(s: SparkSession, srcDir: String,
       threshold: Double = 0.99, maxBucket: Int = 1000): DataFrame = {
     import graft.functions.TextFunctions.tokens
@@ -116,9 +154,9 @@ object CorpusStream {
       .writeStream
       .option("checkpointLocation", HourlyStream.scratchDir("graft_ckpt_"))
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        nearDupSurvivors(b, iBands, shI, threshold)
-          .write.mode("append").parquet(warehouse)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        upsertSurvivors(nearDupSurvivors(b, iBands, shI, threshold),
+          warehouse, batchId)
       }
       .start()
     try q.awaitTermination() finally {
@@ -130,7 +168,7 @@ object CorpusStream {
       // queries discipline covers queries, not reps)
       System.gc()
     }
-    s.read.parquet(warehouse).orderBy("doc_id")
+    s.read.parquet(warehouse).select("doc_id").orderBy("doc_id")
   }
 
   /** Synchronous run-once harness over the bundled corpus, mirroring

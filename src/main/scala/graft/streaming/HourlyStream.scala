@@ -84,17 +84,34 @@ object HourlyStream {
     * Drop files have arrived with three different `ts` annotations across
     * generator versions — TIMESTAMP(NANOS) (readable only as long),
     * µs-without-timezone (TIMESTAMP_NTZ), and plain µs TIMESTAMP — so the
-    * source sniffs the physical type from one batch footer read at setup
-    * — which requires at least one drop file to exist when the stream
-    * starts (every harness here stages the drop directory first; a
-    * production deployment pins the contract type instead) — and
-    * normalizes to the session-local TIMESTAMP every downstream
-    * window/watermark expects. Session timezone is UTC repo-wide, so the
-    * NTZ wall clock and the instant coincide. */
+    * source sniffs the physical type at setup and normalizes to the
+    * session-local TIMESTAMP every downstream window/watermark expects.
+    * Session timezone is UTC repo-wide, so the NTZ wall clock and the
+    * instant coincide.
+    *
+    * Two staged-harness preconditions are asserted, not assumed:
+    * an EMPTY drop directory fails fast with an actionable message
+    * (rather than surfacing Spark's schema-inference error), and the
+    * sniff reads with `mergeSchema` so a directory already containing
+    * files with MIXED `ts` annotations (the generator-drift case the
+    * sniff exists to absorb) throws Spark's merge error at setup instead
+    * of pinning the first footer's type and silently misreading the rest
+    * mid-stream. Files arriving AFTER start are the harnesses' contract
+    * to stage uniformly (every `run*Once` stages the full directory
+    * before starting); a production deployment pins the contract type. */
   def readEvents(s: SparkSession, srcDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val staged = Option(new java.io.File(srcDir).listFiles())
+      .getOrElse(Array.empty)
+      .exists(f => f.getName.startsWith("events") &&
+        f.getName.endsWith(".parquet"))
+    require(staged, s"readEvents: no events*.parquet in $srcDir — the ts " +
+      "physical type is sniffed from staged drop files at setup, so at " +
+      "least one file must exist before the stream starts (stage the " +
+      "drop directory first, or pin eventsRawSchema explicitly)")
     val tsType = s.read
       .option("pathGlobFilter", "events*.parquet")
+      .option("mergeSchema", "true") // mixed annotations must fail NOW
       .parquet(srcDir).schema("ts").dataType
     val reader = s.readStream
       .schema(eventsRawSchema(tsType))
@@ -262,19 +279,45 @@ object HourlyStream {
     * should drop (measured: the cross-run late-event test fails). Every
     * built-in harness therefore keeps it on; the knob exists for
     * single-run, no-restart jobs where the trade is safe. */
+  /** Opt-in flag selecting the RocksDB state-store provider for every
+    * stateful harness in this object (the [[graft.plans.ApproxRewrite]]
+    * flag precedent: library behavior switches ride `spark.graft.*`
+    * session confs, defaults unchanged). The default HDFS-backed
+    * provider keeps ALL state on the executor heap — fine for
+    * group-bounded state (days × event types), a memory wall for
+    * event-cardinality state (streaming dedup at firehose volume, where
+    * the watermark window can hold billions of keys). RocksDB keeps
+    * working state off-heap/on-disk with changelog checkpointing, which
+    * is the 100 TB-scale answer. Semantics are identical — spec-pinned
+    * by running the dedup/sessions/hopping suites under both providers,
+    * checkpoint restart included; Spark pins the provider class in each
+    * checkpoint's offset-log metadata, so a restart can never silently
+    * switch an existing stream. */
+  val RocksDbFlagKey = "spark.graft.stateStore.rocksdb"
+  val RocksDbProviderClass =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
   private def withStatePartitions[T](s: SparkSession, n: Int,
       noDataBatches: Boolean = true)(body: => T): T = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevNd = s.conf.getOption(ndKey)
+    val rocks = s.conf.getOption(RocksDbFlagKey).contains("true")
+    val prevProv = s.conf.getOption(ProviderKey)
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     s.conf.set(ndKey, noDataBatches.toString)
+    if (rocks) s.conf.set(ProviderKey, RocksDbProviderClass)
     try body
     finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevNd match {
         case Some(v) => s.conf.set(ndKey, v)
         case None => s.conf.unset(ndKey)
+      }
+      if (rocks) prevProv match {
+        case Some(v) => s.conf.set(ProviderKey, v)
+        case None => s.conf.unset(ProviderKey)
       }
     }
   }

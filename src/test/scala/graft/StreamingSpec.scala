@@ -540,6 +540,16 @@ class StreamingSpec extends AnyFunSuite {
       "in-watermark event must merge into the second open window")
   }
 
+  test("readEvents fails fast with an actionable message when the drop " +
+      "directory has no staged files to sniff the ts type from") {
+    val dir = graft.streaming.HourlyStream.scratchDir("graft_empty_drop_")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.HourlyStream.readEvents(spark, dir)
+    }
+    assert(e.getMessage.contains("stage the drop directory"),
+      s"message should say how to fix it, got: ${e.getMessage}")
+  }
+
   test("streamed index dedup equals the batch operator's keep set and " +
       "drops every planted copy") {
     import org.apache.spark.sql.functions.col
@@ -575,5 +585,33 @@ class StreamingSpec extends AnyFunSuite {
     for (seed <- Seq(0L, 100L, 200L, 300L, 400L))
       assert(!streamed.contains(seed + graft.operators.Dedup.PlantOffset),
         s"planted copy of $seed must be dropped by the near-dup stream")
+  }
+
+  test("LSH survivor sink is exactly-once: a micro-batch replayed with " +
+      "its checkpoint batchId does not duplicate the keep set") {
+    import spark.implicits._
+    import graft.streaming.CorpusStream.upsertSurvivors
+    val wh = graft.streaming.HourlyStream
+      .scratchDir("graft_replay_wh_") + "/keep"
+    // two committed micro-batches
+    upsertSurvivors(Seq(1L, 2L, 3L).toDF("doc_id"), wh, batchId = 0L)
+    upsertSurvivors(Seq(10L, 11L).toDF("doc_id"), wh, batchId = 1L)
+    val committed = spark.read.parquet(wh).select("doc_id")
+      .as[Long].collect().sorted
+    assert(committed === Array(1L, 2L, 3L, 10L, 11L))
+    // crash between parquet write and checkpoint commit: Spark re-invokes
+    // foreachBatch with the SAME batchId (at-least-once redelivery).
+    // The batchId-keyed dynamic overwrite must replace batch 0's
+    // partition, never append beside it.
+    upsertSurvivors(Seq(1L, 2L, 3L).toDF("doc_id"), wh, batchId = 0L)
+    val replayed = spark.read.parquet(wh).select("doc_id")
+      .as[Long].collect().sorted
+    assert(replayed === committed,
+      "replaying a batch under its own id must be a no-op on the keep set")
+    // and the overwrite is batch-SCOPED: replaying batch 0 must leave
+    // batch 1's survivors untouched (a blanket overwrite would drop them)
+    assert(spark.read.parquet(wh)
+      .where(org.apache.spark.sql.functions.col("batch_id") === 1L)
+      .count() === 2L)
   }
 }
