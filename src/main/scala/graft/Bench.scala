@@ -80,8 +80,14 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // contract-size fields derived from SparkEntry ITSELF, never hand
+    // counts (round-7 lesson: hand-maintained totals in the progress notes
+    // drifted from the driver's ground truth); n_oracle must equal the
+    // pass+fail row count of the driver's CORRECTNESS file exactly
+    val nQueries = SparkEntry.queries.size
+    val nOracle = SparkEntry.oracleSql.size
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"total_sec":$total%.3f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"n_queries":$nQueries,"n_oracle":$nOracle,"total_sec":$total%.3f}"""
     println(line)
     // full copy in the repo: immune to any driver-side stdout truncation.
     // Only for full runs — a SPARK_GRAFT_BENCH_ONLY iteration must not

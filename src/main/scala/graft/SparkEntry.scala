@@ -253,6 +253,10 @@ object SparkEntry {
     // cell=-partitioned build -> partition-pruned ivfProbeIndexed probes
     "ann_ivf_indexed" -> ((s: SparkSession, d: String) =>
       Similarity.ivfIndexedPlanted(s, d)),
+    // incremental index maintenance: arriving batch merged into frozen
+    // cells by per-cell rewrite; probes must equal a from-scratch rebuild
+    "ann_ivf_compact" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfCompactPlanted(s, d)),
     // SemDeDup planted gate: cluster-bounded embedding dedup must strip
     // exactly the planted copies (survivors = the original corpus)
     "semdedup_planted" -> ((s: SparkSession, d: String) =>
@@ -1706,6 +1710,15 @@ object SparkEntry {
       """SELECT CAST(q_id AS BIGINT) AS q_id,
         | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
         | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact
+        | FROM (SELECT unnest(range(0, 5)) AS q_id)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    // compaction == rebuild, and the planted copies (which exist ONLY in
+    // the arriving batch) surface at rank 1 — both closed-form
+    "ann_ivf_compact" ->
+      """SELECT CAST(q_id AS BIGINT) AS q_id,
+        | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
+        | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact,
+        | TRUE AS agrees_rebuild
         | FROM (SELECT unnest(range(0, 5)) AS q_id)
         | ORDER BY q_id""".stripMargin.replace("\n", ""),
     // Lloyd update step: re-average vectors into their ASSIGNED cluster

@@ -720,6 +720,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** One-JOB probe of a query batch against the materialized index:
+    * cell ranking stays driver-side per query against the stored
+    * centroids (read ONCE — k×dim metadata), and every query's
+    * nProbe-pruned scan rides a single union, so the whole batch is one
+    * Spark job instead of one per query (the per-job fixed cost
+    * dominated the lifecycle gates: a 2-lane × 5-query driver loop paid
+    * ~10 scheduling round-trips for candidate sets of a few thousand
+    * rows). Row semantics are EXACTLY [[ivfProbeIndexed]]'s: per query,
+    * top-k by (cos_sim desc, vec_id) — the per-q_id window rank over
+    * the union equals orderBy + limit, and the rank is
+    * WindowGroupLimit-prunable (bounded k per bounded query set). */
+  def ivfProbeIndexedMulti(s: SparkSession, indexPath: String,
+      queries: Seq[(Long, Array[Float])], k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    val cents = s.read.parquet(s"$indexPath/centroids")
+      .select(col("cent_id"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    multiProbeOn(s.read.parquet(s"$indexPath/vectors"), cents,
+      queries, k, nProbe)
+  }
+
+  /** The probe plan itself, over ANY (vec_id, embedding, cell) relation —
+    * the hive-partitioned index scan ([[ivfProbeIndexedMulti]], where the
+    * cell filter prunes partitions) or an in-memory assignment (the
+    * compaction gate's rebuild reference, where materializing a second
+    * index would add file I/O without changing one probed row). */
+  private def multiProbeOn(vectors: DataFrame,
+      cents: Array[(Long, Array[Double])],
+      queries: Seq[(Long, Array[Float])], k: Int,
+      nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def cos(a: Array[Float], b: Array[Double]): Double = {
+      var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+      while (i < a.length) {
+        val xi = a(i).toDouble; val yi = b(i)
+        xy += xi * yi; xx += xi * xi; yy += yi * yi; i += 1
+      }
+      xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    val branches = queries.map { case (qid, qv) =>
+      val probeCells = cents.map { case (cid, v) => (-cos(qv, v), cid) }
+        .sorted.take(nProbe).map(_._2)
+      vectors
+        .filter(col("cell").isin(probeCells: _*)) // partition pruning
+        .select(lit(qid).as("q_id"), col("vec_id"),
+          Num.t6(cosine(col("embedding"), typedlit(qv))).as("cos_sim"))
+    }
+    branches.reduce(_.unionByName(_))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .orderBy("q_id", "rn")
+  }
+
   /** End-to-end IVF index LIFECYCLE — train, build, probe as one flow
     * (round-6 verdict item 4; the pieces existed separately):
     *
@@ -765,16 +821,162 @@ object Similarity {
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
-      val rows = queries.map { case (qid, qv) =>
-        val hit = ivfProbeIndexed(s, indexPath, qv, k, nProbe)
-          .filter(col("vec_id") =!= qid)
-          .collect().head
-        (qid, hit.getLong(0), 1, hit.getDouble(1) >= 0.999999)
+      // all probes in ONE job; self-filter + head replayed per query on
+      // the collected (already rank-ordered) rows — identical semantics
+      // to the per-query ivfProbeIndexed loop it replaces
+      val probed = ivfProbeIndexedMulti(s, indexPath, queries.toSeq,
+        k, nProbe).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1)
+      val rows = queries.map { case (qid, _) =>
+        val hit = probed(qid).filter(_._2 != qid).head
+        (qid, hit._2, 1, hit._3 >= 0.999999)
       }
       s.createDataFrame(rows.toSeq)
         .toDF("q_id", "vec_id", "rn", "is_exact")
         .orderBy("q_id")
     } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Incremental IVF index maintenance: merge an arriving vector batch
+    * into an existing index WITHOUT retraining and WITHOUT a full
+    * rebuild. Centroids are FROZEN (maintenance never moves cells — a
+    * retrain invalidates every stored assignment and IS a rebuild); each
+    * new vector is assigned to its frozen-argmax home cell, and only the
+    * TOUCHED `cell=` partitions are rewritten — existing rows of those
+    * cells merged with the new ones via dynamic partition overwrite, the
+    * [[graft.operators.Dedup.incrementalDedup]] lane's asymmetry applied
+    * to index storage: per-batch work scales with the batch and the
+    * cells it lands in, never with index size. Untouched partitions'
+    * files are not rewritten (spec-asserted byte-for-byte).
+    *
+    * The touched-cell slice is eagerly materialized (localCheckpoint)
+    * before the overwrite — reading a path while overwriting it is
+    * illegal, and the slice is bounded by the touched cells' volume,
+    * not the index. A 100 TB deployment versions the index directory
+    * instead (write merged cell files to `v+1`, atomic pointer swap) —
+    * same plan, durable staging.
+    *
+    * Returns the touched cell ids (k-bounded metadata). */
+  def ivfCompact(s: SparkSession, vectorsPath: String,
+      arriving: DataFrame,
+      trained: Array[(Int, Array[Double])]): Seq[Int] = {
+    val assigned = arriving.select(col("vec_id"), col("embedding"),
+      argmaxOver(trained).getField("cluster").as("cell"))
+    val touched = assigned.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val existing = s.read.parquet(vectorsPath)
+      .filter(col("cell").isin(touched: _*)) // partition-pruned read
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint()
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try existing.unionByName(assigned)
+      .repartition(col("cell")) // one writer task per touched cell
+      .write.mode("overwrite").partitionBy("cell")
+      .option("compression", "zstd")
+      .parquet(vectorsPath)
+    finally prev match {
+      case Some(v) =>
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    touched
+  }
+
+  /** Contract gate for [[ivfCompact]] — the multi-batch lifecycle real
+    * deployments run (the round-7 verdict's maintenance item): an index
+    * built from the historical corpus (vec_id % 10 != 3), an arriving
+    * batch (the % 10 == 3 slice PLUS planted exact copies of the `n`
+    * probe queries) merged through compaction, and as the reference the
+    * from-scratch rebuild relation — the full vector set assigned under
+    * the identical frozen centroids, probed through the identical plan
+    * (a rebuilt index holds exactly those rows in exactly those cells,
+    * so probing the cached assignment IS probing the rebuild, minus
+    * gate-irrelevant file I/O).
+    *
+    * Two deterministic expectations, both closed-form:
+    *  - the planted copies live ONLY in the arriving batch, so a probe
+    *    finding `q + PlantOffset` at rank 1 with cosine ~1.0 proves the
+    *    batch genuinely reached the index through the compaction path
+    *    (same argmax ⇒ same home cell ⇒ same probed partition);
+    *  - the compacted index's full top-k agrees row-for-row with the
+    *    rebuild's (`agrees_rebuild`) — compaction is equivalent to
+    *    rebuild, which is the entire point of maintenance.
+    * Precondition as for every planted ANN gate: no natural pair
+    * reaches t6-cosine 0.999999 (measured maxima ~0.98). */
+  def ivfCompactPlanted(s: SparkSession, dir: String, n: Int = 5,
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val isBatch = col("vec_id") % 10 === 3
+    val base = emb.filter(!isBatch)
+    val arriving = emb.filter(isBatch).unionByName(
+      emb.filter(col("vec_id") < n)
+        .withColumn("vec_id", col("vec_id") + Dedup.PlantOffset))
+    val trained = collectCentroids(kmeansIterate(s, dir, 2), "cluster")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-ivfc-")
+    // the argmax assignment runs ONCE over base ∪ arriving and persists;
+    // the base index and the rebuild reference are both projections of it
+    // (one corpus-scale cosine pass instead of two — the compaction
+    // itself re-assigns only the arriving batch, which is the cheap side)
+    val isArriving = col("vec_id") % 10 === 3 ||
+      col("vec_id") >= Dedup.PlantOffset
+    val assignedAll = base.unionByName(arriving)
+      .select(col("vec_id"), col("embedding"),
+        argmaxOver(trained).getField("cluster").as("cell"))
+      .persist()
+    try {
+      val live = s"$scratch/live"
+      assignedAll.filter(!isArriving)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd")
+        .parquet(s"$live/vectors")
+      import s.implicits._
+      trained.toSeq.map { case (c, v) => (c.toLong, v.toSeq) }
+        .toDF("cent_id", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$live/centroids")
+      ivfCompact(s, s"$live/vectors", arriving, trained)
+      val queries = emb.filter(col("vec_id") < n)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      // one probe job per LANE (not per query) — semantics identical to
+      // the per-query ivfProbeIndexed + self-filter loop
+      def reduceTopk(df: DataFrame): Map[Long, Array[(Long, Double)]] =
+        df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .groupBy(_._1)
+          .map { case (q, hits) =>
+            q -> hits.filter(_._2 != q).map(h => (h._2, h._3))
+          }
+      // live lane: the REAL storage path — stored centroids, stored
+      // hive-partitioned vectors, partition-pruned probe
+      val liveTop = reduceTopk(
+        ivfProbeIndexedMulti(s, live, queries.toSeq, k, nProbe))
+      // rebuild reference: same probe plan over the cached full
+      // assignment — a from-scratch index holds exactly these rows in
+      // exactly these cells, so materializing it would change no probed
+      // row, only add file I/O to the gate
+      val rebuildTop = reduceTopk(multiProbeOn(assignedAll,
+        trained.map { case (c, v) => (c.toLong, v) },
+        queries.toSeq, k, nProbe))
+      val rows = queries.map { case (qid, _) =>
+        val a = liveTop(qid)
+        val b = rebuildTop(qid)
+        (qid, a.head._1, 1, a.head._2 >= 0.999999, a.sameElements(b))
+      }
+      s.createDataFrame(rows.toSeq)
+        .toDF("q_id", "vec_id", "rn", "is_exact", "agrees_rebuild")
+        .orderBy("q_id")
+    } finally {
+      assignedAll.unpersist()
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(scratch).iterator().asScala.toSeq
         .sortBy(-_.getNameCount)

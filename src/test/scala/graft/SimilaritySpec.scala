@@ -170,6 +170,51 @@ class SimilaritySpec extends AnyFunSuite {
       "lifecycle must delete its scratch index directory")
   }
 
+  test("ivfCompact rewrites ONLY the touched cell partitions and merges " +
+      "old with new rows") {
+    import spark.implicits._
+    def fileSigs(p: String): Set[(String, Long)] =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length())).toSet
+    // 2-cell world: centroids on the axes, base index one vector per cell
+    val trained = Array((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfc_spec_").toString + "/vectors"
+    Seq((10L, Seq(0.9f, 0.1f), 0), (11L, Seq(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "cell")
+      .write.partitionBy("cell").parquet(dir)
+    val before0 = fileSigs(s"$dir/cell=0")
+    val before1 = fileSigs(s"$dir/cell=1")
+    assert(before0.nonEmpty && before1.nonEmpty)
+    // arriving vector points at e1 -> only cell 1 is touched
+    val touched = Similarity.ivfCompact(spark, dir,
+      Seq((12L, Seq(0.2f, 0.8f))).toDF("vec_id", "embedding"), trained)
+    assert(touched === Seq(1))
+    assert(fileSigs(s"$dir/cell=0") === before0,
+      "untouched cell partition must keep its exact files")
+    assert(fileSigs(s"$dir/cell=1") !== before1,
+      "touched cell partition must be rewritten")
+    val back = spark.read.parquet(dir).select("vec_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(back === Set((10L, 0), (11L, 1), (12L, 1)),
+      "compaction must merge the touched cell's old rows with the new")
+  }
+
+  test("IVF compaction gate: planted copies arriving ONLY via the batch " +
+      "surface at rank 1, and every probe equals the from-scratch rebuild") {
+    val got = Similarity.ivfCompactPlanted(spark, TestSpark.sf).collect()
+    assert(got.length === 5)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i.toLong)
+      assert(r.getLong(1) === i.toLong + graft.operators.Dedup.PlantOffset,
+        "rank-1 hit must be the batch-arrived planted copy")
+      assert(r.getInt(2) === 1)
+      assert(r.getBoolean(3), "planted copy must probe as exact")
+      assert(r.getBoolean(4), "compacted top-k must equal rebuild top-k")
+    }
+  }
+
   test("cosine: ragged lengths and null elements propagate NULL") {
     import org.apache.spark.sql.functions._
     val df = Seq(
