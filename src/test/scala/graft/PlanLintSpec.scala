@@ -144,6 +144,84 @@ class PlanLintSpec extends AnyFunSuite {
       "lint must accept percentile over an aggregate-bounded input")
   }
 
+  // ---- lint 3: CodegenFallback expressions in contract plans ----
+  //
+  // A CodegenFallback expression breaks whole-stage codegen at its use
+  // site and pays boxed per-row virtual-call evaluation — the round-7
+  // verdict's cosine finding: the Lloyd argmax ran interpreted until
+  // CosineSim got doGenCode. Fallback is ADMISSIBLE exactly when the
+  // expression does O(row-payload) imperative work per call (one virtual
+  // call amortized over hundreds of hash/digest ops — the
+  // SketchExpressions design note); it is a defect when it sneaks into
+  // arithmetic-per-row hot paths. The allowlist must EXACTLY equal the
+  // flagged set, so neither a new fallback nor a stale entry survives.
+
+  /** OUR expression classes whose interpreted evaluation is a
+    * documented, deliberate trade (heavy per-row payload work; see
+    * SketchExpressions.scala header). TokenFingerprint is deliberately
+    * absent: it is registered for SQL-extension use but reaches no
+    * contract plan, and the exact-equality check records that. */
+  private val graftFallbackJustifications: Map[String, String] = Map(
+    "MinHashSignature" -> "O(shingles x k) hash passes per row",
+    "MinHashBandBuckets" -> "O(shingles x k) hash passes per row",
+    "WordShingles" -> "O(tokens) UTF8 concat + dedup per row",
+    "CharNgramSet" -> "O(chars) substring set per row",
+    "WordGramMd5s" -> "O(tokens) md5 digests per row",
+    "SimHash64" -> "O(tokens x 64) bit votes per row",
+    "HyperplaneBands" -> "O(bands x planes x dim) projections per row",
+    "RepetitionStats" -> "O(tokens) hash-set passes per row",
+    "TokenEntropy" -> "O(tokens) hash-map passes per row")
+
+  /** Spark BUILT-IN classes that are CodegenFallback by upstream design
+    * and admissible here: higher-order functions + their lambda plumbing
+    * (interpreted per element — the reason SketchExpressions exists at
+    * all for the hot paths), imperative aggregates (evaluated through
+    * the aggregation machinery, not per-row projection codegen; lint 2
+    * already polices which of those may see corpus-sized input), and
+    * set-op/pivot plumbing. A NEW builtin appearing here is a prompt to
+    * ask whether it landed in a hot path — extend this set consciously,
+    * never reflexively. */
+  private val knownBuiltinFallbacks: Set[String] = Set(
+    "ArrayTransform", "ArrayFilter", "ArrayAggregate", "ArraySort",
+    "ZipWith", "LambdaFunction", "NamedLambdaVariable",
+    "CollectList", "CollectSet", "HyperLogLogPlusPlus",
+    "ApproximatePercentile", "PivotFirst", "ReplicateRows")
+
+  private def fallbackClasses(p: SparkPlan): Set[(String, Boolean)] =
+    p.collect {
+      case node => node.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.codegen
+          .CodegenFallback =>
+          (e.getClass.getSimpleName,
+            e.getClass.getName.startsWith("graft."))
+      })
+    }.flatten.toSet
+
+  test("every CodegenFallback expression reaching a contract plan is a " +
+      "documented per-row-payload trade — arithmetic hot paths stay " +
+      "codegen'd (the cosine-argmax regression gate)") {
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        if (name.startsWith("stream_")) Set.empty[(String, Boolean)]
+        else fallbackClasses(fn(spark, sf).queryExecution.sparkPlan)
+    }.toSet
+    val graftFlagged = flagged.filter(_._2).map(_._1)
+    val builtinFlagged = flagged.filterNot(_._2).map(_._1)
+    // our classes: EXACT equality, so neither a regression (a custom
+    // expression losing doGenCode — CosineSim must never appear) nor a
+    // stale allowlist entry survives
+    assert(graftFlagged == graftFallbackJustifications.keySet,
+      s"graft CodegenFallback set changed: flagged=$graftFlagged " +
+        s"allowlisted=${graftFallbackJustifications.keySet} — a NEW " +
+        "class needs a documented payload bound (or doGenCode); a " +
+        "MISSING one means the allowlist entry is stale")
+    // builtins: no class outside the documented interpreted-by-design set
+    val unknown = builtinFlagged -- knownBuiltinFallbacks
+    assert(unknown.isEmpty,
+      s"undocumented builtin CodegenFallback reached a contract plan: " +
+        s"$unknown — check whether it sits in a per-row hot path")
+  }
+
   test("lint self-check: the round-5 hybrid_search defect shape (global " +
       "rank over a raw corpus scan, no bound) IS flagged") {
     import org.apache.spark.sql.expressions.Window
