@@ -160,6 +160,10 @@ object SparkEntry {
     "boilerplate_scores" -> (Curation.boilerplateScores _),
     "curate_corpus" -> (Curation.curateCorpus _),
     "decontaminate" -> ((s: SparkSession, d: String) => Curation.decontaminate(s, d)),
+    // same contract through the Bloom prefilter lane (packed-array
+    // screen, candidates-only explode + exact confirm)
+    "bloom_decontaminate" -> ((s: SparkSession, d: String) =>
+      Curation.bloomDecontaminate(s, d)),
     // duplicated-substring spans (Lee et al. '22 n-gram rendering):
     // natural corpus report + planted shared-prefix gate
     "dup_spans" -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
@@ -249,6 +253,18 @@ object SparkEntry {
       Similarity.lshTopKPlanted(s, d)),
     "ann_ivf_planted" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopKPlanted(s, d)),
+    // JL random-sign projection: 16 t6 components + norm-preservation
+    // ratio per vector, exactly mirrored by the generated oracle
+    "random_projection" -> ((s: SparkSession, d: String) =>
+      graft.operators.Projection.randomProjection(s, d)),
+    // RP-prefiltered ANN lane: projected-space candidates, exact rerank
+    // on the candidate set only; planted copies must return at rank 1
+    "ann_rp_planted" -> ((s: SparkSession, d: String) =>
+      graft.operators.Projection.rpTopKPlanted(s, d)),
+    "ann_rp_recall_gate" -> ((s: SparkSession, d: String) =>
+      Similarity.recallGate(
+        graft.operators.Projection.rpRecallAtK(s, d,
+          Seq(0L, 1L, 2L, 3L, 4L)), 0.2)),
     // full index lifecycle: kmeansIterate-trained centroids -> hive
     // cell=-partitioned build -> partition-pruned ivfProbeIndexed probes
     "ann_ivf_indexed" -> ((s: SparkSession, d: String) =>
@@ -287,6 +303,10 @@ object SparkEntry {
     // temperature-sampling token plan: shares, targets, epoch factors
     "mix_plan" -> ((s: SparkSession, d: String) =>
       Curation.mixPlan(s, d)),
+    // water-filling domain balance: common cap level L solving
+    // sum(min(avail, L)) = budget, then per-source largest-docs cut
+    "domain_balance" -> ((s: SparkSession, d: String) =>
+      Curation.domainBalance(s, d)),
     // Z-order layout audit: Morton buckets + bounding boxes
     "zorder_stats" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.zorderStats(s, d)),
@@ -489,7 +509,12 @@ object SparkEntry {
       | CROSS JOIN tot CROSS JOIN tt
       | GROUP BY doc_id)""".stripMargin.replace("\n", "")
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // the Bloom prefilter lane shares decontaminate's exact contract —
+    // the filter only reorders work, never changes the answer
+    ("bloom_decontaminate" -> oracleSqlBase("decontaminate"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "textrank_keywords" -> textrankOracleSql(),
     "stg_hourly" ->
       """SELECT event_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_utc,
@@ -1572,6 +1597,47 @@ object SparkEntry {
         |   AS BIGINT) / CAST(n_tokens AS DOUBLE) * 1000000.0)/1000000.0
         |   AS epochs
         | FROM sq CROSS JOIN nm ORDER BY source""".stripMargin.replace("\n", ""),
+    // water-filling: closed-form level via sorted-prefix window math,
+    // then the per-source cumulative largest-docs cut
+    "domain_balance" ->
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0)) AS BIGINT) AS ntok FROM documents),
+        | a AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS avail
+        |  FROM d GROUP BY source),
+        | tot AS (SELECT CAST(sum(avail) AS BIGINT) AS total,
+        |  count(*) AS m FROM a),
+        | ws AS (SELECT source, avail,
+        |  row_number() OVER (ORDER BY avail, source) AS rn,
+        |  CAST(sum(avail) OVER (ORDER BY avail, source
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum,
+        |  CAST(total AS DOUBLE) * 0.6 AS budget, m
+        |  FROM a CROSS JOIN tot),
+        | sh AS (SELECT *, (budget - CAST(cum - avail AS DOUBLE)) /
+        |   CAST(m - rn + 1 AS DOUBLE) AS share FROM ws),
+        | lv AS (SELECT min_by(share, rn) AS level FROM sh
+        |  WHERE CAST(avail AS DOUBLE) >= share),
+        | al AS (SELECT source, avail,
+        |  CASE WHEN level IS NULL THEN CAST(avail AS DOUBLE)
+        |   ELSE least(CAST(avail AS DOUBLE), level) END AS alloc
+        |  FROM sh CROSS JOIN lv),
+        | k AS (SELECT source, count(*) AS n_docs_kept,
+        |   CAST(sum(ntok) AS BIGINT) AS tokens_kept FROM
+        |  (SELECT d.source, ntok,
+        |    CAST(sum(ntok) OVER (PARTITION BY d.source
+        |     ORDER BY n_chars DESC, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |     AS cumtok, alloc
+        |   FROM d JOIN al ON d.source = al.source) c
+        |  WHERE CAST(cumtok AS DOUBLE) <= alloc GROUP BY source)
+        | SELECT al.source, avail AS avail_tokens,
+        |  floor(alloc * 1000000.0) / 1000000.0 AS alloc_tokens,
+        |  alloc >= CAST(avail AS DOUBLE) AS saturated,
+        |  coalesce(n_docs_kept, 0) AS n_docs_kept,
+        |  coalesce(tokens_kept, 0) AS tokens_kept
+        | FROM al LEFT JOIN k ON al.source = k.source
+        | ORDER BY al.source""".stripMargin.replace("\n", ""),
     // skew audit: per-key counts reduced to heaviest keys + ratio
     "skew_audit" ->
       """WITH c AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1),
@@ -1933,6 +1999,20 @@ object SparkEntry {
       """SELECT CAST(i AS BIGINT) AS q_id, TRUE AS pass
         | FROM (SELECT unnest([0,1,2,3,4]) AS i)
         | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    "ann_rp_recall_gate" ->
+      """SELECT CAST(i AS BIGINT) AS q_id, TRUE AS pass
+        | FROM (SELECT unnest([0,1,2,3,4]) AS i)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    "ann_rp_planted" ->
+      """SELECT CAST(q_id AS BIGINT) AS q_id,
+        | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
+        | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact
+        | FROM (SELECT unnest(range(0, 5)) AS q_id)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    // generated by the same loop that builds the Spark columns (the
+    // zorder discipline): identical sign matrix, fold order, t6 floors
+    "random_projection" ->
+      graft.operators.Projection.randomProjectionOracleSql,
     "ann_ivf_recall_gate" ->
       """SELECT CAST(i AS BIGINT) AS q_id, TRUE AS pass
         | FROM (SELECT unnest([0,1,2,3,4]) AS i)

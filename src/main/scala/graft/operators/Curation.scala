@@ -169,6 +169,74 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Domain balancing by water-filling (the data-mixing counterpart of
+    * [[mixPlan]]'s temperature sampling): given a global token budget
+    * B = `budgetFrac` · total, allocate each source
+    * min(available_s, L) tokens where the water level L solves
+    * Σ min(available_s, L) = B — small sources keep everything,
+    * over-represented sources are capped at a COMMON level (the
+    * "no domain may dominate" recipe), then each source keeps its
+    * largest documents until its allocation is spent.
+    *
+    * The water level has a closed form over sources sorted by
+    * availability: with prefix sums C and m sources, the first rank i
+    * where a_i ≥ (B − C_{i−1})/(m − i + 1) fixes L to that share — pure
+    * window arithmetic over the per-source aggregate, so BOTH engines
+    * state it in four CTEs and agree bit-for-bit on the doubles (same
+    * expression trees; ties in availability broken by source name).
+    *
+    * Scale shape: two corpus passes (the availability aggregate; the
+    * per-source cumulative cut), both shuffling on the bounded source
+    * key; every unpartitioned window runs over the sources×1 aggregate
+    * — domain-count-sized METADATA, the mixPlan/kmeans-centroid class —
+    * and the allocation table broadcasts back to the cut. */
+  def domainBalance(s: SparkSession, dir: String,
+      budgetFrac: Double = 0.6): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val perDoc = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("ntok"))
+    val avail = perDoc.groupBy(col("source"))
+      .agg(sum(col("ntok")).as("avail"))
+    val tot = avail.agg(sum(col("avail")).as("total"),
+      count(lit(1)).as("m"))
+    val wOrd = Window.orderBy(col("avail"), col("source"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val ws = avail.crossJoin(broadcast(tot))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cum", sum(col("avail")).over(wCum))
+      .withColumn("budget", col("total").cast("double") * lit(budgetFrac))
+      .withColumn("share",
+        (col("budget") - (col("cum") - col("avail")).cast("double")) /
+          (col("m") - col("rn") + 1).cast("double"))
+    val lv = ws.filter(col("avail").cast("double") >= col("share"))
+      .agg(min_by(col("share"), col("rn")).as("level"))
+    val al = ws.crossJoin(broadcast(lv))
+      .withColumn("alloc",
+        when(col("level").isNull, col("avail").cast("double"))
+          .otherwise(least(col("avail").cast("double"), col("level"))))
+      .select(col("source"), col("avail"), col("alloc"))
+    val wDoc = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = perDoc
+      .join(broadcast(al.select(col("source"), col("alloc"))),
+        Seq("source"))
+      .withColumn("cumtok", sum(col("ntok")).over(wDoc))
+      .filter(col("cumtok").cast("double") <= col("alloc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("ntok")).as("tokens_kept"))
+    al.join(kept, Seq("source"), "left")
+      .select(col("source"), col("avail").as("avail_tokens"),
+        Num.t6(col("alloc")).as("alloc_tokens"),
+        (col("alloc") >= col("avail").cast("double")).as("saturated"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+      .orderBy("source")
+  }
+
   /** Corpus snapshot diff (the dataset-versioning primitive behind
     * incremental re-training: which documents were added / removed /
     * changed between two corpus versions?). Both snapshots reduce to
@@ -409,6 +477,71 @@ object Curation {
     // a join-back-for-zeros shape computed it twice)
     train.select(col("doc_id"), explode(col("grams")).as("gram"))
       .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_shared_grams"))
+      .select(col("doc_id"), col("n_shared_grams"),
+        (col("n_shared_grams") > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** [[decontaminate]] behind a Bloom-filter prefilter — same output,
+    * different survival envelope. The broadcast-hash-join lane above
+    * assumes the eval gram set fits a broadcast hash relation; a full
+    * eval-suite sweep (every benchmark, every split, dozens of n-gram
+    * sizes) can push that set past broadcast comfort while the corpus
+    * side is 100 TB. This lane:
+    *
+    *  1. builds a Bloom filter over the distinct eval grams with
+    *     `DataFrameStatFunctions.bloomFilter` — a distributed
+    *     `treeAggregate` of fixed-size bit arrays, ~1.2 MB per million
+    *     grams at 1% fpp vs the multi-GB hash relation + its host-side
+    *     build the exact join would ship to every executor;
+    *  2. screens each training document with the arrays PACKED — one
+    *     `mightContainString` sweep per doc, no per-gram row explosion
+    *     for the (overwhelmingly common) clean documents. A clean doc
+    *     contributes exactly ONE row to the downstream aggregate
+    *     (`explode_outer` of a null array) instead of one per gram, so
+    *     the per-doc aggregate's input shrinks from O(total grams) to
+    *     O(docs + candidate grams);
+    *  3. exact-confirms only the Bloom-positive candidates against the
+    *     real eval gram set, so false positives (the 1%) fall out with
+    *     `n_shared_grams = 0` and the result equals [[decontaminate]]
+    *     bit-for-bit — the oracle contract is shared.
+    *
+    * No false negatives exist by Bloom construction, which is what makes
+    * the prefilter sound. The confirm join is left to Catalyst/AQE: at
+    * test scale it broadcasts; past broadcast scale it shuffle-joins
+    * candidate grams only — the point of the prefilter.
+    *
+    * fpp compounds per DOCUMENT: a clean doc with g grams is flagged
+    * with probability ≈ g·fpp, so the per-gram rate must be sized
+    * against typical document gram counts, not against 1 — 1e-4 keeps
+    * a 1000-gram doc's false-flag rate under 10% at ~19 bits/gram. */
+  def bloomDecontaminate(s: SparkSession, dir: String, n: Int = 8,
+      fpp: Double = 1e-4): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val docs = t(s, dir, "documents")
+    val grams = docs.select(col("doc_id"),
+      graft.functions.SketchExpressions
+        .wordShingles(tokens(col("text")), n).as("grams"))
+    val isEval = col("doc_id") % 100 === 7
+    val evalGrams = grams.filter(isEval)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val train = grams.filter(isEval)
+      .withColumn("doc_id", col("doc_id") + Dedup.PlantOffset)
+      .unionByName(grams.filter(!isEval))
+    // size the filter from the eval side itself — one extra eval-only
+    // scan (the ~1% side), never a corpus pass; in production the
+    // eval-suite gram count is catalog metadata and this count is free
+    val nEval = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("gram", nEval, fpp)
+    val bc = s.sparkContext.broadcast(bloom)
+    val anyHit = udf((gs: Seq[String]) =>
+      gs != null && gs.exists(g => bc.value.mightContainString(g)))
+    train
+      .select(col("doc_id"),
+        explode_outer(when(anyHit(col("grams")), col("grams"))).as("gram"))
+      .join(evalGrams.withColumn("hit", lit(1)), Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_shared_grams"))
       .select(col("doc_id"), col("n_shared_grams"),

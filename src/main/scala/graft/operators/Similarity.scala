@@ -425,13 +425,13 @@ object Similarity {
     * bucket and lands in the identical IVF home cell by construction, so
     * its retrieval at rank 1 is a deterministic expectation under ANY
     * banding / nProbe choice, not a probabilistic one. */
-  private def plantedEmb(emb: DataFrame, n: Int): DataFrame =
+  private[operators] def plantedEmb(emb: DataFrame, n: Int): DataFrame =
     emb.unionByName(
       emb.filter(col("vec_id") < n)
         .withColumn("vec_id", col("vec_id") + Dedup.PlantOffset))
 
   /** rank-1 row per probe, reduced to the closed-form gate columns. */
-  private def plantedRank1(topk: DataFrame): DataFrame =
+  private[operators] def plantedRank1(topk: DataFrame): DataFrame =
     topk.filter(col("rn") === 1)
       .select(col("q_id"), col("vec_id"), col("rn"),
         (col("cos_sim") >= 0.999999).as("is_exact"))

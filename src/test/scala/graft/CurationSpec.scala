@@ -98,6 +98,87 @@ class CurationSpec extends AnyFunSuite {
       "a sort-merge join here would shuffle the full training gram set")
   }
 
+  test("bloom prefilter lane equals exact decontamination bit-for-bit") {
+    val exact = Curation.decontaminate(spark, sf).collect()
+    val bloom = Curation.bloomDecontaminate(spark, sf).collect()
+    assert(bloom.map(_.toString).toSeq == exact.map(_.toString).toSeq)
+    // the corpus exercises both branches: planted eval copies confirm,
+    // the clean majority must ride the one-row explode_outer path
+    val contaminated = bloom.count(_.getBoolean(2))
+    assert(contaminated > 0 && contaminated < bloom.length / 2)
+  }
+
+  test("bloom lane never explodes clean documents into per-gram rows") {
+    // the prefilter's explode_outer must emit one row per clean doc +
+    // one per candidate gram — compare its runtime numOutputRows metric
+    // against the exact lane's corpus-wide gram explosion
+    def generateRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def all(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        (p +: p.children.flatMap(all)) ++ (p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => all(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => all(q.plan)
+          case r: org.apache.spark.sql.execution.ReusedSubqueryExec =>
+            all(r.child)
+          case _ => Nil
+        })
+      all(df.queryExecution.executedPlan).collect {
+        case g: org.apache.spark.sql.execution.GenerateExec
+            // the training-side explode, not the tiny eval-gram one
+            if g.metrics("numOutputRows").value > 100 =>
+          g.metrics("numOutputRows").value
+      }.sorted.lastOption.getOrElse(0L)
+    }
+    val exactRows = generateRows(Curation.decontaminate(spark, sf))
+    val bloomRows = generateRows(Curation.bloomDecontaminate(spark, sf))
+    assert(exactRows > 0 && bloomRows > 0)
+    // at fpp=1e-4 only the ~1% truly-contaminated docs (plus rare false
+    // flags) explode; everything else rides the one-row path
+    assert(bloomRows < exactRows / 4,
+      s"prefilter must shrink the aggregate input ($bloomRows vs $exactRows)")
+  }
+
+  test("domain balance: water-filling identity, common cap, maximal cut") {
+    val rows = Curation.domainBalance(spark, sf).collect()
+    val avail = rows.map(_.getLong(1))
+    val alloc = rows.map(_.getDouble(2))
+    val saturated = rows.map(_.getBoolean(3))
+    val keptTok = rows.map(_.getLong(5))
+    // allocation never exceeds availability; kept never exceeds alloc
+    rows.indices.foreach { i =>
+      assert(alloc(i) <= avail(i).toDouble + 1e-6)
+      assert(keptTok(i).toDouble <= alloc(i) + 1e-6)
+    }
+    // water level: sum of allocations hits the budget (t6 slack ×m)
+    val total = avail.sum.toDouble
+    assert(math.abs(alloc.sum - total * 0.6) < 1e-4 * rows.length,
+      s"sum alloc ${alloc.sum} vs budget ${total * 0.6}")
+    // every capped source sits at the SAME level; saturated ones keep all
+    val caps = rows.indices.filterNot(saturated).map(alloc)
+    assert(caps.distinct.length <= 1, s"unequal caps: ${caps.distinct}")
+    rows.indices.filter(saturated).foreach { i =>
+      assert(alloc(i) == avail(i).toDouble)
+    }
+    // the cut is maximal: no source could fit its next-largest doc
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    val perDoc = Tables.load(spark, sf, "documents")
+      .select(col("source"), col("n_chars"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ntok"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val docs = perDoc(r.getString(0))
+        .sortBy(x => (-x.getLong(1), x.getLong(2))).map(_.getLong(3))
+      val kept = r.getLong(4).toInt
+      if (kept < docs.length)
+        assert(docs.take(kept + 1).sum.toDouble > r.getDouble(2),
+          s"${r.getString(0)} could fit one more doc")
+    }
+  }
+
   test("packing shuffles once, on the source key") {
     val plan = Curation.packSequences(spark, sf).queryExecution.executedPlan
       .toString.split("== Initial Plan ==").head
