@@ -70,6 +70,10 @@ object SketchExpressions {
   def cosineSim(a: Column, b: Column): Column =
     CB.column(CosineSim(CB.expression(a), CB.expression(b)))
 
+  def signProject(vec: Column, signs: Array[Byte], outDim: Int,
+      scale: Double): Column =
+    CB.column(SignProject(CB.expression(vec), signs, outDim, scale))
+
   def wordGramMd5s(tokens: Column, n: Int): Column =
     CB.column(WordGramMd5s(CB.expression(tokens), n))
 
@@ -177,6 +181,106 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): CosineSim = copy(left = l, right = r)
+}
+
+/** Random ±1 sign projection of an array<float|double> vector:
+  * out[j] = (Σ_i sign(j,i)·v_i) · scale, accumulated left-to-right in
+  * index order per output dim. Bit-identical to the unrolled
+  * (±e₁ ±e₂ … ±e_d)·scale Column tree it replaces (same IEEE add order,
+  * same negate-then-add), but ONE short loop in both the interpreted
+  * and generated paths instead of a k×d-node tree — the unrolled form
+  * cost seconds of janino compilation per plan that contained it.
+  *
+  * `signs` is the flattened k×d matrix (row-major, +1/−1 bytes),
+  * inlined as a reference object in generated code — never shipped as
+  * per-row data. Ragged input (numElements ≠ d) and null elements
+  * yield NULL, the CosineSim discipline: a silently truncated
+  * projection is worse than none. */
+case class SignProject(child: Expression, signs: Array[Byte],
+    outDim: Int, scale: Double) extends UnaryExpression {
+  require(outDim > 0 && signs.length % outDim == 0)
+  private val inDim = signs.length / outDim
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "sign_project"
+
+  private lazy val readsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"sign_project needs array<float|double>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() != inDim) return null
+    var i = 0
+    while (i < inDim) {
+      if (arr.isNullAt(i)) return null
+      i += 1
+    }
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      i = 0
+      while (i < inDim) {
+        val v = if (readsFloat) arr.getFloat(i).toDouble
+          else arr.getDouble(i)
+        acc += (if (signs(j * inDim + i) > 0) v else -v)
+        i += 1
+      }
+      out(j) = acc * scale
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Same loop, same accumulation order as [[nullSafeEval]] — codegen
+    * and interpreted paths stay bit-identical. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val sref = ctx.addReferenceObj("signs", signs, "byte[]")
+      val out = ctx.freshName("out")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val bad = ctx.freshName("bad")
+      val getV = if (readsFloat) s"$a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |if ($a.numElements() != $inDim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $inDim; $i++) {
+         |    if ($a.isNullAt($i)) { $bad = true; break; }
+         |  }
+         |  if ($bad) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    final double[] $out = new double[$outDim];
+         |    for (int $j = 0; $j < $outDim; $j++) {
+         |      double $acc = 0.0;
+         |      for (int $i = 0; $i < $inDim; $i++) {
+         |        final double $v = (double) $getV;
+         |        $acc += ($sref[$j * $inDim + $i] > 0) ? $v : -$v;
+         |      }
+         |      $out[$j] = $acc * $scale;
+         |    }
+         |    ${ev.value} =
+         |      new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SignProject =
+    copy(child = c)
 }
 
 /** Banded random-hyperplane LSH signatures (Charikar '02 SimHash for

@@ -56,11 +56,22 @@ object Projection {
   private def e(i: Int): Column =
     element_at(col("embedding"), i + 1).cast("double")
 
-  /** Projected component j: (±e₁ ±e₂ … ±e₆₄) · 0.25, left-to-right adds
-    * in double — the exact tree the oracle's generated SQL rebuilds. */
-  def projComponent(j: Int): Column =
-    (0 until Dim).map(i => if (sign(j, i) > 0) e(i) else -e(i))
-      .reduce(_ + _) * lit(0.25)
+  /** The flattened sign matrix, built once so every [[SignProject]]
+    * instance shares the same array reference (expression equality →
+    * codegen subexpression elimination dedupes repeated uses). */
+  private lazy val signBytes: Array[Byte] =
+    Array.tabulate(OutDim * Dim)(x => sign(x / Dim, x % Dim).toByte)
+
+  /** All 16 projected components as ONE codegen'd loop expression —
+    * bit-identical to the unrolled (±e₁ ±e₂ …)·0.25 Column trees the
+    * oracle SQL states (same IEEE add order), but without the k×d-node
+    * tree whose janino compilation cost ~3 s of fixed overhead in every
+    * plan that touched the projection. */
+  def rpArray: Column = graft.functions.SketchExpressions
+    .signProject(col("embedding"), signBytes, OutDim, 0.25)
+
+  /** Projected component j (1-based element of [[rpArray]]). */
+  def projComponent(j: Int): Column = element_at(rpArray, j + 1)
 
   private def projComponentSql(j: Int): String = {
     val terms = (0 until Dim).map { i =>
@@ -125,8 +136,7 @@ object Projection {
     * vector index stores (written once at ingest; 128 B/row of doubles
     * vs 256 B of floats, and 4× fewer FLOPs per distance). */
   private def withRp(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"),
-      array((0 until OutDim).map(projComponent): _*).as("rp"))
+    emb.select(col("vec_id"), rpArray.as("rp"))
 
   /** RP-prefiltered top-k: rank ALL vectors by projected-space cosine
     * (cheap, narrow), keep `cand` per query, exact-rerank only those in

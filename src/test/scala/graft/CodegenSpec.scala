@@ -85,6 +85,48 @@ class CodegenSpec extends AnyFunSuite {
       java.lang.Double.doubleToRawLongBits(xy / (math.sqrt(xx) * math.sqrt(yy))))
   }
 
+  test("SignProject is natively codegen'd and bit-identical to " +
+      "interpreted eval, including the null and ragged lanes") {
+    val signs = Array.tabulate(2 * 4)(x =>
+      graft.operators.Projection.sign(x / 4, x % 4).toByte)
+    assert(!graft.functions.SignProject(lit2(Array(1.0)), signs, 2, 0.25)
+      .isInstanceOf[CodegenFallback])
+    val rows: Seq[Array[Double]] = Seq(
+      Array(1.0, 2.0, 3.0, 4.0),
+      Array(1e-160, -2e-160, 3e-160, -4e-160),
+      Array(0.1, 0.2, 0.30000000000000004, 0.7),
+      Array(1.0, 2.0)) // ragged -> null
+    def evalAll(): Seq[Option[Seq[Long]]] = {
+      val df = rows.map(Tuple1(_)).toDF("v").select(
+        SketchExpressions.signProject(col("v"), signs, 2, 0.25).as("p"))
+      df.collect().toSeq.map(r =>
+        if (r.isNullAt(0)) None
+        else Some(r.getSeq[Double](0)
+          .map(java.lang.Double.doubleToRawLongBits)))
+    }
+    val gen = evalAll()
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp =
+      try evalAll()
+      finally {
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+        spark.conf.unset("spark.sql.codegen.wholeStage")
+      }
+    assert(gen === interp)
+    assert(gen(3).isEmpty, "ragged input must be null in both paths")
+    // and both equal the hand-unrolled left-to-right fold
+    val expect = (0 until 2).map { j =>
+      var acc = 0.0
+      for (i <- 0 until 4) {
+        val x = rows.head(i)
+        acc += (if (signs(j * 4 + i) > 0) x else -x)
+      }
+      java.lang.Double.doubleToRawLongBits(acc * 0.25)
+    }
+    assert(gen.head.get === expect)
+  }
+
   test("kmeans_assign's optimized plan carries no CodegenFallback " +
       "expression — the Lloyd argmax stays codegen'd end to end") {
     val df = graft.operators.Similarity.kmeansAssign(spark, TestSpark.sf)
