@@ -294,6 +294,11 @@ object SparkEntry {
     // streaming LSH near-dup ingestion filter (exact-lane closed form)
     "stream_neardup" -> ((s: SparkSession, d: String) =>
       graft.streaming.CorpusStream.runNearDupOnce(s, d)),
+    // streaming vector search: probe drops arrive as files, each
+    // micro-batch broadcast-probes the static corpus; planted exact
+    // copies make rank-1 retrieval closed-form
+    "stream_ann" -> ((s: SparkSession, d: String) =>
+      graft.streaming.VectorStream.runAnnProbeOnce(s, d)),
     // exact k-per-(lang,source) deterministic sample
     "stratified_sample" -> ((s: SparkSession, d: String) =>
       Curation.stratifiedSample(s, d)),
@@ -1553,6 +1558,11 @@ object SparkEntry {
         | GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", ""),
     // streaming LSH lane keep set == the exact-lane closed form (only
     // exact-text groups cross the 0.99 threshold at any bundled SF)
+    "stream_ann" ->
+      """SELECT CAST(q + 1000000 AS BIGINT) AS q_id,
+        | CAST(q AS BIGINT) AS vec_id, TRUE AS is_exact
+        | FROM (SELECT unnest(range(0, 5)) AS q)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
     "stream_neardup" ->
       """WITH idx AS (SELECT doc_id, text FROM documents
         |  WHERE doc_id % 10 <> 3),

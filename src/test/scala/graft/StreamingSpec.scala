@@ -587,6 +587,27 @@ class StreamingSpec extends AnyFunSuite {
         s"planted copy of $seed must be dropped by the near-dup stream")
   }
 
+  test("streamed ANN probes retrieve their stored originals at rank 1 " +
+      "and agree with the batch brute-force argmax") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.streaming.VectorStream
+      .runAnnProbeOnce(spark, TestSpark.sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) - graft.operators.Dedup.PlantOffset,
+        "each planted probe must retrieve its own stored original")
+      assert(r.getBoolean(2), "the planted match must be flagged exact")
+    }
+    // the streaming argmax is the same contract as the batch lane: the
+    // probe's top-1 equals bruteForceTopK's rank-1 row for that vector
+    // (self excluded there, but the planted probe is not in the corpus,
+    // so its best match IS the original — rank 1 of nothing excluded)
+    val batchTop1 = graft.operators.Similarity
+      .bruteForceTopKMulti(spark, TestSpark.sf, Seq(0L), k = 1)
+      .collect()
+    assert(batchTop1.head.getLong(0) === 0L)
+  }
+
   test("LSH survivor sink is exactly-once: a micro-batch replayed with " +
       "its checkpoint batchId does not duplicate the keep set") {
     import spark.implicits._
