@@ -135,6 +135,10 @@ object SparkEntry {
       TextAnalysis.bpeIterate(s, d)),
     "bpe_encode" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeEncode(s, d)),
+    // tokenizer evaluation: per-source compression + fertility of the
+    // trained merges (train -> encode -> evaluate)
+    "bpe_coverage" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeCoverage(s, d)),
     // -- lexical retrieval / corpus statistics (documents) --
     "bm25_search" -> ((s: SparkSession, d: String) => Retrieval.bm25Search(s, d)),
     "vocabulary" -> ((s: SparkSession, d: String) => Retrieval.vocabulary(s, d)),
@@ -463,21 +467,28 @@ object SparkEntry {
     s"${bpeTrainCtes(rounds)} $select ORDER BY round"
   }
 
-  /** Encode oracle: replay the trained merges (in training order) over
-    * every document token, then per-doc symbol accounting. */
-  private def bpeEncodeOracleSql(rounds: Int = 6): String = {
+  /** Shared encode CTEs keyed on `key`: trained merges replayed (in
+    * training order) over every token, terminal CTE
+    * `encd(key, n_in, s)`. */
+  private def bpeEncodedCtes(rounds: Int, key: String): String = {
     val nested = (0 until rounds).foldLeft(
       "regexp_replace(token, '(.)', ' \\1 ', 'g')") { (acc, r) =>
         s"replace($acc, (SELECT pair FROM b$r)," +
           s" ' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' ')"
     }
     bpeTrainCtes(rounds) +
-      (""", toksd AS (SELECT doc_id, unnest(list_filter(
-        |   regexp_split_to_array(trim(text), '\s+'),
+      (s""", toksd AS (SELECT $key, unnest(list_filter(
+        |   regexp_split_to_array(trim(text), '\\s+'),
         |   t -> length(t) > 0)) AS token FROM documents),
-        | encd AS (SELECT doc_id, length(token) AS n_in, NESTED AS s
-        |  FROM toksd)
-        | SELECT doc_id, n_tokens, n_sym_in, n_sym_out,
+        | encd AS (SELECT $key, length(token) AS n_in, NESTED AS s
+        |  FROM toksd)""".stripMargin.replace("\n", "")
+          .replace("NESTED", nested))
+  }
+
+  /** Encode oracle: per-doc symbol accounting over the replayed merges. */
+  private def bpeEncodeOracleSql(rounds: Int = 6): String =
+    bpeEncodedCtes(rounds, "doc_id") +
+      """ SELECT doc_id, n_tokens, n_sym_in, n_sym_out,
         |  floor(CAST(n_sym_out AS DOUBLE) / CAST(n_sym_in AS DOUBLE)
         |   * 1000000.0)/1000000.0 AS ratio
         | FROM (SELECT doc_id, count(*) AS n_tokens,
@@ -486,8 +497,22 @@ object SparkEntry {
         |    AS n_sym_out
         |  FROM encd GROUP BY doc_id)
         | ORDER BY doc_id""".stripMargin.replace("\n", "")
-          .replace("NESTED", nested))
-  }
+
+  /** Coverage oracle: the same replay, rolled up per source with the
+    * compression + fertility metrics. */
+  private def bpeCoverageOracleSql(rounds: Int = 6): String =
+    bpeEncodedCtes(rounds, "source") +
+      """ SELECT source, n_tokens, n_sym_in, n_sym_out,
+        |  floor(CAST(n_sym_out AS DOUBLE) / CAST(n_sym_in AS DOUBLE)
+        |   * 1000000.0)/1000000.0 AS compression,
+        |  floor(CAST(n_sym_out AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |   * 1000000.0)/1000000.0 AS sym_per_token
+        | FROM (SELECT source, count(*) AS n_tokens,
+        |   CAST(sum(n_in) AS BIGINT) AS n_sym_in,
+        |   CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT)
+        |    AS n_sym_out
+        |  FROM encd GROUP BY source)
+        | ORDER BY source""".stripMargin.replace("\n", "")
 
   /** Shared DSIR weight CTEs, terminal CTE `dw(doc_id, n_tokens,
     * dsir_weight)` — consumed by both the weight report and the
@@ -968,6 +993,7 @@ object SparkEntry {
     // encode half of the tokenizer lifecycle: trained merges replayed
     // over every document token, per-doc symbol accounting
     "bpe_encode" -> bpeEncodeOracleSql(),
+    "bpe_coverage" -> bpeCoverageOracleSql(),
     "sessionize" ->
       """SELECT user_id, session_idx, count(*) AS n_events,
         | min(event_id) AS first_event, max(event_id) AS last_event

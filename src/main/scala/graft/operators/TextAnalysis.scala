@@ -518,19 +518,27 @@ object TextAnalysis {
     * aggregate keyed on doc_id. The merge table rides in as literals —
     * the classic broadcast-free "model in the expression tree" shape,
     * same as [[qualityLogit]]. */
-  def bpeEncode(s: SparkSession, dir: String, rounds: Int = 6): DataFrame = {
+  /** Shared encode pipeline: trained merges replayed over every token,
+    * keyed by `key` (doc_id for the per-document report, source for the
+    * tokenizer-evaluation rollup). Returns (key, n_in, n_out) per
+    * token. */
+  private def bpeEncodedOn(s: SparkSession, dir: String, rounds: Int,
+      key: String): DataFrame = {
     val merges = bpeIterate(s, dir, rounds).collect()
     val wrapped = t(s, dir, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), length(col("tok")).as("n_in"),
+      .select(col(key), explode(tokens(col("text"))).as("tok"))
+      .select(col(key), length(col("tok")).as("n_in"),
         regexp_replace(col("tok"), "(.)", " $1 ").as("s"))
-    val encoded = merges.foldLeft(wrapped) { (df, m) =>
+    merges.foldLeft(wrapped) { (df, m) =>
       df.withColumn("s", replace(col("s"), lit(m.getString(1)),
         lit(" " + m.getString(2) + " ")))
     }
-    encoded
-      .select(col("doc_id"), col("n_in"),
+      .select(col(key), col("n_in"),
         size(split(trim(col("s")), "  ")).as("n_out"))
+  }
+
+  def bpeEncode(s: SparkSession, dir: String, rounds: Int = 6): DataFrame =
+    bpeEncodedOn(s, dir, rounds, "doc_id")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("n_in")).as("n_sym_in"),
@@ -540,7 +548,33 @@ object TextAnalysis {
         Num.t6(col("n_sym_out").cast("double") /
           col("n_sym_in").cast("double")).as("ratio"))
       .orderBy("doc_id")
-  }
+
+  /** Tokenizer evaluation — the third leg of the BPE lifecycle
+    * (train → encode → EVALUATE): per-source compression report of the
+    * trained merges. `compression` (post-merge symbols per character)
+    * is the number a tokenizer card quotes; `sym_per_token` is the
+    * fertility metric (BPE symbols per whitespace word) multilingual
+    * recipes watch per language/source — a source whose fertility sits
+    * far above the corpus mean is under-served by the merge table and
+    * argues for more rounds or per-domain vocab.
+    *
+    * Scale shape: identical to [[bpeEncode]] (merges as literals,
+    * narrow replace projections), but the final aggregate keys on the
+    * bounded source set instead of doc_id — partial map-side combine
+    * makes the shuffle sources-sized. */
+  def bpeCoverage(s: SparkSession, dir: String, rounds: Int = 6): DataFrame =
+    bpeEncodedOn(s, dir, rounds, "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_in")).as("n_sym_in"),
+        sum(col("n_out").cast("long")).as("n_sym_out"))
+      .select(col("source"), col("n_tokens"), col("n_sym_in"),
+        col("n_sym_out"),
+        Num.t6(col("n_sym_out").cast("double") /
+          col("n_sym_in").cast("double")).as("compression"),
+        Num.t6(col("n_sym_out").cast("double") /
+          col("n_tokens").cast("double")).as("sym_per_token"))
+      .orderBy("source")
 
   /** Per-source length quantiles (exact linear-interpolation percentile —
     * the corpus-shape dashboard a curation run reads before choosing mix

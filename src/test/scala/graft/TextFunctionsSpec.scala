@@ -290,6 +290,25 @@ class TextFunctionsSpec extends AnyFunSuite {
     got.values.foreach { case (_, in, out) => assert(out <= in) }
   }
 
+  test("bpe_coverage reconciles with bpe_encode and fertility is sane") {
+    val perDoc = graft.operators.TextAnalysis.bpeEncode(spark, TestSpark.sf)
+      .collect()
+    val perSrc = graft.operators.TextAnalysis.bpeCoverage(spark, TestSpark.sf)
+      .collect()
+    // the rollup conserves the token/symbol totals of the per-doc report
+    assert(perSrc.map(_.getLong(1)).sum === perDoc.map(_.getLong(1)).sum)
+    assert(perSrc.map(_.getLong(2)).sum === perDoc.map(_.getLong(2)).sum)
+    assert(perSrc.map(_.getLong(3)).sum === perDoc.map(_.getLong(3)).sum)
+    perSrc.foreach { r =>
+      val compression = r.getDouble(4)
+      val fertility = r.getDouble(5)
+      // merging only shrinks; six merges cannot shrink below ~nothing
+      assert(compression > 0.0 && compression <= 1.0, r.getString(0))
+      // a symbol per token at minimum (a token is >= 1 symbol)
+      assert(fertility >= 1.0, r.getString(0))
+    }
+  }
+
   test("quality_train: the gradient step is internally consistent and " +
       "DESCENDS the logistic loss against the Gopher labels") {
     import org.apache.spark.sql.functions._
