@@ -188,6 +188,10 @@ object SparkEntry {
     "stream_index_dedup" -> ((s: SparkSession, d: String) =>
       graft.streaming.CorpusStream.runIndexDedupOnce(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Curation.packSequences(s, d)),
+    // packing-efficiency report: fill ratio + boundary-split fraction
+    "pack_stats" -> ((s: SparkSession, d: String) => Curation.packStats(s, d)),
+    // k-anonymity audit over (lang, source, length-bucket)
+    "k_anonymity" -> ((s: SparkSession, d: String) => Curation.kAnonymity(s, d)),
     "chunk_documents" -> ((s: SparkSession, d: String) => Curation.chunkDocuments(s, d)),
     "split_leakage" -> ((s: SparkSession, d: String) => Curation.splitLeakage(s, d)),
     "best_per_lang" -> ((s: SparkSession, d: String) => Curation.bestPerLang(s, d)),
@@ -2252,6 +2256,39 @@ object SparkEntry {
         |   CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |    t -> length(t) > 0)) AS BIGINT) AS n_tokens FROM documents))
         | ORDER BY source, doc_id""".stripMargin.replace("\n", ""),
+    // packing-efficiency rollup over the pack_sequences layout
+    "pack_stats" ->
+      """WITH p AS (SELECT source, doc_id, n_tokens,
+        | (cum - n_tokens) % 512 AS off
+        | FROM (SELECT source, doc_id, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM (SELECT source, doc_id,
+        |   CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> length(t) > 0)) AS BIGINT) AS n_tokens FROM documents))),
+        | g AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN off + n_tokens > 512 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_split_docs
+        | FROM p GROUP BY source)
+        | SELECT source, n_docs, total_tokens,
+        |  CAST(ceil(CAST(total_tokens AS DOUBLE) / 512.0) AS BIGINT)
+        |   AS n_windows,
+        |  floor(CAST(total_tokens AS DOUBLE) /
+        |   (ceil(CAST(total_tokens AS DOUBLE) / 512.0) * 512.0)
+        |   * 1000000.0)/1000000.0 AS fill_ratio,
+        |  n_split_docs,
+        |  floor(CAST(n_split_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |   * 1000000.0)/1000000.0 AS split_frac
+        | FROM g ORDER BY source""".stripMargin.replace("\n", ""),
+    // k-anonymity audit on the (lang, source, length-bucket)
+    // quasi-identifier combination
+    "k_anonymity" ->
+      """SELECT lang, source,
+        | CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket,
+        | count(*) AS n, count(*) < 5 AS at_risk
+        | FROM documents GROUP BY 1, 2, 3
+        | ORDER BY lang, source, len_bucket""".stripMargin.replace("\n", ""),
     // planted near-dup gates: each pipeline must recover every planted
     // identical copy exactly (Jaccard 1.0 / Hamming 0); dedup must return
     // precisely the original corpus (threshold 0.99 sits above the

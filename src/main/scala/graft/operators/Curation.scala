@@ -577,6 +577,63 @@ object Curation {
       .orderBy("source", "doc_id")
   }
 
+  /** Packing-efficiency report over [[packSequences]]' layout: per
+    * source, the numbers a training-throughput review reads — window
+    * count, fill ratio of the allocated windows (the stream-packing
+    * layout wastes tokens only in each source's tail window), and the
+    * count/fraction of documents SPLIT across a window boundary
+    * (`offset + n_tokens > contextLen`) — the attention-contamination
+    * metric that decides whether a recipe needs document-atomic packing
+    * (with its padding cost) instead.
+    *
+    * Scale shape: one pass over the packed projection, aggregate keyed
+    * on the bounded source set. The window count derives from the
+    * per-source token total (ceil division), never from materializing
+    * windows. */
+  def packStats(s: SparkSession, dir: String,
+      contextLen: Int = 512): DataFrame =
+    packSequences(s, dir, contextLen)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("offset") + col("n_tokens") > contextLen, 1L)
+          .otherwise(0L)).as("n_split_docs"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        ceil(col("total_tokens").cast("double") / lit(contextLen.toDouble))
+          .cast("long").as("n_windows"),
+        Num.t6(col("total_tokens").cast("double") /
+          (ceil(col("total_tokens").cast("double") /
+            lit(contextLen.toDouble)) * lit(contextLen.toDouble)))
+          .as("fill_ratio"),
+        col("n_split_docs"),
+        Num.t6(col("n_split_docs").cast("double") /
+          col("n_docs").cast("double")).as("split_frac"))
+      .orderBy("source")
+
+  /** k-anonymity audit over the quasi-identifier combination
+    * (lang, source, length bucket) — the privacy-review counterpart of
+    * PII redaction: a document whose quasi-identifier group has fewer
+    * than k members is re-identifiable by attribute combination alone,
+    * redacted strings or not. Emits every group with its member count
+    * and the at-risk flag; a release gate reads `at_risk` and either
+    * suppresses or generalizes those rows (widen the length bucket,
+    * drop the source column) until the audit is clean.
+    *
+    * Scale shape: one narrow scan + one aggregate keyed on the bounded
+    * (langs × sources × buckets) space — group-count-sized output, the
+    * profile/datasheet class. */
+  def kAnonymity(s: SparkSession, dir: String, k: Int = 5,
+      bucketWidth: Int = 100): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        (floor(col("n_chars") / lit(bucketWidth)) * bucketWidth)
+          .cast("long").as("len_bucket"))
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("source"), col("len_bucket"), col("n"),
+        (col("n") < k).as("at_risk"))
+      .orderBy("lang", "source", "len_bucket")
+
   /** Document chunking: overlapping fixed-size token windows (size 32,
     * stride 16) per document — the preprocessing step that feeds an
     * embedding model or a context-window trainer. Emits the md5 of each

@@ -179,6 +179,37 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("pack stats reconcile with the packed layout; tail-only waste") {
+    val packed = Curation.packSequences(spark, sf).collect()
+    val stats = Curation.packStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    packed.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val st = stats(src)
+      assert(st.getLong(1) === rows.length.toLong)
+      val total = rows.map(_.getLong(2)).sum
+      assert(st.getLong(2) === total)
+      assert(st.getLong(3) === (total + 511) / 512) // ceil division
+      val splits = rows.count(r => r.getLong(4) + r.getLong(2) > 512)
+      assert(st.getLong(5) === splits.toLong)
+      // stream packing wastes only the tail window: fill >= (W-1)/W
+      val w = st.getLong(3).toDouble
+      assert(st.getDouble(4) >= (w - 1) / w - 1e-6)
+    }
+  }
+
+  test("k-anonymity groups partition the corpus and flag exactly n < k") {
+    val rows = Curation.kAnonymity(spark, sf).collect()
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(3)).sum === total,
+      "every document must fall in exactly one quasi-identifier group")
+    rows.foreach { r =>
+      assert(r.getBoolean(4) === (r.getLong(3) < 5))
+      assert(r.getLong(2) % 100 === 0, "bucket must align to width")
+    }
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
+      "the corpus must exercise both branches")
+  }
+
   test("packing shuffles once, on the source key") {
     val plan = Curation.packSequences(spark, sf).queryExecution.executedPlan
       .toString.split("== Initial Plan ==").head
