@@ -141,6 +141,9 @@ object SparkEntry {
       TextAnalysis.bpeCoverage(s, d)),
     // -- lexical retrieval / corpus statistics (documents) --
     "bm25_search" -> ((s: SparkSession, d: String) => Retrieval.bm25Search(s, d)),
+    // retrieval-quality eval: MRR@1000 + precision@10 per eval query,
+    // AND-relevance judgments (fully oracle-expressible)
+    "search_eval" -> ((s: SparkSession, d: String) => Retrieval.searchEval(s, d)),
     "vocabulary" -> ((s: SparkSession, d: String) => Retrieval.vocabulary(s, d)),
     "pmi_bigrams" -> ((s: SparkSession, d: String) => Retrieval.pmiBigrams(s, d)),
     "inverted_postings" -> ((s: SparkSession, d: String) => Retrieval.invertedPostings(s, d)),
@@ -517,6 +520,56 @@ object SparkEntry {
         |    AS n_sym_out
         |  FROM encd GROUP BY source)
         | ORDER BY source""".stripMargin.replace("\n", "")
+
+  /** search_eval oracle: one BM25 CTE chain per eval query (the
+    * bm25_search skeleton, suffixed), then the per-query metric row —
+    * relevance is "contains every query term" (n_terms = |q|). */
+  private def searchEvalOracleSql(
+      queries: Seq[Seq[String]], cap: Int = 1000): String = {
+    val head =
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0) AS w FROM documents),
+        | dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+        | toks AS (SELECT doc_id, unnest(w) AS term FROM d),
+        | stats AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl)"""
+        .stripMargin.replace("\n", "")
+    val perQuery = queries.zipWithIndex.map { case (terms, i) =>
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s""", tf$i AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ($inList) GROUP BY 1, 2),
+         | df$i AS (SELECT term, count(*) AS df FROM tf$i GROUP BY 1),
+         | contrib$i AS (SELECT tf$i.doc_id,
+         |  floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |   * (CAST(tf AS DOUBLE) * (1.25 + 1.0))
+         |   / (tf + 1.25 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         |   * 1000000.0)/1000000.0 AS c
+         |  FROM tf$i JOIN df$i USING (term)
+         |  JOIN dl ON tf$i.doc_id = dl.doc_id CROSS JOIN stats),
+         | scored$i AS (SELECT doc_id,
+         |  CAST(sum(CAST(c AS DECIMAL(28, 6))) AS DOUBLE) AS score,
+         |  count(*) AS n_terms FROM contrib$i GROUP BY 1),
+         | ranked$i AS (SELECT doc_id, n_terms,
+         |  row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |  FROM scored$i)""".stripMargin.replace("\n", "")
+    }.mkString
+    val metrics = queries.zipWithIndex.map { case (terms, i) =>
+      val L = terms.length
+      val fr = s"(SELECT min(rnk) FROM ranked$i" +
+        s" WHERE n_terms = $L AND rnk <= $cap)"
+      s"""SELECT CAST($i AS INTEGER) AS q_id,
+         | (SELECT count(*) FROM scored$i WHERE n_terms = $L)
+         |  AS n_relevant,
+         | CAST(coalesce($fr, 0) AS BIGINT) AS first_rank,
+         | floor(coalesce(1.0 / $fr, 0.0) * 1000000.0)/1000000.0 AS rr,
+         | floor((SELECT count(*) FROM ranked$i
+         |   WHERE n_terms = $L AND rnk <= 10) / 10.0
+         |  * 1000000.0)/1000000.0 AS p_at_10""".stripMargin
+        .replace("\n", "")
+    }.mkString(" UNION ALL ")
+    s"$head$perQuery $metrics ORDER BY q_id"
+  }
 
   /** Shared DSIR weight CTEs, terminal CTE `dw(doc_id, n_tokens,
     * dsir_weight)` — consumed by both the weight report and the
@@ -2808,6 +2861,8 @@ object SparkEntry {
     // Okapi BM25 top-10 for query {spark, join, window}; k1=1.25 b=0.75
     // (exact-binary constants), non-negative idf, per-term contributions
     // floor-truncated then decimal-summed so ranking is engine-identical
+    "search_eval" -> searchEvalOracleSql(
+      graft.operators.Retrieval.EvalQueries),
     "bm25_search" ->
       """WITH d AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(trim(text), '\s+'),

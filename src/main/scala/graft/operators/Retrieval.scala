@@ -43,9 +43,11 @@ object Retrieval {
   /* k1/b defaults are the textbook 1.2/0.75 rounded to exactly-
    * representable doubles (1.25/0.75) so every literal is bit-identical
    * in any engine's decimal->double conversion. */
-  def bm25Search(s: SparkSession, dir: String,
-      query: Seq[String] = DefaultQuery, k: Int = 10,
-      k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+  /** The per-document score table behind [[bm25Search]]:
+    * (doc_id, score, n_terms) for every document matching at least one
+    * query term. Shared by the top-k search and [[searchEval]]. */
+  private def bm25Scores(s: SparkSession, dir: String, query: Seq[String],
+      k1: Double, b: Double): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
@@ -64,17 +66,66 @@ object Retrieval {
       (col("tf") * (lit(k1) + 1.0)) /
       (col("tf") + lit(k1) *
         (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
     tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
       .agg(Relational.dsum(contrib).as("score"),
         count(lit(1)).as("n_terms"))
+  }
+
+  def bm25Search(s: SparkSession, dir: String,
+      query: Seq[String] = DefaultQuery, k: Int = 10,
+      k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    bm25Scores(s, dir, query, k1, b)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("rnk").cast("int").as("rnk"), col("doc_id"),
         col("score"), col("n_terms"))
       .orderBy("rnk")
+  }
+
+  /** The fixed evaluation query set for [[searchEval]] (terms present at
+    * every bundled SF — the postings/bm25 vocabulary). */
+  val EvalQueries: Seq[Seq[String]] = Seq(
+    Seq("spark", "join", "window"),
+    Seq("dup", "hash", "scan"),
+    Seq("dup", "spark", "join", "window", "scan"))
+
+  /** Retrieval-quality evaluation of the BM25 ranker — the search-QA
+    * report a corpus pipeline runs after every index rebuild: per eval
+    * query, with relevance defined as "document contains EVERY query
+    * term" (boolean-AND judgments, fully oracle-expressible), the
+    * relevant-set size, the rank of the first relevant document in BM25
+    * order, its reciprocal rank (the per-query MRR contribution), and
+    * precision@10.
+    *
+    * Scale shape: each query reuses [[bm25Scores]]' one-scan aggregate;
+    * ranking is capped at `cap` (WindowGroupLimit-prunable — the
+    * hybrid_search bound discipline: a first-relevant beyond rank 1000
+    * scores 0, which is what MRR@1000 means). The eval set is
+    * queries-sized metadata; all per-query frames union into one
+    * q-row relation. */
+  def searchEval(s: SparkSession, dir: String,
+      queries: Seq[Seq[String]] = EvalQueries, cap: Int = 1000,
+      k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val perQuery = queries.zipWithIndex.map { case (terms, i) =>
+      val scores = bm25Scores(s, dir, terms, k1, b)
+      val rel = col("n_terms") === terms.length
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      val ranked = scores.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= cap)
+      val mRanked = ranked.agg(
+        min(when(rel, col("rnk"))).as("fr"),
+        sum(when(rel && col("rnk") <= 10, 1L).otherwise(0L)).as("rel10"))
+      val nRel = scores.filter(rel).agg(count(lit(1)).as("n_relevant"))
+      nRel.crossJoin(mRanked).select(
+        lit(i).as("q_id"), col("n_relevant"),
+        coalesce(col("fr"), lit(0)).cast("long").as("first_rank"),
+        Num.t6(coalesce(lit(1.0) / col("fr"), lit(0.0))).as("rr"),
+        Num.t6(col("rel10").cast("double") / lit(10.0)).as("p_at_10"))
+    }
+    perQuery.reduce(_.unionByName(_)).orderBy("q_id")
   }
 
   /** Frequency-ranked vocabulary with cumulative corpus coverage — the

@@ -36,6 +36,37 @@ class RetrievalSpec extends AnyFunSuite {
     assert(w(2, 16, 8) < w(2, 8, 8))
   }
 
+  test("search_eval: metrics reconcile with an independent relevance " +
+      "recount over the raw corpus") {
+    lazy val spark2 = TestSpark.spark
+    val docs = Tables.load(spark2, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSet).toMap
+    val rows = Retrieval.searchEval(spark2, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    rows.zip(Retrieval.EvalQueries).foreach { case (r, terms) =>
+      // n_relevant equals the brute recount of AND-relevance
+      val relevant = docs.count(_._2.intersect(terms.toSet) == terms.toSet)
+      assert(r.getLong(1) === relevant.toLong, terms.mkString(","))
+      // rr is exactly 1/first_rank (or 0 when nothing ranked)
+      val fr = r.getLong(2)
+      val rr = r.getDouble(3)
+      if (fr > 0) assert(rr === graft.functions.Num.t6d(1.0 / fr))
+      else assert(rr === 0.0)
+      // p@10 counts relevant docs among bm25's actual top 10
+      val top10 = Retrieval.bm25Search(spark2, sf, terms, k = 10)
+        .collect().map(_.getLong(1))
+      val p10 = top10.count(id =>
+        docs(id).intersect(terms.toSet) == terms.toSet) / 10.0
+      assert(r.getDouble(4) === graft.functions.Num.t6d(p10),
+        terms.mkString(","))
+    }
+    // the narrow conjunctions must actually discriminate on this corpus
+    assert(rows.exists(_.getDouble(4) < 1.0),
+      "at least one query's top-10 should mix in non-relevant docs")
+  }
+
   test("vocabulary: coverage is monotone, bounded by 1, ranks dense") {
     val rows = Retrieval.vocabulary(spark, sf).collect()
     val cov = rows.map(_.getAs[Double]("coverage"))
