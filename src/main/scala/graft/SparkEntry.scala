@@ -195,6 +195,9 @@ object SparkEntry {
     "pack_stats" -> ((s: SparkSession, d: String) => Curation.packStats(s, d)),
     // k-anonymity audit over (lang, source, length-bucket)
     "k_anonymity" -> ((s: SparkSession, d: String) => Curation.kAnonymity(s, d)),
+    // language-ID QA: (declared, predicted) confusion matrix + row shares
+    "lang_confusion" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.langConfusion(s, d)),
     "chunk_documents" -> ((s: SparkSession, d: String) => Curation.chunkDocuments(s, d)),
     "split_leakage" -> ((s: SparkSession, d: String) => Curation.splitLeakage(s, d)),
     "best_per_lang" -> ((s: SparkSession, d: String) => Curation.bestPerLang(s, d)),
@@ -599,7 +602,16 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleSqlBase +
     // the Bloom prefilter lane shares decontaminate's exact contract —
     // the filter only reorders work, never changes the answer
-    ("bloom_decontaminate" -> oracleSqlBase("decontaminate"))
+    ("bloom_decontaminate" -> oracleSqlBase("decontaminate")) +
+    // the confusion matrix aggregates the lang_id oracle's own relation
+    ("lang_confusion" -> ("WITH pred AS (" + oracleSqlBase("lang_id") +
+      """) SELECT lang_labeled, lang_pred, count(*) AS n,
+        | floor(CAST(count(*) AS DOUBLE) /
+        |  CAST(sum(count(*)) OVER (PARTITION BY lang_labeled) AS DOUBLE)
+        |  * 1000000.0)/1000000.0 AS frac
+        | FROM pred GROUP BY lang_labeled, lang_pred
+        | ORDER BY lang_labeled, lang_pred""".stripMargin
+        .replace("\n", "")))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "textrank_keywords" -> textrankOracleSql(),

@@ -662,6 +662,23 @@ object TextAnalysis {
         col("pred.lang").as("lang_pred"), col("pred.score").as("score"))
       .orderBy("doc_id")
 
+  /** Language-ID confusion matrix — the QA view that decides whether
+    * the n-gram heuristic is trustworthy per language before a recipe
+    * filters on it: (declared, predicted) counts plus each cell's share
+    * of its declared-language row (the per-class recall lives on the
+    * diagonal). One corpus scan through [[langIdPredictions]]' scorer,
+    * one aggregate keyed on the languages² cell space, and a
+    * cell-space-sized window for the row shares. */
+  def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang_labeled"))
+    langIdPredictions(s, dir)
+      .groupBy(col("lang_labeled"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("frac", Num.t6(col("n").cast("double") /
+        sum(col("n")).over(w).cast("double")))
+      .orderBy("lang_labeled", "lang_pred")
+  }
+
   /** Order-sensitive document fingerprint: md5 of the whitespace-
     * normalized token sequence. Equal fingerprint = duplicate candidate
     * (same tokens, same order, ignoring whitespace variation). md5 rather

@@ -290,6 +290,22 @@ class TextFunctionsSpec extends AnyFunSuite {
     got.values.foreach { case (_, in, out) => assert(out <= in) }
   }
 
+  test("lang confusion: cells reconcile with predictions, rows sum to 1") {
+    val preds = graft.operators.TextAnalysis
+      .langIdPredictions(spark, TestSpark.sf).collect()
+      .groupBy(r => (r.getString(1), r.getString(2)))
+      .view.mapValues(_.length.toLong).toMap
+    val cells = graft.operators.TextAnalysis
+      .langConfusion(spark, TestSpark.sf).collect()
+    assert(cells.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap === preds)
+    cells.groupBy(_.getString(0)).foreach { case (lab, rows) =>
+      val s = rows.map(_.getDouble(3)).sum
+      // t6 truncation loses < 1e-6 per cell
+      assert(s > 1.0 - 1e-5 * rows.length && s <= 1.0 + 1e-9, lab)
+    }
+  }
+
   test("bpe_coverage reconciles with bpe_encode and fertility is sane") {
     val perDoc = graft.operators.TextAnalysis.bpeEncode(spark, TestSpark.sf)
       .collect()
