@@ -287,6 +287,10 @@ object SparkEntry {
     // cells by per-cell rewrite; probes must equal a from-scratch rebuild
     "ann_ivf_compact" -> ((s: SparkSession, d: String) =>
       Similarity.ivfCompactPlanted(s, d)),
+    // metadata-filtered index probe: cell pruning + label row-group
+    // pushdown; top-k must be label-pure with the copy at rank 1
+    "ann_ivf_filtered" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfFilteredPlanted(s, d)),
     // SemDeDup planted gate: cluster-bounded embedding dedup must strip
     // exactly the planted copies (survivors = the original corpus)
     "semdedup_planted" -> ((s: SparkSession, d: String) =>
@@ -2112,6 +2116,13 @@ object SparkEntry {
       """SELECT CAST(q_id AS BIGINT) AS q_id,
         | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
         | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact
+        | FROM (SELECT unnest(range(0, 5)) AS q_id)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    "ann_ivf_filtered" ->
+      """SELECT CAST(q_id AS BIGINT) AS q_id,
+        | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
+        | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact,
+        | TRUE AS all_label_match
         | FROM (SELECT unnest(range(0, 5)) AS q_id)
         | ORDER BY q_id""".stripMargin.replace("\n", ""),
     // generated by the same loop that builds the Spark columns (the

@@ -843,6 +843,88 @@ object Similarity {
     }
   }
 
+  /** Metadata-filtered probe of the materialized IVF index —
+    * [[filteredTopK]] at the INDEX level (the vector-DB "filtered
+    * search" feature against storage instead of a corpus scan): the
+    * index stores the metadata column beside each vector, so a filtered
+    * probe prunes to the `nProbe` probed `cell=` partitions by layout
+    * AND pushes the label predicate into the surviving files' row
+    * groups (PushedFilters — min/max stats skip non-matching groups
+    * before any vector is read). Probe cost: `nProbe/cells` of the
+    * index by pruning, times the label selectivity by pushdown.
+    *
+    * Gate: planted copies inherit their original's label, so the
+    * filtered probe (query = original, predicate = original's label,
+    * self excluded) must return the copy at rank 1 with cosine 1.0 AND
+    * every returned top-k row must carry the query's label —
+    * `all_label_match` is the column that fails closed-form if an
+    * engine change drops the predicate. */
+  def ivfFilteredPlanted(s: SparkSession, dir: String, n: Int = 5,
+      k: Int = 10, nProbe: Int = 4, cells: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = t(s, dir, "embeddings")
+    val emb = plantedEmb(corpus, n)
+    val cents = ivfCentroids(corpus, cells)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-ivff-")
+    try {
+      val p = scratch.toString
+      emb.select(col("vec_id"), col("label"), col("embedding"),
+        cellRanking(cents).getItem(0).getField("cent").as("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd").parquet(s"$p/vectors")
+      // driver replica of the build-side cosine (floats widened exactly,
+      // same accumulation order), so probe cells agree bit-for-bit with
+      // the stored assignment
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+        while (i < a.length) {
+          val xi = a(i).toDouble; val yi = b(i).toDouble
+          xy += xi * yi; xx += xi * xi; yy += yi * yi; i += 1
+        }
+        xy / (math.sqrt(xx) * math.sqrt(yy))
+      }
+      val queries = corpus.filter(col("vec_id") < n)
+        .select(col("vec_id"), col("label"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+        .sortBy(_._1)
+      val vectors = s.read.parquet(s"$p/vectors")
+      val branches = queries.map { case (qid, lbl, qv) =>
+        val probeCells = cents.map { case (cid, v) => (-cos(qv, v), cid) }
+          .sorted.take(nProbe).map(_._2)
+        vectors
+          .filter(col("cell").isin(probeCells: _*) && // partition pruning
+            col("label") === lbl &&                   // row-group pushdown
+            col("vec_id") =!= qid)                    // self excluded
+          .select(lit(qid).as("q_id"), col("vec_id"), col("label"),
+            Num.t6(cosine(col("embedding"), typedlit(qv))).as("cos_sim"),
+            lit(lbl).as("q_label"))
+      }
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      // eager: gate rows computed before the scratch index is deleted
+      val topk = branches.reduce(_.unionByName(_))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .collect()
+        .groupBy(_.getLong(0))
+      val rows = queries.map { case (qid, _, _) =>
+        val rs = topk(qid)
+        val r1 = rs.minBy(_.getInt(5))
+        (qid, r1.getLong(1), 1, r1.getDouble(3) >= 0.999999,
+          rs.forall(r => r.getInt(2) == r.getInt(4)))
+      }
+      s.createDataFrame(rows.toSeq)
+        .toDF("q_id", "vec_id", "rn", "is_exact", "all_label_match")
+        .orderBy("q_id")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(pth => java.nio.file.Files.deleteIfExists(pth))
+    }
+  }
+
   /** Incremental IVF index maintenance: merge an arriving vector batch
     * into an existing index WITHOUT retraining and WITHOUT a full
     * rebuild. Centroids are FROZEN (maintenance never moves cells — a

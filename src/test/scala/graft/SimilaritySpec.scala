@@ -329,6 +329,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(inGroup.getLong(2) === best.getLong(0))
   }
 
+  test("filtered index probe: label predicate reaches PushedFilters and " +
+      "the gate relation is label-pure") {
+    // the pushdown half: a label-bearing cell-partitioned index scan
+    // must carry the label predicate as a parquet pushed filter (row
+    // groups skip on min/max stats before any vector bytes are read)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivff_").toString
+    graft.Tables.load(spark, TestSpark.sf, "embeddings")
+      .withColumn("cell",
+        org.apache.spark.sql.functions.pmod($"vec_id",
+          org.apache.spark.sql.functions.lit(4L)))
+      .write.partitionBy("cell").parquet(s"$idx/vectors")
+    val probe = spark.read.parquet(s"$idx/vectors")
+      .filter($"cell".isin(0L, 1L) && $"label" === 3)
+      .select($"vec_id")
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount === 2,
+      "cell predicate must prune partitions")
+    assert(scans.head.metadata("PushedFilters").contains("EqualTo(label"),
+      s"label must push to parquet: ${scans.head.metadata("PushedFilters")}")
+    // the contract half: closed-form gate rows, label-pure top-k
+    val rows = Similarity.ivfFilteredPlanted(spark, TestSpark.sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) + 1000000L)
+      assert(r.getBoolean(3) && r.getBoolean(4))
+    }
+  }
+
   test("kmeans step: membership accounting matches the assignment") {
     val emb = Tables.load(spark, TestSpark.sf, "embeddings")
     val step = Similarity.kmeansStep(spark, TestSpark.sf).collect()
