@@ -198,6 +198,10 @@ object SparkEntry {
     // language-ID QA: (declared, predicted) confusion matrix + row shares
     "lang_confusion" -> ((s: SparkSession, d: String) =>
       TextAnalysis.langConfusion(s, d)),
+    // domain-redundancy diagnostic: cosine between per-source mean
+    // embeddings (exact-decimal, partitioning-invariant)
+    "source_similarity" -> ((s: SparkSession, d: String) =>
+      Similarity.sourceSimilarity(s, d)),
     "chunk_documents" -> ((s: SparkSession, d: String) => Curation.chunkDocuments(s, d)),
     "split_leakage" -> ((s: SparkSession, d: String) => Curation.splitLeakage(s, d)),
     "best_per_lang" -> ((s: SparkSession, d: String) => Curation.bestPerLang(s, d)),
@@ -1506,6 +1510,29 @@ object SparkEntry {
         | x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * 1000000.0) / 1000000.0 AS norm
         | FROM embeddings ORDER BY vec_id""".stripMargin.replace("\n", ""),
     // exact-decimal per-component mean per label (long format)
+    "source_similarity" ->
+      """WITH cent AS (SELECT source, i AS pos,
+        |  floor(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6)))
+        |   AS DOUBLE) / count(*) * 1000000.0)/1000000.0 AS c
+        | FROM (SELECT d.source, i,
+        |   e.embedding[CAST(i + 1 AS INTEGER)] AS v
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id,
+        |   (SELECT unnest(range(0, 64)) AS i))
+        | GROUP BY source, i),
+        | p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(sum(CAST(floor(a.c * b.c * 1000000.0)/1000000.0
+        |   AS DECIMAL(28,6))) AS DOUBLE) AS xy,
+        |  CAST(sum(CAST(floor(a.c * a.c * 1000000.0)/1000000.0
+        |   AS DECIMAL(28,6))) AS DOUBLE) AS xx,
+        |  CAST(sum(CAST(floor(b.c * b.c * 1000000.0)/1000000.0
+        |   AS DECIMAL(28,6))) AS DOUBLE) AS yy
+        | FROM cent a JOIN cent b ON a.pos = b.pos
+        |  AND a.source < b.source GROUP BY 1, 2)
+        | SELECT source_a, source_b,
+        |  floor(xy / (sqrt(xx) * sqrt(yy)) * 1000000.0)/1000000.0
+        |   AS cos_sim
+        | FROM p ORDER BY source_a, source_b""".stripMargin
+        .replace("\n", ""),
     "label_centroids" ->
       """SELECT label, CAST(i AS INTEGER) AS pos,
         | floor(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)

@@ -67,6 +67,51 @@ object Similarity {
           .cast("double") / count(lit(1))).as("c"))
       .orderBy("label", "pos")
 
+  /** Pairwise semantic similarity between SOURCES — the data-mixing
+    * diagnostic behind domain weights (two sources whose centroids sit
+    * at cosine ~1 are near-redundant; a far-out source is the diversity
+    * a mix must protect): per-source mean embedding via the
+    * [[labelCentroids]] exact-decimal discipline, then cosine over
+    * every source pair.
+    *
+    * Determinism without coordination: every sum that crosses a
+    * partition boundary is a t6-truncated DECIMAL sum (order-free exact
+    * arithmetic), so centroid components and pair cosines are identical
+    * on any partitioning and in the DuckDB oracle — the index-order
+    * float fold of [[cosine]] is not available to a groupBy, decimal
+    * addition is.
+    *
+    * Scale shape: one corpus join on vec_id (the embeddings-to-metadata
+    * hydration), one aggregate keyed on (source, pos) — sources × dim
+    * rows of partial sums — then all pair work happens on the
+    * sources²-sized centroid table. */
+  def sourceSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val cent = t(s, dir, "embeddings")
+      .join(t(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+      .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("source"), col("pos"))
+      .agg(Num.t6(
+        sum(col("v").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast("double") / count(lit(1))).as("c"))
+    val a = cent.select(col("source").as("source_a"), col("pos"),
+      col("c").as("ca"))
+    val b = cent.select(col("source").as("source_b"), col("pos"),
+      col("c").as("cb"))
+    a.join(b, Seq("pos"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        Relational.dsum(Num.t6(col("ca") * col("cb"))).as("xy"),
+        Relational.dsum(Num.t6(col("ca") * col("ca"))).as("xx"),
+        Relational.dsum(Num.t6(col("cb") * col("cb"))).as("yy"))
+      .select(col("source_a"), col("source_b"),
+        Num.t6(col("xy") / (sqrt(col("xx")) * sqrt(col("yy"))))
+          .as("cos_sim"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** One spherical-k-means Lloyd iteration (the SemDeDup / corpus-
     * clustering primitive): assign every vector to its max-cosine centroid,
     * warm-started from the labeled class centroids (`labelCentroids`, exact

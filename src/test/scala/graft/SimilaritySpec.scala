@@ -360,6 +360,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("source similarity: full pair triangle, symmetric-by-construction, " +
+      "bounded, and deterministic across partitionings") {
+    val rows = Similarity.sourceSimilarity(spark, TestSpark.sf).collect()
+    // 20 sources -> 190 unordered pairs, each exactly once, a < b
+    assert(rows.length === 190)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+    }
+    // partitioning invariance: the decimal-sum lanes must produce
+    // identical bits under a different shuffle layout
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    val again =
+      try Similarity.sourceSimilarity(spark, TestSpark.sf).collect()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("kmeans step: membership accounting matches the assignment") {
     val emb = Tables.load(spark, TestSpark.sf, "embeddings")
     val step = Similarity.kmeansStep(spark, TestSpark.sf).collect()
