@@ -283,6 +283,9 @@ object SparkEntry {
       Similarity.recallGate(
         graft.operators.Projection.rpRecallAtK(s, d,
           Seq(0L, 1L, 2L, 3L, 4L)), 0.2)),
+    // theorem gate: recall@k non-decreasing in nProbe (nested probes)
+    "ann_ivf_monotone" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfProbeMonotone(s, d)),
     // full index lifecycle: kmeansIterate-trained centroids -> hive
     // cell=-partitioned build -> partition-pruned ivfProbeIndexed probes
     "ann_ivf_indexed" -> ((s: SparkSession, d: String) =>
@@ -2137,6 +2140,11 @@ object SparkEntry {
         | ORDER BY q_id""".stripMargin.replace("\n", ""),
     "ann_rp_recall_gate" ->
       """SELECT CAST(i AS BIGINT) AS q_id, TRUE AS pass
+        | FROM (SELECT unnest([0,1,2,3,4]) AS i)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    "ann_ivf_monotone" ->
+      """SELECT CAST(i AS BIGINT) AS q_id,
+        | TRUE AS mono_1_2, TRUE AS mono_2_4
         | FROM (SELECT unnest([0,1,2,3,4]) AS i)
         | ORDER BY q_id""".stripMargin.replace("\n", ""),
     "ann_rp_planted" ->

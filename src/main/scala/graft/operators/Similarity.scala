@@ -464,6 +464,30 @@ object Similarity {
     recallAtK(bruteForceTopKMulti(s, dir, queryIds, k),
       ivfTopK(s, dir, queryIds, k, cells, nProbe), k)
 
+  /** Probe-width monotonicity gate: recall@k of the IVF lane is
+    * NON-DECREASING in nProbe. This is a theorem, not a measurement —
+    * probe sets are nested (the same centroid ranking prefixed), so the
+    * candidate set only grows, and under the total (t6-score, vec_id)
+    * order a new candidate can displace an exact-top-k member from the
+    * approximate top-k only by out-ranking it, which puts the newcomer
+    * in the exact top-k itself. The gate therefore states TRUE
+    * closed-form per (query, step) — and FAILS if an engine change
+    * breaks probe-set nesting or makes the two lanes rank by different
+    * orders, which is exactly what it exists to catch. */
+  def ivfProbeMonotone(s: SparkSession, dir: String,
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L), k: Int = 10,
+      cells: Int = 16, probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val recalls = probes.map { np =>
+      ivfRecallAtK(s, dir, queryIds, k, cells, np)
+        .withColumnRenamed("recall", s"r$np")
+    }
+    val joined = recalls.reduce(_.join(_, Seq("q_id")))
+    val steps = probes.sliding(2).collect { case Seq(a, b) =>
+      (col(s"r$b") >= col(s"r$a")).as(s"mono_${a}_$b")
+    }.toSeq
+    joined.select(col("q_id") +: steps: _*).orderBy("q_id")
+  }
+
   /** The corpus plus exact copies of the `n` lowest vec_ids at
     * vec_id + Dedup.PlantOffset — the embedding twin of
     * `Dedup.plantedDocs`. An identical vector shares every LSH band

@@ -360,6 +360,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("probe monotonicity gate holds and recall genuinely varies " +
+      "across nProbe (the gate is not vacuous)") {
+    val rows = Similarity.ivfProbeMonotone(spark, TestSpark.sf).collect()
+    assert(rows.length === 5)
+    rows.foreach(r => assert(r.getBoolean(1) && r.getBoolean(2)))
+    // non-vacuity: some step must be a STRICT increase somewhere, or the
+    // gate would pass trivially on constant recall
+    val r1 = Similarity.ivfRecallAtK(spark, TestSpark.sf,
+      Seq(0L, 1L, 2L, 3L, 4L), 10, 16, 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val r4 = Similarity.ivfRecallAtK(spark, TestSpark.sf,
+      Seq(0L, 1L, 2L, 3L, 4L), 10, 16, 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r1.exists { case (q, v) => r4(q) > v },
+      s"expected a strict recall gain from nProbe 1 -> 4: $r1 vs $r4")
+  }
+
   test("source similarity: full pair triangle, symmetric-by-construction, " +
       "bounded, and deterministic across partitionings") {
     val rows = Similarity.sourceSimilarity(spark, TestSpark.sf).collect()
