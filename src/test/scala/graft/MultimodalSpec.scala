@@ -68,4 +68,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(perMedia.values.forall(_.length === 4))
     assert(frames.forall(_.getLong(2) === 16))
   }
+
+  test("phash: identical payloads at Hamming 0, a small edit stays " +
+      "near, unrelated payloads stay far") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val texts = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("text")).limit(8).collect().map(_.getString(0))
+    val probes = texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i.toLong * 10, t), // original
+        (i.toLong * 10 + 1, t), // exact copy
+        (i.toLong * 10 + 2, t.replaceFirst("[aeiou]", "#"))) // 1-char edit
+    }.toSeq.toDF("id", "txt")
+    val hashed = probes
+      .select(col("id"), Multimodal.phash64(encode(col("txt"), "UTF-8"))
+        .as("ph"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    texts.indices.foreach { i =>
+      assert(ham(hashed(i * 10L), hashed(i * 10L + 1)) === 0)
+      // one changed char perturbs <= 4 distinct 4-grams: Hamming stays
+      // well under the unrelated-pair expectation of ~32
+      assert(ham(hashed(i * 10L), hashed(i * 10L + 2)) <= 20,
+        s"edit drifted too far for probe $i")
+    }
+    // unrelated documents: mean Hamming near 32 (random-bit model)
+    val far = for (i <- texts.indices; j <- texts.indices if i < j)
+      yield ham(hashed(i * 10L), hashed(j * 10L))
+    assert(far.sum.toDouble / far.size > 20.0, s"mean ${far.sum.toDouble / far.size}")
+  }
+
+  test("phash dedup gate: exactly the planted copies, all bands " +
+      "shared, and the chain finds nothing at Hamming > cap for them") {
+    val got = Multimodal.phashDedupPlanted(spark, TestSpark.sf).collect()
+    val expect = Tables.load(spark, TestSpark.sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 100 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.map(_.getLong(0)).toSeq === expect.toSeq)
+    got.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) + graft.operators.Dedup.PlantOffset)
+      assert(r.getInt(2) === 0 && r.getInt(3) === 4 && r.getBoolean(4))
+    }
+  }
 }

@@ -307,6 +307,39 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq: equals the full ADC ranking restricted to the probed " +
+      "cells, and probes exactly nProbe cells") {
+    import org.apache.spark.sql.functions._
+    // independent probe-cell ranking: centroids from the labelCentroids
+    // aggregate, cosine recomputed with a plain Scala fold
+    val cents = Similarity.labelCentroids(spark, TestSpark.sf).collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+    val q = Tables.load(spark, TestSpark.sf, "embeddings")
+      .filter(col("vec_id") === 0L).select(col("embedding")).collect()(0)
+      .getSeq[Float](0).toArray.map(_.toDouble)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val xy = a.zip(b).map { case (x, y) => x * y }.sum
+      xy / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(y => y * y).sum))
+    }
+    val probed = cents.toSeq.map { case (l, c) => (l, cos(q, c)) }
+      .sortBy { case (l, s) => (-s, l) }.take(3).map(_._1).toSet
+    assert(probed.size === 3)
+    val home = Similarity.kmeansAssign(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // full-scan ADC ranking, filtered to the probed home cells, is the
+    // expected relation (IVF pruning must not change surviving scores)
+    val full = Similarity.pqAdcTopK(spark, TestSpark.sf, k = 100000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expect = full.filter { case (id, _) => probed(home(id)) }.take(10)
+    val got = Similarity.ivfPqTopK(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.map(g => (g._1, g._3)).toSeq === expect.toSeq)
+    assert(got.forall(g => probed(g._2) && home(g._1) == g._2))
+  }
+
   test("filtered search: per-label groups complete, descending, and " +
       "consistent with the unfiltered top-1") {
     import org.apache.spark.sql.functions._

@@ -482,4 +482,40 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(3) > 0) &&
       rows.exists(r => r.getLong(3) < r.getLong(1)))
   }
+
+  test("quality PSI: bands partition both snapshots, shares sum to 1, " +
+      "contributions non-negative, total reconciles, and the " +
+      "identical-split PSI is exactly zero") {
+    val rows = graft.operators.TextAnalysis
+      .qualityPsi(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val corpus = Tables.load(spark, TestSpark.sf, "documents").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === corpus)
+    // PSI contributions are always >= 0: (p-q) and ln(p/q) share sign
+    rows.foreach { r =>
+      assert(r.getDouble(5) >= 0.0)
+      assert(r.getBoolean(6) === (r.getLong(1) == 0L || r.getLong(2) == 0L))
+    }
+    // total = decimal sum of the banded contributions (reconciliation
+    // to 1e-6: each side is a 6-decimal value, the sum is exact)
+    val total = rows.head.getDouble(7)
+    val recomputed = rows.map(r => BigDecimal(r.getDouble(5))).sum
+    assert((BigDecimal(total) - recomputed).abs < BigDecimal("0.000001"))
+    assert(rows.forall(_.getDouble(7) === total))
+    // degenerate-drift control: scoring the SAME snapshot on both sides
+    // must yield PSI 0 in every band — p == q exactly
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_psi_").toString
+    even.union(even.withColumn("doc_id", col("doc_id") + 1))
+      .write.parquet(s"$dir/documents.parquet")
+    val same = graft.operators.TextAnalysis.qualityPsi(spark, dir).collect()
+    assert(same.nonEmpty)
+    same.foreach { r =>
+      assert(r.getDouble(5) === 0.0 && !r.getBoolean(6))
+      assert(r.getDouble(7) === 0.0)
+    }
+  }
 }
