@@ -145,6 +145,8 @@ object SparkEntry {
     // AND-relevance judgments (fully oracle-expressible)
     "search_eval" -> ((s: SparkSession, d: String) => Retrieval.searchEval(s, d)),
     "vocabulary" -> ((s: SparkSession, d: String) => Retrieval.vocabulary(s, d)),
+    // Zipf-law OLS fit over the vocabulary head: slope/intercept/r2
+    "zipf_fit" -> ((s: SparkSession, d: String) => Retrieval.zipfFit(s, d)),
     "pmi_bigrams" -> ((s: SparkSession, d: String) => Retrieval.pmiBigrams(s, d)),
     "inverted_postings" -> ((s: SparkSession, d: String) => Retrieval.invertedPostings(s, d)),
     "textrank_keywords" -> ((s: SparkSession, d: String) => Retrieval.textrankKeywords(s, d)),
@@ -3159,6 +3161,37 @@ object SparkEntry {
         |   AS coverage
         | FROM r CROSS JOIN tot WHERE rnk <= 200 ORDER BY rnk"""
         .stripMargin.replace("\n", ""),
+    // Zipf fit: t6 log points over the top-100 terms, t6-floored
+    // products decimal-summed, closed-form OLS parenthesized as Spark
+    "zipf_fit" ->
+      """WITH toks AS (SELECT
+        |  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0)) AS term FROM documents),
+        | c AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+        | r AS (SELECT n,
+        |  row_number() OVER (ORDER BY n DESC, term) AS rnk FROM c),
+        | p AS (SELECT
+        |  floor(ln(CAST(rnk AS DOUBLE)) * 1000000.0)/1000000.0 AS x,
+        |  floor(ln(CAST(n AS DOUBLE)) * 1000000.0)/1000000.0 AS y
+        |  FROM r WHERE rnk <= 100),
+        | a AS (SELECT CAST(count(*) AS DOUBLE) AS m,
+        |  CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(floor(x*y*1000000.0)/1000000.0
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(floor(x*x*1000000.0)/1000000.0
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(floor(y*y*1000000.0)/1000000.0
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS syy FROM p)
+        | SELECT CAST(m AS BIGINT) AS n_terms,
+        |  floor((m*sxy - sx*sy)/(m*sxx - sx*sx) * 1000000.0)/1000000.0
+        |   AS slope,
+        |  floor((sy - ((m*sxy - sx*sy)/(m*sxx - sx*sx))*sx)/m
+        |   * 1000000.0)/1000000.0 AS intercept,
+        |  floor(((m*sxy - sx*sy)*(m*sxy - sx*sy))
+        |   / ((m*sxx - sx*sx)*(m*syy - sy*sy)) * 1000000.0)/1000000.0
+        |   AS r2
+        | FROM a""".stripMargin.replace("\n", ""),
     // PMI collocations over adjacent word pairs (support >= 5, top 50,
     // ranking on the floor-truncated score)
     "pmi_bigrams" ->

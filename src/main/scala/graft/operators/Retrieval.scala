@@ -151,6 +151,50 @@ object Retrieval {
       .orderBy("rnk")
   }
 
+  /** Zipf-law fit over the head of the token-frequency distribution —
+    * the corpus-statistics QA a dataset card reports (natural language
+    * sits near slope −1; template-heavy or machine-generated corpora
+    * bend the curve, so the fitted slope and r² are cheap generation
+    * detectors): closed-form OLS of ln(count) on ln(rank) over the top
+    * `k` terms. Head-only is standard practice (the long tail departs
+    * from the power law and drowns the fit) and the scale reason too:
+    * the rank filter prunes to k rows map-side (WindowGroupLimit), so
+    * no full-vocabulary ordering is ever materialized and the fit input
+    * is k points of metadata.
+    *
+    * Exactness: x = t6(ln rank), y = t6(ln count) are identical doubles
+    * on both engines (the tfidf log precedent); each per-point product
+    * is t6-floored then decimal-summed, and slope / intercept / r² are
+    * scalar arithmetic over those exact aggregates, parenthesized
+    * identically in the oracle. */
+  def zipfFit(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val ord = Window.orderBy(col("n").desc, col("term"))
+    val pts = counts.withColumn("rnk", row_number().over(ord))
+      .filter(col("rnk") <= k)
+      .select(Num.t6(log(col("rnk").cast("double"))).as("x"),
+        Num.t6(log(col("n").cast("double"))).as("y"))
+    val agg = pts.agg(
+      count(lit(1)).cast("double").as("m"),
+      Relational.dsum(col("x")).as("sx"),
+      Relational.dsum(col("y")).as("sy"),
+      Relational.dsum(Num.t6(col("x") * col("y"))).as("sxy"),
+      Relational.dsum(Num.t6(col("x") * col("x"))).as("sxx"),
+      Relational.dsum(Num.t6(col("y") * col("y"))).as("syy"))
+    val sl = (col("m") * col("sxy") - col("sx") * col("sy")) /
+      (col("m") * col("sxx") - col("sx") * col("sx"))
+    val r2n = (col("m") * col("sxy") - col("sx") * col("sy")) *
+      (col("m") * col("sxy") - col("sx") * col("sy"))
+    val r2d = (col("m") * col("sxx") - col("sx") * col("sx")) *
+      (col("m") * col("syy") - col("sy") * col("sy"))
+    agg.select(col("m").cast("long").as("n_terms"),
+      Num.t6(sl).as("slope"),
+      Num.t6((col("sy") - sl * col("sx")) / col("m")).as("intercept"),
+      Num.t6(r2n / r2d).as("r2"))
+  }
+
   /** Pointwise mutual information over adjacent word pairs — collocation
     * mining (PMI = ln(p(ab) / (p(a)·p(b))) with p from corpus counts).
     * Bigram and unigram tables are each one explode + one aggregate; the

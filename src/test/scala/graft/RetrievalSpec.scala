@@ -147,4 +147,37 @@ class RetrievalSpec extends AnyFunSuite {
       assert(head.head === r.getAs[Long]("first_doc"))
     }
   }
+
+  test("zipf fit matches an independent OLS over the top-100 counts " +
+      "and reports a negative power-law slope with sane r2") {
+    val row = Retrieval.zipfFit(spark, sf).collect().head
+    // independent reference: collect counts, rank, plain-double OLS
+    val counts = Tables.load(spark, sf, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }.take(100)
+    assert(row.getLong(0) === counts.length.toLong,
+      "fit must cover min(k, vocabulary size) points")
+    val pts = counts.zipWithIndex.map { case ((_, n), i) =>
+      (math.log((i + 1).toDouble), math.log(n.toDouble))
+    }
+    val m = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    val icpt = (sy - slope * sx) / m
+    val r2 = (m * sxy - sx * sy) * (m * sxy - sx * sy) /
+      ((m * sxx - sx * sx) * (m * syy - sy * sy))
+    // the operator floors per-point t6 terms; the reference uses raw
+    // doubles, so agreement is to the flooring granularity, not exact
+    assert(math.abs(row.getDouble(1) - slope) < 1e-3, s"slope ${row.getDouble(1)} vs $slope")
+    assert(math.abs(row.getDouble(2) - icpt) < 1e-3)
+    assert(math.abs(row.getDouble(3) - r2) < 1e-3)
+    assert(row.getDouble(1) < -0.1 && row.getDouble(1) > -3.0)
+    assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
+  }
 }
