@@ -245,6 +245,10 @@ object SparkEntry {
     // cells, ADC ranks 12-bit codes inside them — fully oracle-expressible
     "ann_ivfpq_topk" -> ((s: SparkSession, d: String) =>
       Similarity.ivfPqTopK(s, d)),
+    // materialized IVF-PQ: codes stored cell=-partitioned (no embedding
+    // column in the index), probe partition-pruned — same oracle
+    "ann_ivfpq_indexed" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqIndexed(s, d)),
     "ann_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.filteredTopK(s, d)),
     "length_percentiles" -> (TextAnalysis.lengthPercentiles _),
     "search_docs" -> ((s: SparkSession, d: String) => Similarity.searchDocs(s, d)),
@@ -631,6 +635,9 @@ object SparkEntry {
     // the Bloom prefilter lane shares decontaminate's exact contract —
     // the filter only reorders work, never changes the answer
     ("bloom_decontaminate" -> oracleSqlBase("decontaminate")) +
+    // the materialized IVF-PQ index must return EXACTLY the in-memory
+    // compose's relation — build/store/probe is semantics-preserving
+    ("ann_ivfpq_indexed" -> oracleSqlBase("ann_ivfpq_topk")) +
     // the confusion matrix aggregates the lang_id oracle's own relation
     ("lang_confusion" -> ("WITH pred AS (" + oracleSqlBase("lang_id") +
       """) SELECT lang_labeled, lang_pred, count(*) AS n,

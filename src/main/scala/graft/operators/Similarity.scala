@@ -335,16 +335,12 @@ object Similarity {
     * never reads the embedding column of a database vector; the top-k is
     * TakeOrderedAndProject. Driver-side state is cells + codebooks —
     * model metadata, never corpus. */
-  def ivfPqTopK(s: SparkSession, dir: String, queryId: Long = 0L,
-      k: Int = 10, nProbe: Int = 3): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val cents = collectCentroids(labelCentroids(s, dir), "label")
-    val cb = pqCodebooks(s, dir)
-    val q = emb.filter(col("vec_id") === queryId)
-      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
-    // driver-side probe-cell ranking over k rows of centroid metadata —
-    // same accumulation order as the CosineSim expression and the
-    // oracle's list_dot_product fold, so probe choice agrees bit-for-bit
+  /** Driver-side probe-cell ranking over k rows of centroid metadata —
+    * same accumulation order as the CosineSim expression and the
+    * oracle's list_dot_product fold, so probe choice agrees bit-for-bit
+    * with both. */
+  private def pqProbeCells(q: Array[Float],
+      cents: Array[(Int, Array[Double])], nProbe: Int): Seq[Int] = {
     def cosQ(c: Array[Double]): Double = {
       var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
       while (i < q.length) {
@@ -353,16 +349,43 @@ object Similarity {
       }
       xy / (math.sqrt(xx) * math.sqrt(yy))
     }
-    val probed: Seq[Int] = cents.map { case (cl, c) => (cl, cosQ(c)) }
+    cents.map { case (cl, c) => (cl, cosQ(c)) }
       .sortBy { case (cl, sim) => (-sim, cl) }
       .take(nProbe).map(_._1).toSeq
-    val qd = q.map(_.toDouble)
+  }
+
+  /** Per-subspace best-code select expressions over materialized
+    * `s0..s3` subvector columns (argmin squared-L2, ties toward the
+    * smaller code — [[pqCodes]]' encoding, shared verbatim). */
+  private def pqBestCodeCols(cb: Array[Array[Array[Double]]]): Seq[Column] =
+    (0 until PqM).map { j =>
+      array_sort(array((0 until PqK).map { c =>
+        struct(sqDist(col(s"s$j"), cb(j)(c)).as("d"), lit(c).as("code"))
+      }: _*)).getItem(0).getField("code").as(s"c$j")
+    }
+
+  /** ADC distance of the literal query against code columns `c0..c3` —
+    * [[pqAdcTopK]]'s code-selected sum, shared verbatim. */
+  private def pqAdcCol(cb: Array[Array[Array[Double]]],
+      qd: Array[Double]): Column = {
     def adc(j: Int, codeCol: Column): Column = {
       val qSub = qd.slice(j * PqSub, (j + 1) * PqSub)
       (0 until PqK).foldLeft(lit(0.0)) { (acc, c) =>
         when(codeCol === c, sqDist(typedlit(qSub), cb(j)(c))).otherwise(acc)
       }
     }
+    adc(0, col("c0")) + adc(1, col("c1")) +
+      adc(2, col("c2")) + adc(3, col("c3"))
+  }
+
+  def ivfPqTopK(s: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, nProbe: Int = 3): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = collectCentroids(labelCentroids(s, dir), "label")
+    val cb = pqCodebooks(s, dir)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    val probed = pqProbeCells(q, cents, nProbe)
     val withCell = emb
       .select(col("vec_id"), col("embedding"),
         argmaxOver(cents).getField("cluster").as("cell"))
@@ -370,17 +393,90 @@ object Similarity {
     val withSubs = (0 until PqM).foldLeft(withCell) { (df, j) =>
       df.withColumn(s"s$j", slice(col("embedding"), j * PqSub + 1, PqSub))
     }
-    val coded = withSubs.select(col("vec_id") +: col("cell") +:
-      (0 until PqM).map { j =>
-        array_sort(array((0 until PqK).map { c =>
-          struct(sqDist(col(s"s$j"), cb(j)(c)).as("d"), lit(c).as("code"))
-        }: _*)).getItem(0).getField("code").as(s"c$j")
-      }: _*)
+    val coded = withSubs.select(
+      col("vec_id") +: col("cell") +: pqBestCodeCols(cb): _*)
     coded.select(col("vec_id"), col("cell"),
-      Num.t6(adc(0, col("c0")) + adc(1, col("c1"))
-        + adc(2, col("c2")) + adc(3, col("c3"))).as("adc_dist"))
+      Num.t6(pqAdcCol(cb, q.map(_.toDouble))).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vec_id"))
       .limit(k)
+  }
+
+  /** The materialized IVF-PQ index lifecycle — build + store + probe as
+    * one contract query, value-checked against the SAME oracle as the
+    * in-memory [[ivfPqTopK]] (the relation must be identical, so the
+    * whole build/store/read chain is semantics-preserving by hash
+    * equality, the ann_ivf_compact discipline):
+    *
+    *  - BUILD: one corpus scan computes (home cell, 4 PQ codes) and
+    *    writes hive `cell=`-partitioned parquet. The embedding column is
+    *    NOT stored — the index payload is 12 bits of code + the id per
+    *    vector, the ~170× memory reduction that lets a billion-vector
+    *    index live on a handful of machines (Jégou et al. '11).
+    *  - PROBE: rank the centroid metadata driver-side, read ONLY the
+    *    `nProbe` probed `cell=` partitions (partition pruning by layout —
+    *    spec-asserted `selectedPartitions == nProbe`), ADC-rank the
+    *    stored codes, top-k. No embedding is touched at probe time.
+    *
+    * The scratch index is deleted before the query returns (the
+    * [[ivfIndexedPlanted]] lifecycle discipline); the returned k-row
+    * relation is collected first — k rows, not corpus. */
+  /** BUILD half: one corpus scan computes (home cell, 4 PQ codes) and
+    * writes hive `cell=`-partitioned parquet at `indexPath/codes`. The
+    * embedding column is NOT stored. */
+  def writeIvfPqIndex(s: SparkSession, dir: String,
+      indexPath: String): Unit = {
+    val emb = t(s, dir, "embeddings")
+    val cents = collectCentroids(labelCentroids(s, dir), "label")
+    val cb = pqCodebooks(s, dir)
+    val withSubs = (0 until PqM).foldLeft(emb) { (df, j) =>
+      df.withColumn(s"s$j", slice(col("embedding"), j * PqSub + 1, PqSub))
+    }
+    withSubs.select(
+      col("vec_id") +: argmaxOver(cents).getField("cluster").as("cell") +:
+        pqBestCodeCols(cb): _*)
+      .repartition(col("cell")) // one writer task per cell
+      .write.mode("overwrite").partitionBy("cell")
+      .option("compression", "zstd").parquet(s"$indexPath/codes")
+  }
+
+  /** PROBE half: rank the centroid metadata driver-side, read ONLY the
+    * `nProbe` probed `cell=` partitions (partition pruning by layout —
+    * spec-asserted `selectedPartitions == nProbe`), ADC-rank the stored
+    * codes, top-k. No embedding is touched at probe time. */
+  def ivfPqProbeIndexed(s: SparkSession, dir: String, indexPath: String,
+      queryId: Long = 0L, k: Int = 10, nProbe: Int = 3): DataFrame = {
+    val cents = collectCentroids(labelCentroids(s, dir), "label")
+    val cb = pqCodebooks(s, dir)
+    val q = t(s, dir, "embeddings").filter(col("vec_id") === queryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    val probed = pqProbeCells(q, cents, nProbe)
+    s.read.parquet(s"$indexPath/codes")
+      .filter(col("cell").isin(probed: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        Num.t6(pqAdcCol(cb, q.map(_.toDouble))).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** [[writeIvfPqIndex]] + [[ivfPqProbeIndexed]] composed with a scratch
+    * lifecycle (the [[ivfIndexedPlanted]] discipline: the k-row result
+    * is collected, then the index is deleted before the query returns). */
+  def ivfPqIndexed(s: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, nProbe: Int = 3): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft-ivfpq-")
+    try {
+      writeIvfPqIndex(s, dir, scratch.toString)
+      val topk = ivfPqProbeIndexed(s, dir, scratch.toString, queryId,
+        k, nProbe).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      import s.implicits._
+      topk.toSeq.toDF("vec_id", "cell", "adc_dist")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(pp => java.nio.file.Files.deleteIfExists(pp))
+    }
   }
 
   /** Exact top-k cosine neighbors of one stored vector (default query:

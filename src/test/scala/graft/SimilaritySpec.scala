@@ -340,6 +340,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.forall(g => probed(g._2) && home(g._1) == g._2))
   }
 
+  test("materialized IVF-PQ index: no embedding column stored, probe " +
+      "prunes to nProbe cell partitions, result equals the in-memory " +
+      "compose") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+    Similarity.writeIvfPqIndex(spark, TestSpark.sf, idx)
+    // the index stores ids + codes + the cell partition key ONLY — the
+    // 12-bits-per-vector payload that makes billion-vector ANN fit RAM
+    val stored = spark.read.parquet(s"$idx/codes")
+    assert(stored.columns.sorted.toSeq ===
+      Seq("c0", "c1", "c2", "c3", "cell", "vec_id"))
+    val probe = Similarity.ivfPqProbeIndexed(spark, TestSpark.sf, idx)
+    val rows = probe.collect()
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount === 3,
+      s"expected 3 selected cell partitions, got " +
+        s"${scans.head.selectedPartitions.partitionCount}")
+    val mem = Similarity.ivfPqTopK(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .toSeq === mem.toSeq)
+  }
+
   test("filtered search: per-label groups complete, descending, and " +
       "consistent with the unfiltered top-1") {
     import org.apache.spark.sql.functions._
