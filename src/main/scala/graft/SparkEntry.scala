@@ -211,6 +211,9 @@ object SparkEntry {
     "embed_quantize" -> (Curation.embedQuantize _),
     // -- deduplication (documents) --
     "dedup_exact_groups" -> (Dedup.exactGroups _),
+    // provenance dup matrix: digest pairs per ordered source pair
+    "dedup_cross_source" -> ((s: SparkSession, d: String) =>
+      Dedup.crossSourceDups(s, d)),
     "dedup_exact" -> (Dedup.exactDedup _),
     // planted variants (round-3 embed_neardup pattern): identical copies
     // planted at doc_id+1e6 give each near-dup pipeline a closed-form,
@@ -236,6 +239,9 @@ object SparkEntry {
     "embed_norms" -> (Similarity.norms _),
     "label_centroids" -> (Similarity.labelCentroids _),
     "kmeans_assign" -> (Similarity.kmeansAssign _),
+    // centered covariance matvec: one power-iteration step (PCA/ABTT)
+    "embed_power_iter" -> ((s: SparkSession, d: String) =>
+      Similarity.powerIterStep(s, d)),
     "kmeans_step" -> (Similarity.kmeansStep _),
     "kmeans_iterate" -> ((s: SparkSession, d: String) =>
       Similarity.kmeansIterate(s, d, rounds = 2)),
@@ -1528,6 +1534,27 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies FROM documents
         | GROUP BY md5(text) ORDER BY text_hash""".stripMargin.replace("\n", ""),
+    // cross-source dup matrix: same plant (docs ≡ 11 mod 50 copied into
+    // src0), digest self-join with ordered-pair filter, group-size cap
+    // vacuous at these SFs but replayed for parity
+    "dedup_cross_source" ->
+      """WITH base AS (
+        | SELECT doc_id, source, md5(text) AS h FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000 AS doc_id, 'src0' AS source,
+        |  md5(text) AS h FROM documents WHERE doc_id % 50 = 11),
+        | sized AS (SELECT doc_id, source, h FROM (
+        |  SELECT doc_id, source, h,
+        |   count(*) OVER (PARTITION BY h) AS gsz FROM base)
+        |  WHERE gsz <= 1000)
+        | SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT a.h) AS BIGINT) AS n_groups
+        | FROM sized a JOIN sized b ON a.h = b.h
+        | WHERE a.source < b.source
+        |  OR (a.source = b.source AND a.doc_id < b.doc_id)
+        | GROUP BY source_a, source_b
+        | ORDER BY source_a, source_b""".stripMargin.replace("\n", ""),
     "dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         | WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
@@ -2008,6 +2035,35 @@ object SparkEntry {
         | TRUE AS agrees_rebuild
         | FROM (SELECT unnest(range(0, 5)) AS q_id)
         | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    // power-iteration step: t6 global mean centering, per-row scalar
+    // projection against the uniform unit v0, t6 contributions
+    // decimal-summed per component, scalar norm + normalization
+    "embed_power_iter" ->
+      """WITH mu AS (SELECT i AS pos,
+        |  floor(CAST(sum(CAST(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+        |    AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 1000000.0)/1000000.0 AS c
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i) GROUP BY i),
+        | mv AS (SELECT list(c ORDER BY pos) AS m FROM mu),
+        | sp AS (SELECT e.embedding, m,
+        |  list_dot_product(
+        |   list_transform(range(1, 65),
+        |    i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |       - m[CAST(i AS INTEGER)]),
+        |   list_transform(range(1, 65), i -> 0.125)) AS s
+        |  FROM embeddings e CROSS JOIN mv),
+        | contrib AS (SELECT i AS pos,
+        |  floor((CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+        |    - m[CAST(i + 1 AS INTEGER)]) * s * 1000000.0)/1000000.0 AS ct
+        |  FROM sp, (SELECT unnest(range(0, 64)) AS i)),
+        | yt AS (SELECT pos,
+        |  CAST(sum(CAST(ct AS DECIMAL(28,6))) AS DOUBLE) AS y
+        |  FROM contrib GROUP BY pos),
+        | nn AS (SELECT CAST(sum(CAST(floor(y*y*1000000.0)/1000000.0
+        |   AS DECIMAL(28,6))) AS DOUBLE) AS n2 FROM yt)
+        | SELECT CAST(pos AS INTEGER) AS pos, y,
+        |  floor(y / sqrt(n2) * 1000000.0)/1000000.0 AS v1,
+        |  floor(sqrt(n2) * 1000000.0)/1000000.0 AS matvec_norm
+        | FROM yt CROSS JOIN nn ORDER BY pos""".stripMargin.replace("\n", ""),
     // Lloyd update step: re-average vectors into their ASSIGNED cluster
     // (assignment replayed from the same warm-start centroids), exact
     // decimal means per component plus member counts

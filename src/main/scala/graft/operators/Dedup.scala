@@ -59,6 +59,45 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-source duplication matrix — the provenance diagnostic behind
+    * source weighting (two crawls mirroring each other inflate their
+    * combined mixture weight; the matrix shows exactly which source
+    * pairs share content and how much): exact-duplicate pairs keyed by
+    * content digest, aggregated per ordered source pair (diagonal =
+    * within-source duplication). The synthetic corpus has no natural
+    * exact pair, so copies of every doc_id ≡ 11 (mod 50) are planted
+    * into source `src0` (the decontaminate discipline: the oracle
+    * replays the same plant, so counts stay data-derived, not assumed).
+    *
+    * Scale shape: one digest-keyed shuffle; the group-size cap bounds
+    * the pair fan-out exactly as [[minhashCandidates]]' bucket cap
+    * (mega-clusters belong to [[exactGroups]], not a pair matrix); the
+    * final aggregate is keyed on the bounded source-pair space. */
+  def crossSourceDups(s: SparkSession, dir: String,
+      maxGroup: Int = 1000): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val planted = t(s, dir, "documents")
+      .filter(col("doc_id") % 50 === 11)
+      .select((col("doc_id") + PlantOffset).as("doc_id"),
+        lit("src0").as("source"), md5(col("text")).as("h"))
+    val sized = base.unionByName(planted)
+      .withColumn("gsz", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("gsz") <= maxGroup)
+      .drop("gsz")
+    val a = sized.select(col("h"), col("source").as("source_a"),
+      col("doc_id").as("doc_a"))
+    val b = sized.select(col("h"), col("source").as("source_b"),
+      col("doc_id").as("doc_b"))
+    a.join(b, Seq("h"))
+      .filter(col("source_a") < col("source_b") ||
+        (col("source_a") === col("source_b") && col("doc_a") < col("doc_b")))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("h")).as("n_groups"))
+      .orderBy("source_a", "source_b")
+  }
+
   // ---- MinHash + LSH ----
 
   /** (doc_id, band, bucket) rows — the LSH index. Only 16 longs per doc

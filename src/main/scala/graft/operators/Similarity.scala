@@ -67,6 +67,56 @@ object Similarity {
           .cast("double") / count(lit(1))).as("c"))
       .orderBy("label", "pos")
 
+  /** One centered power-iteration step toward the corpus covariance's
+    * top eigenvector — the distributed-matvec primitive behind PCA,
+    * whitening, and all-but-the-top-component embedding post-processing
+    * (Mu & Viswanath '18): with μ the exact per-component decimal mean
+    * and v₀ a fixed unit start vector, emit y = Σₙ (xₙ−μ)((xₙ−μ)·v₀)
+    * (which is (N·Σ)·v₀ without ever forming Σ), its norm, and the
+    * normalized next iterate v₁.
+    *
+    * Scale shape: the covariance matrix is never materialized — a d×d
+    * Gram is d² shuffle entries per block, while the matvec form ships
+    * ONE scalar projection per row into a d-keyed aggregate (the
+    * labelCentroids shuffle class: d rows of partial sums, never
+    * vectors). μ rides as a literal — d doubles of driver metadata,
+    * t6-floored so both engines center on identical values; per-row
+    * contributions are t6-floored then decimal-summed
+    * (partitioning-invariant); norm + normalization are scalar
+    * arithmetic over the d-row aggregate. Iterating just repeats this
+    * step with v₁ re-inlined (the kmeansIterate chain discipline). */
+  def powerIterStep(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val mu = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(Num.t6(sum(col("v").cast("double")
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .cast("double") / count(lit(1))).as("c"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val v0 = Array.fill(mu.length)(0.125) // uniform unit vector at d=64
+    val centered = zip_with(col("embedding"), typedlit(mu),
+      (x, m) => x.cast("double") - m)
+    val proj = aggregate(zip_with(centered, typedlit(v0), (c, w) => c * w),
+      lit(0.0), (acc, p) => acc + p)
+    val y = emb
+      .select(proj.as("sp"), col("embedding"))
+      .select(col("sp"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos"),
+        Num.t6((col("v").cast("double")
+          - element_at(typedlit(mu), col("pos") + 1)) * col("sp"))
+          .as("ct"))
+      .groupBy(col("pos"))
+      .agg(Relational.dsum(col("ct")).as("y"))
+    val n2 = y.agg(
+      Relational.dsum(Num.t6(col("y") * col("y"))).as("n2"))
+    y.crossJoin(broadcast(n2))
+      .select(col("pos"), col("y"),
+        Num.t6(col("y") / sqrt(col("n2"))).as("v1"),
+        Num.t6(sqrt(col("n2"))).as("matvec_norm"))
+      .orderBy("pos")
+  }
+
   /** Pairwise semantic similarity between SOURCES — the data-mixing
     * diagnostic behind domain weights (two sources whose centroids sit
     * at cosine ~1 are near-redundant; a far-out source is the diversity

@@ -376,4 +376,27 @@ class DedupSpec extends AnyFunSuite {
     assert(nCand < nAll / 10,
       s"candidates must be <10% of all-pairs, got $nCand of $nAll ($frac)")
   }
+
+  test("cross-source dup matrix equals an independent recount of the " +
+      "planted construction") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val all = docs ++ docs.filter(_._1 % 50 == 11)
+      .map { case (id, _, h) => (id + Dedup.PlantOffset, "src0", h) }
+    val byHash = all.groupBy(_._3).values.filter(_.length > 1).toSeq
+    val expect = byHash.flatMap { g =>
+      for {
+        a <- g.toSeq; b <- g.toSeq
+        if a._2 < b._2 || (a._2 == b._2 && a._1 < b._1)
+      } yield ((a._2, b._2), a._3)
+    }.groupBy(_._1)
+      .map { case (k, vs) => k -> ((vs.size.toLong, vs.map(_._2).distinct.size.toLong)) }
+    val got = Dedup.crossSourceDups(spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty, "the plant must create at least one pair")
+  }
 }

@@ -455,6 +455,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("power iteration step: matches an independent driver-side " +
+      "matvec, v1 is unit, and the norm reconciles") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.powerIterStep(spark, TestSpark.sf).collect()
+      .sortBy(_.getInt(0))
+    val d = rows.length
+    assert(d === 64)
+    // independent reference on raw doubles (the operator floors per-row
+    // t6 contributions, so agreement is to flooring granularity: N rows
+    // of <=1e-6 floor error per component)
+    val xs = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val tol = xs.length * 1e-6 + 1e-9
+    // centering values replicate the operator's decimal-mean exactly:
+    // per-value HALF_UP truncation to 6 decimals (Spark's decimal
+    // cast), exact sum, double division, t6 floor
+    val mu = Array.tabulate(d) { i =>
+      val s = xs.map(x => BigDecimal(x(i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      math.floor(s.toDouble / xs.length * 1e6) / 1e6
+    }
+    val v0 = Array.fill(d)(0.125)
+    val y = Array.fill(d)(0.0)
+    xs.foreach { x =>
+      val sProj = (0 until d).map(i => (x(i) - mu(i)) * v0(i)).sum
+      (0 until d).foreach(i => y(i) += (x(i) - mu(i)) * sProj)
+    }
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - y(r.getInt(0))) < tol,
+        s"pos ${r.getInt(0)}: ${r.getDouble(1)} vs ${y(r.getInt(0))}")
+    }
+    // v1 is (numerically) unit norm and parallel to y
+    val v1n = math.sqrt(rows.map(r => r.getDouble(2) * r.getDouble(2)).sum)
+    assert(math.abs(v1n - 1.0) < 1e-4, s"|v1| = $v1n")
+    val norm = rows.head.getDouble(3)
+    assert(rows.forall(_.getDouble(3) === norm))
+    val yn = math.sqrt(rows.map(r => r.getDouble(1) * r.getDouble(1)).sum)
+    assert(math.abs(norm - yn) < 1e-4)
+  }
+
   test("kmeans step: membership accounting matches the assignment") {
     val emb = Tables.load(spark, TestSpark.sf, "embeddings")
     val step = Similarity.kmeansStep(spark, TestSpark.sf).collect()
