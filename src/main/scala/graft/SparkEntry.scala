@@ -154,6 +154,9 @@ object SparkEntry {
     // exact heavy hitters + count-min-sketch accuracy gate
     "top_ngrams" -> ((s: SparkSession, d: String) => graft.operators.Sketches.topNgrams(s, d)),
     "cms_gate" -> ((s: SparkSession, d: String) => graft.operators.Sketches.cmsHeavyHittersGate(s, d)),
+    // HLL mergeability: union of half-sketches == whole-corpus sketch
+    "hll_merge_gate" -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.hllMergeGate(s, d)),
     // asymmetric containment (quote/superset detection): planted A+A
     // pairs, oracle recomputes shingle containment in SQL
     "containment_pairs" -> ((s: SparkSession, d: String) => Dedup.containmentPlanted(s, d)),
@@ -197,6 +200,8 @@ object SparkEntry {
     "pack_stats" -> ((s: SparkSession, d: String) => Curation.packStats(s, d)),
     // k-anonymity audit over (lang, source, length-bucket)
     "k_anonymity" -> ((s: SparkSession, d: String) => Curation.kAnonymity(s, d)),
+    // DP count release: deterministic md5-seeded Laplace noise
+    "dp_release" -> ((s: SparkSession, d: String) => Curation.dpRelease(s, d)),
     // language-ID QA: (declared, predicted) confusion matrix + row shares
     "lang_confusion" -> ((s: SparkSession, d: String) =>
       TextAnalysis.langConfusion(s, d)),
@@ -2599,6 +2604,20 @@ object SparkEntry {
         | count(*) AS n, count(*) < 5 AS at_risk
         | FROM documents GROUP BY 1, 2, 3
         | ORDER BY lang, source, len_bucket""".stripMargin.replace("\n", ""),
+    // DP release: md5-seeded uniform -> inverse-CDF Laplace, noise
+    // t6-floored then added to the integer count
+    "dp_release" ->
+      """SELECT lang, source, count(*) AS n,
+        | floor((-1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))
+        |  * 1000000.0)/1000000.0 AS noise,
+        | count(*) + floor((-1.0) * sign(u - 0.5)
+        |  * ln(1.0 - 2.0 * abs(u - 0.5)) * 1000000.0)/1000000.0 AS n_noisy
+        | FROM (SELECT lang, source,
+        |  (CAST(CAST('0x' || substring(md5(lang || '|' || source), 1, 8)
+        |    AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+        |  FROM documents)
+        | GROUP BY lang, source, u ORDER BY lang, source"""
+        .stripMargin.replace("\n", ""),
     // planted near-dup gates: each pipeline must recover every planted
     // identical copy exactly (Jaccard 1.0 / Hamming 0); dedup must return
     // precisely the original corpus (threshold 0.99 sits above the
@@ -3336,6 +3355,15 @@ object SparkEntry {
         |  row_number() OVER (ORDER BY n DESC, gram) AS rnk FROM c)
         | SELECT gram, true AS dominates, true AS within_eps
         | FROM r WHERE rnk <= 25 ORDER BY gram""".stripMargin.replace("\n", ""),
+    // HLL mergeability gate: union of half-sketches must equal the
+    // whole-corpus sketch (identical registers), estimate within bound
+    "hll_merge_gate" ->
+      """SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_exact,
+        | TRUE AS merge_consistent, TRUE AS within_bound
+        | FROM (SELECT
+        |  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |   t -> length(t) > 0)) AS term FROM documents)"""
+        .stripMargin.replace("\n", ""),
     // inverted-index postings for a fixed term set: df + bounded sorted
     // posting-list head (comma-joined, renderer-independent)
     "inverted_postings" ->

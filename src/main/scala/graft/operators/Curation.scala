@@ -634,6 +634,39 @@ object Curation {
         (col("n") < k).as("at_risk"))
       .orderBy("lang", "source", "len_bucket")
 
+  /** Differentially-private count release over the (lang, source)
+    * marginal — the publication mechanism k-anonymity's audit gates:
+    * each true group count is perturbed with Laplace(1/ε) noise via the
+    * inverse-CDF transform, and only the noisy count would leave the
+    * boundary (the true count is emitted here because the query IS the
+    * mechanism's test — the oracle must check the noise arithmetic,
+    * not trust it).
+    *
+    * Determinism without an RNG: the uniform draw is derived from the
+    * md5 of the group key (the hashSample discipline — seeded,
+    * engine-portable, identical on any cluster layout): u = (first 8
+    * hex digits + 0.5) / 2³², never exactly 0 or 1, so
+    * ln(1 − 2|u − ½|) is always finite; noise =
+    * −(1/ε)·sign(u−½)·ln(1−2|u−½|). Scale shape: one aggregate on the
+    * bounded group space, then group-count-sized arithmetic. A real
+    * release recomputes the draw from a private seed; the mechanism,
+    * sensitivity-1 count, and ε accounting are exactly this shape. */
+  def dpRelease(s: SparkSession, dir: String,
+      epsilon: Double = 1.0): DataFrame = {
+    val h = md5(concat(col("lang"), lit("|"), col("source")))
+    val u = (conv(substring(h, 1, 8), 16, 10).cast("long").cast("double")
+      + lit(0.5)) / lit(4294967296.0)
+    val noise = Num.t6(lit(-1.0 / epsilon) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))))
+    t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("source"), col("n"),
+        noise.as("noise"),
+        (col("n") + noise).as("n_noisy"))
+      .orderBy("lang", "source")
+  }
+
   /** Document chunking: overlapping fixed-size token windows (size 32,
     * stride 16) per document — the preprocessing step that feeds an
     * embedding model or a context-window trainer. Emits the md5 of each

@@ -67,6 +67,41 @@ object Sketches {
     *
     * Aggregation-side skew needs no salting in Spark: map-side partial
     * aggregation already collapses hot keys before the shuffle. */
+  /** HLL sketch MERGEABILITY gate — the property that makes sketches
+    * distributed-correct at all (a 1000-executor count-distinct works
+    * because per-partition sketches union into exactly the sketch of
+    * the whole; without it, approximate aggregation would not compose):
+    * sketch the even-doc_id half and the odd half separately
+    * (Datasketches HLL via Spark's native `hll_sketch_agg`), union the
+    * two binary sketches (`hll_union`), and compare the merged estimate
+    * to sketching the whole corpus in one pass. HLL register merge is a
+    * per-register max, so the merged registers are IDENTICAL to the
+    * whole-corpus registers and the estimates must agree exactly —
+    * `merge_consistent` is closed-form TRUE, and `within_bound` checks
+    * the estimate against the exact distinct count at HLL's error bound
+    * (lgK=12 ⇒ ~1.6% σ; 5% is > 3σ). Only the booleans and the exact
+    * count are emitted — the driver's oracle cannot replay Datasketches
+    * internals, and doesn't need to: a broken union or estimator flips
+    * a boolean and fails the hash. */
+  def hllMergeGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"),
+        (col("doc_id") % 2 === 0).as("even"))
+    val halves = docs.groupBy(col("even"))
+      .agg(hll_sketch_agg(col("term"), lit(12)).as("sk"))
+    val merged = halves.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    val whole = docs.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("term"), lit(12)))
+        .as("est_whole"),
+      countDistinct(col("term")).as("n_exact"))
+    whole.crossJoin(merged)
+      .select(col("n_exact"),
+        (col("est_whole") === col("est_merged")).as("merge_consistent"),
+        (abs(col("est_whole") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double") < 0.05).as("within_bound"))
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int = 8, forceShuffle: Boolean = false): DataFrame = {
     val saltedBig = big.withColumn("__salt",

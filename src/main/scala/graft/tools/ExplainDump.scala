@@ -38,7 +38,15 @@ object ExplainDump {
     // table while building; stream_neardup excluded: runs a stream)
     "stratified_sample", "token_budget", "rouge_recall", "edit_verify",
     "quality_calibration", "source_datasheet", "minhash_est_gate",
-    "zorder_stats", "skew_audit")
+    "zorder_stats", "skew_audit",
+    // round 8 (index-building lifecycles excluded: ann_ivfpq_indexed /
+    // ann_ivf_compact / bpe_coverage execute while building; the
+    // centroid/codebook collects of the included ones are the
+    // kmeans_assign precedent)
+    "random_projection", "ann_rp_planted", "lang_confusion",
+    "source_similarity", "pack_stats", "k_anonymity",
+    "ann_ivfpq_topk", "compaction_plan", "mm_phash_dedup",
+    "quality_psi", "zipf_fit", "dedup_cross_source", "embed_power_iter")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -517,4 +517,29 @@ class CurationSpec extends AnyFunSuite {
       assert(codes.exists(c => math.abs(c) === 127))
     }
   }
+
+  test("dp release: noise replays the md5-seeded inverse-CDF Laplace " +
+      "draw exactly, reconciles into n_noisy, and is calibrated") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.dpRelease(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lang, source, n, noise, noisy) = (r.getString(0),
+        r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      // independent draw replay: same md5 prefix, same transform
+      val hex = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"$lang|$source").substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
+        4294967296.0
+      val expect = math.floor(-1.0 * math.signum(u - 0.5) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5)) * 1e6) / 1e6
+      assert(noise === expect, s"$lang/$source noise $noise != $expect")
+      assert(noisy === n + noise)
+    }
+    // Laplace(b=1) calibration: mean |noise| concentrates near b
+    val meanAbs = rows.map(r => math.abs(r.getDouble(3))).sum / rows.length
+    assert(meanAbs > 0.2 && meanAbs < 3.0, s"mean |noise| $meanAbs")
+    // the draw must actually vary across groups (not a constant)
+    assert(rows.map(_.getDouble(3)).distinct.length > 1)
+  }
 }

@@ -102,4 +102,32 @@ class SketchSpec extends AnyFunSuite {
       .head().getSeq[String](0)
     assert(short.isEmpty, "below n tokens -> no grams")
   }
+
+  test("hll merge gate: booleans hold, n_exact reconciles, and the " +
+      "union is split-invariant (3-way == 2-way == whole)") {
+    import org.apache.spark.sql.functions._
+    val row = graft.operators.Sketches.hllMergeGate(spark, TestSpark.sf)
+      .head()
+    assert(row.getBoolean(1), "merged estimate must equal whole-corpus")
+    assert(row.getBoolean(2), "estimate must sit within the HLL bound")
+    val exact = Tables.load(spark, TestSpark.sf, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("term"))
+      .agg(countDistinct(col("term"))).head().getLong(0)
+    assert(row.getLong(0) === exact)
+    // mergeability is associative: a 3-way split unions to the same
+    // estimate as the whole-corpus sketch too
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("term"))
+    val whole = docs
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("term"), lit(12))))
+      .head().getLong(0)
+    val threeWay = docs.groupBy(col("doc_id") % 3)
+      .agg(hll_sketch_agg(col("term"), lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .head().getLong(0)
+    assert(threeWay === whole)
+  }
 }
