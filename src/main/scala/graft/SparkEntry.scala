@@ -86,6 +86,8 @@ object SparkEntry {
     "above_nation_avg" -> (RelationalExt.aboveNationAvg _),
     // -- sessionization / as-of / JSON / pivot / stats / string-agg --
     "sessionize" -> (RelationalMore.sessionize _),
+    // SCD2: change-log -> versioned dimension rows with validity intervals
+    "scd2_history" -> (RelationalMore.scd2History _),
     "range_join_binned" -> ((s: SparkSession, d: String) =>
       RelationalMore.rangeJoinBinned(s, d)),
     "asof_latest" -> (RelationalMore.asofLatest _),
@@ -1122,6 +1124,26 @@ object SparkEntry {
         |   FROM events))
         | GROUP BY user_id, session_idx
         | ORDER BY user_id, session_idx""".stripMargin.replace("\n", ""),
+    // SCD2 reconstruction: change flag + running version, collapse to
+    // (user, version), close intervals with lead(valid_from)
+    "scd2_history" ->
+      """WITH v AS (SELECT user_id, event_id, ts, event_type,
+        |  CAST(sum(CASE WHEN prev IS NULL OR event_type <> prev
+        |    THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS INTEGER) AS version
+        | FROM (SELECT user_id, event_id, ts, event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev FROM events)),
+        | p AS (SELECT user_id, version, min(event_type) AS event_type,
+        |   min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM v GROUP BY user_id, version)
+        | SELECT user_id, version, event_type, valid_from, n_events,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |   AS valid_to,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |   IS NULL AS is_current
+        | FROM p ORDER BY user_id, version""".stripMargin.replace("\n", ""),
     "asof_latest" ->
       """SELECT user_id, event_id, event_type, value FROM (
         | SELECT user_id, event_id, event_type, value,

@@ -77,6 +77,42 @@ object RelationalMore {
       .orderBy("user_id", "session_idx")
   }
 
+  /** SCD type-2 history reconstruction — the warehouse pattern that
+    * turns an append-only change log into versioned dimension rows with
+    * validity intervals: consecutive events carrying the SAME value
+    * collapse into one version (only CHANGES open a new one), each
+    * version gets `[valid_from, valid_to)` from its first event and the
+    * next version's start, and the open version is flagged current.
+    * Here the tracked attribute is the user's event_type (the log
+    * stand-in for any dimension attribute feed).
+    *
+    * Scale shape: the change-flag + running-sum pair and the
+    * interval-closing lead all run in windows partitioned by user_id —
+    * entity-bounded, never global — and the version collapse is one
+    * aggregate on (user, version); one shuffle on user_id serves all
+    * three (the sessionize plan class). */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("event_type"), 1).over(byUser)
+    val chg = when(prev.isNull || col("event_type") =!= prev, 1)
+      .otherwise(0)
+    val versioned = t(s, dir, "events")
+      .withColumn("version",
+        sum(chg).over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).cast("int"))
+    val byUserV = Window.partitionBy(col("user_id"))
+      .orderBy(col("version"))
+    versioned
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("event_type"), // constant per version
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byUserV))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("user_id", "version")
+  }
+
   /** As-of lookup: each user's latest event at-or-before a cutoff
     * (row_number over desc time — the point-in-time join building block). */
   def asofLatest(s: SparkSession, dir: String): DataFrame = {

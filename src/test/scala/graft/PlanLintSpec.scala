@@ -185,7 +185,12 @@ class PlanLintSpec extends AnyFunSuite {
     "ArrayTransform", "ArrayFilter", "ArrayAggregate", "ArraySort",
     "ZipWith", "LambdaFunction", "NamedLambdaVariable",
     "CollectList", "CollectSet", "HyperLogLogPlusPlus",
-    "ApproximatePercentile", "PivotFirst", "ReplicateRows")
+    "ApproximatePercentile", "PivotFirst", "ReplicateRows",
+    // Datasketches HLL (hll_merge_gate): imperative AGGREGATES — per-row
+    // work is one register update into sketch state, evaluated through
+    // the aggregation machinery like HyperLogLogPlusPlus above; the
+    // estimate is a once-per-group scalar
+    "HllSketchAgg", "HllUnionAgg", "HllSketchEstimate")
 
   private def fallbackClasses(p: SparkPlan): Set[(String, Boolean)] =
     p.collect {

@@ -101,4 +101,47 @@ class RelationalSpec extends AnyFunSuite {
       .map(_.find(_.getLong(1) == 0L).get.getLong(2)).sum
     assert(d0sum === allUsers)
   }
+
+  test("scd2: versions are dense change-collapsed runs, intervals tile " +
+      "each user's timeline, exactly one open version per user") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.RelationalMore
+      .scd2History(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    // independent recount of change runs from the raw log
+    val events = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    byUser.foreach { case (user, vs) =>
+      val ordered = vs.sortBy(_.getInt(1))
+      // versions dense from 1
+      assert(ordered.map(_.getInt(1)).toSeq === (1 to ordered.length))
+      // consecutive versions always change the attribute (collapse held)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a.getString(2) != b.getString(2))
+        case _ =>
+      }
+      // intervals tile: valid_to(v) == valid_from(v+1); only last open
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(5) === b.getTimestamp(3))
+        case _ =>
+      }
+      assert(ordered.dropRight(1).forall(!_.getBoolean(6)))
+      assert(ordered.last.getBoolean(6) && ordered.last.get(5) == null)
+      // run count equals the independent recount, events conserved
+      // order by full µs precision (getTime alone is ms-truncated)
+      val log = events(user)
+        .sortBy(t => (t._2.getTime / 1000, t._2.getNanos, t._3))
+      val runs = log.map(_._4).foldLeft(List.empty[String]) {
+        case (acc, t) if acc.headOption.contains(t) => acc
+        case (acc, t) => t :: acc
+      }.length
+      assert(ordered.length === runs)
+      assert(ordered.map(_.getLong(4)).sum === log.length.toLong)
+    }
+  }
 }
