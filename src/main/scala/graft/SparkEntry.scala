@@ -204,6 +204,12 @@ object SparkEntry {
     "k_anonymity" -> ((s: SparkSession, d: String) => Curation.kAnonymity(s, d)),
     // DP count release: deterministic md5-seeded Laplace noise
     "dp_release" -> ((s: SparkSession, d: String) => Curation.dpRelease(s, d)),
+    // A-Res weighted sampling: top-k per lang by ln(u)/weight
+    "weighted_sample" -> ((s: SparkSession, d: String) =>
+      Curation.weightedSample(s, d)),
+    // Poisson bootstrap: B replica means + central CI, coordination-free
+    "poisson_bootstrap" -> ((s: SparkSession, d: String) =>
+      Curation.poissonBootstrap(s, d)),
     // language-ID QA: (declared, predicted) confusion matrix + row shares
     "lang_confusion" -> ((s: SparkSession, d: String) =>
       TextAnalysis.langConfusion(s, d)),
@@ -2626,6 +2632,51 @@ object SparkEntry {
         | count(*) AS n, count(*) < 5 AS at_risk
         | FROM documents GROUP BY 1, 2, 3
         | ORDER BY lang, source, len_bucket""".stripMargin.replace("\n", ""),
+    // A-Res weighted sample: same md5 uniform, log-space key, raw-key
+    // rank with doc_id tie-break (identical doubles both engines)
+    "weighted_sample" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |  ln((CAST(CAST('0x' ||
+        |     substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |    AS DOUBLE) + 0.5) / 4294967296.0)
+        |   / CAST(n_chars AS DOUBLE) AS key
+        |  FROM documents WHERE n_chars > 0),
+        | r AS (SELECT lang, doc_id, n_chars, key,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |   ORDER BY key DESC, doc_id) AS INTEGER) AS rnk FROM d)
+        | SELECT lang, rnk, doc_id, n_chars,
+        |  floor(key * 1000000.0)/1000000.0 AS res_key
+        | FROM r WHERE rnk <= 5 ORDER BY lang, rnk"""
+        .stripMargin.replace("\n", ""),
+    // Poisson bootstrap: per-(doc,replica) md5 uniform through the
+    // truncated Poisson(1) inverse CDF (exact-rational exp(-1)
+    // multipliers), integer sums, order-statistic CI
+    "poisson_bootstrap" ->
+      """WITH reps AS (SELECT doc_id, n_chars,
+        |  unnest(range(0, 32)) AS replica FROM documents),
+        | mm AS (SELECT replica, n_chars,
+        |  CASE WHEN u < exp(-1.0)*1.0 THEN 0
+        |   WHEN u < exp(-1.0)*2.0 THEN 1
+        |   WHEN u < exp(-1.0)*2.5 THEN 2
+        |   WHEN u < exp(-1.0)*(8.0/3.0) THEN 3
+        |   WHEN u < exp(-1.0)*(65.0/24.0) THEN 4
+        |   WHEN u < exp(-1.0)*(163.0/60.0) THEN 5
+        |   WHEN u < exp(-1.0)*(1957.0/720.0) THEN 6 ELSE 7 END AS m
+        |  FROM (SELECT doc_id, n_chars, replica,
+        |   (CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+        |      || '|' || CAST(replica AS VARCHAR)), 1, 8) AS BIGINT)
+        |     AS DOUBLE) + 0.5) / 4294967296.0 AS u FROM reps)),
+        | rep AS (SELECT CAST(replica AS INTEGER) AS replica,
+        |  CAST(sum(m) AS BIGINT) AS n_eff,
+        |  floor(CAST(sum(m * n_chars) AS DOUBLE)
+        |   / CAST(sum(m) AS DOUBLE) * 1000000.0)/1000000.0 AS mean_chars
+        |  FROM mm GROUP BY replica),
+        | rk AS (SELECT replica, mean_chars,
+        |  row_number() OVER (ORDER BY mean_chars, replica) AS r FROM rep)
+        | SELECT rep.replica, rep.n_eff, rep.mean_chars,
+        |  (SELECT mean_chars FROM rk WHERE r = 2) AS ci_lo,
+        |  (SELECT mean_chars FROM rk WHERE r = 31) AS ci_hi
+        | FROM rep ORDER BY rep.replica""".stripMargin.replace("\n", ""),
     // DP release: md5-seeded uniform -> inverse-CDF Laplace, noise
     // t6-floored then added to the integer count
     "dp_release" ->

@@ -634,6 +634,86 @@ object Curation {
         (col("n") < k).as("at_risk"))
       .orderBy("lang", "source", "len_bucket")
 
+  /** Weighted sampling without replacement — Efraimidis–Spirakis '06
+    * A-Res, the algorithm behind "sample documents proportional to
+    * weight" (here: length-proportional, the pretraining-mix case where
+    * long documents deserve selection mass ∝ their token count): each
+    * item draws u ∈ (0,1) and ranks by ln(u)/w; the top-k per group ARE
+    * a weighted sample without replacement. Ranking in LOG space (not
+    * the textbook u^(1/w)) keeps the arithmetic to ln + divide — both
+    * engine-identical IEEE ops (`pow` is not safely portable; ln is the
+    * tfidf precedent).
+    *
+    * Determinism without an RNG: u = (md5-derived 32-bit int + 0.5)/2³²
+    * (the dpRelease draw — seeded, engine-portable, never exactly 0/1,
+    * so ln(u) is finite). Scale shape: one narrow scan; the per-group
+    * rank is a bounded top-k window (WindowGroupLimit prunes to k per
+    * task — the stratifiedSample plan class). */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val key = log(u) / col("n_chars").cast("double")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("key").desc, col("doc_id"))
+    t(s, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"), key.as("key"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("n_chars"),
+        Num.t6(col("key")).as("res_key"))
+      .orderBy("lang", "rnk")
+  }
+
+  /** Poisson bootstrap over the corpus — THE way to bootstrap on a
+    * cluster (resampling n rows with replacement needs global
+    * coordination; giving each row an independent Poisson(1)
+    * multiplicity per replica needs none and is asymptotically
+    * equivalent — Chamandy et al., "Estimating Uncertainty for Massive
+    * Data Streams"): B replicas of the mean document length, each row's
+    * per-replica multiplicity drawn from the truncated Poisson
+    * inverse-CDF over the deterministic md5 uniform (the dpRelease
+    * draw, keyed by (doc, replica)), and the replica means ranked into
+    * a central confidence interval (order statistics 2 and B−1).
+    *
+    * Scale shape: a B× row amplification of a TWO-COLUMN metadata
+    * projection (never text), collapsed immediately by a partial
+    * aggregate on the B-key replica space; everything after is
+    * B-row arithmetic. Integer multiplicities × integer lengths sum
+    * exactly — no decimal plumbing needed before the final mean. */
+  def poissonBootstrap(s: SparkSession, dir: String,
+      b: Int = 32): DataFrame = {
+    // truncated Poisson(1) inverse CDF: cumulative e^-1 * (Σ 1/k!) as
+    // exact rational multipliers of exp(-1): identical doubles in both
+    // engines (division of exact doubles is correctly rounded)
+    val cum = Seq(1.0, 2.0, 2.5, 8.0 / 3.0, 65.0 / 24.0, 163.0 / 60.0,
+      1957.0 / 720.0)
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("|"), col("replica").cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val m = cum.zipWithIndex.foldLeft(when(lit(false), 0)) {
+      case (acc, (c, i)) => acc.when(u < exp(lit(-1.0)) * lit(c), i)
+    }.otherwise(cum.length)
+    val rep = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(b - 1))).as("replica"))
+      .withColumn("m", m)
+      .groupBy(col("replica"))
+      .agg(sum(col("m")).as("n_eff"),
+        sum(col("m") * col("n_chars")).as("tot"))
+      .select(col("replica"), col("n_eff"),
+        Num.t6(col("tot").cast("double") / col("n_eff").cast("double"))
+          .as("mean_chars"))
+    val wr = Window.orderBy(col("mean_chars"), col("replica"))
+    val ranked = rep.withColumn("r", row_number().over(wr))
+    val lo = ranked.filter(col("r") === 2)
+      .select(col("mean_chars").as("ci_lo"))
+    val hi = ranked.filter(col("r") === b - 1)
+      .select(col("mean_chars").as("ci_hi"))
+    rep.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .orderBy("replica")
+  }
+
   /** Differentially-private count release over the (lang, source)
     * marginal — the publication mechanism k-anonymity's audit gates:
     * each true group count is perturbed with Laplace(1/ε) noise via the

@@ -518,6 +518,72 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sample: equals an independent A-Res recompute, and " +
+      "the rank prunes via WindowGroupLimit") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.weightedSample(spark, sf, k = 5)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // independent replay: md5 uniform, log-space key, top-5 per lang
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(_._3 > 0)
+    val expect = docs.map { case (id, lang, w) =>
+      val hex = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(id.toString).substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
+        4294967296.0
+      (lang, id, w, math.log(u) / w.toDouble)
+    }.groupBy(_._1).toSeq.flatMap { case (lang, xs) =>
+      xs.sortBy { case (_, id, _, key) => (-key, id) }.take(5).zipWithIndex
+        .map { case ((_, id, w, key), i) =>
+          (lang, i + 1, id, w, math.floor(key * 1e6) / 1e6)
+        }
+    }.sortBy(t => (t._1, t._2))
+    val got = rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === expect)
+    // sparkPlan, not executedPlan: AQE wraps the tree before execution
+    val plan = out.queryExecution.sparkPlan
+    assert(plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.window
+      .WindowGroupLimitExec]), "rank filter must prune map-side")
+  }
+
+  test("poisson bootstrap: multiplicities replay the inverse CDF, " +
+      "replica means bracket the true mean, CI is the order statistic") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.poissonBootstrap(spark, sf).collect()
+    assert(rows.length === 32)
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // independent replay of replica 0's multiplicities and mean
+    val cum = Seq(1.0, 2.0, 2.5, 8.0 / 3.0, 65.0 / 24.0, 163.0 / 60.0,
+      1957.0 / 720.0).map(_ * math.exp(-1.0))
+    def mult(id: Long, b: Int): Int = {
+      val hex = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"$id|$b").substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
+        4294967296.0
+      cum.indexWhere(u < _) match { case -1 => 7; case i => i }
+    }
+    val m0 = docs.map { case (id, w) => (mult(id, 0), w) }
+    val exp0 = math.floor(m0.map { case (m, w) => m.toLong * w }.sum.toDouble /
+      m0.map(_._1.toLong).sum * 1e6) / 1e6
+    val r0 = rows.find(_.getInt(0) == 0).get
+    assert(r0.getLong(1) === m0.map(_._1.toLong).sum)
+    assert(r0.getDouble(2) === exp0)
+    // CI = order statistics 2 and 31 of the replica means; the replica
+    // spread brackets the plain corpus mean
+    val means = rows.map(_.getDouble(2)).sorted
+    assert(rows.forall(_.getDouble(3) === means(1)))
+    assert(rows.forall(_.getDouble(4) === means(30)))
+    val trueMean = docs.map(_._2).sum.toDouble / docs.length
+    assert(means.head <= trueMean && trueMean <= means.last,
+      s"replica range [${means.head}, ${means.last}] vs $trueMean")
+  }
+
   test("dp release: noise replays the md5-seeded inverse-CDF Laplace " +
       "draw exactly, reconciles into n_noisy, and is calibrated") {
     import org.apache.spark.sql.functions._
