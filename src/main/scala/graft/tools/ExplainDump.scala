@@ -46,7 +46,9 @@ object ExplainDump {
     "random_projection", "ann_rp_planted", "lang_confusion",
     "source_similarity", "pack_stats", "k_anonymity",
     "ann_ivfpq_topk", "compaction_plan", "mm_phash_dedup",
-    "quality_psi", "zipf_fit", "dedup_cross_source", "embed_power_iter")
+    "quality_psi", "zipf_fit", "dedup_cross_source", "embed_power_iter",
+    "scd2_history", "dp_release", "weighted_sample", "poisson_bootstrap",
+    "hll_merge_gate")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
