@@ -348,7 +348,14 @@ object SparkEntry {
     // snapshot drift monitor: banded PSI over the quality logit
     "quality_psi" -> ((s: SparkSession, d: String) =>
       TextAnalysis.qualityPsi(s, d)),
+    // two-proportion z-test between the parity arms on the keep rate
+    "ab_test" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.abKeepTest(s, d)),
     // streaming LSH near-dup ingestion filter (exact-lane closed form)
+    // streaming PSI drift: arriving band-count partials + static
+    // reference through the shared finisher — equals batch quality_psi
+    "stream_drift" -> ((s: SparkSession, d: String) =>
+      graft.streaming.CorpusStream.runDriftOnce(s, d)),
     "stream_neardup" -> ((s: SparkSession, d: String) =>
       graft.streaming.CorpusStream.runNearDupOnce(s, d)),
     // streaming vector search: probe drops arrive as files, each
@@ -657,6 +664,10 @@ object SparkEntry {
     // the materialized IVF-PQ index must return EXACTLY the in-memory
     // compose's relation — build/store/probe is semantics-preserving
     ("ann_ivfpq_indexed" -> oracleSqlBase("ann_ivfpq_topk")) +
+    // streaming drift accumulates the SAME integer band counts the
+    // batch PSI aggregates in one pass — associativity makes the
+    // relations identical, so the queries share one oracle
+    ("stream_drift" -> oracleSqlBase("quality_psi")) +
     // the confusion matrix aggregates the lang_id oracle's own relation
     ("lang_confusion" -> ("WITH pred AS (" + oracleSqlBase("lang_id") +
       """) SELECT lang_labeled, lang_pred, count(*) AS n,
@@ -1730,6 +1741,48 @@ object SparkEntry {
         | SELECT source, n_docs, mean_loss, excess,
         |  floor(w_raw / z * 1000000.0)/1000000.0 AS w_new
         | FROM w CROSS JOIN z ORDER BY source""".stripMargin.replace("\n", ""),
+    // A/B keep-rate readout: four integer counts -> pooled
+    // two-proportion z, parenthesized exactly as the Spark side
+    "ab_test" ->
+      """WITH f AS (SELECT doc_id,
+        |  -1.0 + sw*2.0 + pr*(-4.0) + lenf*1.5 + alf*1.0 AS z
+        |  FROM (SELECT doc_id,
+        |   CAST(len(list_filter(toks, t -> list_contains(
+        |    ['the','a','an','and','or','of','to','in','is','it',
+        |     'that','for','on','with','as','at','by','be','this','are'], t)))
+        |    AS DOUBLE) / len(toks) AS sw,
+        |   CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |    AS DOUBLE) / length(text) AS pr,
+        |   least(CAST(len(toks) AS DOUBLE) / 256.0, 1.0) AS lenf,
+        |   least((CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |    / len(toks)) / 8.0, 1.0) AS alf
+        |   FROM (SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |     t -> length(t) > 0) AS toks FROM documents))),
+        | a AS (SELECT
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 AND z > 0.0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS k_a,
+        |  CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN doc_id % 2 <> 0 AND z > 0.0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS k_b FROM f),
+        | b AS (SELECT n_a, k_a, n_b, k_b,
+        |  CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |  CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |  CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+        |  FROM a)
+        | SELECT n_a, k_a, n_b, k_b,
+        |  floor(pa * 1000000.0)/1000000.0 AS p_a,
+        |  floor(pb * 1000000.0)/1000000.0 AS p_b,
+        |  floor((pa - pb) / sqrt(pp * (1.0 - pp)
+        |   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |   * 1000000.0)/1000000.0 AS z_stat,
+        |  abs((pa - pb) / sqrt(pp * (1.0 - pp)
+        |   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
+        |   > 1.96 AS significant
+        | FROM b""".stripMargin.replace("\n", ""),
     // PSI drift: same z as quality_logit, t6-band floor(t6(z)*8),
     // contribution CASE identical to the Spark side, decimal-sum total
     "quality_psi" ->

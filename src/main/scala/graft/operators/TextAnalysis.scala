@@ -863,20 +863,62 @@ object TextAnalysis {
     * Scale shape: ONE corpus scan into a ≤68-row band aggregate;
     * everything downstream is band-count-sized arithmetic (two 1-row
     * broadcast crossJoins). */
-  def qualityPsi(s: SparkSession, dir: String): DataFrame = {
+  /** The monitored score's band key over a `text` column —
+    * [[qualityLogit]]'s z, t6-floored, ×8, floored: shared by the batch
+    * [[qualityPsi]] and the streaming drift lane so the two can never
+    * band differently. */
+  /** [[qualityLogit]]'s raw z over a `text` column — the one
+    * definition every consumer (scoring, PSI banding, A/B readout)
+    * shares. */
+  private[graft] def qualityZ: Column = {
     val sw = stopwordRatio(col("text"))
     val pr = punctRatio(col("text"))
     val lenF = least(tokenCount(col("text")).cast("double") / lit(256.0),
       lit(1.0))
     val alF = least(avgTokenLen(col("text")) / lit(8.0), lit(1.0))
-    val z = lit(-1.0) + sw * lit(2.0) + pr * lit(-4.0) +
+    lit(-1.0) + sw * lit(2.0) + pr * lit(-4.0) +
       lenF * lit(1.5) + alF * lit(1.0)
-    val perBand = t(s, dir, "documents")
-      .select(floor(Num.t6(z) * 8.0).cast("long").as("band"),
-        (col("doc_id") % 2 === 0).as("is_ref"))
-      .groupBy(col("band"))
-      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
-        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_new"))
+  }
+
+  private[graft] def qualityBand: Column =
+    floor(Num.t6(qualityZ) * 8.0).cast("long")
+
+  /** Two-proportion z-test between two corpus arms — the experiment
+    * readout a data-recipe A/B needs ("did the new pipeline change the
+    * keep rate, beyond noise?"): arms are the doc_id-parity split (the
+    * quality_psi snapshot stand-in), the metric is [[qualityLogit]]'s
+    * keep decision (raw z > 0), the statistic is the pooled
+    * two-proportion z with the 1.96 two-sided gate. Every derived
+    * double comes from four integer counts — identical IEEE scalar
+    * arithmetic in both engines. One corpus scan into 4 integers;
+    * everything after is a single row of math. */
+  def abKeepTest(s: SparkSession, dir: String): DataFrame = {
+    val agg = t(s, dir, "documents")
+      .select((col("doc_id") % 2 === 0).as("arm_a"),
+        (qualityZ > lit(0.0)).cast("long").as("keep"))
+      .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm_a"), col("keep")).otherwise(0L)).as("k_a"),
+        sum(when(!col("arm_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("arm_a"), col("keep")).otherwise(0L)).as("k_b"))
+    val pa = col("k_a").cast("double") / col("n_a").cast("double")
+    val pb = col("k_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("k_a") + col("k_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    val zStat = (pa - pb) / se
+    agg.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+      Num.t6(pa).as("p_a"), Num.t6(pb).as("p_b"),
+      Num.t6(zStat).as("z_stat"),
+      (abs(zStat) > lit(1.96)).as("significant"))
+  }
+
+  /** PSI finisher over a (band, n_ref, n_new) relation — band-count-
+    * sized arithmetic only, shared verbatim by the batch and streaming
+    * lanes (integer band counts are associative, so HOW they were
+    * accumulated cannot change the result). */
+  private[graft] def psiFromBands(perBand: DataFrame): DataFrame = {
     val totals = perBand.agg(sum(col("n_ref")).as("t_ref"),
       sum(col("n_new")).as("t_new"))
     val p = col("n_ref").cast("double") / col("t_ref").cast("double")
@@ -890,6 +932,14 @@ object TextAnalysis {
     val total = banded.agg(Relational.dsum(col("psi")).as("psi_total"))
     banded.crossJoin(broadcast(total)).orderBy("band")
   }
+
+  def qualityPsi(s: SparkSession, dir: String): DataFrame =
+    psiFromBands(t(s, dir, "documents")
+      .select(qualityBand.as("band"),
+        (col("doc_id") % 2 === 0).as("is_ref"))
+      .groupBy(col("band"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_new")))
 
   def tokenHistogram(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

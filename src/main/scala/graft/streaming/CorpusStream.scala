@@ -171,6 +171,54 @@ object CorpusStream {
     s.read.parquet(warehouse).select("doc_id").orderBy("doc_id")
   }
 
+  /** Streaming drift monitor — [[graft.operators.TextAnalysis.qualityPsi]]
+    * run as an ingestion-time check: the arriving half of the corpus
+    * (odd doc_ids — "today's crawl") streams in as file drops, each
+    * micro-batch reduces to its ≤68-row quality-band COUNTS (stateless
+    * inside foreachBatch — band counts are the sufficient statistic, so
+    * nothing text-sized ever persists), and the batchId-keyed partials
+    * land through the exactly-once sink. The final report joins the
+    * accumulated arriving counts against the static reference half's
+    * and applies the shared PSI finisher.
+    *
+    * Stream = batch by construction: integer band counts are
+    * associative, so summing per-micro-batch partials equals the batch
+    * lane's single aggregate bit-for-bit — this query SHARES
+    * `quality_psi`'s oracle, making it a value-checked stream/batch
+    * parity gate for the drift monitor. At 100 TB the warehouse keeps
+    * one ≤68-row partial per ingested batch; the report is a bounded
+    * rollup at read time. */
+  def runDriftOnce(s: SparkSession, srcDir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs = graft.Tables.load(s, srcDir, "documents")
+    val dropDir = HourlyStream.scratchDir("graft_drift_drop_")
+    docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+      .write.mode("overwrite").parquet(dropDir)
+    val warehouse = HourlyStream.scratchDir("graft_drift_wh_") + "/bands"
+    val q = readDocuments(s, dropDir)
+      .writeStream
+      .option("checkpointLocation", HourlyStream.scratchDir("graft_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        upsertSurvivors(
+          b.select(TextAnalysis.qualityBand.as("band"))
+            .groupBy(col("band")).agg(count(lit(1)).as("n")),
+          warehouse, batchId)
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val arriving = s.read.parquet(warehouse)
+      .groupBy(col("band")).agg(sum(col("n")).as("n_new"))
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+      .select(TextAnalysis.qualityBand.as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_ref"))
+    val perBand = ref.join(arriving, Seq("band"), "full_outer")
+      .select(col("band"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    TextAnalysis.psiFromBands(perBand)
+  }
+
   /** Synchronous run-once harness over the bundled corpus, mirroring
     * [[graft.operators.Dedup.incrementalDedup]]'s split exactly: the
     * batch slice (doc_id % 10 == 3, plus the five planted index copies)

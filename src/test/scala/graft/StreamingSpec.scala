@@ -635,4 +635,16 @@ class StreamingSpec extends AnyFunSuite {
       .where(org.apache.spark.sql.functions.col("batch_id") === 1L)
       .count() === 2L)
   }
+
+  test("streamed PSI drift equals the batch quality_psi relation " +
+      "bit-for-bit (band-count associativity across micro-batches)") {
+    val streamed = graft.streaming.CorpusStream
+      .runDriftOnce(spark, TestSpark.sf).collect()
+    val batch = graft.operators.TextAnalysis
+      .qualityPsi(spark, TestSpark.sf).collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (a, b) =>
+      assert(a === b, s"stream row $a != batch row $b")
+    }
+  }
 }

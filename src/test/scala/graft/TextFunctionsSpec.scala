@@ -483,6 +483,29 @@ class TextFunctionsSpec extends AnyFunSuite {
       rows.exists(r => r.getLong(3) < r.getLong(1)))
   }
 
+  test("ab test: counts reconcile with quality_logit's keep flags and " +
+      "the z statistic matches an independent recompute") {
+    import org.apache.spark.sql.functions._
+    val row = graft.operators.TextAnalysis
+      .abKeepTest(spark, TestSpark.sf).collect().head
+    val (na, ka, nb, kb) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3))
+    // arms from the shipped scorer's own keep flags
+    val keeps = graft.operators.TextAnalysis
+      .qualityLogit(spark, TestSpark.sf)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(na === keeps.count(_._1 % 2 == 0).toLong)
+    assert(ka === keeps.count(t => t._1 % 2 == 0 && t._2).toLong)
+    assert(nb === keeps.count(_._1 % 2 != 0).toLong)
+    assert(kb === keeps.count(t => t._1 % 2 != 0 && t._2).toLong)
+    val pa = ka.toDouble / na; val pb = kb.toDouble / nb
+    val pp = (ka + kb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(row.getDouble(6) - z) < 2e-6)
+    assert(row.getBoolean(7) === (math.abs(z) > 1.96))
+  }
+
   test("quality PSI: bands partition both snapshots, shares sum to 1, " +
       "contributions non-negative, total reconciles, and the " +
       "identical-split PSI is exactly zero") {
