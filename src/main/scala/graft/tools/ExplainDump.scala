@@ -48,7 +48,7 @@ object ExplainDump {
     "ann_ivfpq_topk", "compaction_plan", "mm_phash_dedup",
     "quality_psi", "zipf_fit", "dedup_cross_source", "embed_power_iter",
     "scd2_history", "dp_release", "weighted_sample", "poisson_bootstrap",
-    "hll_merge_gate")
+    "hll_merge_gate", "ab_test")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
