@@ -255,6 +255,10 @@ object SparkEntry {
     // centered covariance matvec: one power-iteration step (PCA/ABTT)
     "embed_power_iter" -> ((s: SparkSession, d: String) =>
       Similarity.powerIterStep(s, d)),
+    // ABTT apply: projection onto the estimated top direction + the
+    // residual norm after removing it
+    "embed_whiten" -> ((s: SparkSession, d: String) =>
+      Similarity.abttWhiten(s, d)),
     "kmeans_step" -> (Similarity.kmeansStep _),
     "kmeans_iterate" -> ((s: SparkSession, d: String) =>
       Similarity.kmeansIterate(s, d, rounds = 2)),
@@ -2150,6 +2154,45 @@ object SparkEntry {
         |  floor(y / sqrt(n2) * 1000000.0)/1000000.0 AS v1,
         |  floor(sqrt(n2) * 1000000.0)/1000000.0 AS matvec_norm
         | FROM yt CROSS JOIN nn ORDER BY pos""".stripMargin.replace("\n", ""),
+    // ABTT whitening: the embed_power_iter chain re-derives the t6 v1
+    // direction, then per-vector centered projection + residual norm
+    "embed_whiten" ->
+      """WITH mu AS (SELECT i AS pos,
+        |  floor(CAST(sum(CAST(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+        |    AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 1000000.0)/1000000.0 AS c
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i) GROUP BY i),
+        | mv AS (SELECT list(c ORDER BY pos) AS m FROM mu),
+        | sp AS (SELECT e.embedding, m,
+        |  list_dot_product(
+        |   list_transform(range(1, 65),
+        |    i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |       - m[CAST(i AS INTEGER)]),
+        |   list_transform(range(1, 65), i -> 0.125)) AS s
+        |  FROM embeddings e CROSS JOIN mv),
+        | contrib AS (SELECT i AS pos,
+        |  floor((CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+        |    - m[CAST(i + 1 AS INTEGER)]) * s * 1000000.0)/1000000.0 AS ct
+        |  FROM sp, (SELECT unnest(range(0, 64)) AS i)),
+        | yt AS (SELECT pos,
+        |  CAST(sum(CAST(ct AS DECIMAL(28,6))) AS DOUBLE) AS y
+        |  FROM contrib GROUP BY pos),
+        | nn AS (SELECT CAST(sum(CAST(floor(y*y*1000000.0)/1000000.0
+        |   AS DECIMAL(28,6))) AS DOUBLE) AS n2 FROM yt),
+        | v1 AS (SELECT list(floor(y / sqrt(n2) * 1000000.0)/1000000.0
+        |   ORDER BY pos) AS v FROM yt CROSS JOIN nn),
+        | cc AS (SELECT e.vec_id,
+        |  list_transform(range(1, 65),
+        |   i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |      - m[CAST(i AS INTEGER)]) AS cvec
+        |  FROM embeddings e CROSS JOIN mv),
+        | pp AS (SELECT vec_id, cvec, v,
+        |  list_dot_product(cvec, v) AS p FROM cc CROSS JOIN v1)
+        | SELECT vec_id, floor(p * 1000000.0)/1000000.0 AS proj,
+        |  floor(sqrt(list_aggregate(list_transform(range(1, 65),
+        |   i -> (cvec[CAST(i AS INTEGER)] - p * v[CAST(i AS INTEGER)])
+        |      * (cvec[CAST(i AS INTEGER)] - p * v[CAST(i AS INTEGER)])),
+        |   'sum')) * 1000000.0)/1000000.0 AS resid_norm
+        | FROM pp ORDER BY vec_id""".stripMargin.replace("\n", ""),
     // Lloyd update step: re-average vectors into their ASSIGNED cluster
     // (assignment replayed from the same warm-start centroids), exact
     // decimal means per component plus member counts

@@ -85,15 +85,21 @@ object Similarity {
     * (partitioning-invariant); norm + normalization are scalar
     * arithmetic over the d-row aggregate. Iterating just repeats this
     * step with v₁ re-inlined (the kmeansIterate chain discipline). */
-  def powerIterStep(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val mu = emb
+  /** Exact global mean per component (t6 decimal means — the
+    * labelCentroids discipline without the label key), collected as
+    * d doubles of model metadata. */
+  private def globalMean(emb: DataFrame): Array[Double] =
+    emb
       .select(posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("pos"))
       .agg(Num.t6(sum(col("v").cast("double")
         .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
         .cast("double") / count(lit(1))).as("c"))
       .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+
+  def powerIterStep(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val mu = globalMean(emb)
     val v0 = Array.fill(mu.length)(0.125) // uniform unit vector at d=64
     val centered = zip_with(col("embedding"), typedlit(mu),
       (x, m) => x.cast("double") - m)
@@ -115,6 +121,45 @@ object Similarity {
         Num.t6(col("y") / sqrt(col("n2"))).as("v1"),
         Num.t6(sqrt(col("n2"))).as("matvec_norm"))
       .orderBy("pos")
+  }
+
+  /** ABTT whitening — the APPLY half of [[powerIterStep]] (Mu &
+    * Viswanath '18, "all-but-the-top": anisotropic embedding spaces
+    * waste their similarity range on one dominant direction; removing
+    * the mean and the top principal component measurably improves
+    * cosine retrieval): per vector, the centered projection onto the
+    * estimated top direction and the residual's norm after removing it.
+    * The direction is [[powerIterStep]]'s own t6-floored v₁ —
+    * estimate → apply as one contract pair whose arithmetic the oracle
+    * replays end to end.
+    *
+    * Scale shape: v₁ and μ ride as literals (2·d doubles of model
+    * metadata); the transform is a narrow shuffle-free projection —
+    * two fused per-row folds, the projection materialized as a column
+    * BEFORE the residual fold references it (the quality_train
+    * generator-hoisting lesson: a lambda may reference attributes
+    * freely, but an inlined expression re-evaluates per element). */
+  def abttWhiten(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val mu = globalMean(emb)
+    val v1 = powerIterStep(s, dir).collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(2))
+    val centered = zip_with(col("embedding"), typedlit(mu),
+      (x, m) => x.cast("double") - m)
+    emb
+      .select(col("vec_id"), centered.as("cvec"))
+      // cvec and p are materialized attributes before the folds that
+      // reference them — attribute reads, not re-inlined expressions
+      .withColumn("p", aggregate(
+        zip_with(col("cvec"), typedlit(v1), (c, w) => c * w),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col("vec_id"),
+        Num.t6(col("p")).as("proj"),
+        Num.t6(sqrt(aggregate(
+          zip_with(col("cvec"), typedlit(v1),
+            (c, w) => (c - col("p") * w) * (c - col("p") * w)),
+          lit(0.0), (acc, x) => acc + x))).as("resid_norm"))
+      .orderBy("vec_id")
   }
 
   /** Pairwise semantic similarity between SOURCES — the data-mixing

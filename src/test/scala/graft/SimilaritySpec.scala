@@ -496,6 +496,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(norm - yn) < 1e-4)
   }
 
+  test("abtt whiten: Pythagoras holds against the near-unit direction " +
+      "and projections match an independent recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.abttWhiten(spark, TestSpark.sf).collect()
+    val xs = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    assert(rows.length === xs.size)
+    // direction + mean replayed from the shipped operators themselves
+    val v1 = Similarity.powerIterStep(spark, TestSpark.sf).collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(2))
+    val mu = {
+      val d = xs.values.head.length
+      Array.tabulate(d) { i =>
+        val s = xs.values.map(x => BigDecimal(x(i))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+        math.floor(s.toDouble / xs.size * 1e6) / 1e6
+      }
+    }
+    val v1n2 = v1.map(w => w * w).sum // t6-floored, so NEAR unit
+    assert(math.abs(v1n2 - 1.0) < 1e-3)
+    rows.foreach { r =>
+      val c = xs(r.getLong(0)).zip(mu).map { case (x, m) => x - m }
+      val proj = c.zip(v1).map { case (a, b) => a * b }.sum
+      assert(math.abs(r.getDouble(1) - proj) < 1e-5,
+        s"vec ${r.getLong(0)}: proj ${r.getDouble(1)} vs $proj")
+      // exact expansion: ||c - p*v||^2 = ||c||^2 - p^2*(2 - |v|^2),
+      // using c·v = p — holds for ANY v, unit or not
+      val c2 = c.map(x => x * x).sum
+      val resid2 = r.getDouble(2) * r.getDouble(2)
+      val expect2 = c2 - proj * proj * (2.0 - v1n2)
+      assert(math.abs(resid2 - expect2) < math.abs(c2) * 1e-4 + 1e-6,
+        s"vec ${r.getLong(0)}: resid^2 $resid2 vs $expect2")
+      assert(r.getDouble(2) <= math.sqrt(c2) + 1e-6,
+        "removing a component can never grow the norm")
+    }
+  }
+
   test("kmeans step: membership accounting matches the assignment") {
     val emb = Tables.load(spark, TestSpark.sf, "embeddings")
     val step = Similarity.kmeansStep(spark, TestSpark.sf).collect()
