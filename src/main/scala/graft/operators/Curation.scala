@@ -704,13 +704,21 @@ object Curation {
       .select(col("replica"), col("n_eff"),
         Num.t6(col("tot").cast("double") / col("n_eff").cast("double"))
           .as("mean_chars"))
+    // CI bounds via an unbounded window over the SAME B-row frame —
+    // one lineage, one pass. The previous crossJoin(lo)/crossJoin(hi)
+    // form re-executed the B×N exploded aggregation three times (rep,
+    // ranked→lo, ranked→hi); a whole-frame window aggregate over the
+    // already-aggregated 32 rows costs nothing and keeps the expensive
+    // corpus scan single-shot.
     val wr = Window.orderBy(col("mean_chars"), col("replica"))
-    val ranked = rep.withColumn("r", row_number().over(wr))
-    val lo = ranked.filter(col("r") === 2)
-      .select(col("mean_chars").as("ci_lo"))
-    val hi = ranked.filter(col("r") === b - 1)
-      .select(col("mean_chars").as("ci_hi"))
-    rep.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+    val wAll = wr.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    rep.withColumn("r", row_number().over(wr))
+      .withColumn("ci_lo",
+        max(when(col("r") === 2, col("mean_chars"))).over(wAll))
+      .withColumn("ci_hi",
+        max(when(col("r") === b - 1, col("mean_chars"))).over(wAll))
+      .drop("r")
       .orderBy("replica")
   }
 

@@ -26,6 +26,42 @@ object Similarity {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Scratch root for index build/probe lifecycles. Executors must be
+    * able to read AND write the index files, so a driver-local
+    * `java.io.tmpdir` is the wrong default on a multi-node cluster —
+    * the path must live on storage every node sees. Resolution order:
+    * `spark.graft.scratch.dir` (point it at a cluster-shared
+    * filesystem — NFS/hdfs-fuse/EFS mount — on a real deployment),
+    * then `spark.sql.warehouse.dir` when it is a local/`file:` path
+    * (shared by construction in local mode), then the JVM tmpdir as
+    * the last local-mode fallback. Deletion uses java.nio, so the
+    * resolved path must be mountable as a local path on the driver;
+    * an object-store deployment would swap these two dozen lines for
+    * Hadoop `FileSystem` calls without touching any query logic. */
+  private[graft] def scratchDir(s: SparkSession,
+      prefix: String): java.nio.file.Path = {
+    val conf = s.conf.get("spark.graft.scratch.dir", "")
+    val wh = s.conf.get("spark.sql.warehouse.dir", "")
+    val base = Seq(conf, wh).map(_.stripPrefix("file:"))
+      .find(p => p.nonEmpty && p.startsWith("/"))
+    base match {
+      case Some(b) =>
+        val root = java.nio.file.Paths.get(b, ".graft-scratch")
+        java.nio.file.Files.createDirectories(root)
+        java.nio.file.Files.createTempDirectory(root, prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }
+  }
+
+  /** Recursive delete of a [[scratchDir]] lifecycle (children first). */
+  private[graft] def deleteScratch(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(pp => java.nio.file.Files.deleteIfExists(pp))
+  }
+
   /** Deterministic double-precision dot product of two float vectors. */
   def dot(a: Column, b: Column): Column =
     aggregate(
@@ -100,7 +136,10 @@ object Similarity {
   def powerIterStep(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val mu = globalMean(emb)
-    val v0 = Array.fill(mu.length)(0.125) // uniform unit vector at d=64
+    // uniform unit start vector at ANY d (1/sqrt(d); = 0.125 at the
+    // fixture's d=64, so the pinned oracle is unchanged — but a fixture
+    // dim change now keeps ||v0||=1 instead of silently skewing)
+    val v0 = Array.fill(mu.length)(1.0 / math.sqrt(mu.length.toDouble))
     val centered = zip_with(col("embedding"), typedlit(mu),
       (x, m) => x.cast("double") - m)
     val proj = aggregate(zip_with(centered, typedlit(v0), (c, w) => c * w),
@@ -558,7 +597,7 @@ object Similarity {
     * is collected, then the index is deleted before the query returns). */
   def ivfPqIndexed(s: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 10, nProbe: Int = 3): DataFrame = {
-    val scratch = java.nio.file.Files.createTempDirectory("graft-ivfpq-")
+    val scratch = scratchDir(s, "graft-ivfpq-")
     try {
       writeIvfPqIndex(s, dir, scratch.toString)
       val topk = ivfPqProbeIndexed(s, dir, scratch.toString, queryId,
@@ -567,10 +606,7 @@ object Similarity {
       import s.implicits._
       topk.toSeq.toDF("vec_id", "cell", "adc_dist")
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(pp => java.nio.file.Files.deleteIfExists(pp))
+      deleteScratch(scratch)
     }
   }
 
@@ -1132,7 +1168,7 @@ object Similarity {
       k: Int = 10, nProbe: Int = 4): DataFrame = {
     val emb = plantedEmb(t(s, dir, "embeddings"), n)
     val trained = collectCentroids(kmeansIterate(s, dir, 2), "cluster")
-    val scratch = java.nio.file.Files.createTempDirectory("graft-ivf-")
+    val scratch = scratchDir(s, "graft-ivf-")
     try {
       val indexPath = scratch.toString
       emb.select(col("vec_id"), col("embedding"),
@@ -1165,10 +1201,7 @@ object Similarity {
         .toDF("q_id", "vec_id", "rn", "is_exact")
         .orderBy("q_id")
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      deleteScratch(scratch)
     }
   }
 
@@ -1194,7 +1227,7 @@ object Similarity {
     val corpus = t(s, dir, "embeddings")
     val emb = plantedEmb(corpus, n)
     val cents = ivfCentroids(corpus, cells)
-    val scratch = java.nio.file.Files.createTempDirectory("graft-ivff-")
+    val scratch = scratchDir(s, "graft-ivff-")
     try {
       val p = scratch.toString
       emb.select(col("vec_id"), col("label"), col("embedding"),
@@ -1247,10 +1280,7 @@ object Similarity {
         .toDF("q_id", "vec_id", "rn", "is_exact", "all_label_match")
         .orderBy("q_id")
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(pth => java.nio.file.Files.deleteIfExists(pth))
+      deleteScratch(scratch)
     }
   }
 
@@ -1331,7 +1361,7 @@ object Similarity {
       emb.filter(col("vec_id") < n)
         .withColumn("vec_id", col("vec_id") + Dedup.PlantOffset))
     val trained = collectCentroids(kmeansIterate(s, dir, 2), "cluster")
-    val scratch = java.nio.file.Files.createTempDirectory("graft-ivfc-")
+    val scratch = scratchDir(s, "graft-ivfc-")
     // the argmax assignment runs ONCE over base ∪ arriving and persists;
     // the base index and the rebuild reference are both projections of it
     // (one corpus-scale cosine pass instead of two — the compaction
@@ -1388,10 +1418,7 @@ object Similarity {
         .orderBy("q_id")
     } finally {
       assignedAll.unpersist()
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      deleteScratch(scratch)
     }
   }
 

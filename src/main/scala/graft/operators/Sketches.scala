@@ -91,10 +91,17 @@ object Sketches {
       .agg(hll_sketch_agg(col("term"), lit(12)).as("sk"))
     val merged = halves.agg(
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    // Both lanes go through hll_union_agg so the SAME estimator path
+    // (the union's composite estimator) produces both doubles — a
+    // direct hll_sketch_agg estimate can be the HIP estimator while a
+    // union result is the composite one, and that asymmetry would let
+    // merge_consistent flip on a legitimate partition layout.
     val whole = docs.agg(
-      hll_sketch_estimate(hll_sketch_agg(col("term"), lit(12)))
-        .as("est_whole"),
-      countDistinct(col("term")).as("n_exact"))
+        hll_sketch_agg(col("term"), lit(12)).as("sk"),
+        countDistinct(col("term")).as("n_exact"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_whole"),
+        first(col("n_exact")).as("n_exact"))
     whole.crossJoin(merged)
       .select(col("n_exact"),
         (col("est_whole") === col("est_merged")).as("merge_consistent"),

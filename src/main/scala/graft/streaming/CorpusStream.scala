@@ -148,11 +148,12 @@ object CorpusStream {
     val shI = index.select(col("doc_id").as("i_id"),
       graft.functions.SketchExpressions
         .wordShingles(tokens(col("text"))).as("sh_i"))
-    val warehouse =
-      HourlyStream.scratchDir("graft_neardup_wh_") + "/keep"
+    val whRoot = HourlyStream.scratchDir("graft_neardup_wh_")
+    val warehouse = whRoot + "/keep"
+    val ckpt = HourlyStream.scratchDir("graft_ckpt_")
     val q = readDocuments(s, batchDir)
       .writeStream
-      .option("checkpointLocation", HourlyStream.scratchDir("graft_ckpt_"))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         upsertSurvivors(nearDupSurvivors(b, iBands, shI, threshold),
@@ -168,7 +169,13 @@ object CorpusStream {
       // queries discipline covers queries, not reps)
       System.gc()
     }
-    s.read.parquet(warehouse).select("doc_id").orderBy("doc_id")
+    // materialize (distributed, lineage-severing — the batch keep set
+    // is corpus-fraction-sized, so never a driver collect), then reap
+    // the scratch dirs immediately instead of waiting for JVM exit
+    val out = s.read.parquet(warehouse).select("doc_id").orderBy("doc_id")
+      .localCheckpoint(true)
+    Seq(batchDir, whRoot, ckpt).foreach(HourlyStream.reapScratch)
+    out
   }
 
   /** Streaming drift monitor — [[graft.operators.TextAnalysis.qualityPsi]]
@@ -194,10 +201,12 @@ object CorpusStream {
     val dropDir = HourlyStream.scratchDir("graft_drift_drop_")
     docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
       .write.mode("overwrite").parquet(dropDir)
-    val warehouse = HourlyStream.scratchDir("graft_drift_wh_") + "/bands"
+    val whRoot = HourlyStream.scratchDir("graft_drift_wh_")
+    val warehouse = whRoot + "/bands"
+    val ckpt = HourlyStream.scratchDir("graft_ckpt_")
     val q = readDocuments(s, dropDir)
       .writeStream
-      .option("checkpointLocation", HourlyStream.scratchDir("graft_ckpt_"))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         upsertSurvivors(
@@ -216,7 +225,12 @@ object CorpusStream {
       .select(col("band"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
-    TextAnalysis.psiFromBands(perBand)
+    // ≤68-row report: materialize it, then reap the three scratch dirs
+    // (file drop, band warehouse, checkpoint) instead of leaving them
+    // until JVM exit — bench reps in one JVM would otherwise accumulate
+    val out = TextAnalysis.psiFromBands(perBand).localCheckpoint(true)
+    Seq(dropDir, whRoot, ckpt).foreach(HourlyStream.reapScratch)
+    out
   }
 
   /** Synchronous run-once harness over the bundled corpus, mirroring
@@ -240,15 +254,19 @@ object CorpusStream {
     val indexDigests = index.select(md5(col("text")).as("h")).distinct()
     val name = "graft_stream_index_dedup_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
+    val ckpt = HourlyStream.scratchDir("graft_ckpt_")
     val q = indexFiltered(readDocuments(s, batchDir), indexDigests)
       .writeStream
       .outputMode("append")
       .format("memory")
       .queryName(name)
-      .option("checkpointLocation", HourlyStream.scratchDir("graft_ckpt_"))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
+    // the memory sink holds the result — the drop dir and checkpoint
+    // have no readers left; reap them now rather than at JVM exit
+    Seq(batchDir, ckpt).foreach(HourlyStream.reapScratch)
     s.table(name).orderBy("doc_id")
   }
 }

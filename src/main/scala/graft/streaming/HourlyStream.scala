@@ -66,6 +66,24 @@ object HourlyStream {
     dir.toString
   }
 
+  /** Eagerly delete a [[scratchDir]] (and drop it from the exit-hook
+    * queue). Run-once harnesses reap their drop/checkpoint/warehouse
+    * dirs as soon as the result is MATERIALIZED (collected or
+    * localCheckpoint'ed — a lazy DataFrame still reading the warehouse
+    * must not outlive the files), so repeated bench reps in one JVM
+    * don't accumulate RAM-backed /dev/shm files until exit. */
+  private[graft] def reapScratch(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    scratchDirs.remove(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(q => java.nio.file.Files.deleteIfExists(q))
+    } catch { case _: Throwable => () }
+  }
+
   /** The events schema as the streaming source declares it, with `ts` in
     * whatever physical form the drop files carry (see [[readEvents]]). */
   def eventsRawSchema(tsType: org.apache.spark.sql.types.DataType)

@@ -74,18 +74,24 @@ object VectorStream {
       .select((col("vec_id") + Dedup.PlantOffset).as("q_id"),
         col("embedding"))
       .write.mode("overwrite").parquet(probeDir)
-    val warehouse = HourlyStream.scratchDir("graft_ann_wh_") + "/top1"
+    val whRoot = HourlyStream.scratchDir("graft_ann_wh_")
+    val warehouse = whRoot + "/top1"
+    val ckpt = HourlyStream.scratchDir("graft_ckpt_")
     val q = readProbes(s, probeDir)
       .writeStream
-      .option("checkpointLocation", HourlyStream.scratchDir("graft_ckpt_"))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         CorpusStream.upsertSurvivors(annTop1(b, corpus), warehouse, batchId)
       }
       .start()
     try q.awaitTermination() finally q.stop()
-    s.read.parquet(warehouse)
+    // n-row result: materialize, then reap the scratch dirs eagerly
+    val out = s.read.parquet(warehouse)
       .select(col("q_id"), col("vec_id"), col("is_exact"))
       .orderBy("q_id")
+      .localCheckpoint(true)
+    Seq(probeDir, whRoot, ckpt).foreach(HourlyStream.reapScratch)
+    out
   }
 }

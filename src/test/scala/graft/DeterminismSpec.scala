@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, Layout, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{Curation, Layout, Retrieval, Similarity, Sketches, TextAnalysis}
 
 /** Partitioning-invariance gate for the round-8 operators whose
   * Scaladoc claims engine- and layout-exact results: every decimal-sum,
@@ -43,7 +43,13 @@ class DeterminismSpec extends AnyFunSuite {
         () => Retrieval.zipfFit(spark, sf).collect().toSeq),
       ("scd2_history",
         () => graft.operators.RelationalMore.scd2History(spark, sf)
-          .collect().toSeq))
+          .collect().toSeq),
+      // merge_consistent compares two Datasketches estimates for exact
+      // double equality — only safe because BOTH pass through the same
+      // hll_union_agg estimator path; this pin catches a layout that
+      // would route one lane through a different estimator
+      ("hll_merge_gate",
+        () => Sketches.hllMergeGate(spark, sf).collect().toSeq))
     ops.foreach { case (name, f) =>
       val a = underPartitions(2)(f())
       val b = underPartitions(17)(f())
