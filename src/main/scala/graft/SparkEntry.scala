@@ -323,6 +323,11 @@ object SparkEntry {
     // cell=-partitioned build -> partition-pruned ivfProbeIndexed probes
     "ann_ivf_indexed" -> ((s: SparkSession, d: String) =>
       Similarity.ivfIndexedPlanted(s, d)),
+    // the bulk-retrieval shape: probes as a query RELATION (never
+    // collected) — distributed cell ranking, DPP-pruned candidate join,
+    // in-plan rank-1 cut; same closed-form contract as ann_ivf_indexed
+    "ann_ivf_batch" -> ((s: SparkSession, d: String) =>
+      Similarity.annIvfBatchPlanted(s, d)),
     // incremental index maintenance: arriving batch merged into frozen
     // cells by per-cell rewrite; probes must equal a from-scratch rebuild
     "ann_ivf_compact" -> ((s: SparkSession, d: String) =>
@@ -2111,6 +2116,14 @@ object SparkEntry {
     // trained-index lifecycle probe: same closed-form contract — the
     // planted copy lives in the probe's #1 cell by construction
     "ann_ivf_indexed" ->
+      """SELECT CAST(q_id AS BIGINT) AS q_id,
+        | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
+        | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact
+        | FROM (SELECT unnest(range(0, 5)) AS q_id)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    // query-relation probe lane: same lifecycle and closed-form contract
+    // as ann_ivf_indexed, reached without ever collecting the queries
+    "ann_ivf_batch" ->
       """SELECT CAST(q_id AS BIGINT) AS q_id,
         | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
         | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact

@@ -1141,6 +1141,80 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Per-row cell ranking for an ARBITRARY embedding column against
+    * double-precision stored centroids — [[cellRanking]] generalized to
+    * the query side of a batch probe. Same (neg_sim, cent) sort keys as
+    * the driver-side ranking in [[ivfProbeIndexedMulti]], and CosineSim
+    * widens floats exactly the way the driver replica does, so the two
+    * lanes agree bit-for-bit on every probe set. */
+  private def cellRankingOn(embCol: Column,
+      cents: Array[(Long, Array[Double])]): Column =
+    array_sort(array(cents.map { case (cid, v) =>
+      struct((-cosine(embCol, typedlit(v))).as("neg_sim"),
+        lit(cid).as("cent"))
+    }: _*))
+
+  /** Query-RELATION probe of the materialized IVF index — the bulk
+    * retrieval shape (RAG inference over millions of queries): the
+    * queries arrive as a DataFrame `(q_id: long, q_emb: array<float>)`
+    * and NOTHING query-sized ever touches the driver — the only collect
+    * is the k-row centroid table (model metadata, same size class as a
+    * broadcast dim table).
+    *
+    * Plan shape, and why it survives a 1e6-query batch where
+    * [[ivfProbeIndexedMulti]]'s driver-collected `Seq` cannot:
+    *
+    *  1. Each query ranks the stored centroids DISTRIBUTIVELY — the
+    *     centroid list rides as k×dim literals inside one shuffle-free
+    *     projection ([[cellRankingOn]]), and `slice(..., 1, nProbe)`
+    *     explodes to exactly nProbe (q_id, cell) probe pairs per query.
+    *  2. The probe relation broadcasts and hash-joins the index scan on
+    *     the `cell` PARTITION column, so dynamic partition pruning
+    *     drives the scan: only the union of probed `cell=` dirs is
+    *     read (spec-asserted `dynamicpruning` PartitionFilters) — the
+    *     100 TB probe cost stays `≤ distinct probed cells / cells` of
+    *     the index regardless of query count.
+    *  3. Per-query top-k is a rank window on (t6-cosine desc, vec_id),
+    *     WindowGroupLimit-prunable to k rows per partition before the
+    *     one q_id shuffle.
+    *
+    * Row semantics are EXACTLY [[ivfProbeIndexedMulti]]'s on the same
+    * queries (spec-pinned equality): each vector lives in one home
+    * cell, so a (q, vec) pair joins through at most one probed cell —
+    * no dedup needed. `excludeSelf` drops vec_id == q_id BEFORE the
+    * rank (the lifecycle gates probe with stored vectors as queries;
+    * a real inference batch carries foreign q_ids and leaves it off). */
+  def ivfProbeIndexedBatch(s: SparkSession, indexPath: String,
+      queries: DataFrame, k: Int = 10, nProbe: Int = 4,
+      excludeSelf: Boolean = false): DataFrame = {
+    val cents = s.read.parquet(s"$indexPath/centroids")
+      .select(col("cent_id"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // cast to the scan's inferred partition-column type so the join key
+    // is the bare partition attribute (a cast on the scan side would
+    // block dynamic partition pruning)
+    val probes = queries
+      .select(col("q_id"), col("q_emb"),
+        explode(slice(cellRankingOn(col("q_emb"), cents), 1, nProbe))
+          .as("probe"))
+      .select(col("q_id"), col("q_emb"),
+        col("probe").getField("cent").cast("int").as("cell"))
+    val candidates = s.read.parquet(s"$indexPath/vectors")
+      .join(broadcast(probes), Seq("cell"))
+    val filtered =
+      if (excludeSelf) candidates.filter(col("vec_id") =!= col("q_id"))
+      else candidates
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    filtered
+      .select(col("q_id"), col("vec_id"),
+        Num.t6(cosine(col("embedding"), col("q_emb"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("q_id", "rn")
+  }
+
   /** End-to-end IVF index LIFECYCLE — train, build, probe as one flow
     * (round-6 verdict item 4; the pieces existed separately):
     *
@@ -1198,6 +1272,54 @@ object Similarity {
         (qid, hit._2, 1, hit._3 >= 0.999999)
       }
       s.createDataFrame(rows.toSeq)
+        .toDF("q_id", "vec_id", "rn", "is_exact")
+        .orderBy("q_id")
+    } finally {
+      deleteScratch(scratch)
+    }
+  }
+
+  /** [[ivfIndexedPlanted]]'s lifecycle driven through the BATCH probe
+    * lane — same trained index, same planted-copy contract (the copy
+    * at rank 1, cosine ~1.0), but the probes flow as a query RELATION:
+    * the n lowest-vec_id embeddings become a (q_id, q_emb) DataFrame
+    * that is never collected — cell ranking, dynamic-partition-pruned
+    * candidate join, self-exclusion, and the rank-1 cut all run inside
+    * the one probe plan ([[ivfProbeIndexedBatch]] with excludeSelf).
+    * The only driver materialization is the n-row gate result, eager so
+    * the scratch index can be reaped before returning. Shares
+    * ann_ivf_indexed's closed-form oracle — which makes this a
+    * value-checked equality gate between the driver-Seq and
+    * query-relation probe lanes. */
+  def annIvfBatchPlanted(s: SparkSession, dir: String, n: Int = 5,
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val emb = plantedEmb(t(s, dir, "embeddings"), n)
+    val trained = collectCentroids(kmeansIterate(s, dir, 2), "cluster")
+    val scratch = scratchDir(s, "graft-ivfb-")
+    try {
+      val indexPath = scratch.toString
+      emb.select(col("vec_id"), col("embedding"),
+        argmaxOver(trained).getField("cluster").as("cell"))
+        .repartition(col("cell")) // one writer task per cell
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd")
+        .parquet(s"$indexPath/vectors")
+      import s.implicits._
+      trained.toSeq.map { case (c, v) => (c.toLong, v.toSeq) }
+        .toDF("cent_id", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexPath/centroids")
+      val queries = emb.filter(col("vec_id") < n)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val gate = ivfProbeIndexedBatch(s, indexPath, queries, k, nProbe,
+        excludeSelf = true)
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), col("rn"),
+          (col("cos_sim") >= 0.999999).as("is_exact"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getBoolean(3)))
+      s.createDataFrame(gate.toSeq)
         .toDF("q_id", "vec_id", "rn", "is_exact")
         .orderBy("q_id")
     } finally {

@@ -146,6 +146,59 @@ class SimilaritySpec extends AnyFunSuite {
     rows.tail.foreach(r => assert(mem(r.getLong(0)) === r.getDouble(1)))
   }
 
+  test("batch probe lane: query-relation probes equal the driver-Seq " +
+      "lane row-for-row, broadcast-join with dynamic partition pruning, " +
+      "and the query relation is never collected") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfb_").toString
+    Similarity.writeIvfIndex(spark, TestSpark.sf, idx)
+    val emb = graft.Tables.load(spark, TestSpark.sf, "embeddings")
+    val qDf = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val batch = Similarity.ivfProbeIndexedBatch(spark, idx, qDf,
+      k = 10, nProbe = 4)
+    val rowsBatch = batch.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val qSeq = emb.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val rowsMulti = Similarity.ivfProbeIndexedMulti(spark, idx,
+      qSeq.toSeq, k = 10, nProbe = 4).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // bit-exact lane equality: same probed cells (distributed vs driver
+    // centroid ranking), same t6 scores, same rank order
+    assert(rowsBatch === rowsMulti)
+    val plan = batch.queryExecution.executedPlan.toString
+    // the probe side broadcasts and the index scan is pruned at RUNTIME
+    // by the broadcast's distinct cells — the shape that keeps a 1e6-
+    // query batch at (probed cells / cells) of one index scan
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected BroadcastHashJoin in:\n${plan.take(1500)}")
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamicpruning PartitionFilters in:\n${plan.take(1500)}")
+    // no collect of the query relation: the query side is the embeddings
+    // FILE SCAN feeding the plan directly, never a driver-side local
+    // relation re-parallelized
+    assert(!plan.contains("LocalTableScan"),
+      "query relation must not pass through the driver")
+    // (string count, not a tree collect: AQE wraps the join stages so
+    // FileSourceScanExec nodes are not reachable by plan.collect here)
+    val nScans = "FileScan parquet".r.findAllIn(plan).size
+    assert(nScans >= 2,
+      s"expected index scan + query-relation scan, got $nScans")
+  }
+
+  test("ann_ivf_batch lifecycle gate: planted copies at rank 1 via the " +
+      "query-relation lane (shares ann_ivf_indexed's closed-form oracle)") {
+    val rows = Similarity.annIvfBatchPlanted(spark, TestSpark.sf).collect()
+    assert(rows.length === 5)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i.toLong)
+      assert(r.getLong(1) === i.toLong + graft.operators.Dedup.PlantOffset)
+      assert(r.getInt(2) === 1)
+      assert(r.getBoolean(3))
+    }
+  }
+
   test("semdedup over trained cells: planted copies dropped, originals " +
       "survive — recall on exact duplicates is centroid-set-invariant") {
     val out = Similarity.semDedupTrainedPlanted(spark, TestSpark.sf)
