@@ -970,12 +970,38 @@ object Similarity {
     * dim table), not a data collect: at 100 TB the corpus is never
     * collected, only the centroid table, exactly as a real IVF index
     * ships its centroid list with the query. */
-  def ivfCentroids(emb: DataFrame, k: Int = 16): Array[(Long, Array[Float])] =
-    emb.orderBy(xxhash64(col("vec_id")))
-      .limit(k)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+  def ivfCentroids(emb: DataFrame, k: Int = 16): Array[(Long, Array[Float])] = {
+    // Hash-threshold seed (the hash_sample discipline): a deterministic
+    // xxhash64 cutoff admits a ~k·64-candidate pool and the rank runs
+    // over THAT pool — no corpus-wide TakeOrdered per index build. The
+    // result is IDENTICAL to min-k by xxhash64 over the whole corpus
+    // (the k smallest hashes all clear any cutoff that admits >= k
+    // rows), so every dependent recall number and oracle is unchanged.
+    // The row count that sizes the cutoff comes from the optimizer's
+    // sizeInBytes estimate at >= 64 B/row — driver metadata, ZERO extra
+    // jobs (a count() here measurably taxed every in-memory IVF query
+    // with one more corpus scan). The estimate over-counts compressed
+    // parquet by a small factor, which only WIDENS the pool; a pool
+    // that still lands short of k falls back to the exact unfiltered
+    // rank, so seeding is correct for any estimate whatsoever.
+    val n = emb.queryExecution.optimizedPlan.stats.sizeInBytes
+      .max(BigInt(64)) / 64
+    val pool = n.min(BigInt(math.max(k.toLong * 64L, 256L)))
+    // raw-hash cutoff spanning pool/n of the signed Long range, so the
+    // admitted set is exactly {v : xxhash64(v) < cut} and the k
+    // SMALLEST raw hashes — the old seeds — are all inside it
+    val cutBig = BigInt(Long.MinValue) + (BigInt(2).pow(64) * pool / n)
+    val cut =
+      if (cutBig >= BigInt(Long.MaxValue)) Long.MaxValue else cutBig.toLong
+    def minK(df: DataFrame) =
+      df.orderBy(xxhash64(col("vec_id")))
+        .limit(k)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val sampled = minK(emb.filter(xxhash64(col("vec_id")) < lit(cut)))
+    if (sampled.length >= k) sampled else minK(emb)
+  }
 
   /** Per-vector cell ranking as ONE shuffle-free projection: the centroid
     * list is inlined as literals, each vector computes its (neg_sim, cent)

@@ -9,6 +9,20 @@ class SimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("ivf centroid seeding: the hash-threshold pool reproduces the " +
+      "exact min-k-by-hash seeds without a corpus-wide rank") {
+    import org.apache.spark.sql.functions.xxhash64
+    val emb = graft.Tables.load(spark, TestSpark.sf, "embeddings")
+    val seeded = Similarity.ivfCentroids(emb, 16)
+      .map { case (id, v) => (id, v.toSeq) }.toSeq
+    // the reference semantics: global min-16 by raw xxhash64 — the
+    // threshold-sampled pool must admit all 16 and change nothing
+    val full = emb.orderBy(xxhash64($"vec_id")).limit(16)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    assert(seeded === full)
+  }
+
   test("brute-force top-k: k rows, descending, cosine in [-1,1]") {
     val out = Similarity.bruteForceTopK(spark, TestSpark.sf, 0L, 10).collect()
     assert(out.length === 10)
