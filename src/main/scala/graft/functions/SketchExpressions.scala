@@ -82,6 +82,72 @@ object SketchExpressions {
 
   def tokenEntropy(tokens: Column): Column =
     CB.column(TokenEntropy(CB.expression(tokens)))
+
+  def chainedReplace(str: Column, pairs: Seq[(String, String)]): Column =
+    CB.column(ChainedReplace(CB.expression(str),
+      pairs.map(_._1).toArray, pairs.map(_._2).toArray))
+}
+
+/** An ordered replace TABLE applied to a string in ONE expression:
+  * fold of `UTF8String.replace` over (search_i → replacement_i) in
+  * table order. Bit-identical to chaining that many `replace`
+  * (StringReplace) projections — StringReplace's eval IS
+  * `UTF8String.replace`, greedy left-to-right non-overlapping — but
+  * with CONSTANT expression depth: the table rides as two reference
+  * arrays and the generated code is one fixed-size loop whatever the
+  * table length. The chained form's expression tree grows linearly
+  * with the merge count, which is fine for a 20-merge toy tokenizer
+  * and fatal for a production 32k-merge BPE vocabulary (codegen
+  * collapses the chain into one method that blows past janino's limits
+  * before falling back to a 32k-deep interpreted tree). This is the
+  * encode-side "model in the expression tree" shape at real vocabulary
+  * scale. */
+case class ChainedReplace(child: Expression,
+    searches: Array[String], replacements: Array[String])
+    extends UnaryExpression {
+  require(searches.length == replacements.length &&
+    searches.forall(_.nonEmpty))
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "chained_replace"
+
+  @transient private lazy val s8 =
+    searches.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+  @transient private lazy val r8 =
+    replacements.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    var cur = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    var i = 0
+    while (i < s8.length) { cur = cur.replace(s8(i), r8(i)); i += 1 }
+    cur
+  }
+
+  /** Same loop as [[nullSafeEval]] — generated and interpreted paths
+    * are the same `UTF8String.replace` fold, so they stay
+    * bit-identical at any table length. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val u8 = "org.apache.spark.unsafe.types.UTF8String"
+      val sr = ctx.addReferenceObj("searches", s8, s"$u8[]")
+      val rr = ctx.addReferenceObj("replacements", r8, s"$u8[]")
+      val cur = ctx.freshName("cur")
+      val i = ctx.freshName("i")
+      s"""
+         |$u8 $cur = $in;
+         |for (int $i = 0; $i < ${s8.length}; $i++) {
+         |  $cur = $cur.replace($sr[$i], $rr[$i]);
+         |}
+         |${ev.value} = $cur;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): ChainedReplace =
+    copy(child = c)
 }
 
 /** Cosine similarity of two array<float|double> vectors, fused single

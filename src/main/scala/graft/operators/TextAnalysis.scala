@@ -529,10 +529,17 @@ object TextAnalysis {
       .select(col(key), explode(tokens(col("text"))).as("tok"))
       .select(col(key), length(col("tok")).as("n_in"),
         regexp_replace(col("tok"), "(.)", " $1 ").as("s"))
-    merges.foldLeft(wrapped) { (df, m) =>
-      df.withColumn("s", replace(col("s"), lit(m.getString(1)),
-        lit(" " + m.getString(2) + " ")))
-    }
+    // the whole merge table as ONE constant-depth expression (a
+    // reference-array loop, bit-identical to chaining `rounds`
+    // replace projections — ChainedReplace's contract) so a
+    // production-scale 32k-merge vocabulary encodes through the same
+    // plan a 20-merge toy does; the chained form grew the expression
+    // tree linearly and stopped compiling long before real vocab sizes
+    val pairs = merges.toSeq.map(m =>
+      (m.getString(1), " " + m.getString(2) + " "))
+    wrapped
+      .withColumn("s",
+        graft.functions.SketchExpressions.chainedReplace(col("s"), pairs))
       .select(col(key), col("n_in"),
         size(split(trim(col("s")), "  ")).as("n_out"))
   }

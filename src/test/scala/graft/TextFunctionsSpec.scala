@@ -541,4 +541,51 @@ class TextFunctionsSpec extends AnyFunSuite {
       assert(r.getDouble(7) === 0.0)
     }
   }
+
+  test("chained_replace: the one-expression merge table equals chained " +
+      "replace projections on trained merges, and a 300-merge table " +
+      "still COMPILES (codegen-only, no fallback)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.SketchExpressions
+    val merges = graft.operators.TextAnalysis
+      .bpeIterate(spark, TestSpark.sf, 6).collect()
+      .map(m => (m.getString(1), " " + m.getString(2) + " ")).toSeq
+    assert(merges.nonEmpty)
+    val wrapped = Tables.load(spark, TestSpark.sf, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .select(regexp_replace(col("tok"), "(.)", " $1 ").as("s"))
+    val viaExpr = wrapped
+      .select(SketchExpressions.chainedReplace(col("s"), merges).as("s"))
+      .collect().map(_.getString(0)).sorted
+    val viaChain = merges.foldLeft(wrapped) { (df, m) =>
+        df.withColumn("s", replace(col("s"), lit(m._1), lit(m._2)))
+      }.collect().map(_.getString(0)).sorted
+    assert(viaExpr === viaChain,
+      "merge-table expression must be bit-identical to the chained form")
+    // interpreted path replays the same fold
+    val prevFac = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val viaInterp =
+      try wrapped
+        .select(SketchExpressions.chainedReplace(col("s"), merges).as("s"))
+        .collect().map(_.getString(0)).sorted
+      finally prevFac.fold(
+        spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    assert(viaInterp === viaExpr)
+    // production merge count: 300 synthetic merges in ONE expression.
+    // CODEGEN_ONLY makes a janino compile failure throw instead of
+    // silently falling back — the property the chained form loses at
+    // real vocabulary sizes (its expression depth grows per merge).
+    val big = (0 until 300).map(i => (s" a$i  b$i ", s" a${i}b$i "))
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = Seq(" a0  b0  a299  b299  zz ").toDF("s")
+        .select(SketchExpressions.chainedReplace(col("s"), big).as("s"))
+        .collect()(0).getString(0)
+      assert(out === " a0b0  a299b299  zz ")
+    } finally prevFac.fold(
+      spark.conf.unset("spark.sql.codegen.factoryMode"))(
+      spark.conf.set("spark.sql.codegen.factoryMode", _))
+  }
 }
