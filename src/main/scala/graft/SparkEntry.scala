@@ -395,6 +395,11 @@ object SparkEntry {
     // target-byte merge groups via the banded running sum
     "compaction_plan" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.compactionPlan(s, d)),
+    // file-skipping proof: clustered vs scattered copies of the same
+    // relation, per-file min/max stats vs a range predicate — booleans
+    // closed-form TRUE when the layout alone prunes the scan
+    "layout_skipping_gate" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.layoutSkippingGate(s, d)),
     // best-documents-until-token-budget cut (banded running sum)
     "token_budget" -> ((s: SparkSession, d: String) =>
       Curation.tokenBudget(s, d)),
@@ -1994,6 +1999,13 @@ object SparkEntry {
         |  max(bytes) AS max_file, min(bytes) AS min_file
         | FROM c GROUP BY source, grp
         | ORDER BY source, grp""".stripMargin.replace("\n", ""),
+    // layout skipping: all four invariants closed-form TRUE (scattered
+    // files never prune, range-clustered files always do, both copies
+    // answer the predicate identically)
+    "layout_skipping_gate" ->
+      """SELECT TRUE AS layouts_written, TRUE AS unclustered_full_scan,
+        | TRUE AS clustered_skips, TRUE AS rows_agree""".stripMargin
+        .replace("\n", ""),
     // per-source dataset card: exact-integer aggregates, decimal-sum
     // means, majority lang with count-desc/lang-asc tie-break
     "source_datasheet" ->

@@ -111,4 +111,67 @@ class LayoutSpec extends AnyFunSuite {
       assert(n > 0 && bytes >= mx && mx >= mn, s"$src/$grp malformed")
     }
   }
+
+  test("layout skipping gate: all four invariants TRUE") {
+    val r = Layout.layoutSkippingGate(spark, TestSpark.sf).collect()
+    assert(r.length === 1)
+    (0 until 4).foreach(i => assert(r(0).getBoolean(i),
+      s"gate column $i false"))
+  }
+
+  test("clustered layout actually skips at the parquet reader: the " +
+      "pushed range predicate decodes a fraction of the rows the " +
+      "scattered layout decodes") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_skip_")
+    try {
+      val li = Tables.load(spark, TestSpark.sf, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      li.repartitionByRange(16, col("l_partkey"))
+        .write.parquet(s"$dir/clustered")
+      li.repartition(16, col("l_orderkey"))
+        .write.parquet(s"$dir/unclustered")
+      val maxPk = li.agg(max(col("l_partkey"))).head().getLong(0)
+      val lo = maxPk / 4
+      val hi = lo + math.max(maxPk / 16, 8L)
+      // rows the parquet READER emits (post row-group skip, pre
+      // re-filter): with one row group per small file, min/max stats
+      // skip whole non-overlapping groups before any value is decoded.
+      // AQE is off for the measurement so the scan node (and its
+      // metrics) sit in the plan directly instead of inside opaque
+      // query-stage wrappers.
+      def scanRows(path: String): Long = {
+        val q = spark.read.parquet(path)
+          .filter(col("l_partkey") >= lo && col("l_partkey") <= hi)
+          .agg(count(lit(1)))
+        q.collect()
+        val plan = q.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val scans = plan.collect { case f: FileSourceScanExec => f }
+        assert(scans.nonEmpty, "no FileSourceScanExec found")
+        assert(scans.head.metadata("PushedFilters").contains("l_partkey"),
+          "range predicate must reach PushedFilters")
+        scans.head.metrics("numOutputRows").value
+      }
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val (clustered, scattered) =
+        try (scanRows(s"$dir/clustered"), scanRows(s"$dir/unclustered"))
+        finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      val total = li.count()
+      assert(scattered === total,
+        "scattered layout must decode the whole table (no stats help)")
+      assert(clustered * 2 <= scattered,
+        s"clustered reader decoded $clustered vs $scattered — layout " +
+          "did not skip")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
