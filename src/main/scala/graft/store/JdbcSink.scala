@@ -133,37 +133,52 @@ object JdbcSink {
       conn.close()
     }
     prepped.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-      if (rows.hasNext) {
-        val c = connect()
-        try {
-          c.setAutoCommit(false)
-          val ins = c.prepareStatement(insertSql)
-          val del = c.prepareStatement(
-            "DELETE FROM public.weather_hourly WHERE CAST(time AS DATE) = ?" +
-              " AND EXTRACT(HOUR FROM time) = ?")
-          val seenHours = scala.collection.mutable.Set.empty[Int]
-          var n = 0
-          rows.foreach { r =>
-            val h = r.getTimestamp(0).toLocalDateTime.getHour
-            if (seenHours.add(h)) {
-              // flush pending inserts BEFORE deleting a new hour slice, so
-              // the delete can never eat rows this txn already staged
-              ins.executeBatch()
-              del.setDate(1, day)
-              del.setInt(2, h)
-              del.executeUpdate()
-            }
-            bindRow(ins, r)
-            n += 1
-            if (n % batchSize == 0) ins.executeBatch()
+      loadHourPartition(rows, day, connect, batchSize)
+    }
+  }
+
+  /** One task's transaction of [[upsertDayDistributed]] — extracted so
+    * the retry-idempotence property is testable as the SCHEDULER sees
+    * it: Spark may re-run this exact function on the exact same rows
+    * (task retry, speculative duplicate) after a prior attempt already
+    * committed, and the result must be as if it ran once. That holds
+    * because the txn DELETEs each hour slice it owns before inserting
+    * it; `JdbcSinkSpec` replays this function against a materializing
+    * fake warehouse to pin exactly-once row counts under both retry
+    * shapes (after a commit, and after a mid-batch failure). */
+  private[graft] def loadHourPartition(
+      rows: Iterator[org.apache.spark.sql.Row], day: java.sql.Date,
+      connect: () => Connection, batchSize: Int = 1000): Unit = {
+    if (rows.hasNext) {
+      val c = connect()
+      try {
+        c.setAutoCommit(false)
+        val ins = c.prepareStatement(insertSql)
+        val del = c.prepareStatement(
+          "DELETE FROM public.weather_hourly WHERE CAST(time AS DATE) = ?" +
+            " AND EXTRACT(HOUR FROM time) = ?")
+        val seenHours = scala.collection.mutable.Set.empty[Int]
+        var n = 0
+        rows.foreach { r =>
+          val h = r.getTimestamp(0).toLocalDateTime.getHour
+          if (seenHours.add(h)) {
+            // flush pending inserts BEFORE deleting a new hour slice, so
+            // the delete can never eat rows this txn already staged
+            ins.executeBatch()
+            del.setDate(1, day)
+            del.setInt(2, h)
+            del.executeUpdate()
           }
-          ins.executeBatch()
-          c.commit()
-        } catch {
-          case e: Throwable => c.rollback(); throw e
-        } finally {
-          c.close()
+          bindRow(ins, r)
+          n += 1
+          if (n % batchSize == 0) ins.executeBatch()
         }
+        ins.executeBatch()
+        c.commit()
+      } catch {
+        case e: Throwable => c.rollback(); throw e
+      } finally {
+        c.close()
       }
     }
   }

@@ -88,6 +88,117 @@ object RecordingJdbc {
     }
 }
 
+/** Materializing fake warehouse: a shared in-memory table with REAL
+  * transactional apply — `commit` publishes the txn's ordered ops
+  * (hour-slice DELETEs, INSERTs) atomically under the table lock,
+  * `rollback` discards them. Where [[RecordingJdbc]] pins statement
+  * SEQUENCING, this pins ROW COUNTS — the exactly-once property the
+  * distributed sink claims under Spark task retries. */
+object FakeWarehouse {
+  type Row4 = (Long, Option[Double], Option[Double], Option[Long])
+
+  private val tables =
+    new ConcurrentHashMap[String, scala.collection.mutable.ArrayBuffer[Row4]]()
+
+  private def table(key: String) =
+    tables.computeIfAbsent(key,
+      _ => scala.collection.mutable.ArrayBuffer.empty[Row4])
+
+  def rows(key: String): Seq[Row4] =
+    table(key).synchronized(table(key).toVector).sorted(
+      Ordering.by((r: Row4) => (r._1, r._2.getOrElse(Double.NaN).toString)))
+
+  private sealed trait Op
+  private case object DeleteDay extends Op
+  private case class DeleteHour(h: Int) extends Op
+  private case class Insert(r: Row4) extends Op
+
+  private def hourOf(tsMillis: Long): Int =
+    new java.sql.Timestamp(tsMillis).toLocalDateTime.getHour
+
+  private def proxy[T](cls: Class[T])(h: (Method, Array[AnyRef]) => AnyRef): T =
+    Proxy.newProxyInstance(cls.getClassLoader, Array[Class[_]](cls),
+      new InvocationHandler {
+        def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+          h(m, args)
+      }).asInstanceOf[T]
+
+  /** `failFirstRealBatch = true` injects a mid-write failure: the first
+    * INSERT executeBatch that carries staged rows throws, the way a
+    * lost executor or wire error kills an attempt mid-transaction. */
+  def connection(key: String,
+      failFirstRealBatch: Boolean = false): java.sql.Connection = {
+    val ops = scala.collection.mutable.ArrayBuffer.empty[Op]
+    val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    proxy(classOf[java.sql.Connection]) { (m, args) =>
+      m.getName match {
+        case "createStatement" =>
+          proxy(classOf[java.sql.Statement]) { (sm, _) =>
+            if (sm.getName == "execute") java.lang.Boolean.TRUE else null
+          }
+        case "prepareStatement" =>
+          val sql = args(0).toString
+          val isInsert = sql.trim.startsWith("INSERT")
+          val isHourDelete = sql.contains("EXTRACT(HOUR")
+          val params = new ConcurrentHashMap[Int, AnyRef]()
+          val staged = scala.collection.mutable.ArrayBuffer.empty[Row4]
+          proxy(classOf[java.sql.PreparedStatement]) { (pm, pargs) =>
+            pm.getName match {
+              case "setTimestamp" =>
+                params.put(pargs(0).asInstanceOf[Integer].intValue(),
+                  pargs(1)); null
+              case "setDouble" =>
+                params.put(pargs(0).asInstanceOf[Integer].intValue(),
+                  pargs(1)); null
+              case "setNull" =>
+                params.remove(pargs(0).asInstanceOf[Integer].intValue())
+                null
+              case "setDate" | "setInt" =>
+                params.put(pargs(0).asInstanceOf[Integer].intValue(),
+                  pargs(1)); null
+              case "addBatch" =>
+                def d(i: Int) = Option(params.get(i))
+                  .map(_.asInstanceOf[java.lang.Double].doubleValue())
+                def ts(i: Int) = Option(params.get(i))
+                  .map(_.asInstanceOf[java.sql.Timestamp].getTime)
+                staged += ((ts(1).get, d(2), d(3), ts(4)))
+                params.clear(); null
+              case "executeBatch" =>
+                if (failFirstRealBatch && staged.nonEmpty &&
+                    failed.compareAndSet(false, true)) {
+                  staged.clear()
+                  throw new java.sql.SQLException("wire dropped mid-batch")
+                }
+                staged.foreach(r => ops += Insert(r)); staged.clear()
+                Array.empty[Int]
+              case "executeUpdate" =>
+                ops += (if (isHourDelete)
+                  DeleteHour(params.get(2).asInstanceOf[Integer].intValue())
+                else DeleteDay)
+                params.clear(); Integer.valueOf(0)
+              case _ => null
+            }
+          }
+        case "commit" =>
+          val t = table(key)
+          t.synchronized {
+            ops.foreach {
+              case DeleteDay => t.clear()
+              case DeleteHour(h) =>
+                val keep = t.filterNot(r => hourOf(r._1) == h)
+                t.clear(); t ++= keep
+              case Insert(r) => t += r
+            }
+          }
+          ops.clear(); null
+        case "rollback" => ops.clear(); null
+        case "close" => null
+        case _ => null
+      }
+    }
+  }
+}
+
 class JdbcSinkSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -187,5 +298,65 @@ class JdbcSinkSpec extends AnyFunSuite {
     val got = RecordingJdbc.entries(key)
     assert(got.contains("rollback"))
     assert(got.count(_ == "commit") === 1, "only the driver's prep txn committed")
+  }
+
+  /** Five rows across hours 07/08/09 — multiple hour slices so a retry
+    * of one slice can be replayed against the others' committed rows. */
+  private def hourlyDf = {
+    import spark.implicits._
+    val ts = (h: Int, m: Int) =>
+      java.sql.Timestamp.valueOf(f"2025-08-20 $h%02d:$m%02d:00")
+    Seq(
+      (ts(7, 0), 17.1, 82.0, ts(12, 0)),
+      (ts(7, 30), 16.8, 84.0, ts(12, 0)),
+      (ts(8, 0), 18.2, 80.0, ts(12, 0)),
+      (ts(8, 30), 18.9, 78.0, ts(12, 0)),
+      (ts(9, 0), 19.5, 76.0, ts(12, 0)))
+      .toDF("time", "temperature_2m", "relative_humidity_2m",
+        "ingested_at")
+  }
+
+  private def hourRows(h: Int) = hourlyDf
+    .filter(org.apache.spark.sql.functions.hour(
+      org.apache.spark.sql.functions.col("time")) === h)
+    .collect()
+
+  test("distributed upsert is EXACTLY-ONCE under a task retry after " +
+      "commit: replaying a committed hour partition leaves the " +
+      "warehouse rows unchanged") {
+    val key = "fake_retry_commit"
+    JdbcSink.upsertDayDistributed(hourlyDf, day,
+      () => FakeWarehouse.connection(key))
+    val first = FakeWarehouse.rows(key)
+    assert(first.size === 5, s"expected 5 loaded rows, got $first")
+    // Spark re-runs the hour-07 task (speculative duplicate / fetch
+    // retry) — the EXACT function the scheduler would re-invoke, on the
+    // exact committed rows
+    JdbcSink.loadHourPartition(hourRows(7).iterator, day,
+      () => FakeWarehouse.connection(key))
+    assert(FakeWarehouse.rows(key) === first,
+      "retry of a committed partition must not duplicate rows")
+  }
+
+  test("distributed upsert is EXACTLY-ONCE under a mid-batch failure: " +
+      "the failed attempt rolls back to zero rows for its slice, the " +
+      "retry lands the slice once, a second retry changes nothing") {
+    val key = "fake_retry_fail"
+    // attempt 1 dies mid-INSERT-batch: rollback -> nothing published
+    intercept[java.sql.SQLException] {
+      JdbcSink.loadHourPartition(hourRows(7).iterator, day,
+        () => FakeWarehouse.connection(key, failFirstRealBatch = true))
+    }
+    assert(FakeWarehouse.rows(key).isEmpty,
+      "failed attempt must publish nothing")
+    // attempt 2 (the scheduler's retry) lands the slice exactly once
+    JdbcSink.loadHourPartition(hourRows(7).iterator, day,
+      () => FakeWarehouse.connection(key))
+    val once = FakeWarehouse.rows(key)
+    assert(once.size === 2)
+    // a further spurious re-run stays idempotent
+    JdbcSink.loadHourPartition(hourRows(7).iterator, day,
+      () => FakeWarehouse.connection(key))
+    assert(FakeWarehouse.rows(key) === once)
   }
 }
