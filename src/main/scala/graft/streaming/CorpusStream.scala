@@ -122,8 +122,11 @@ object CorpusStream {
     * attributably, not in the operator.
     *
     * The static sides (capped band index, shingle relation) are
-    * re-planned per micro-batch; a deployment materializes both in the
-    * warehouse and refreshes them on index compaction. Survivors are
+    * persisted ONCE for the run and reused by every micro-batch — the
+    * harness analog of a deployment materializing both in the warehouse
+    * and refreshing them on index compaction (re-planning them per
+    * batch re-banded the full index each trigger: measured 45.9 s on
+    * the 10× rehearsal slice vs linear once cached). Survivors are
     * written through [[upsertSurvivors]] — batchId-keyed idempotent
     * overwrite, so checkpoint-replayed batches cannot double-append. */
   def runNearDupOnce(s: SparkSession, srcDir: String,
@@ -139,15 +142,33 @@ object CorpusStream {
         .filter(col("doc_id") % 100 === 0 && col("doc_id") < 500)
         .select((col("doc_id") + Dedup.PlantOffset).as("doc_id"),
           col("text")))
+      // a DETERMINISTIC 2-file drop at every corpus scale: with
+      // maxFilesPerTrigger=1 the file count IS the micro-batch count,
+      // and an SF-dependent drop layout would change how many
+      // micro-batches the harness runs (the 10x rehearsal slice read
+      // back as 32 files -> 32 batches x fixed per-batch cost, drowning
+      // the work being measured). Two files keep the multi-batch lane
+      // exercised; batch sizing at deployment is a source option, not
+      // an operator property.
+      .coalesce(2)
       .write.mode("overwrite").parquet(batchDir)
+    // The static sides PERSIST across micro-batches — the harness analog
+    // of the deployment shape the scaladoc promises (index bands and
+    // shingles materialized in the warehouse, refreshed on compaction).
+    // Without this, every micro-batch re-plans the FULL index banding:
+    // with maxFilesPerTrigger=1 a multi-file drop pays
+    // (#batches × index scan) — measured 45.9 s on the 10× rehearsal
+    // slice (~32 drop files), vs linear once cached.
     val iBands = Dedup.bandIndex(index, 64, 16)
       .withColumn("bsz", count(lit(1))
         .over(Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("bsz") <= maxBucket)
       .select(col("band"), col("bucket"), col("doc_id").as("i_id"))
+      .persist()
     val shI = index.select(col("doc_id").as("i_id"),
       graft.functions.SketchExpressions
         .wordShingles(tokens(col("text"))).as("sh_i"))
+      .persist()
     val whRoot = HourlyStream.scratchDir("graft_neardup_wh_")
     val warehouse = whRoot + "/keep"
     val ckpt = HourlyStream.scratchDir("graft_ckpt_")
@@ -162,6 +183,8 @@ object CorpusStream {
       .start()
     try q.awaitTermination() finally {
       q.stop()
+      iBands.unpersist(blocking = false)
+      shI.unpersist(blocking = false)
       // the LSH lane leaves corpus-scale broadcast/shuffle state that
       // only the ContextCleaner frees on GC; without this, back-to-back
       // harness runs in one JVM degrade monotonically (measured
@@ -250,8 +273,20 @@ object CorpusStream {
         .filter(col("doc_id") % 100 === 0 && col("doc_id") < 500)
         .select((col("doc_id") + Dedup.PlantOffset).as("doc_id"),
           col("text")))
+      // a DETERMINISTIC 2-file drop at every corpus scale: with
+      // maxFilesPerTrigger=1 the file count IS the micro-batch count,
+      // and an SF-dependent drop layout would change how many
+      // micro-batches the harness runs (the 10x rehearsal slice read
+      // back as 32 files -> 32 batches x fixed per-batch cost, drowning
+      // the work being measured). Two files keep the multi-batch lane
+      // exercised; batch sizing at deployment is a source option, not
+      // an operator property.
+      .coalesce(2)
       .write.mode("overwrite").parquet(batchDir)
+    // persisted across micro-batches (the runNearDupOnce discipline:
+    // the static digest index would otherwise re-aggregate per batch)
     val indexDigests = index.select(md5(col("text")).as("h")).distinct()
+      .persist()
     val name = "graft_stream_index_dedup_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val ckpt = HourlyStream.scratchDir("graft_ckpt_")
@@ -263,7 +298,10 @@ object CorpusStream {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally q.stop()
+    try q.awaitTermination() finally {
+      q.stop()
+      indexDigests.unpersist(blocking = false)
+    }
     // the memory sink holds the result — the drop dir and checkpoint
     // have no readers left; reap them now rather than at JVM exit
     Seq(batchDir, ckpt).foreach(HourlyStream.reapScratch)
