@@ -49,6 +49,11 @@ object ExplainDump {
     "quality_psi", "zipf_fit", "dedup_cross_source", "embed_power_iter",
     "scd2_history", "dp_release", "weighted_sample", "poisson_bootstrap",
     "hll_merge_gate", "ab_test")
+    // round 9: both new queries (ann_ivf_batch, layout_skipping_gate)
+    // are scratch-write lifecycles — building their DFs executes the
+    // index/copy writes, so they follow the ann_ivf_compact exclusion;
+    // the batch-probe plan shape (BHJ + dynamicpruning) is pinned in
+    // SimilaritySpec instead
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
