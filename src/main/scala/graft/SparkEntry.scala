@@ -272,6 +272,11 @@ object SparkEntry {
     // column in the index), probe partition-pruned — same oracle
     "ann_ivfpq_indexed" -> ((s: SparkSession, d: String) =>
       Similarity.ivfPqIndexed(s, d)),
+    // the PQ bulk-retrieval shape: probes as a query RELATION (never
+    // collected), DPP-pruned codes join, column-side ADC — shares the
+    // driver-array lane's full math-replay oracle
+    "ann_ivfpq_batch" -> ((s: SparkSession, d: String) =>
+      Similarity.annIvfPqBatch(s, d)),
     "ann_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.filteredTopK(s, d)),
     "length_percentiles" -> (TextAnalysis.lengthPercentiles _),
     "search_docs" -> ((s: SparkSession, d: String) => Similarity.searchDocs(s, d)),
@@ -678,6 +683,8 @@ object SparkEntry {
     // the materialized IVF-PQ index must return EXACTLY the in-memory
     // compose's relation — build/store/probe is semantics-preserving
     ("ann_ivfpq_indexed" -> oracleSqlBase("ann_ivfpq_topk")) +
+    // the query-relation PQ probe reproduces the same ADC relation
+    ("ann_ivfpq_batch" -> oracleSqlBase("ann_ivfpq_topk")) +
     // streaming drift accumulates the SAME integer band counts the
     // batch PSI aggregates in one pass — associativity makes the
     // relations identical, so the queries share one oracle

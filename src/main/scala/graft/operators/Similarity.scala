@@ -592,6 +592,84 @@ object Similarity {
       .limit(k)
   }
 
+  /** Query-RELATION probe of the materialized IVF-PQ index —
+    * [[ivfProbeIndexedBatch]]'s bulk-retrieval shape at the PQ level,
+    * the memory-efficient bulk path at 100 TB (codes are 12 bits per
+    * database vector; only the query side carries full precision).
+    * The probes arrive as a `(q_id, q_emb)` DataFrame and are never
+    * collected: per-query coarse-cell ranking runs as the
+    * [[cellRankingOn]] literal projection against the stored-centroid
+    * metadata, the (q_id, cell) pairs broadcast-hash-join the
+    * `cell=`-partitioned codes index (dynamic partition pruning drives
+    * the scan), and the ADC distance evaluates per candidate with the
+    * query SUBVECTOR as a column — same code-selected
+    * sum-of-squared-L2, same fold order as [[pqAdcCol]]'s literal
+    * form, so the two lanes are bit-identical on the same queries
+    * (spec-pinned). Per-query top-k is a WindowGroupLimit-prunable
+    * rank on (adc_dist asc, vec_id). */
+  def ivfPqProbeIndexedBatch(s: SparkSession, dir: String,
+      indexPath: String, queries: DataFrame, k: Int = 10,
+      nProbe: Int = 3, excludeSelf: Boolean = true): DataFrame = {
+    val cents = collectCentroids(labelCentroids(s, dir), "label")
+      .map { case (cl, v) => (cl.toLong, v) }
+    val cb = pqCodebooks(s, dir)
+    val probes = queries
+      .select(col("q_id"), col("q_emb"),
+        explode(slice(cellRankingOn(col("q_emb"), cents), 1, nProbe))
+          .as("probe"))
+      .select(col("q_id"), col("q_emb"),
+        col("probe").getField("cent").cast("int").as("cell"))
+    val cand = s.read.parquet(s"$indexPath/codes")
+      .join(broadcast(probes), Seq("cell"))
+    val filtered =
+      if (excludeSelf) cand.filter(col("vec_id") =!= col("q_id"))
+      else cand
+    // pqAdcCol's code-selected sum with the query subvector read from
+    // the q_emb COLUMN instead of a literal — float→double widening
+    // inside the same index-order fold keeps the doubles bit-equal
+    def adc(j: Int, codeCol: Column): Column = {
+      val sub = slice(col("q_emb"), j * PqSub + 1, PqSub)
+      (0 until PqK).foldLeft(lit(0.0)) { (acc, c) =>
+        when(codeCol === c, sqDist(sub, cb(j)(c))).otherwise(acc)
+      }
+    }
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+    filtered
+      .select(col("q_id"), col("vec_id"),
+        col("cell").cast("int").as("cell"),
+        Num.t6(adc(0, col("c0")) + adc(1, col("c1"))
+          + adc(2, col("c2")) + adc(3, col("c3"))).as("adc_dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("q_id", "rn")
+  }
+
+  /** [[writeIvfPqIndex]] + [[ivfPqProbeIndexedBatch]] composed with a
+    * scratch lifecycle, on the seed-query relation — shares
+    * [[ivfPqIndexed]]'s oracle (the full DuckDB IVF-PQ math replay), so
+    * the driver hash-checks that the query-relation PQ lane reproduces
+    * the driver-array lane's exact ADC relation. */
+  def annIvfPqBatch(s: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, nProbe: Int = 3): DataFrame = {
+    val scratch = scratchDir(s, "graft-ivfpqb-")
+    try {
+      writeIvfPqIndex(s, dir, scratch.toString)
+      val queries = t(s, dir, "embeddings")
+        .filter(col("vec_id") === queryId)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val topk = ivfPqProbeIndexedBatch(s, dir, scratch.toString,
+        queries, k, nProbe)
+        .select(col("vec_id"), col("cell"), col("adc_dist"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      import s.implicits._
+      topk.toSeq.toDF("vec_id", "cell", "adc_dist")
+    } finally {
+      deleteScratch(scratch)
+    }
+  }
+
   /** [[writeIvfPqIndex]] + [[ivfPqProbeIndexed]] composed with a scratch
     * lifecycle (the [[ivfIndexedPlanted]] discipline: the k-row result
     * is collected, then the index is deleted before the query returns). */

@@ -201,6 +201,41 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected index scan + query-relation scan, got $nScans")
   }
 
+  test("PQ batch probe lane: query-relation ADC equals the driver-array " +
+      "lane per query, with broadcast join + dynamic partition pruning") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_pqb_").toString
+    try {
+      Similarity.writeIvfPqIndex(spark, TestSpark.sf, idx)
+      val emb = graft.Tables.load(spark, TestSpark.sf, "embeddings")
+      val qDf = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      val batch = Similarity.ivfPqProbeIndexedBatch(spark, TestSpark.sf,
+        idx, qDf, k = 10, nProbe = 3)
+      val byQ = batch.collect().toSeq
+        .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2),
+          r.getDouble(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      (0L until 5L).foreach { qid =>
+        val single = Similarity.ivfPqProbeIndexed(spark, TestSpark.sf,
+          idx, qid, k = 10, nProbe = 3).collect().toSeq
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        assert(byQ(qid) === single,
+          s"query $qid: batch lane diverges from the driver-array lane")
+      }
+      val plan = batch.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") &&
+        plan.contains("dynamicpruning") &&
+        !plan.contains("LocalTableScan"),
+        s"expected DPP broadcast probe without a query collect:\n" +
+          plan.take(1200))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(idx)).iterator()
+        .asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("ann_ivf_batch lifecycle gate: planted copies at rank 1 via the " +
       "query-relation lane (shares ann_ivf_indexed's closed-form oracle)") {
     val rows = Similarity.annIvfBatchPlanted(spark, TestSpark.sf).collect()
