@@ -86,4 +86,55 @@ class CboSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS cbo_orders")
     }
   }
+
+  test("CBO join reorder: with stats the fact-fact-dim chain joins the " +
+      "filtered dimension into orders FIRST; without CBO the written " +
+      "order stands") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    Seq("customer", "orders", "lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS cbo2_$t")
+      spark.sql(s"CREATE TABLE cbo2_$t USING parquet LOCATION " +
+        s"'${TestSpark.sf}/$t.parquet'")
+      spark.sql(s"ANALYZE TABLE cbo2_$t COMPUTE STATISTICS")
+    }
+    spark.sql("ANALYZE TABLE cbo2_customer COMPUTE STATISTICS " +
+      "FOR COLUMNS c_mktsegment, c_custkey")
+    spark.sql("ANALYZE TABLE cbo2_orders COMPUTE STATISTICS " +
+      "FOR COLUMNS o_custkey, o_orderkey")
+    spark.sql("ANALYZE TABLE cbo2_lineitem COMPUTE STATISTICS " +
+      "FOR COLUMNS l_orderkey")
+    try {
+      // written order: (lineitem ⋈ orders) ⋈ filtered customer — the
+      // worst order, building the biggest intermediate first
+      def innermostJoinLeaves: String = {
+        val df = spark.table("cbo2_lineitem")
+          .join(spark.table("cbo2_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(spark.table("cbo2_customer")
+            .filter(col("c_mktsegment") === "BUILDING"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        val joins = df.queryExecution.optimizedPlan.collect {
+          case j: Join => j
+        }
+        assert(joins.nonEmpty)
+        joins.last.collectLeaves().map(_.toString).mkString("\n")
+      }
+      val reordered = withConf(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true")(innermostJoinLeaves)
+      // cost-based DP reorder pairs orders with the 1/ndv-shrunk
+      // customer side first, so lineitem joins a pre-filtered stream
+      assert(reordered.contains("cbo2_customer") &&
+        !reordered.contains("cbo2_lineitem"),
+        s"expected orders⋈customer innermost with CBO reorder:\n" +
+          reordered.take(600))
+      val written = withConf(
+        "spark.sql.cbo.enabled" -> "false")(innermostJoinLeaves)
+      assert(written.contains("cbo2_lineitem"),
+        s"expected the written lineitem⋈orders order without CBO:\n" +
+          written.take(600))
+    } finally Seq("customer", "orders", "lineitem").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS cbo2_$t"))
+  }
 }
