@@ -40,7 +40,14 @@ class AnsiModeSpec extends AnyFunSuite {
     "win_rank", "win_lag", "win_running", "win_frames",
     // the lenient-parse ingest lineage itself (try_to_timestamp path)
     "stg_hourly", "mart_daily", "batch_day", "day_slice",
-    "weather_fixture_daily")
+    "weather_fixture_daily",
+    // LLM-family spot checks: hashing/banding, text stats with integer
+    // ratio arithmetic, vector folds, BM25 log terms — the families
+    // where an ANSI overflow/cast change would bite differently than
+    // in the relational core
+    "dedup_exact", "minhash_est_gate", "fingerprints", "text_stats",
+    "quality_scores", "embed_norms", "bm25_search", "token_histogram",
+    "hash_split", "lang_id")
 
   private def withAnsi[T](on: Boolean)(f: => T): T = {
     val prev = spark.conf.getOption("spark.sql.ansi.enabled")

@@ -547,10 +547,12 @@ class TextFunctionsSpec extends AnyFunSuite {
       "still COMPILES (codegen-only, no fallback)") {
     import org.apache.spark.sql.functions._
     import graft.functions.SketchExpressions
+    // 20 trained merges — beyond the contract's 6, so the equality pin
+    // covers a merge table deeper than any oracle replays
     val merges = graft.operators.TextAnalysis
-      .bpeIterate(spark, TestSpark.sf, 6).collect()
+      .bpeIterate(spark, TestSpark.sf, 20).collect()
       .map(m => (m.getString(1), " " + m.getString(2) + " ")).toSeq
-    assert(merges.nonEmpty)
+    assert(merges.size >= 15)
     val wrapped = Tables.load(spark, TestSpark.sf, "documents")
       .select(explode(tokens(col("text"))).as("tok"))
       .select(regexp_replace(col("tok"), "(.)", " $1 ").as("s"))
