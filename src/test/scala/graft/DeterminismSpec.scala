@@ -49,7 +49,17 @@ class DeterminismSpec extends AnyFunSuite {
       // hll_union_agg estimator path; this pin catches a layout that
       // would route one lane through a different estimator
       ("hll_merge_gate",
-        () => Sketches.hllMergeGate(spark, sf).collect().toSeq))
+        () => Sketches.hllMergeGate(spark, sf).collect().toSeq),
+      // round-9 scratch-write lifecycles: their t6-floored rank orders
+      // and closed-form booleans must survive any shuffle layout (the
+      // index build itself repartitions by cell/fid internally, so the
+      // session shuffle-partition count must not leak into results)
+      ("ann_ivf_batch",
+        () => Similarity.annIvfBatchPlanted(spark, sf).collect().toSeq),
+      ("ann_ivfpq_batch",
+        () => Similarity.annIvfPqBatch(spark, sf).collect().toSeq),
+      ("layout_skipping_gate",
+        () => Layout.layoutSkippingGate(spark, sf).collect().toSeq))
     ops.foreach { case (name, f) =>
       val a = underPartitions(2)(f())
       val b = underPartitions(17)(f())
