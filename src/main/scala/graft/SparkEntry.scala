@@ -683,8 +683,72 @@ object SparkEntry {
     // the materialized IVF-PQ index must return EXACTLY the in-memory
     // compose's relation — build/store/probe is semantics-preserving
     ("ann_ivfpq_indexed" -> oracleSqlBase("ann_ivfpq_topk")) +
-    // the query-relation PQ probe reproduces the same ADC relation
-    ("ann_ivfpq_batch" -> oracleSqlBase("ann_ivfpq_topk")) +
+    // the query-relation PQ probe: ann_ivfpq_topk's math replay
+    // generalized per q_id over the 5-seed query relation
+    ("ann_ivfpq_batch" ->
+      """WITH cents AS (
+        | SELECT label AS cl, list(c ORDER BY pos) AS cent FROM (
+        |  SELECT label, i AS pos,
+        |   floor(CAST(sum(CAST(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+        |     AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 1000000.0)/1000000.0 AS c
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS i)
+        |  GROUP BY label, i) GROUP BY label),
+        | q AS (SELECT vec_id AS q_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 5),
+        | probe AS (SELECT q_id, cl FROM (
+        |  SELECT q.q_id, c.cl, row_number() OVER (PARTITION BY q.q_id
+        |   ORDER BY
+        |    list_dot_product(list_transform(q.qe, x -> CAST(x AS DOUBLE)), c.cent)
+        |    / (sqrt(list_aggregate(list_transform(q.qe,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_dot_product(c.cent, c.cent))) DESC, c.cl) AS prn
+        |  FROM cents c CROSS JOIN q) WHERE prn <= 3),
+        | assign AS (SELECT vec_id, cell FROM (
+        |  SELECT e.vec_id, c.cl AS cell,
+        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |    list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.cent)
+        |    / (sqrt(list_aggregate(list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_dot_product(c.cent, c.cent))) DESC, c.cl) AS rn
+        |  FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        | sv AS (SELECT p.q_id, a.vec_id, a.cell FROM assign a
+        |  JOIN probe p ON p.cl = a.cell WHERE a.vec_id <> p.q_id),
+        | cb AS (SELECT vec_id AS c, embedding AS ce
+        |  FROM embeddings WHERE vec_id < 8),
+        | svv AS (SELECT DISTINCT vec_id FROM sv),
+        | enc AS (SELECT e.vec_id, j.j, cb.c,
+        |  list_aggregate(list_transform(range(1, 17),
+        |   i -> (CAST(e.embedding[CAST(j.j*16 + i AS INTEGER)] AS DOUBLE)
+        |       - CAST(cb.ce[CAST(j.j*16 + i AS INTEGER)] AS DOUBLE))
+        |      * (CAST(e.embedding[CAST(j.j*16 + i AS INTEGER)] AS DOUBLE)
+        |       - CAST(cb.ce[CAST(j.j*16 + i AS INTEGER)] AS DOUBLE))),
+        |   'sum') AS d
+        |  FROM embeddings e JOIN svv ON svv.vec_id = e.vec_id
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j CROSS JOIN cb),
+        | best AS (SELECT vec_id, j, c,
+        |  row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+        |  FROM enc),
+        | adc AS (SELECT q.q_id, b.vec_id, b.j,
+        |  list_aggregate(list_transform(range(1, 17),
+        |   i -> (CAST(q.qe[CAST(b.j*16 + i AS INTEGER)] AS DOUBLE)
+        |       - CAST(cb.ce[CAST(b.j*16 + i AS INTEGER)] AS DOUBLE))
+        |      * (CAST(q.qe[CAST(b.j*16 + i AS INTEGER)] AS DOUBLE)
+        |       - CAST(cb.ce[CAST(b.j*16 + i AS INTEGER)] AS DOUBLE))),
+        |   'sum') AS d
+        |  FROM best b JOIN cb ON cb.c = b.c CROSS JOIN q WHERE b.rn = 1),
+        | scored AS (SELECT a.q_id, a.vec_id, sv.cell,
+        |  floor((((max(CASE WHEN j = 0 THEN d END)
+        |    + max(CASE WHEN j = 1 THEN d END))
+        |    + max(CASE WHEN j = 2 THEN d END))
+        |    + max(CASE WHEN j = 3 THEN d END)) * 1000000.0)/1000000.0
+        |   AS adc_dist
+        |  FROM adc a JOIN sv ON sv.vec_id = a.vec_id AND sv.q_id = a.q_id
+        |  GROUP BY a.q_id, a.vec_id, sv.cell)
+        | SELECT q_id, vec_id, cell, adc_dist, CAST(rn AS INTEGER) AS rn
+        | FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |   ORDER BY adc_dist, vec_id) AS rn FROM scored)
+        | WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+        .replace("\n", "")) +
     // streaming drift accumulates the SAME integer band counts the
     // batch PSI aggregates in one pass — associativity makes the
     // relations identical, so the queries share one oracle

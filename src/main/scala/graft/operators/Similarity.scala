@@ -646,25 +646,26 @@ object Similarity {
   }
 
   /** [[writeIvfPqIndex]] + [[ivfPqProbeIndexedBatch]] composed with a
-    * scratch lifecycle, on the seed-query relation — shares
-    * [[ivfPqIndexed]]'s oracle (the full DuckDB IVF-PQ math replay), so
-    * the driver hash-checks that the query-relation PQ lane reproduces
-    * the driver-array lane's exact ADC relation. */
-  def annIvfPqBatch(s: SparkSession, dir: String, queryId: Long = 0L,
+    * scratch lifecycle, on the 5-seed query RELATION — the oracle is
+    * [[ivfPqIndexed]]'s full DuckDB IVF-PQ math replay generalized per
+    * q_id, so the driver hash-checks every query's ADC relation
+    * through the relation lane, not just one probe's. */
+  def annIvfPqBatch(s: SparkSession, dir: String, nQueries: Int = 5,
       k: Int = 10, nProbe: Int = 3): DataFrame = {
     val scratch = scratchDir(s, "graft-ivfpqb-")
     try {
       writeIvfPqIndex(s, dir, scratch.toString)
       val queries = t(s, dir, "embeddings")
-        .filter(col("vec_id") === queryId)
+        .filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val topk = ivfPqProbeIndexedBatch(s, dir, scratch.toString,
         queries, k, nProbe)
-        .select(col("vec_id"), col("cell"), col("adc_dist"))
         .collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3), r.getInt(4)))
       import s.implicits._
-      topk.toSeq.toDF("vec_id", "cell", "adc_dist")
+      topk.toSeq.toDF("q_id", "vec_id", "cell", "adc_dist", "rn")
+        .orderBy("q_id", "rn")
     } finally {
       deleteScratch(scratch)
     }
