@@ -28,6 +28,9 @@ object SparkEntry {
     // -- reference surface (weather pipeline shape on `events`) --
     "stg_hourly" -> (Relational.stgHourly _),
     "mart_daily" -> (Relational.martDaily _),
+    // incremental materialization: history build + one-day delta merge
+    // must reproduce the full-recompute mart bit-for-bit
+    "mart_incremental" -> (Relational.martIncremental _),
     "batch_day" -> (Relational.batchDay _),
     "day_slice" -> (Relational.daySlice _),
     "row_count" -> (Relational.rowCount _),
@@ -405,6 +408,19 @@ object SparkEntry {
     // closed-form TRUE when the layout alone prunes the scan
     "layout_skipping_gate" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.layoutSkippingGate(s, d)),
+    // two-dimensional completion: aligned z-cell files prune range
+    // predicates on BOTH interleaved keys; a single-key sort is blind
+    // on the second
+    "zorder_skip_gate" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.zorderSkippingGate(s, d)),
+    // point-lookup complement: parquet bloom filters skip row groups a
+    // hash-scattered key's min/max stats never could
+    "bloom_skip_gate" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.bloomSkippingGate(s, d)),
+    // added-column schema drift: mergeSchema union, null-fill for
+    // pre-evolution files, no tax on readers that skip the new column
+    "schema_evolution_gate" -> ((s: SparkSession, d: String) =>
+      graft.store.PartitionedStore.schemaEvolutionGate(s, d)),
     // best-documents-until-token-budget cut (banded running sum)
     "token_budget" -> ((s: SparkSession, d: String) =>
       Curation.tokenBudget(s, d)),
@@ -683,6 +699,10 @@ object SparkEntry {
     // the materialized IVF-PQ index must return EXACTLY the in-memory
     // compose's relation — build/store/probe is semantics-preserving
     ("ann_ivfpq_indexed" -> oracleSqlBase("ann_ivfpq_topk")) +
+    // incremental materialization (history build + one-day delta merge
+    // + read-back) must equal the full recompute — same oracle as the
+    // one-shot mart
+    ("mart_incremental" -> oracleSqlBase("mart_daily")) +
     // the query-relation PQ probe: ann_ivfpq_topk's math replay
     // generalized per q_id over the 5-seed query relation
     ("ann_ivfpq_batch" ->
@@ -2076,6 +2096,28 @@ object SparkEntry {
     "layout_skipping_gate" ->
       """SELECT TRUE AS layouts_written, TRUE AS unclustered_full_scan,
         | TRUE AS clustered_skips, TRUE AS rows_agree""".stripMargin
+        .replace("\n", ""),
+    // aligned z-cell files are 1/4 x 1/4 rectangles: a 1/8-domain slab
+    // on either key intersects exactly its quadrant's 4 of 16 files,
+    // while the single-key copy is provably blind on the second key
+    "zorder_skip_gate" ->
+      """SELECT TRUE AS layouts_written, TRUE AS single_key_blind_y,
+        | TRUE AS single_key_skips_x, TRUE AS zorder_skips_y,
+        | TRUE AS zorder_skips_x, TRUE AS rows_agree""".stripMargin
+        .replace("\n", ""),
+    // bloom row-group skip on a hash-scattered key: the plain copy
+    // must full-decode (stats are blind), the bloomed copy must not
+    "bloom_skip_gate" ->
+      """SELECT TRUE AS layouts_written, TRUE AS stats_blind_full_decode,
+        | TRUE AS bloom_skips, TRUE AS rows_agree""".stripMargin
+        .replace("\n", ""),
+    // added-column drift: merged schema is the union, pre-evolution
+    // rows read NULL, post-evolution rows keep their values, nothing
+    // is lost, and evolution-free projections pay nothing
+    "schema_evolution_gate" ->
+      """SELECT TRUE AS schema_widened, TRUE AS old_rows_null_filled,
+        | TRUE AS new_rows_carry_values, TRUE AS rows_conserved,
+        | TRUE AS pruned_read_agrees""".stripMargin
         .replace("\n", ""),
     // per-source dataset card: exact-integer aggregates, decimal-sum
     // means, majority lang with count-desc/lang-asc tie-break

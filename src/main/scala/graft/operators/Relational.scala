@@ -61,6 +61,59 @@ object Relational {
         dsum(col("value")).as("sum_value"))
       .orderBy("day")
 
+  /** Incremental materialized mart — the dbt-`incremental` /
+    * backfill-merge shape from the reference's roadmap
+    * (`reference/README.md:199`), previously only covered semantically
+    * by the store layer: the daily mart is MATERIALIZED once for
+    * history, then the newest day is recomputed FROM THAT DAY'S DELTA
+    * ONLY and merged via [[graft.store.PartitionedStore.upsertDaily]]'s
+    * dynamic partition overwrite (the reference's delete-day+insert
+    * transaction, U1). The query returns the merged materialization
+    * read back from parquet; the oracle recomputes the whole mart from
+    * raw events — hash equality proves incremental maintenance is
+    * semantics-preserving, which holds because per-day groups are
+    * disjoint and the decimal-sum discipline makes each group's
+    * aggregate independent of which run computed it.
+    *
+    * Scale shape: the incremental run reads one day's events through a
+    * SARGable half-open timestamp range (prunes `date=`-layout sources
+    * and pushes to the scan) and overwrites exactly one partition at
+    * the sink — O(day), not O(table); history is never rescanned. The
+    * day boundary is one metadata agg row. */
+  def martIncremental(s: SparkSession, dir: String): DataFrame = {
+    val scratch = Similarity.scratchDir(s, "graft-martinc-")
+    try {
+      val mart = s"$scratch/mart"
+      val ev = t(s, dir, "events")
+      val lastDay = ev.agg(max(to_date(col("ts")))).head().getDate(0)
+      val boundary = lit(lastDay).cast("timestamp")
+      def martOf(rows: DataFrame): DataFrame = rows
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          davg(col("value")).as("avg_value"),
+          max(col("value")).as("max_value"),
+          min(col("value")).as("min_value"),
+          dsum(col("value")).as("sum_value"))
+      // initial build: all history strictly before the delta day
+      graft.store.PartitionedStore.upsertDaily(
+        martOf(ev.filter(col("ts") < boundary)), mart, "day")
+      // incremental run: the delta day's rows only -> one-partition merge
+      graft.store.PartitionedStore.upsertDaily(
+        martOf(ev.filter(col("ts") >= boundary
+          && col("ts") < date_add(lit(lastDay), 1).cast("timestamp"))),
+        mart, "day")
+      // day-count-sized result: eagerly checkpoint so the relation
+      // survives the scratch teardown below (the streaming-harness
+      // reap-on-materialize discipline)
+      s.read.parquet(mart)
+        .select(col("day"), col("n_events"), col("avg_value"),
+          col("max_value"), col("min_value"), col("sum_value"))
+        .orderBy("day")
+        .localCheckpoint(true)
+    } finally Similarity.deleteScratch(scratch)
+  }
+
   /** A1 grand-total MIN -> scalar batch day (`weather_hourly_pipeline.py:67`). */
   def batchDay(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").agg(min(to_date(col("ts"))).as("batch_day"))

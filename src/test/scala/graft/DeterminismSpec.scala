@@ -59,7 +59,17 @@ class DeterminismSpec extends AnyFunSuite {
       ("ann_ivfpq_batch",
         () => Similarity.annIvfPqBatch(spark, sf).collect().toSeq),
       ("layout_skipping_gate",
-        () => Layout.layoutSkippingGate(spark, sf).collect().toSeq))
+        () => Layout.layoutSkippingGate(spark, sf).collect().toSeq),
+      ("zorder_skip_gate",
+        () => Layout.zorderSkippingGate(spark, sf).collect().toSeq),
+      ("bloom_skip_gate",
+        () => Layout.bloomSkippingGate(spark, sf).collect().toSeq),
+      ("mart_incremental",
+        () => graft.operators.Relational.martIncremental(spark, sf)
+          .collect().toSeq),
+      ("schema_evolution_gate",
+        () => graft.store.PartitionedStore.schemaEvolutionGate(spark, sf)
+          .collect().toSeq))
     ops.foreach { case (name, f) =>
       val a = underPartitions(2)(f())
       val b = underPartitions(17)(f())

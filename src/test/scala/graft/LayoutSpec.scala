@@ -119,6 +119,29 @@ class LayoutSpec extends AnyFunSuite {
       s"gate column $i false"))
   }
 
+  test("zorder skipping gate: aligned z-cell files prune BOTH " +
+      "dimensions while the single-key sort is blind on the second") {
+    val r = Layout.zorderSkippingGate(spark, TestSpark.sf).collect()
+    assert(r.length === 1)
+    val cols = Seq("layouts_written", "single_key_blind_y",
+      "single_key_skips_x", "zorder_skips_y", "zorder_skips_x",
+      "rows_agree")
+    cols.zipWithIndex.foreach { case (c, i) =>
+      assert(r(0).getBoolean(i), s"$c false")
+    }
+  }
+
+  test("bloom skipping gate: the bloomed copy's reader skips a point " +
+      "lookup min/max stats are provably blind to") {
+    val r = Layout.bloomSkippingGate(spark, TestSpark.sf).collect()
+    assert(r.length === 1)
+    val cols = Seq("layouts_written", "stats_blind_full_decode",
+      "bloom_skips", "rows_agree")
+    cols.zipWithIndex.foreach { case (c, i) =>
+      assert(r(0).getBoolean(i), s"$c false")
+    }
+  }
+
   test("clustered layout actually skips at the parquet reader: the " +
       "pushed range predicate decodes a fraction of the rows the " +
       "scattered layout decodes") {

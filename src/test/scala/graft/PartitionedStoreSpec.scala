@@ -74,4 +74,16 @@ class PartitionedStoreSpec extends AnyFunSuite {
       assert(times.toSeq === times.sorted.toSeq, f.getName)
     }
   }
+
+  test("schema evolution gate: added-column drift merges losslessly " +
+      "and taxes nothing") {
+    val r = PartitionedStore.schemaEvolutionGate(spark, TestSpark.sf)
+      .collect()
+    assert(r.length === 1)
+    val cols = Seq("schema_widened", "old_rows_null_filled",
+      "new_rows_carry_values", "rows_conserved", "pruned_read_agrees")
+    cols.zipWithIndex.foreach { case (c, i) =>
+      assert(r(0).getBoolean(i), s"$c false")
+    }
+  }
 }

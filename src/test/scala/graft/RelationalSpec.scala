@@ -25,6 +25,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(anti > 0 && semi > 0) // both sides non-empty: the gate is real
   }
 
+  test("incremental mart materialization is bit-identical to the " +
+      "one-shot mart") {
+    val full = Relational.martDaily(spark, TestSpark.sf).collect().toSeq
+    val inc = Relational.martIncremental(spark, TestSpark.sf)
+      .collect().toSeq
+    assert(inc === full,
+      "history build + one-day delta merge must reproduce the full " +
+        "recompute exactly")
+    assert(full.size >= 2, "fixture must span >1 day or the delta " +
+      "merge path is vacuous")
+  }
+
   test("set algebra: |union| = |A| + |B| - |intersect|") {
     val c = Tables.load(spark, TestSpark.sf, "customer")
       .select("c_nationkey").distinct().count()
