@@ -77,8 +77,35 @@ object ScaleRehearsal {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$OutDir/embeddings.parquet")
 
+    // lineitem: 10x rows with the l_orderkey domain offset per replica
+    // and the (l_partkey, l_suppkey) domains UNCHANGED — the realistic
+    // growth shape (more line items per part/supplier), and exactly
+    // what the layout gates need: zorder_skip_gate's bucket geometry
+    // is a function of the key DOMAINS, bloom_skip_gate's per-chunk
+    // ndv grows to ~92k, still under the 200k the filter is sized for.
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until Replicas).map { r =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(r * IdStride))
+    }.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$OutDir/lineitem.parquet")
+
+    // events: 10x rows inside the SAME calendar span (more events per
+    // day — the growth shape mart_incremental's O(day) claim is about;
+    // day count constant, delta-day row count 10x). Tables.load
+    // normalizes the ns annotation; the rewrite lands as plain µs.
+    val ev = graft.Tables.load(spark, src, "events")
+    (0 until Replicas).map { r =>
+      ev.withColumn("event_id", col("event_id") + lit(r * IdStride))
+    }.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$OutDir/events.parquet")
+
     val nd = spark.read.parquet(s"$OutDir/documents.parquet").count()
     val ne = spark.read.parquet(s"$OutDir/embeddings.parquet").count()
-    println(s"[rehearsal] wrote $OutDir docs=$nd embeddings=$ne")
+    val nl = spark.read.parquet(s"$OutDir/lineitem.parquet").count()
+    val nv = spark.read.parquet(s"$OutDir/events.parquet").count()
+    println(s"[rehearsal] wrote $OutDir docs=$nd embeddings=$ne " +
+      s"lineitem=$nl events=$nv")
   }
 }
