@@ -421,6 +421,17 @@ object SparkEntry {
     // pre-evolution files, no tax on readers that skip the new column
     "schema_evolution_gate" -> ((s: SparkSession, d: String) =>
       graft.store.PartitionedStore.schemaEvolutionGate(s, d)),
+    // right-to-be-forgotten: tombstone purge via partition-pruned
+    // anti-join + dynamic overwrite; untouched partitions byte-stable
+    "forget_gate" -> ((s: SparkSession, d: String) =>
+      graft.store.PartitionedStore.forgetGate(s, d)),
+    // hot-window retention: expiry as partition drop — zero rows read,
+    // retained files untouched, result ≡ the cutoff-predicate read
+    "retention_gate" -> ((s: SparkSession, d: String) =>
+      graft.store.PartitionedStore.retentionGate(s, d)),
+    // roadmap derived measures: Magnus dew point, no-wind apparent
+    // temperature, daily amplitude, sanity-range extreme flags
+    "weather_derived" -> (WeatherModels.derivedDaily _),
     // best-documents-until-token-budget cut (banded running sum)
     "token_budget" -> ((s: SparkSession, d: String) =>
       Curation.tokenBudget(s, d)),
@@ -2118,6 +2129,53 @@ object SparkEntry {
       """SELECT TRUE AS schema_widened, TRUE AS old_rows_null_filled,
         | TRUE AS new_rows_carry_values, TRUE AS rows_conserved,
         | TRUE AS pruned_read_agrees""".stripMargin
+        .replace("\n", ""),
+    // tombstone purge: partition-scoped rewrite honors the deletion
+    // list exactly, touches nothing else
+    "forget_gate" ->
+      """SELECT TRUE AS layouts_written, TRUE AS purged_absent,
+        | TRUE AS rows_conserved, TRUE AS untouched_files_stable,
+        | TRUE AS touched_partition_rewritten,
+        | TRUE AS survivors_intact""".stripMargin
+        .replace("\n", ""),
+    // retention: expiry is a partition drop — expired dirs gone, kept
+    // files untouched, store ≡ the hot-window predicate read
+    "retention_gate" ->
+      """SELECT TRUE AS layouts_written, TRUE AS expired_dirs_gone,
+        | TRUE AS kept_files_untouched, TRUE AS rows_match_cutoff,
+        | TRUE AS slice_equals_retained""".stripMargin
+        .replace("\n", ""),
+    // roadmap derived measures over the deterministic 720-hour grid:
+    // same dyadic generators, same Magnus/Steadman math, same 1e-6
+    // floor + decimal-sum discipline as the Spark side
+    "weather_derived" ->
+      """WITH g AS (SELECT i,
+        |  DATE '2025-07-01' + CAST(i // 24 AS INTEGER) AS day,
+        |  CASE WHEN i % 97 = 0 THEN 72.5
+        |   ELSE 12.0 + CAST((i*7) % 29 AS DOUBLE)
+        |    - CAST((i*3) % 11 AS DOUBLE)
+        |    + CAST(i % 24 AS DOUBLE)*0.25 END AS t,
+        |  CASE WHEN i % 131 = 0 THEN 104.0
+        |   ELSE 30.0 + CAST((i*13) % 66 AS DOUBLE) END AS rh
+        | FROM range(720) tt(i)),
+        | m AS (SELECT day, t,
+        |  floor((237.7*(ln(rh/100.0) + 17.27*t/(237.7+t))
+        |   /(17.27 - (ln(rh/100.0) + 17.27*t/(237.7+t))))
+        |   *1000000.0)/1000000.0 AS dew,
+        |  floor((t + 0.33*(rh/100.0*6.105*exp(17.27*t/(237.7+t)))
+        |   - 4.0)*1000000.0)/1000000.0 AS feels,
+        |  CASE WHEN t > 60.0 OR t < -80.0 OR rh > 100.0 OR rh < 0.0
+        |   THEN 1 ELSE 0 END AS ex
+        | FROM g)
+        | SELECT day, count(*) AS n_hours,
+        |  max(t)-min(t) AS amplitude_c,
+        |  CAST(sum(CAST(dew AS DECIMAL(28,6))) AS DOUBLE)/count(*)
+        |   AS avg_dew_point_c,
+        |  CAST(sum(CAST(feels AS DECIMAL(28,6))) AS DOUBLE)/count(*)
+        |   AS avg_feels_like_c,
+        |  max(feels) AS max_feels_like_c,
+        |  CAST(sum(ex) AS BIGINT) AS n_extreme
+        | FROM m GROUP BY day ORDER BY day""".stripMargin
         .replace("\n", ""),
     // per-source dataset card: exact-integer aggregates, decimal-sum
     // means, majority lang with count-desc/lang-asc tie-break

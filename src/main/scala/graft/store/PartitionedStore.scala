@@ -135,4 +135,178 @@ object PartitionedStore {
           "new_rows_carry_values", "rows_conserved", "pruned_read_agrees")
     } finally graft.operators.Similarity.deleteScratch(scratch)
   }
+
+  /** Right-to-be-forgotten gate — tombstone propagation stated as an
+    * oracle-checked boolean relation (the reference roadmap's lifecycle
+    * rules, `README.md:203`, applied to the curated layer). A 100 TB
+    * lake cannot rewrite the table to honor a deletion list; it must
+    * rewrite ONLY the partitions the tombstones live in. The gate
+    * writes documents hive-partitioned by `source`, tombstones every
+    * `doc_id % 17 == 0` in the lexicographically first source, purges
+    * via partition-pruned read → broadcast anti-join → dynamic
+    * partition overwrite, and pins:
+    *  - `layouts_written`: store complete, ≥2 partitions, ≥1 tombstone
+    *    (the purge is non-vacuous);
+    *  - `purged_absent`: no tombstoned doc_id survives anywhere;
+    *  - `rows_conserved`: exactly the tombstoned rows left;
+    *  - `untouched_files_stable`: every partition OUTSIDE the deletion
+    *    list keeps its exact files (name+size) — the purge wrote
+    *    nothing it didn't have to;
+    *  - `touched_partition_rewritten`: the affected partition's files
+    *    really were replaced;
+    *  - `survivors_intact`: the after-store equals the before-store
+    *    minus tombstones VALUE-wise (exceptAll both ways empty).
+    *
+    * Scale shape: purge cost is O(affected partitions), never O(table);
+    * the tombstone list rides as a broadcast; the file-inventory probes
+    * are driver metadata (per-partition directory listings), the local
+    * stand-in for a table format's manifest diff. */
+  def forgetGate(s: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.operators.Similarity.scratchDir(s, "graft-forget-")
+    try {
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      val d0 = docs.agg(count(lit(1)), min(col("source"))).head()
+      val (nDocs, target) = (d0.getLong(0), d0.getString(1))
+      val store = s"$scratch/store"
+      docs.repartition(col("source")).write.mode("overwrite")
+        .partitionBy("source").parquet(store)
+      val tomb = docs
+        .filter(col("source") === target && col("doc_id") % 17 === 0)
+        .select(col("doc_id"))
+      val nTomb = tomb.count()
+      val before = s.read.parquet(store)
+      val nBefore = before.count()
+      val inv0 = fileInventory(store)
+      // the expected survivor set, derived from the SOURCE table so its
+      // lineage is immune to the store rewrite below
+      val expected = docs.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      // partition-pruned read of ONLY the affected source, anti-join
+      // against the broadcast tombstones — the O(affected partition)
+      // purge input, materialized eagerly before its own files are
+      // replaced by the overwrite
+      val survivors = before.filter(col("source") === target)
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val prev =
+        s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        survivors
+          .write.mode("overwrite").partitionBy("source").parquet(store)
+      } finally prev match {
+        case Some(v) =>
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val after = s.read.parquet(store)
+      val inv1 = fileInventory(store)
+      val untouched = (inv0.keySet - s"source=$target")
+        .forall(k => inv1.get(k).contains(inv0(k)))
+      // one pass over the purged store: total rows + surviving
+      // tombstones (the tombstone set is predicate-defined, so the
+      // membership test needs no join)
+      val a = after.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("source") === target && col("doc_id") % 17 === 0,
+          1L).otherwise(0L)).as("ghosts")).head()
+      val (nAfter, ghosts) = (a.getLong(0), a.getLong(1))
+      import s.implicits._
+      Seq((nBefore == nDocs && inv0.size >= 2 && nTomb > 0,
+        ghosts == 0L,
+        nAfter == nDocs - nTomb,
+        untouched,
+        inv1.get(s"source=$target") != inv0.get(s"source=$target"),
+        // equal cardinality + empty one-way difference ⟹ equal multisets
+        // (column order aligned: hive layout appends the partition col)
+        nAfter == nDocs - nTomb &&
+          after.select(docs.columns.map(col).toSeq: _*)
+            .exceptAll(expected).count() == 0L))
+        .toDF("layouts_written", "purged_absent", "rows_conserved",
+          "untouched_files_stable", "touched_partition_rewritten",
+          "survivors_intact")
+    } finally graft.operators.Similarity.deleteScratch(scratch)
+  }
+
+  /** Retention/expiry gate — the roadmap's hot-window lifecycle rule
+    * (`README.md:203,209`: keep the newest window in the hot table,
+    * expire the rest) stated as an oracle-checked boolean relation.
+    * Expiry on a `date=`-partitioned store is a PARTITION DROP — a
+    * metadata/filesystem operation that never scans a row — and the
+    * gate pins exactly that:
+    *  - `layouts_written`: one hive partition per calendar day, all
+    *    rows present;
+    *  - `expired_dirs_gone`: every partition older than the cutoff is
+    *    gone after expiry;
+    *  - `kept_files_untouched`: every retained partition keeps its
+    *    exact files — expiry wrote and rewrote NOTHING;
+    *  - `rows_match_cutoff`: the surviving store holds exactly the
+    *    source rows at/after the cutoff;
+    *  - `slice_equals_retained`: the post-expiry store is value-equal
+    *    to the pre-expiry store filtered by the cutoff predicate —
+    *    retention is indistinguishable from the hot-window read it
+    *    replaces (so queries need no rewrite when expiry runs).
+    *
+    * The cutoff keeps the newest half of the days present (the local
+    * analog of "keep 400 days hot"). Directory deletes stand in for an
+    * object-store lifecycle rule or a table format's DROP PARTITION —
+    * O(expired partitions), O(0) data read, at any table size. */
+  def retentionGate(s: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.operators.Similarity.scratchDir(s, "graft-retain-")
+    try {
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val nEv = ev.count()
+      val store = s"$scratch/store"
+      upsertDaily(ev, store, "ts")
+      val before = s.read.parquet(store)
+      val nBefore = before.count()
+      val days = before.select(col("date")).distinct()
+        .orderBy(col("date")).collect().map(_.getDate(0)) // bounded: one
+      // row per calendar day — partition metadata, not data
+      val cutoff = days(days.length / 2)
+      val keep = days.drop(days.length / 2).toSet
+      val pre = before.filter(col("date") >= lit(cutoff))
+        .localCheckpoint(true) // pin: partitions vanish underneath
+      val inv0 = fileInventory(store)
+      // expiry: drop expired partition directories, touch nothing else
+      days.take(days.length / 2).foreach { d =>
+        graft.operators.Similarity.deleteScratch(
+          java.nio.file.Paths.get(store, s"date=$d"))
+      }
+      val after = s.read.parquet(store)
+      val inv1 = fileInventory(store)
+      val nAfter = after.count()
+      val nPre = pre.count()
+      import s.implicits._
+      Seq((nBefore == nEv && inv0.size == days.length &&
+          keep.size < days.length,
+        inv1.keySet == keep.map(d => s"date=$d"),
+        keep.forall(d => inv1.get(s"date=$d").contains(inv0(s"date=$d"))),
+        nAfter ==
+          ev.filter(to_date(col("ts")) >= lit(cutoff)).count(),
+        // equal cardinality + empty one-way difference ⟹ equal multisets
+        nAfter == nPre && after.exceptAll(pre).count() == 0L))
+        .toDF("layouts_written", "expired_dirs_gone",
+          "kept_files_untouched", "rows_match_cutoff",
+          "slice_equals_retained")
+    } finally graft.operators.Similarity.deleteScratch(scratch)
+  }
+
+  /** Per-partition file inventory of a hive-layout store root:
+    * `partitionDir -> {(fileName, bytes)}`. Driver-side metadata (the
+    * local stand-in for a manifest listing); data files only. */
+  private def fileInventory(root: String): Map[String, Set[(String, Long)]] = {
+    val base = new java.io.File(root)
+    val parts = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("="))
+    parts.map { p =>
+      val files = Option(p.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(f => (f.getName, f.length())).toSet
+      p.getName -> files
+    }.toMap
+  }
 }

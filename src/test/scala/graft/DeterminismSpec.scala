@@ -69,6 +69,15 @@ class DeterminismSpec extends AnyFunSuite {
           .collect().toSeq),
       ("schema_evolution_gate",
         () => graft.store.PartitionedStore.schemaEvolutionGate(spark, sf)
+          .collect().toSeq),
+      ("forget_gate",
+        () => graft.store.PartitionedStore.forgetGate(spark, sf)
+          .collect().toSeq),
+      ("retention_gate",
+        () => graft.store.PartitionedStore.retentionGate(spark, sf)
+          .collect().toSeq),
+      ("weather_derived",
+        () => graft.models.WeatherModels.derivedDaily(spark, sf)
           .collect().toSeq))
     ops.foreach { case (name, f) =>
       val a = underPartitions(2)(f())

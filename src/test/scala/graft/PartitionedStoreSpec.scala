@@ -86,4 +86,27 @@ class PartitionedStoreSpec extends AnyFunSuite {
       assert(r(0).getBoolean(i), s"$c false")
     }
   }
+
+  test("forget gate: tombstone purge is partition-scoped and exact") {
+    val r = PartitionedStore.forgetGate(spark, TestSpark.sf).collect()
+    assert(r.length === 1)
+    val cols = Seq("layouts_written", "purged_absent", "rows_conserved",
+      "untouched_files_stable", "touched_partition_rewritten",
+      "survivors_intact")
+    cols.zipWithIndex.foreach { case (c, i) =>
+      assert(r(0).getBoolean(i), s"$c false")
+    }
+  }
+
+  test("retention gate: expiry drops partitions without touching " +
+      "retained files") {
+    val r = PartitionedStore.retentionGate(spark, TestSpark.sf).collect()
+    assert(r.length === 1)
+    val cols = Seq("layouts_written", "expired_dirs_gone",
+      "kept_files_untouched", "rows_match_cutoff",
+      "slice_equals_retained")
+    cols.zipWithIndex.foreach { case (c, i) =>
+      assert(r(0).getBoolean(i), s"$c false")
+    }
+  }
 }
