@@ -310,6 +310,10 @@ object SparkEntry {
     // hash-matchable twins — the duplicate MUST come back at rank 1
     "ann_lsh_planted" -> ((s: SparkSession, d: String) =>
       Similarity.lshTopKPlanted(s, d)),
+    // query-RELATION LSH lane: planted contract through the batch lane
+    // plus per-query full-top-k equality with the driver-Seq lane
+    "ann_lsh_batch" -> ((s: SparkSession, d: String) =>
+      Similarity.annLshBatchPlanted(s, d)),
     "ann_ivf_planted" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopKPlanted(s, d)),
     // JL random-sign projection: 16 t6 components + norm-preservation
@@ -324,6 +328,10 @@ object SparkEntry {
       Similarity.recallGate(
         graft.operators.Projection.rpRecallAtK(s, d,
           Seq(0L, 1L, 2L, 3L, 4L)), 0.2)),
+    // query-RELATION RP lane: planted contract through the batch lane
+    // plus per-query full-top-k equality with the driver-Seq lane
+    "ann_rp_batch" -> ((s: SparkSession, d: String) =>
+      graft.operators.Projection.annRpBatchPlanted(s, d)),
     // theorem gate: recall@k non-decreasing in nProbe (nested probes)
     "ann_ivf_monotone" -> ((s: SparkSession, d: String) =>
       Similarity.ivfProbeMonotone(s, d)),
@@ -448,16 +456,25 @@ object SparkEntry {
       Similarity.embeddingNearDupPlanted(s, d)),
     // -- multimodal columns (binary payloads + typed metadata) --
     "mm_meta" -> (graft.multimodal.Multimodal.mediaMeta _),
-    // scalar projection (f0..f7) — the raw array<float> variant is the
-    // library API but is not sortable/hashable by the driver's comparator
-    "mm_features" -> (graft.multimodal.Multimodal.extractFeatureScalars _),
+    // REAL pixel decode: channel stats/means from parsed PPM binaries —
+    // the oracle replays the fixture pixel formula closed-form, so a
+    // decoder offset/stride/channel bug is a hash mismatch
+    "mm_features" -> (graft.multimodal.Multimodal.decodedFeatures _),
+    // md5-stub twin covering the codec-bound kinds (png/wav/mp4): scalar
+    // projection (f0..f7) of the deterministic fake feature vector
+    "mm_features_md5" -> (graft.multimodal.Multimodal.extractFeatureScalars _),
     // perceptual-hash image dedup gate: banded 64-bit pHash, bucket-join
     // candidates, Hamming verify — planted copies must survive the chain
     "mm_phash_dedup" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.phashDedupPlanted(s, d)),
     "mm_frames" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.sampleFrames(s, d)),
+    // REAL pixel decode: nearest-neighbor 2x downsample over parsed PPM
+    // pixels, exact integer channel sums + first/last probe bytes
     "mm_resize" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.resizeDecoded(s, d)),
+    // stride-sample stub twin (bytes-in/bytes-out resize contract)
+    "mm_resize_md5" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.resizeImages(s, d)),
     // -- structured streaming (1-day tumbling window + watermark) --
     "stream_hopping" -> ((s: SparkSession, d: String) =>
@@ -2290,6 +2307,23 @@ object SparkEntry {
         | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact
         | FROM (SELECT unnest(range(0, 5)) AS q_id)
         | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    // batch-lane twins: same planted closed form, plus the lane-equality
+    // boolean that is TRUE by construction (identical signatures /
+    // projections => identical candidates, scores, rank order)
+    "ann_lsh_batch" ->
+      """SELECT CAST(q_id AS BIGINT) AS q_id,
+        | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
+        | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact,
+        | TRUE AS agrees_seq_lane
+        | FROM (SELECT unnest(range(0, 5)) AS q_id)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    "ann_rp_batch" ->
+      """SELECT CAST(q_id AS BIGINT) AS q_id,
+        | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
+        | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact,
+        | TRUE AS agrees_seq_lane
+        | FROM (SELECT unnest(range(0, 5)) AS q_id)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
     "ann_ivf_planted" ->
       """SELECT CAST(q_id AS BIGINT) AS q_id,
         | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
@@ -3278,10 +3312,66 @@ object SparkEntry {
         |  regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0),
         |  ' ')) AS fp
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
+    // REAL pixel-decode lane: the fixture images are genuine PPM P6
+    // binaries whose pixel (x,y,c) byte follows the closed-form formula
+    // (id*7 + y*31 + x*5 + c*11) % 256 over width 8+id%9, height
+    // 6+id%7 — so the oracle states the decoded channel statistics by
+    // replaying the formula over the pixel grid (uncorrelated 16x12
+    // range cross join, filtered to each image's dims), never parsing
+    // binary. Spark must recover the identical sums THROUGH the decode.
+    "mm_features" ->
+      """WITH img AS (SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 9 AS INTEGER) AS w,
+        |  CAST(6 + doc_id % 7 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        | g AS (SELECT media_id, w, h, y.y AS y, x.x AS x
+        |  FROM img
+        |  CROSS JOIN (SELECT unnest(range(0, 12)) AS y) y
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS x) x
+        |  WHERE y.y < h AND x.x < w)
+        | SELECT media_id, w AS width, h AS height,
+        |  CAST(SUM((media_id*7 + y*31 + x*5) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((media_id*7 + y*31 + x*5 + 11) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((media_id*7 + y*31 + x*5 + 22) % 256) AS BIGINT) AS sum_b,
+        |  floor((CAST(SUM((media_id*7 + y*31 + x*5) % 256) AS DOUBLE)
+        |   / CAST(w * h AS DOUBLE)) * 1000000.0) / 1000000.0 AS mean_r,
+        |  floor((CAST(SUM((media_id*7 + y*31 + x*5 + 11) % 256) AS DOUBLE)
+        |   / CAST(w * h AS DOUBLE)) * 1000000.0) / 1000000.0 AS mean_g,
+        |  floor((CAST(SUM((media_id*7 + y*31 + x*5 + 22) % 256) AS DOUBLE)
+        |   / CAST(w * h AS DOUBLE)) * 1000000.0) / 1000000.0 AS mean_b
+        | FROM g GROUP BY media_id, w, h
+        | ORDER BY media_id""".stripMargin.replace("\n", ""),
+    // nearest-neighbor 2x downsample from decoded pixels: out(x,y,c) =
+    // in(2x,2y,c) over floor-halved dims; first/last probe bytes catch
+    // the offset bugs a sum can mask
+    "mm_resize" ->
+      """WITH img AS (SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 9 AS INTEGER) AS w,
+        |  CAST(6 + doc_id % 7 AS INTEGER) AS h,
+        |  greatest(CAST((8 + doc_id % 9) // 2 AS INTEGER), 1) AS ow,
+        |  greatest(CAST((6 + doc_id % 7) // 2 AS INTEGER), 1) AS oh
+        |  FROM documents WHERE doc_id % 3 = 0),
+        | g AS (SELECT media_id, w, h, ow, oh, y.y AS y, x.x AS x
+        |  FROM img
+        |  CROSS JOIN (SELECT unnest(range(0, 6)) AS y) y
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS x) x
+        |  WHERE y.y < oh AND x.x < ow)
+        | SELECT media_id, ow AS width, oh AS height,
+        |  CAST(SUM((media_id*7 + (2*y)*31 + (2*x)*5) % 256) AS BIGINT)
+        |   AS sum_r,
+        |  CAST(SUM((media_id*7 + (2*y)*31 + (2*x)*5 + 11) % 256) AS BIGINT)
+        |   AS sum_g,
+        |  CAST(SUM((media_id*7 + (2*y)*31 + (2*x)*5 + 22) % 256) AS BIGINT)
+        |   AS sum_b,
+        |  CAST(media_id*7 % 256 AS INTEGER) AS first_px,
+        |  CAST((media_id*7 + (2*(oh-1))*31 + (2*(ow-1))*5 + 22) % 256
+        |   AS INTEGER) AS last_px
+        | FROM g GROUP BY media_id, ow, oh
+        | ORDER BY media_id""".stripMargin.replace("\n", ""),
     // stub features = 16-bit big-endian slices of md5(payload) / 65536;
     // n/65536 is a power-of-two divide so float->double is exact and the
     // DuckDB double arithmetic reproduces it bit-identically
-    "mm_features" ->
+    "mm_features_md5" ->
       """SELECT media_id, kind, n_bytes,
         | CAST(CAST('0x' || substring(h, 1, 4) AS INTEGER) AS DOUBLE) / 65536.0 AS f0,
         | CAST(CAST('0x' || substring(h, 5, 4) AS INTEGER) AS DOUBLE) / 65536.0 AS f1,
@@ -3329,7 +3419,7 @@ object SparkEntry {
     // md5 of the sampled bytes. The corpus is pure ASCII (verified: 0 docs
     // with octet_length <> length), so varchar positions ARE byte offsets
     // and DuckDB md5(varchar) digests the same bytes Spark md5's.
-    "mm_resize" ->
+    "mm_resize_md5" ->
       """SELECT media_id, 'image' AS kind,
         | greatest(CAST(floor(w / CAST(k AS DOUBLE)) AS INTEGER), 1) AS width,
         | greatest(CAST(floor(h / CAST(k AS DOUBLE)) AS INTEGER), 1) AS height,

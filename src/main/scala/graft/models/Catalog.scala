@@ -67,4 +67,39 @@ object Catalog {
     sourceContracts.foreach { case (view, cols) =>
       graft.operators.Contract.assertNotNull(s.table(view), cols)
     }
+
+  /** Stats maintenance after a lifecycle mutation (round-9 verdict item
+    * 6): ANALYZE-computed catalog statistics do NOT follow the data — a
+    * compaction or incremental merge that rewrites partitions leaves
+    * the table's stored rowCount/sizeInBytes describing the PRE-mutation
+    * table, and the CBO then makes its broadcast-threshold and
+    * join-reorder decisions on exactly the table whose cardinalities
+    * the lifecycle just changed most (StatsMaintenanceSpec pins the
+    * stale-vs-fresh plan divergence and this helper closing it). Every
+    * lifecycle that mutates a CATALOG-registered store must call this
+    * with the touched table; path-only stores are immune (their
+    * sizeInBytes comes from the file listing at planning time).
+    *
+    * Cost shape at 100 TB: `refreshTable` is a metadata invalidation;
+    * the row-count ANALYZE is one scan of the table — schedule it with
+    * the mutation (which already touched the data) rather than lazily
+    * at first stale plan. Column NDVs are requested explicitly because
+    * they cost a sketch pass per column — only the join/filter keys the
+    * CBO actually consults are worth it. */
+  def refreshStatsAfterMutation(s: SparkSession, table: String,
+      columns: Seq[String] = Nil): Unit = {
+    s.catalog.refreshTable(table)
+    // a path-level mutation can create partition DIRECTORIES the
+    // catalog has never seen (a compaction batch landing in a fresh
+    // cell); recover them before counting, or ANALYZE scans a stale
+    // partition list
+    val meta = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    if (meta.partitionColumnNames.nonEmpty)
+      s.catalog.recoverPartitions(table)
+    s.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      s.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS " +
+        s"FOR COLUMNS ${columns.mkString(", ")}")
+  }
 }

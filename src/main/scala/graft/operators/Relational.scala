@@ -111,7 +111,7 @@ object Relational {
           col("max_value"), col("min_value"), col("sum_value"))
         .orderBy("day")
         .localCheckpoint(true)
-    } finally Similarity.deleteScratch(scratch)
+    } finally Similarity.deleteScratch(s, scratch)
   }
 
   /** A1 grand-total MIN -> scalar batch day (`weather_hourly_pipeline.py:67`). */

@@ -130,7 +130,7 @@ object Sketches {
     * a zipfian production key looks like to a shuffle. This is the
     * relation [[graft.operators.Layout.skewAudit]]'s diagnostic flags:
     * top-key share ≈ 0.6 ≫ uniform share 1/97. */
-  private def skewedFacts(s: SparkSession, dir: String): DataFrame =
+  private[graft] def skewedFacts(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").select(
       when(col("event_id") % 10 < 6, 0L)
         .otherwise(pmod(col("event_id"), lit(97L))).as("k"),
@@ -139,7 +139,7 @@ object Sketches {
   /** The cold-key dimension the skewed facts join against (97 rows,
     * grouped into 7 reporting buckets). Derived from `range` so the
     * DuckDB oracle reproduces it exactly. */
-  private def skewKeyDim(s: SparkSession): DataFrame =
+  private[graft] def skewKeyDim(s: SparkSession): DataFrame =
     s.range(0L, 97L).toDF("k")
       .select(col("k"), pmod(col("k"), lit(7L)).as("grp"))
 
@@ -154,7 +154,19 @@ object Sketches {
     * with AQE skew handling OFF and asserts the spread bound — the
     * metric, not the intent. Results are salt-invariant (the oracle is
     * the plain join), which is the whole point: salting is a physical
-    * rewrite, never a semantic one. */
+    * rewrite, never a semantic one.
+    *
+    * When to reach for WHICH fix at 100×: AQE's `OptimizeSkewedJoin` is
+    * the first line of defense — it splits oversized join partitions at
+    * runtime with zero code change (SkewJoinSpec pins it firing on this
+    * exact planted fixture). Manual salting still wins when AQE cannot
+    * apply: an aggregation or window keyed on the hot column (no join
+    * to split — pre-aggregate on (key, salt) first), a skewed join
+    * whose output partitioning a downstream stage requires (the
+    * splitter declines rather than break the distribution), engines or
+    * lanes without AQE, and streaming stateful ops where partition
+    * sizes are fixed by the state store layout. Broadcast beats both
+    * whenever the dim side fits — skew only exists on shuffle lanes. */
   def skewJoinFixed(s: SparkSession, dir: String,
       salts: Int = 8): DataFrame =
     saltedJoin(skewedFacts(s, dir), skewKeyDim(s), "k",
@@ -168,7 +180,17 @@ object Sketches {
     * sort-merge lane, no salt). Not a contract query: it computes the
     * same relation, it just computes it badly. */
   def skewJoinBaseline(s: SparkSession, dir: String): DataFrame =
-    skewedFacts(s, dir).join(skewKeyDim(s).hint("merge"), Seq("k"))
+    skewJoinBaselineOn(skewedFacts(s, dir), skewKeyDim(s))
+
+  /** The baseline join/aggregate over a caller-supplied facts relation —
+    * lets the AQE-split spec feed a MULTI-MAPPER facts input
+    * (`repartition(n)`): AQE can only split a skewed reduce partition
+    * along map-task boundaries, so the single-row-group local fixture
+    * file (one mapper) is structurally unsplittable — a local artifact;
+    * a 100 TB fact table always has thousands of mappers. */
+  private[graft] def skewJoinBaselineOn(facts: DataFrame,
+      dim: DataFrame): DataFrame =
+    facts.join(dim.hint("merge"), Seq("k"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), Relational.dsum(col("value")).as("sum_value"))
       .orderBy("grp")

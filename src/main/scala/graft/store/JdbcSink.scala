@@ -97,16 +97,24 @@ object JdbcSink {
     * its own connection and transaction, batches flushed every
     * `batchSize` rows (no row ever reaches the driver).
     *
-    * Retry-idempotent: rows are repartitioned by `hour(time)` so each
-    * task exclusively owns its hours, and each task's transaction DELETEs
-    * its hour slice before inserting it. A task retry or speculative
-    * duplicate that re-runs after a first attempt committed then deletes
-    * exactly the rows that attempt wrote before re-inserting — without
-    * this, executor-side commits re-applied under Spark's task retry
-    * would silently duplicate data. The driver's day-wide DELETE still
-    * runs first to clear hours present in the warehouse but absent from
-    * this batch (day-overwrite semantics); the hour DELETEs are no-ops on
-    * a clean first run.
+    * Retry-idempotent for SEQUENTIAL re-attempts: rows are repartitioned
+    * by `hour(time)` so each task exclusively owns its hours, and each
+    * task's transaction DELETEs its hour slice before inserting it. A
+    * task retry that re-runs AFTER a prior attempt committed then
+    * deletes exactly the rows that attempt wrote before re-inserting —
+    * without this, executor-side commits re-applied under Spark's task
+    * retry would silently duplicate data. Sequential is what Spark
+    * guarantees when speculative execution is off (the default): a task
+    * is re-attempted only after the prior attempt terminated. With
+    * speculation ON two attempts can run CONCURRENTLY, and under READ
+    * COMMITTED both can pass the DELETE before either commits — a
+    * deployment that enables speculation over this sink must serialize
+    * attempts itself (e.g. `SELECT pg_advisory_xact_lock(day, hour)`
+    * as the txn's first statement, or run it at SERIALIZABLE with
+    * retry). The driver's day-wide DELETE still runs first to clear
+    * hours present in the warehouse but absent from this batch
+    * (day-overwrite semantics); the hour DELETEs are no-ops on a clean
+    * first run.
     *
     * Atomicity is deliberately weaker than `upsertDay`'s single
     * transaction: a reader can observe a partially loaded day mid-job.
@@ -140,12 +148,15 @@ object JdbcSink {
   /** One task's transaction of [[upsertDayDistributed]] — extracted so
     * the retry-idempotence property is testable as the SCHEDULER sees
     * it: Spark may re-run this exact function on the exact same rows
-    * (task retry, speculative duplicate) after a prior attempt already
-    * committed, and the result must be as if it ran once. That holds
-    * because the txn DELETEs each hour slice it owns before inserting
-    * it; `JdbcSinkSpec` replays this function against a materializing
-    * fake warehouse to pin exactly-once row counts under both retry
-    * shapes (after a commit, and after a mid-batch failure). */
+    * (sequential task retry) after a prior attempt already committed,
+    * and the result must be as if it ran once. That holds because the
+    * txn DELETEs each hour slice it owns before inserting it;
+    * `JdbcSinkSpec` replays this function against a materializing fake
+    * warehouse to pin exactly-once row counts under both SEQUENTIAL
+    * retry shapes (after a commit, and after a mid-batch failure).
+    * CONCURRENT duplicate attempts (speculation) are out of scope here
+    * — see [[upsertDayDistributed]]'s scaladoc for the advisory-lock
+    * requirement a speculating deployment must add. */
   private[graft] def loadHourPartition(
       rows: Iterator[org.apache.spark.sql.Row], day: java.sql.Date,
       connect: () => Connection, batchSize: Int = 1000): Unit = {

@@ -85,7 +85,10 @@ object PartitionedStore {
     *    `lang IS NULL` (absence, not a default — filters and
     *    aggregates see exactly the rows that carried the value);
     *  - `new_rows_carry_values`: every post-evolution row keeps its
-    *    written value;
+    *    written value (compared against the SOURCE's non-null count
+    *    for those rows, so a genuinely-NULL `lang` in the new batch
+    *    can never alias evolution null-fill — both booleans are
+    *    fixture-independent);
     *  - `rows_conserved`: the merged read loses/duplicates nothing;
     *  - `pruned_read_agrees`: a projection that never touches the
     *    evolved column returns identical aggregates over old files
@@ -109,14 +112,17 @@ object PartitionedStore {
         .parquet(s"$scratch/old", s"$scratch/new")
       val m = merged.agg(
         count(lit(1)).as("total"),
-        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("nulls"),
+        sum(when(col("doc_id") % 2 === 0 && col("lang").isNull, 1L)
+          .otherwise(0L)).as("oldNulls"),
         sum(when(col("doc_id") % 2 === 1 && col("lang").isNotNull, 1L)
           .otherwise(0L)).as("carried"),
         sum(col("n_chars")).as("chars")).head()
       val c = docs.agg(
         count(lit(1)).as("n"),
         sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("nOld"),
-        sum(col("n_chars")).as("chars")).head()
+        sum(col("n_chars")).as("chars"),
+        sum(when(col("doc_id") % 2 === 1 && col("lang").isNotNull, 1L)
+          .otherwise(0L)).as("nNewNonNull")).head()
       // the no-new-column projection must agree over the old files
       // whether or not schema merging is on
       val oldPlain = s.read.parquet(s"$scratch/old")
@@ -128,12 +134,12 @@ object PartitionedStore {
       Seq((merged.columns.toSeq ==
           Seq("doc_id", "source", "n_chars", "lang"),
         m.getLong(1) == c.getLong(1),
-        m.getLong(2) == c.getLong(0) - c.getLong(1),
+        m.getLong(2) == c.getLong(3),
         m.getLong(0) == c.getLong(0) && m.getLong(3) == c.getLong(2),
         oldPlain == oldMerged))
         .toDF("schema_widened", "old_rows_null_filled",
           "new_rows_carry_values", "rows_conserved", "pruned_read_agrees")
-    } finally graft.operators.Similarity.deleteScratch(scratch)
+    } finally graft.operators.Similarity.deleteScratch(s, scratch)
   }
 
   /** Right-to-be-forgotten gate — tombstone propagation stated as an
@@ -177,7 +183,7 @@ object PartitionedStore {
       val nTomb = tomb.count()
       val before = s.read.parquet(store)
       val nBefore = before.count()
-      val inv0 = fileInventory(store)
+      val inv0 = fileInventory(s, store)
       // the expected survivor set, derived from the SOURCE table so its
       // lineage is immune to the store rewrite below
       val expected = docs.join(broadcast(tomb), Seq("doc_id"), "left_anti")
@@ -201,7 +207,7 @@ object PartitionedStore {
           s.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
       val after = s.read.parquet(store)
-      val inv1 = fileInventory(store)
+      val inv1 = fileInventory(s, store)
       val untouched = (inv0.keySet - s"source=$target")
         .forall(k => inv1.get(k).contains(inv0(k)))
       // one pass over the purged store: total rows + surviving
@@ -226,7 +232,7 @@ object PartitionedStore {
         .toDF("layouts_written", "purged_absent", "rows_conserved",
           "untouched_files_stable", "touched_partition_rewritten",
           "survivors_intact")
-    } finally graft.operators.Similarity.deleteScratch(scratch)
+    } finally graft.operators.Similarity.deleteScratch(s, scratch)
   }
 
   /** Retention/expiry gate — the roadmap's hot-window lifecycle rule
@@ -269,14 +275,14 @@ object PartitionedStore {
       val keep = days.drop(days.length / 2).toSet
       val pre = before.filter(col("date") >= lit(cutoff))
         .localCheckpoint(true) // pin: partitions vanish underneath
-      val inv0 = fileInventory(store)
+      val inv0 = fileInventory(s, store)
       // expiry: drop expired partition directories, touch nothing else
       days.take(days.length / 2).foreach { d =>
-        graft.operators.Similarity.deleteScratch(
-          java.nio.file.Paths.get(store, s"date=$d"))
+        graft.operators.Similarity.deleteScratch(s,
+          new org.apache.hadoop.fs.Path(store, s"date=$d"))
       }
       val after = s.read.parquet(store)
-      val inv1 = fileInventory(store)
+      val inv1 = fileInventory(s, store)
       val nAfter = after.count()
       val nPre = pre.count()
       import s.implicits._
@@ -291,22 +297,28 @@ object PartitionedStore {
         .toDF("layouts_written", "expired_dirs_gone",
           "kept_files_untouched", "rows_match_cutoff",
           "slice_equals_retained")
-    } finally graft.operators.Similarity.deleteScratch(scratch)
+    } finally graft.operators.Similarity.deleteScratch(s, scratch)
   }
 
   /** Per-partition file inventory of a hive-layout store root:
     * `partitionDir -> {(fileName, bytes)}`. Driver-side metadata (the
-    * local stand-in for a manifest listing); data files only. */
-  private def fileInventory(root: String): Map[String, Set[(String, Long)]] = {
-    val base = new java.io.File(root)
-    val parts = Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains("="))
-    parts.map { p =>
-      val files = Option(p.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith("_") &&
-          !f.getName.startsWith("."))
-        .map(f => (f.getName, f.length())).toSet
-      p.getName -> files
-    }.toMap
+    * local stand-in for a manifest listing), resolved through the
+    * store's Hadoop [[org.apache.hadoop.fs.FileSystem]] so the probe
+    * works against any scheme the store itself lives on; data files
+    * only. */
+  private def fileInventory(s: SparkSession,
+      root: String): Map[String, Set[(String, Long)]] = {
+    val base = new org.apache.hadoop.fs.Path(root)
+    val fs = base.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(base)) Map.empty
+    else fs.listStatus(base)
+      .filter(p => p.isDirectory && p.getPath.getName.contains("="))
+      .map { p =>
+        val files = fs.listStatus(p.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(f => (f.getPath.getName, f.getLen)).toSet
+        p.getPath.getName -> files
+      }.toMap
   }
 }

@@ -29,10 +29,23 @@ import org.apache.spark.sql.functions._
   * 20k vectors). Usage: runMain graft.tools.ScaleRehearsal, then
   * SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 SPARK_GRAFT_BENCH_ONLY=<tail>
   * runMain graft.Bench — ratios vs the sf0.1 scoped floors go to
-  * BASELINE.md. */
+  * BASELINE.md.
+  *
+  * Round-10 extension (verdict item 8): `SPARK_GRAFT_REHEARSAL_REPLICAS`
+  * / `SPARK_GRAFT_REHEARSAL_OUT` / `SPARK_GRAFT_REHEARSAL_TABLES` let a
+  * 30× run target only the two axes that drive the superlinear risks
+  * the 10× pass caught (documents for LSH banding, embeddings for IVF
+  * build) without regenerating the TPC-H tables:
+  * `SPARK_GRAFT_REHEARSAL_REPLICAS=30 SPARK_GRAFT_REHEARSAL_OUT=/tmp/graft_sf3
+  * SPARK_GRAFT_REHEARSAL_TABLES=documents,embeddings`. */
 object ScaleRehearsal {
-  val OutDir = "/tmp/graft_sf1"
-  val Replicas = 10
+  val OutDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_OUT", "/tmp/graft_sf1")
+  val Replicas: Int =
+    sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_REPLICAS", "10").toInt
+  val Tables: Set[String] =
+    sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_TABLES",
+      "documents,embeddings,lineitem,events").split(",").map(_.trim).toSet
   val IdStride = 10000000L
 
   def main(args: Array[String]): Unit = {
@@ -46,6 +59,7 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     val src = "/root/testdata/sf0.1"
 
+    if (Tables("documents")) {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     (0 until Replicas).map { r =>
       val tagged =
@@ -61,7 +75,9 @@ object ScaleRehearsal {
     }.reduce(_.unionByName(_))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$OutDir/documents.parquet")
+    }
 
+    if (Tables("embeddings")) {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     (0 until Replicas).map { r =>
       val nudged =
@@ -76,7 +92,9 @@ object ScaleRehearsal {
     }.reduce(_.unionByName(_))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$OutDir/embeddings.parquet")
+    }
 
+    if (Tables("lineitem")) {
     // lineitem: 10x rows with the l_orderkey domain offset per replica
     // and the (l_partkey, l_suppkey) domains UNCHANGED — the realistic
     // growth shape (more line items per part/supplier), and exactly
@@ -89,7 +107,9 @@ object ScaleRehearsal {
     }.reduce(_.unionByName(_))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$OutDir/lineitem.parquet")
+    }
 
+    if (Tables("events")) {
     // events: 10x rows inside the SAME calendar span (more events per
     // day — the growth shape mart_incremental's O(day) claim is about;
     // day count constant, delta-day row count 10x). Tables.load
@@ -100,12 +120,11 @@ object ScaleRehearsal {
     }.reduce(_.unionByName(_))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$OutDir/events.parquet")
+    }
 
-    val nd = spark.read.parquet(s"$OutDir/documents.parquet").count()
-    val ne = spark.read.parquet(s"$OutDir/embeddings.parquet").count()
-    val nl = spark.read.parquet(s"$OutDir/lineitem.parquet").count()
-    val nv = spark.read.parquet(s"$OutDir/events.parquet").count()
-    println(s"[rehearsal] wrote $OutDir docs=$nd embeddings=$ne " +
-      s"lineitem=$nl events=$nv")
+    val counts = Tables.toSeq.sorted.map { t =>
+      s"$t=${spark.read.parquet(s"$OutDir/$t.parquet").count()}"
+    }
+    println(s"[rehearsal] wrote $OutDir x$Replicas ${counts.mkString(" ")}")
   }
 }

@@ -329,9 +329,13 @@ class JdbcSinkSpec extends AnyFunSuite {
       () => FakeWarehouse.connection(key))
     val first = FakeWarehouse.rows(key)
     assert(first.size === 5, s"expected 5 loaded rows, got $first")
-    // Spark re-runs the hour-07 task (speculative duplicate / fetch
-    // retry) — the EXACT function the scheduler would re-invoke, on the
-    // exact committed rows
+    // Spark re-runs the hour-07 task SEQUENTIALLY (task retry after the
+    // prior attempt terminated — what the scheduler guarantees with
+    // speculation off) — the EXACT function it would re-invoke, on the
+    // exact committed rows. Concurrent duplicate attempts are out of
+    // scope: the sink's scaladoc requires an advisory lock for
+    // speculation-on deployments, an interleaving this atomic-commit
+    // fake structurally cannot reproduce.
     JdbcSink.loadHourPartition(hourRows(7).iterator, day,
       () => FakeWarehouse.connection(key))
     assert(FakeWarehouse.rows(key) === first,

@@ -98,6 +98,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(far.sum.toDouble / far.size > 20.0, s"mean ${far.sum.toDouble / far.size}")
   }
 
+  test("PPM decode: encode/decode round-trips every pixel; malformed " +
+      "payloads fail loudly") {
+    val id = 42L
+    val (w, h) = (Multimodal.ppmWidth(id), Multimodal.ppmHeight(id))
+    val payload = Multimodal.ppmEncode(id, w, h)
+    // a genuine P6 binary: ASCII magic + dims header + packed RGB
+    assert(new String(payload.take(2), "US-ASCII") === "P6")
+    val (dw, dh, px) = Multimodal.decodePpm(payload)
+    assert((dw, dh) === (w, h))
+    assert(px.length === w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert((px((y * w + x) * 3 + c) & 0xff) ===
+        Multimodal.pixelByte(id, y, x, c),
+        s"pixel ($x,$y,$c) corrupted through encode/decode")
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("not an image".getBytes)
+    }
+    intercept[IllegalArgumentException] { // truncated pixel section
+      Multimodal.decodePpm(payload.dropRight(1))
+    }
+  }
+
+  test("decoded features: channel sums recovered THROUGH the binary " +
+      "decode equal the closed-form pixel formula") {
+    val rows = Multimodal.decodedFeatures(spark, TestSpark.sf).collect()
+    assert(rows.length === 167) // the image third of 500 docs
+    rows.take(5).foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (Multimodal.ppmWidth(id), Multimodal.ppmHeight(id))
+      assert((r.getInt(1), r.getInt(2)) === (w, h))
+      val expSumR = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.pixelByte(id, y, x, 0).toLong).sum
+      assert(r.getLong(3) === expSumR, s"sum_r mismatch for image $id")
+      assert(r.getDouble(6) ===
+        math.floor(expSumR.toDouble / (w * h) * 1e6) / 1e6)
+    }
+  }
+
+  test("decoded resize: nearest-neighbor halved dims, strided sums, and " +
+      "the first/last probe bytes hit the exact source pixels") {
+    val rows = Multimodal.resizeDecoded(spark, TestSpark.sf).collect()
+    assert(rows.length === 167)
+    rows.take(5).foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (Multimodal.ppmWidth(id), Multimodal.ppmHeight(id))
+      val (ow, oh) = (math.max(w / 2, 1), math.max(h / 2, 1))
+      assert((r.getInt(1), r.getInt(2)) === (ow, oh))
+      val expSumG = (for (y <- 0 until oh; x <- 0 until ow)
+        yield Multimodal.pixelByte(id, 2 * y, 2 * x, 1).toLong).sum
+      assert(r.getLong(4) === expSumG, s"sum_g mismatch for image $id")
+      assert(r.getInt(6) === Multimodal.pixelByte(id, 0, 0, 0))
+      assert(r.getInt(7) ===
+        Multimodal.pixelByte(id, 2 * (oh - 1), 2 * (ow - 1), 2))
+    }
+  }
+
   test("phash dedup gate: exactly the planted copies, all bands " +
       "shared, and the chain finds nothing at Hamming > cap for them") {
     val got = Multimodal.phashDedupPlanted(spark, TestSpark.sf).collect()

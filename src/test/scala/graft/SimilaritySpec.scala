@@ -201,6 +201,68 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected index scan + query-relation scan, got $nScans")
   }
 
+  test("driver-Seq probe lane is the batch plan: ONE broadcast join, " +
+      "no per-query union branches") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfm_").toString
+    Similarity.writeIvfIndex(spark, TestSpark.sf, idx)
+    val qSeq = graft.Tables.load(spark, TestSpark.sf, "embeddings")
+      .filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val multi = Similarity.ivfProbeIndexedMulti(spark, idx, qSeq.toSeq,
+      k = 10, nProbe = 4)
+    assert(multi.count() === 50)
+    val optimized = multi.queryExecution.optimizedPlan
+    val unions = optimized.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(unions.isEmpty,
+      "the Seq lane must not build per-query union branches anymore")
+    val joins = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size === 1,
+      s"expected exactly one probe join, got ${joins.size}")
+  }
+
+  test("LSH batch lane: query-relation top-k equals the driver-Seq lane " +
+      "row-for-row, and the query relation is never collected") {
+    val emb = graft.Tables.load(spark, TestSpark.sf, "embeddings")
+    val qDf = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val batch = Similarity.lshTopKBatchOn(emb, qDf, k = 10)
+    val rowsBatch = batch.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val rowsSeq = Similarity.lshTopK(spark, TestSpark.sf,
+      Seq(0L, 1L, 2L, 3L, 4L), k = 10).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rowsBatch === rowsSeq)
+    val plan = batch.queryExecution.executedPlan.toString
+    // the probes flow from the embeddings FILE SCAN through distributed
+    // band signatures — never through a driver-side local relation
+    assert(!plan.contains("LocalTableScan"),
+      "query relation must not pass through the driver")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast candidate join in:\n${plan.take(1200)}")
+  }
+
+  test("RP batch lane: query-relation top-k equals the driver-Seq lane " +
+      "row-for-row, and the query relation is never collected") {
+    val emb = graft.Tables.load(spark, TestSpark.sf, "embeddings")
+    val qDf = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val batch = graft.operators.Projection.rpTopKBatchOn(emb, qDf, k = 10)
+    val rowsBatch = batch.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val rowsSeq = graft.operators.Projection.rpTopK(spark, TestSpark.sf,
+      Seq(0L, 1L, 2L, 3L, 4L), k = 10).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rowsBatch === rowsSeq)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"),
+      "query relation must not pass through the driver")
+  }
+
   test("PQ batch probe lane: query-relation ADC equals the driver-array " +
       "lane per query, with broadcast join + dynamic partition pruning") {
     val idx = java.nio.file.Files.createTempDirectory("graft_pqb_").toString

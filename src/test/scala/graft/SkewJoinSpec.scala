@@ -54,6 +54,46 @@ class SkewJoinSpec extends AnyFunSuite {
     try body finally spark.conf.set(key, prev)
   }
 
+  test("AQE's OptimizeSkewedJoin splits the planted hot key's shuffle " +
+      "partition — the zero-code first line of defense the salted lane " +
+      "backs up (round-9 verdict item 5)") {
+    val s = spark.newSession()
+    // thresholds shrunk so the sf0.01 fixture's ~60%-of-rows hot
+    // partition crosses them — the plan marker (skew=true on the SMJ)
+    // is the same one a 100 TB job shows at production thresholds.
+    // 512b, not KBs: the hot partition's SHUFFLE BYTES are tiny (the
+    // key is the constant 0 and lz4 eats the low-cardinality doubles),
+    // and the skew test runs on compressed map-output sizes
+    val prev = graft.plans.Tuning(s, graft.plans.Tuning.skewJoinConfs(
+      skewedPartitionFactor = 2,
+      thresholdBytes = "512b",
+      advisoryBytes = "256b") ++ Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "8"))
+    try {
+      // repartition(12): AQE splits a skewed reduce partition along MAP
+      // TASK boundaries, and the local single-row-group fixture file is
+      // one mapper — unsplittable by construction. A 100 TB fact table
+      // always has thousands of mappers; 12 stands in for that.
+      val df = Sketches.skewJoinBaselineOn(
+        Sketches.skewedFacts(s, "/root/testdata/sf0.01").repartition(12),
+        Sketches.skewKeyDim(s))
+      val rows = df.collect()
+      assert(rows.length === 7, "the reporting relation must be intact")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed SMJ partition split in:\n" +
+          plan.take(3000))
+      // semantics unchanged by the split: same relation as the salted
+      // lane (whose oracle is the plain join)
+      val fixed = Sketches.skewJoinFixed(s, "/root/testdata/sf0.01")
+        .collect()
+      assert(rows === fixed,
+        "AQE skew split must be a physical rewrite only")
+    } finally graft.plans.Tuning.restore(s, prev)
+  }
+
   test("salted and plain lanes compute the identical relation") {
     val fixed = Sketches.skewJoinFixed(spark, TestSpark.sf).collect()
     val plain = Sketches.skewJoinBaseline(spark, TestSpark.sf).collect()
