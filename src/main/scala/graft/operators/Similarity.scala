@@ -1695,8 +1695,16 @@ object Similarity {
     // the base index and the rebuild reference are both projections of it
     // (one corpus-scale cosine pass instead of two — the compaction
     // itself re-assigns only the arriving batch, which is the cheap side)
+    // the planted test is the EXACT [PlantOffset, PlantOffset+n) range,
+    // not an open-ended >= — the 30x rehearsal corpus carries replica
+    // ids above PlantOffset, and an open-ended predicate silently
+    // dropped every replica vector from the live index while the
+    // rebuild reference kept them (agrees_rebuild false at 30x; found
+    // by value-checking the gate at rehearsal scale, invisible at the
+    // contract SFs where no id exceeds the offset)
     val isArriving = col("vec_id") % 10 === 3 ||
-      col("vec_id") >= Dedup.PlantOffset
+      (col("vec_id") >= Dedup.PlantOffset &&
+        col("vec_id") < Dedup.PlantOffset + n)
     val assignedAll = base.unionByName(arriving)
       .select(col("vec_id"), col("embedding"),
         argmaxOver(trained).getField("cluster").as("cell"))
