@@ -463,6 +463,9 @@ object SparkEntry {
     // md5-stub twin covering the codec-bound kinds (png/wav/mp4): scalar
     // projection (f0..f7) of the deterministic fake feature vector
     "mm_features_md5" -> (graft.multimodal.Multimodal.extractFeatureScalars _),
+    // REAL audio decode: RIFF chunk walk + s16le PCM parse, exact
+    // integer sample statistics from the decoded waveform
+    "mm_audio_features" -> (graft.multimodal.Multimodal.audioFeatures _),
     // perceptual-hash image dedup gate: banded 64-bit pHash, bucket-join
     // candidates, Hamming verify — planted copies must survive the chain
     "mm_phash_dedup" -> ((s: SparkSession, d: String) =>
@@ -3367,6 +3370,25 @@ object SparkEntry {
         |  CAST((media_id*7 + (2*(oh-1))*31 + (2*(ow-1))*5 + 22) % 256
         |   AS INTEGER) AS last_px
         | FROM g GROUP BY media_id, ow, oh
+        | ORDER BY media_id""".stripMargin.replace("\n", ""),
+    // REAL audio-decode lane: fixture clips are genuine RIFF/WAVE PCM
+    // s16le payloads whose sample i follows (id*13 + i*17) % 4096 - 2048
+    // over 64 + id % 65 samples — the oracle replays the formula; Spark
+    // must recover identical stats THROUGH the chunk walk + PCM parse
+    "mm_audio_features" ->
+      """WITH au AS (SELECT doc_id AS media_id,
+        |  CAST(64 + doc_id % 65 AS INTEGER) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        | g AS (SELECT media_id, n, i.i AS i
+        |  FROM au CROSS JOIN (SELECT unnest(range(0, 128)) AS i) i
+        |  WHERE i.i < n)
+        | SELECT media_id, n AS n_samples,
+        |  CAST(SUM((media_id*13 + i*17) % 4096 - 2048) AS BIGINT) AS sum_s,
+        |  CAST(SUM(abs((media_id*13 + i*17) % 4096 - 2048)) AS BIGINT)
+        |   AS sum_abs,
+        |  CAST(MIN((media_id*13 + i*17) % 4096 - 2048) AS INTEGER) AS min_s,
+        |  CAST(MAX((media_id*13 + i*17) % 4096 - 2048) AS INTEGER) AS max_s
+        | FROM g GROUP BY media_id, n
         | ORDER BY media_id""".stripMargin.replace("\n", ""),
     // stub features = 16-bit big-endian slices of md5(payload) / 65536;
     // n/65536 is a power-of-two divide so float->double is exact and the

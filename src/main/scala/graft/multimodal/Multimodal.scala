@@ -395,6 +395,130 @@ object Multimodal {
     }.toDF().orderBy("media_id")
   }
 
+  // ---- REAL WAV (PCM s16le) decode lane ----
+
+  /** Fixture sample formula — signed 16-bit sample `i` of audio `id`,
+    * in [-2048, 2047]. The WAV builder packs exactly these; the oracle
+    * states the decoded statistics closed-form (the [[pixelByte]]
+    * contract for the audio modality). */
+  private[graft] def sampleVal(id: Long, i: Int): Int =
+    ((id * 13 + i.toLong * 17) % 4096).toInt - 2048
+
+  /** Fixture sample count: 64..128 per clip. */
+  private[graft] def wavSamples(id: Long): Int = (64 + id % 65).toInt
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** A genuine RIFF/WAVE payload: canonical 44-byte header (PCM, mono,
+    * 8 kHz, 16-bit little-endian) + packed samples. */
+  private[graft] def wavEncode(id: Long): Array[Byte] = {
+    val n = wavSamples(id)
+    val dataLen = n * 2
+    val header =
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + dataLen) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+        le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+        le16(2) ++ le16(16) ++
+        "data".getBytes("US-ASCII") ++ le32(dataLen)
+    val data = new Array[Byte](dataLen)
+    var i = 0
+    while (i < n) {
+      val s = sampleVal(id, i)
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    header ++ data
+  }
+
+  /** REAL pure-JVM WAV decoder: validates the RIFF/WAVE magic, walks
+    * the chunk list to `fmt ` (requires PCM mono s16le) and `data`, and
+    * returns the decoded samples. Throws on anything malformed. */
+  private[graft] def decodeWav(p: Array[Byte]): Array[Int] = {
+    def ascii(off: Int, n: Int) = new String(p, off, n, "US-ASCII")
+    def u16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    def u32(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+      ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+    require(p.length >= 44 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE",
+      "not a RIFF/WAVE payload")
+    var off = 12
+    var fmtOk = false
+    var samples: Array[Int] = null
+    while (off + 8 <= p.length && (samples == null || !fmtOk)) {
+      val cid = ascii(off, 4)
+      val clen = u32(off + 4)
+      require(off + 8 + clen <= p.length,
+        s"truncated WAV chunk $cid at byte $off")
+      if (cid == "fmt ") {
+        require(u16(off + 8) == 1 && u16(off + 10) == 1 &&
+          u16(off + 22) == 16,
+          "unsupported WAV encoding (need PCM mono s16le)")
+        fmtOk = true
+      } else if (cid == "data") {
+        require(clen % 2 == 0, "odd s16 data length")
+        samples = Array.tabulate(clen / 2) { i =>
+          val lo = p(off + 8 + 2 * i) & 0xff
+          val hi = p(off + 9 + 2 * i)
+          (hi << 8) | lo // sign comes from the high byte
+        }
+      }
+      off += 8 + clen + (clen & 1) // chunks are word-aligned
+    }
+    require(fmtOk, "missing fmt chunk")
+    require(samples != null, "missing data chunk")
+    samples
+  }
+
+  /** Typed audio row (payload is a REAL WAV binary). */
+  case class WavRow(media_id: Long, payload: Array[Byte])
+
+  /** The audio slice of the media table with payloads as genuine WAV
+    * binaries (the [[ppmImages]] contract for kind=audio). */
+  def wavAudio(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[WavRow] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .map(id => WavRow(id, wavEncode(id)))
+  }
+
+  /** Per-clip decoded sample statistics (exact integers). */
+  case class AudioStats(media_id: Long, n_samples: Int,
+      sum_s: Long, sum_abs: Long, min_s: Int, max_s: Int)
+
+  /** `mm_audio_features` — audio feature extraction FROM DECODED
+    * SAMPLES: parse the RIFF chunk list, decode s16le PCM, accumulate
+    * exact integer statistics (signal energy/amplitude features in
+    * their integer form). The oracle replays the sample formula
+    * closed-form — equal iff the chunk walk, endianness, and sign
+    * handling are all right. */
+  def audioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wavAudio(s, dir).mapPartitions { rows =>
+      // [real codec init would go here, once per partition]
+      rows.map { m =>
+        val xs = decodeWav(m.payload)
+        var sum = 0L; var sumAbs = 0L
+        var mn = Int.MaxValue; var mx = Int.MinValue
+        var i = 0
+        while (i < xs.length) {
+          val v = xs(i)
+          sum += v; sumAbs += math.abs(v)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        AudioStats(m.media_id, xs.length, sum, sumAbs, mn, mx)
+      }
+    }.toDF().orderBy("media_id")
+  }
+
   /** Frame sampling: cut `n` evenly spaced fixed-size byte windows from
     * each payload (stand-in for video frame extraction; the windowing,
     * explode shape, and per-frame rows are the real plumbing). Pure

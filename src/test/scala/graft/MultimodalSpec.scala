@@ -154,6 +154,42 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV decode: RIFF chunk walk round-trips every s16le sample; " +
+      "malformed and non-PCM payloads fail loudly") {
+    val id = 130L // formula crosses zero within this clip: both signs
+    val payload = Multimodal.wavEncode(id)
+    assert(new String(payload.take(4), "US-ASCII") === "RIFF")
+    val xs = Multimodal.decodeWav(payload)
+    assert(xs.length === Multimodal.wavSamples(id))
+    xs.zipWithIndex.foreach { case (v, i) =>
+      assert(v === Multimodal.sampleVal(id, i),
+        s"sample $i corrupted through encode/decode")
+    }
+    // negative samples really decode as negatives (sign extension)
+    assert(xs.exists(_ < 0) && xs.exists(_ > 0))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("0123456789".getBytes ++ new Array[Byte](40))
+    }
+    intercept[IllegalArgumentException] { // truncated data chunk
+      Multimodal.decodeWav(payload.dropRight(3))
+    }
+  }
+
+  test("audio features: stats recovered THROUGH the PCM decode equal " +
+      "the closed-form sample formula") {
+    val rows = Multimodal.audioFeatures(spark, TestSpark.sf).collect()
+    assert(rows.length === 167) // the audio third of 500 docs
+    rows.take(5).foreach { r =>
+      val id = r.getLong(0)
+      val n = Multimodal.wavSamples(id)
+      val exp = (0 until n).map(Multimodal.sampleVal(id, _))
+      assert(r.getInt(1) === n)
+      assert(r.getLong(2) === exp.map(_.toLong).sum)
+      assert(r.getLong(3) === exp.map(v => math.abs(v).toLong).sum)
+      assert(r.getInt(4) === exp.min && r.getInt(5) === exp.max)
+    }
+  }
+
   test("phash dedup gate: exactly the planted copies, all bands " +
       "shared, and the chain finds nothing at Hamming > cap for them") {
     val got = Multimodal.phashDedupPlanted(spark, TestSpark.sf).collect()
