@@ -314,6 +314,10 @@ object SparkEntry {
     // plus per-query full-top-k equality with the driver-Seq lane
     "ann_lsh_batch" -> ((s: SparkSession, d: String) =>
       Similarity.annLshBatchPlanted(s, d)),
+    // materialized LSH index lifecycle: (band,bucket)-partitioned
+    // postings, DPP-pruned probe, equality with the in-memory lane
+    "ann_lsh_indexed" -> ((s: SparkSession, d: String) =>
+      Similarity.annLshIndexedPlanted(s, d)),
     "ann_ivf_planted" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopKPlanted(s, d)),
     // JL random-sign projection: 16 t6 components + norm-preservation
@@ -2325,6 +2329,15 @@ object SparkEntry {
         | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
         | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact,
         | TRUE AS agrees_seq_lane
+        | FROM (SELECT unnest(range(0, 5)) AS q_id)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    // stored-LSH-index lifecycle: same planted closed form; the
+    // equality boolean pins stored-vs-memory lane agreement
+    "ann_lsh_indexed" ->
+      """SELECT CAST(q_id AS BIGINT) AS q_id,
+        | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
+        | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact,
+        | TRUE AS agrees_memory
         | FROM (SELECT unnest(range(0, 5)) AS q_id)
         | ORDER BY q_id""".stripMargin.replace("\n", ""),
     "ann_ivf_planted" ->

@@ -1123,6 +1123,103 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** Materialized LSH index — the storage layout [[lshTopK]]'s scaladoc
+    * promises: the banded signature POSTINGS written hive-partitioned
+    * by `(band, bucket)` (so a probe reads only its own buckets' files,
+    * by layout alone) with the narrow vector table alongside for the
+    * exact rerank. Postings are (vec_id) under band=/bucket= dirs —
+    * pure longs, ~1/30th the bytes of the vectors; the 100 TB shape is
+    * the same with coarser bucket sharding (`bucket % N` as the
+    * partition key) once 2^planes×bands outgrows a directory listing. */
+  def writeLshIndex(s: SparkSession, dir: String, indexPath: String,
+      planes: Int = 4, bands: Int = 8): Unit =
+    writeLshIndexOn(t(s, dir, "embeddings"), indexPath, planes, bands)
+
+  private[graft] def writeLshIndexOn(emb: DataFrame, indexPath: String,
+      planes: Int, bands: Int): Unit = {
+    emb.select(col("vec_id"),
+      posexplode(graft.functions.SketchExpressions.hyperplaneBands(
+        col("embedding"), planes, bands)).as(Seq("band", "bucket")))
+      .repartition(col("band"), col("bucket"))
+      .write.mode("overwrite").partitionBy("band", "bucket")
+      .option("compression", "zstd")
+      .parquet(s"$indexPath/postings")
+    emb.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .parquet(s"$indexPath/vectors")
+  }
+
+  /** Query-relation probe of the materialized LSH index: distributed
+    * band signatures for the queries, a broadcast probe join on the
+    * `(band, bucket)` PARTITION columns (dynamic partition pruning
+    * reads only probed bucket dirs — the [[ivfProbeIndexedBatch]]
+    * discipline), candidate dedup before any vector byte is read, and
+    * the exact-cosine rerank over the hydrated candidates only. Row
+    * semantics are EXACTLY [[lshTopKBatchOn]]'s over the same corpus
+    * (identical signatures ⇒ identical candidates ⇒ identical t6
+    * rank) — value-pinned by `ann_lsh_indexed`'s agrees_memory gate. */
+  def lshProbeIndexed(s: SparkSession, indexPath: String,
+      queries: DataFrame, k: Int = 10, planes: Int = 4,
+      bands: Int = 8): DataFrame = {
+    // cast probe keys to the scan's inferred partition-column types so
+    // the join keys are bare partition attributes (DPP-eligible)
+    val qsig = queries.select(col("q_id"),
+      posexplode(graft.functions.SketchExpressions.hyperplaneBands(
+        col("q_emb"), planes, bands)).as(Seq("band", "bucket")))
+      .select(col("q_id"), col("band").cast("int").as("band"),
+        col("bucket").cast("int").as("bucket"))
+    val cands = s.read.parquet(s"$indexPath/postings")
+      .join(broadcast(qsig), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    cands.join(s.read.parquet(s"$indexPath/vectors"), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Num.t6(cosine(col("embedding"), col("q_emb"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("q_id", "rn")
+  }
+
+  /** `ann_lsh_indexed` gate — [[writeLshIndex]] + [[lshProbeIndexed]]
+    * composed with a scratch lifecycle over the planted corpus: the
+    * copies must probe back at rank 1 cosine ~1.0 THROUGH the stored
+    * layout, and the full top-k must equal the in-memory batch lane's
+    * ([[lshTopKBatchOn]]) row-for-row — a broken partition key,
+    * posting write, or pruned read erases rows and fails the hash. */
+  def annLshIndexedPlanted(s: SparkSession, dir: String, n: Int = 5,
+      k: Int = 10): DataFrame = {
+    val emb = plantedEmb(t(s, dir, "embeddings"), n)
+    val queries = emb.filter(col("vec_id") < n)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scratch = scratchDir(s, "graft-lshidx-")
+    try {
+      writeLshIndexOn(emb, scratch.toString, 4, 8)
+      def keyed(df: DataFrame): Map[Long, Seq[(Long, Double, Int)]] =
+        df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .groupBy(_._1)
+          .map { case (q, rows) =>
+            q -> rows.sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq
+          }
+      val stored = keyed(lshProbeIndexed(s, scratch.toString, queries, k))
+      val memory = keyed(lshTopKBatchOn(emb, queries, k))
+      val rows = (0L until n.toLong).map { qid =>
+        val b = stored(qid)
+        (qid, b.head._1, 1, b.head._2 >= 0.999999, b == memory(qid))
+      }
+      s.createDataFrame(rows)
+        .toDF("q_id", "vec_id", "rn", "is_exact", "agrees_memory")
+        .orderBy("q_id")
+    } finally {
+      deleteScratch(s, scratch)
+    }
+  }
+
   /** IVF (inverted-file) coarse quantization: every vector is assigned to
     * its nearest of `k` coarse centroids; a query probes only the
     * `nProbe` cells nearest to IT, so the scan cost drops from O(N) to

@@ -246,6 +246,32 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected a broadcast candidate join in:\n${plan.take(1200)}")
   }
 
+  test("materialized LSH index: probe reads only the probed (band, " +
+      "bucket) partitions and equals the in-memory batch lane") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_lshidx_").toString
+    Similarity.writeLshIndex(spark, TestSpark.sf, idx)
+    // band=/bucket= hive dirs exist (the prunable layout)
+    val bandDirs = new java.io.File(s"$idx/postings").listFiles()
+      .count(_.getName.startsWith("band="))
+    assert(bandDirs === 8, s"expected 8 band partitions, got $bandDirs")
+    val emb = graft.Tables.load(spark, TestSpark.sf, "embeddings")
+    val qDf = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val probe = Similarity.lshProbeIndexed(spark, idx, qDf, k = 10)
+    val rowsStored = probe.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val rowsMem = Similarity.lshTopKBatchOn(emb, qDf, k = 10)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rowsStored === rowsMem,
+      "stored-index probe must equal the in-memory lane row-for-row")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected DPP on the postings scan in:\n${plan.take(1500)}")
+    assert(!plan.contains("LocalTableScan"),
+      "query relation must not pass through the driver")
+  }
+
   test("RP batch lane: query-relation top-k equals the driver-Seq lane " +
       "row-for-row, and the query relation is never collected") {
     val emb = graft.Tables.load(spark, TestSpark.sf, "embeddings")
