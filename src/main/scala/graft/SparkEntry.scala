@@ -280,6 +280,11 @@ object SparkEntry {
     // driver-array lane's full math-replay oracle
     "ann_ivfpq_batch" -> ((s: SparkSession, d: String) =>
       Similarity.annIvfPqBatch(s, d)),
+    // incremental PQ-index maintenance: arriving batch encoded under
+    // frozen centroids+codebooks, touched-cell-only merge; the stored
+    // probe must reproduce the full math replay over the planted corpus
+    "ann_ivfpq_compact" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqCompactPlanted(s, d)),
     "ann_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.filteredTopK(s, d)),
     "length_percentiles" -> (TextAnalysis.lengthPercentiles _),
     "search_docs" -> ((s: SparkSession, d: String) => Similarity.searchDocs(s, d)),
@@ -318,6 +323,11 @@ object SparkEntry {
     // postings, DPP-pruned probe, equality with the in-memory lane
     "ann_lsh_indexed" -> ((s: SparkSession, d: String) =>
       Similarity.annLshIndexedPlanted(s, d)),
+    // incremental LSH index maintenance: arriving batch merged into the
+    // frozen-hyperplane postings by touched-(band,bucket) rewrite only;
+    // stored probes must equal the in-memory full-corpus lane
+    "ann_lsh_compact" -> ((s: SparkSession, d: String) =>
+      Similarity.lshCompactPlanted(s, d)),
     "ann_ivf_planted" -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopKPlanted(s, d)),
     // JL random-sign projection: 16 t6 components + norm-preservation
@@ -392,6 +402,15 @@ object SparkEntry {
     // copies make rank-1 retrieval closed-form
     "stream_ann" -> ((s: SparkSession, d: String) =>
       graft.streaming.VectorStream.runAnnProbeOnce(s, d)),
+    // streaming probes against the stored cell=-partitioned IVF index:
+    // per-trigger cost is the probed partitions, never a corpus scan
+    "stream_ann_indexed" -> ((s: SparkSession, d: String) =>
+      graft.streaming.VectorStream.runAnnIndexedOnce(s, d)),
+    // streaming index MAINTENANCE: arriving vector drops merge into the
+    // stored index per micro-batch (idempotent touched-cell upsert);
+    // post-drain probes must equal the from-scratch rebuild
+    "stream_ivf_compact" -> ((s: SparkSession, d: String) =>
+      graft.streaming.VectorStream.runIvfCompactOnce(s, d)),
     // exact k-per-(lang,source) deterministic sample
     "stratified_sample" -> ((s: SparkSession, d: String) =>
       Curation.stratifiedSample(s, d)),
@@ -740,7 +759,37 @@ object SparkEntry {
     ("mart_incremental" -> oracleSqlBase("mart_daily")) +
     // the query-relation PQ probe: ann_ivfpq_topk's math replay
     // generalized per q_id over the 5-seed query relation
-    ("ann_ivfpq_batch" ->
+    ("ann_ivfpq_batch" -> ivfPqBatchSql) +
+    // the PQ compaction gate replays the IDENTICAL math over the corpus
+    // extended by the planted copies: frozen centroids/codebooks come
+    // from the natural table (cents/cb CTEs untouched), only the
+    // database side (assign + enc) reads the planted corpus — which is
+    // exactly what compaction ≡ rebuild promises the stored lane holds
+    ("ann_ivfpq_compact" -> ivfPqBatchSql
+      .replaceFirst("WITH ",
+        "WITH embp AS (SELECT vec_id, embedding FROM embeddings" +
+          " UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding" +
+          " FROM embeddings WHERE vec_id < 5), ")
+      .replace("FROM embeddings e ", "FROM embp e ")) +
+    // streaming drift accumulates the SAME integer band counts the
+    // batch PSI aggregates in one pass — associativity makes the
+    // relations identical, so the queries share one oracle
+    ("stream_drift" -> oracleSqlBase("quality_psi")) +
+    // the confusion matrix aggregates the lang_id oracle's own relation
+    ("lang_confusion" -> ("WITH pred AS (" + oracleSqlBase("lang_id") +
+      """) SELECT lang_labeled, lang_pred, count(*) AS n,
+        | floor(CAST(count(*) AS DOUBLE) /
+        |  CAST(sum(count(*)) OVER (PARTITION BY lang_labeled) AS DOUBLE)
+        |  * 1000000.0)/1000000.0 AS frac
+        | FROM pred GROUP BY lang_labeled, lang_pred
+        | ORDER BY lang_labeled, lang_pred""".stripMargin
+        .replace("\n", "")))
+
+  /** Full DuckDB replay of the IVF-PQ batch probe's math (coarse-cell
+    * ranking, frozen-codebook encode, code-selected ADC, per-q_id
+    * rank) — shared verbatim by `ann_ivfpq_batch` and, with the
+    * database side swapped to the planted corpus, `ann_ivfpq_compact`. */
+  private val ivfPqBatchSql: String =
       """WITH cents AS (
         | SELECT label AS cl, list(c ORDER BY pos) AS cent FROM (
         |  SELECT label, i AS pos,
@@ -803,20 +852,7 @@ object SparkEntry {
         | FROM (SELECT *, row_number() OVER (PARTITION BY q_id
         |   ORDER BY adc_dist, vec_id) AS rn FROM scored)
         | WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
-        .replace("\n", "")) +
-    // streaming drift accumulates the SAME integer band counts the
-    // batch PSI aggregates in one pass — associativity makes the
-    // relations identical, so the queries share one oracle
-    ("stream_drift" -> oracleSqlBase("quality_psi")) +
-    // the confusion matrix aggregates the lang_id oracle's own relation
-    ("lang_confusion" -> ("WITH pred AS (" + oracleSqlBase("lang_id") +
-      """) SELECT lang_labeled, lang_pred, count(*) AS n,
-        | floor(CAST(count(*) AS DOUBLE) /
-        |  CAST(sum(count(*)) OVER (PARTITION BY lang_labeled) AS DOUBLE)
-        |  * 1000000.0)/1000000.0 AS frac
-        | FROM pred GROUP BY lang_labeled, lang_pred
-        | ORDER BY lang_labeled, lang_pred""".stripMargin
-        .replace("\n", "")))
+        .replace("\n", "")
 
   private def oracleSqlBase: Map[String, String] = Map(
     "textrank_keywords" -> textrankOracleSql(),
@@ -2010,6 +2046,13 @@ object SparkEntry {
         | CAST(q AS BIGINT) AS vec_id, TRUE AS is_exact
         | FROM (SELECT unnest(range(0, 5)) AS q)
         | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    // indexed streaming lane: same closed form — the copy's home cell
+    // is always probed, so rank-1 recovery is deterministic
+    "stream_ann_indexed" ->
+      """SELECT CAST(q + 1000000 AS BIGINT) AS q_id,
+        | CAST(q AS BIGINT) AS vec_id, TRUE AS is_exact
+        | FROM (SELECT unnest(range(0, 5)) AS q)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
     "stream_neardup" ->
       """WITH idx AS (SELECT doc_id, text FROM documents
         |  WHERE doc_id % 10 <> 3),
@@ -2338,6 +2381,24 @@ object SparkEntry {
         | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
         | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact,
         | TRUE AS agrees_memory
+        | FROM (SELECT unnest(range(0, 5)) AS q_id)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    // streamed index maintenance == rebuild: planted copies reach the
+    // index only through the micro-batch merges, rank-1 closed form
+    "stream_ivf_compact" ->
+      """SELECT CAST(q_id AS BIGINT) AS q_id,
+        | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
+        | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact,
+        | TRUE AS agrees_rebuild
+        | FROM (SELECT unnest(range(0, 5)) AS q_id)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    // LSH compaction == rebuild, planted copies (which exist ONLY in the
+    // arriving batch) at rank 1 — the ann_ivf_compact closed form
+    "ann_lsh_compact" ->
+      """SELECT CAST(q_id AS BIGINT) AS q_id,
+        | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
+        | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact,
+        | TRUE AS agrees_rebuild
         | FROM (SELECT unnest(range(0, 5)) AS q_id)
         | ORDER BY q_id""".stripMargin.replace("\n", ""),
     "ann_ivf_planted" ->

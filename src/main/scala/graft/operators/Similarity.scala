@@ -378,7 +378,7 @@ object Similarity {
     * production pipeline would train them with [[kmeansStep]] per
     * subspace; the encode/search shape below is identical either way.
     * Indexed [m][k][PqSub], doubles (exact float widening). */
-  private def pqCodebooks(s: SparkSession, dir: String):
+  private[graft] def pqCodebooks(s: SparkSession, dir: String):
       Array[Array[Array[Double]]] = {
     val seeds = t(s, dir, "embeddings")
       .filter(col("vec_id") < PqK)
@@ -572,24 +572,42 @@ object Similarity {
     * The scratch index is deleted before the query returns (the
     * [[ivfIndexedPlanted]] lifecycle discipline); the returned k-row
     * relation is collected first — k rows, not corpus. */
-  /** BUILD half: one corpus scan computes (home cell, 4 PQ codes) and
-    * writes hive `cell=`-partitioned parquet at `indexPath/codes`. The
-    * embedding column is NOT stored. */
-  def writeIvfPqIndex(s: SparkSession, dir: String,
-      indexPath: String): Unit = {
-    val emb = t(s, dir, "embeddings")
-    val cents = collectCentroids(labelCentroids(s, dir), "label")
-    val cb = pqCodebooks(s, dir)
+  /** IVF-PQ encode projection over ANY (vec_id, embedding) relation
+    * under FROZEN centroids + codebooks: (vec_id, home cell, 4 codes)
+    * as one shuffle-free narrow scan — shared by the full build
+    * ([[writeIvfPqIndexOn]]) and the incremental merge
+    * ([[ivfPqCompact]]), so both paths encode bit-identically by
+    * construction. */
+  private def pqEncodeOn(emb: DataFrame,
+      cents: Array[(Int, Array[Double])],
+      cb: Array[Array[Array[Double]]]): DataFrame = {
     val withSubs = (0 until PqM).foldLeft(emb) { (df, j) =>
       df.withColumn(s"s$j", slice(col("embedding"), j * PqSub + 1, PqSub))
     }
     withSubs.select(
       col("vec_id") +: argmaxOver(cents).getField("cluster").as("cell") +:
         pqBestCodeCols(cb): _*)
+  }
+
+  /** [[writeIvfPqIndex]] over an explicit relation and explicit frozen
+    * model state — the build half the compaction gate uses to construct
+    * its historical base index from a corpus SLICE. */
+  private[graft] def writeIvfPqIndexOn(emb: DataFrame,
+      cents: Array[(Int, Array[Double])],
+      cb: Array[Array[Array[Double]]], indexPath: String): Unit =
+    pqEncodeOn(emb, cents, cb)
       .repartition(col("cell")) // one writer task per cell
       .write.mode("overwrite").partitionBy("cell")
       .option("compression", "zstd").parquet(s"$indexPath/codes")
-  }
+
+  /** BUILD half: one corpus scan computes (home cell, 4 PQ codes) and
+    * writes hive `cell=`-partitioned parquet at `indexPath/codes`. The
+    * embedding column is NOT stored. */
+  def writeIvfPqIndex(s: SparkSession, dir: String,
+      indexPath: String): Unit =
+    writeIvfPqIndexOn(t(s, dir, "embeddings"),
+      collectCentroids(labelCentroids(s, dir), "label"),
+      pqCodebooks(s, dir), indexPath)
 
   /** PROBE half: rank the centroid metadata driver-side, read ONLY the
     * `nProbe` probed `cell=` partitions (partition pruning by layout —
@@ -675,6 +693,104 @@ object Similarity {
       writeIvfPqIndex(s, dir, scratch.toString)
       val queries = t(s, dir, "embeddings")
         .filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val topk = ivfPqProbeIndexedBatch(s, dir, scratch.toString,
+        queries, k, nProbe)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3), r.getInt(4)))
+      import s.implicits._
+      topk.toSeq.toDF("q_id", "vec_id", "cell", "adc_dist", "rn")
+        .orderBy("q_id", "rn")
+    } finally {
+      deleteScratch(s, scratch)
+    }
+  }
+
+  /** Incremental IVF-PQ index maintenance — [[ivfCompact]]'s asymmetry
+    * at the CODES level, the billion-vector deployment's steady state:
+    * centroids AND codebooks are FROZEN (retraining either invalidates
+    * every stored code and IS a rebuild), the arriving batch is encoded
+    * by the shared [[pqEncodeOn]] projection (12 bits + id per vector —
+    * the batch's index payload is ~170× smaller than its embeddings),
+    * and only the TOUCHED `cell=` partitions of the codes store are
+    * rewritten: their existing codes read partition-pruned, merged with
+    * the new ones, replaced via dynamic partition overwrite. Untouched
+    * partitions keep their exact files (spec-asserted byte-for-byte).
+    * Per-batch work scales with the batch and its home cells, never
+    * with index size; nothing embedding-sized is stored or shuffled on
+    * the existing-index side at all.
+    *
+    * The touched slice is eagerly materialized (localCheckpoint) before
+    * the overwrite — reading a path while overwriting it is illegal —
+    * and is code rows (ints), the cheapest possible staging.
+    *
+    * `statsTable`: as [[ivfCompact]] — refresh ANALYZE stats when the
+    * codes store is catalog-registered.
+    *
+    * Returns the touched cell ids (k-bounded metadata). */
+  def ivfPqCompact(s: SparkSession, indexPath: String,
+      arriving: DataFrame, cents: Array[(Int, Array[Double])],
+      cb: Array[Array[Array[Double]]],
+      statsTable: Option[String] = None): Seq[Int] = {
+    val coded = pqEncodeOn(arriving, cents, cb)
+    val touched = coded.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val existing = s.read.parquet(s"$indexPath/codes")
+      .filter(col("cell").isin(touched: _*)) // partition-pruned read
+      .select(col("vec_id"), col("cell"),
+        col("c0"), col("c1"), col("c2"), col("c3"))
+      .localCheckpoint()
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try existing.unionByName(coded)
+      .repartition(col("cell")) // one writer task per touched cell
+      .write.mode("overwrite").partitionBy("cell")
+      .option("compression", "zstd")
+      .parquet(s"$indexPath/codes")
+    finally prev match {
+      case Some(v) =>
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    statsTable.foreach(
+      graft.models.Catalog.refreshStatsAfterMutation(s, _))
+    touched
+  }
+
+  /** `ann_ivfpq_compact` gate — the compaction lifecycle for the
+    * PQ-coded index, value-checked THROUGH the oracle's full math
+    * replay rather than a planted-rank-1 claim: PQ quantizes distances,
+    * so distinct vectors can legitimately tie at the same ADC distance
+    * (any vector sharing the query's 4 codes sits at distance 0 for a
+    * seed query) and rank-1 identity is not closed-form — but the full
+    * probe RELATION is deterministic (rank ties break on vec_id), and
+    * compaction ≡ rebuild means the stored lane must reproduce the
+    * DuckDB replay of the WHOLE IVF-PQ math over the planted corpus
+    * exactly. The base index holds only the historical slice
+    * (vec_id % 10 != 3); the arriving batch (the % 10 == 3 slice PLUS
+    * planted copies of the `n` probe seeds) reaches the index ONLY
+    * through [[ivfPqCompact]]'s touched-cell merge; the probe is the
+    * production query-relation lane ([[ivfPqProbeIndexedBatch]]) over
+    * the stored layout. Oracle = `ann_ivfpq_batch`'s replay with the
+    * corpus extended by the planted copies — hash equality proves
+    * build + merge + store + probe end-to-end. */
+  def ivfPqCompactPlanted(s: SparkSession, dir: String, n: Int = 5,
+      k: Int = 10, nProbe: Int = 3): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val isBatch = col("vec_id") % 10 === 3
+    val arriving = emb.filter(isBatch).unionByName(
+      emb.filter(col("vec_id") < n)
+        .withColumn("vec_id", col("vec_id") + Dedup.PlantOffset))
+    val cents = collectCentroids(labelCentroids(s, dir), "label")
+    val cb = pqCodebooks(s, dir)
+    val scratch = scratchDir(s, "graft-pqc-")
+    try {
+      writeIvfPqIndexOn(emb.filter(!isBatch), cents, cb,
+        scratch.toString)
+      ivfPqCompact(s, scratch.toString, arriving, cents, cb)
+      val queries = emb.filter(col("vec_id") < n)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val topk = ivfPqProbeIndexedBatch(s, dir, scratch.toString,
         queries, k, nProbe)
@@ -1220,6 +1336,125 @@ object Similarity {
     }
   }
 
+  /** Incremental LSH index maintenance — [[ivfCompact]]'s asymmetry
+    * applied to the banded-signature layout: an arriving vector batch
+    * merges into an existing [[writeLshIndex]] index WITHOUT a full
+    * rebuild. The hyperplanes are FROZEN (they are derived from the
+    * plane/band parameters, never trained — re-parameterizing
+    * invalidates every stored posting and IS a rebuild), each new
+    * vector lands in exactly `bands` `(band, bucket)` partitions, and
+    * only those TOUCHED partitions are rewritten: their existing
+    * postings are read partition-pruned, merged with the new ones, and
+    * replaced via dynamic partition overwrite, while untouched bucket
+    * dirs keep their exact files (spec-asserted byte-for-byte). The
+    * narrow vector store APPENDS the batch — no partition key there,
+    * and the rerank hydrates by `vec_id` join, so append is O(batch).
+    * Per-batch work scales with `batch × bands`, never with index size.
+    *
+    * The touched slice is eagerly materialized (localCheckpoint) before
+    * the overwrite — reading a path while overwriting it is illegal —
+    * and is bounded by the touched buckets' posting volume (longs, not
+    * vectors). Touched-partition count is bounded above by BOTH
+    * `batch × bands` and the layout's `2^planes × bands` total, so the
+    * pruning predicate (per-band bucket IN-lists) stays a bands-sized
+    * OR of partition-column conjunctions — statically prunable at scan
+    * planning.
+    *
+    * `statsTable`: as [[ivfCompact]] — refresh ANALYZE stats when the
+    * postings store is catalog-registered, so the CBO never plans the
+    * post-compaction table on pre-compaction cardinalities.
+    *
+    * Returns the touched (band, bucket) pairs (bounded metadata). */
+  def lshCompact(s: SparkSession, indexPath: String, arriving: DataFrame,
+      planes: Int = 4, bands: Int = 8,
+      statsTable: Option[String] = None): Seq[(Int, Int)] = {
+    // cast to the partitioned read's inferred types (int/int) so the
+    // merge union and the overwrite target identical partition values
+    val newPostings = arriving.select(col("vec_id"),
+      posexplode(graft.functions.SketchExpressions.hyperplaneBands(
+        col("embedding"), planes, bands)).as(Seq("band", "bucket")))
+      .select(col("vec_id"), col("band").cast("int").as("band"),
+        col("bucket").cast("int").as("bucket"))
+    val touched = newPostings.select("band", "bucket").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+    val touchedPred = touched.groupBy(_._1).toSeq.map { case (b, bks) =>
+      col("band") === b && col("bucket").isin(bks.map(_._2): _*)
+    }.reduce(_ || _)
+    val existing = s.read.parquet(s"$indexPath/postings")
+      .filter(touchedPred) // partition-pruned read of touched dirs only
+      .select(col("vec_id"), col("band"), col("bucket"))
+      .localCheckpoint()
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try existing.unionByName(newPostings)
+      .repartition(col("band"), col("bucket"))
+      .write.mode("overwrite").partitionBy("band", "bucket")
+      .option("compression", "zstd")
+      .parquet(s"$indexPath/postings")
+    finally prev match {
+      case Some(v) =>
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    arriving.select(col("vec_id"), col("embedding"))
+      .write.mode("append")
+      .option("compression", "zstd")
+      .parquet(s"$indexPath/vectors")
+    statsTable.foreach(
+      graft.models.Catalog.refreshStatsAfterMutation(s, _))
+    touched
+  }
+
+  /** `ann_lsh_compact` gate — the [[ivfCompactPlanted]] lifecycle for
+    * the LSH index: base index built from the historical corpus
+    * (vec_id % 10 != 3), an arriving batch (the % 10 == 3 slice PLUS
+    * planted exact copies of the `n` probe queries) merged through
+    * [[lshCompact]], probed through the stored partition-pruned lane.
+    * The reference is the in-memory batch lane over the FULL corpus —
+    * a from-scratch [[writeLshIndex]] rebuild holds exactly those
+    * postings (identical frozen hyperplanes ⇒ identical signatures),
+    * and stored≡memory on an identical corpus is already value-pinned
+    * by `ann_lsh_indexed`, so memory-lane equality here isolates
+    * exactly the compaction path. Closed form: the planted copies
+    * exist ONLY in the arriving batch, so rank-1 recovery at cosine
+    * ~1.0 proves the batch reached the index through the merge, and
+    * `agrees_rebuild` pins compaction ≡ rebuild row-for-row. */
+  def lshCompactPlanted(s: SparkSession, dir: String, n: Int = 5,
+      k: Int = 10): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val isBatch = col("vec_id") % 10 === 3
+    val base = emb.filter(!isBatch)
+    val arriving = emb.filter(isBatch).unionByName(
+      emb.filter(col("vec_id") < n)
+        .withColumn("vec_id", col("vec_id") + Dedup.PlantOffset))
+    val queries = emb.filter(col("vec_id") < n)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scratch = scratchDir(s, "graft-lshc-")
+    try {
+      writeLshIndexOn(base, scratch.toString, 4, 8)
+      lshCompact(s, scratch.toString, arriving, 4, 8)
+      def keyed(df: DataFrame): Map[Long, Seq[(Long, Double, Int)]] =
+        df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .groupBy(_._1)
+          .map { case (q, rows) =>
+            q -> rows.sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq
+          }
+      val stored = keyed(lshProbeIndexed(s, scratch.toString, queries, k))
+      val memory = keyed(lshTopKBatchOn(plantedEmb(emb, n), queries, k))
+      val rows = (0L until n.toLong).map { qid =>
+        val b = stored(qid)
+        (qid, b.head._1, 1, b.head._2 >= 0.999999, b == memory(qid))
+      }
+      s.createDataFrame(rows)
+        .toDF("q_id", "vec_id", "rn", "is_exact", "agrees_rebuild")
+        .orderBy("q_id")
+    } finally {
+      deleteScratch(s, scratch)
+    }
+  }
+
   /** IVF (inverted-file) coarse quantization: every vector is assigned to
     * its nearest of `k` coarse centroids; a query probes only the
     * `nProbe` cells nearest to IT, so the scan cost drops from O(N) to
@@ -1477,6 +1712,17 @@ object Similarity {
       k, nProbe, excludeSelf)
   }
 
+  /** [[probeBatchOn]] against a stored index with PRE-COLLECTED
+    * centroids — the streaming static-side discipline: a micro-batch
+    * harness collects the k-row centroid table ONCE and every batch
+    * rides the same broadcast-DPP probe plan without re-reading model
+    * metadata per trigger ([[graft.streaming.VectorStream]]'s indexed
+    * lane). Semantics identical to [[ivfProbeIndexedBatch]]. */
+  private[graft] def probeIndexBatchOn(vectors: DataFrame,
+      cents: Array[(Long, Array[Double])], queries: DataFrame,
+      k: Int, nProbe: Int, excludeSelf: Boolean): DataFrame =
+    probeBatchOn(vectors, cents, queries, k, nProbe, excludeSelf)
+
   /** The ONE batch probe plan, over ANY (vec_id, embedding, cell)
     * relation — shared by the query-relation lane
     * ([[ivfProbeIndexedBatch]], where the broadcast's distinct cells
@@ -1726,18 +1972,37 @@ object Similarity {
     * cardinalities, which StatsMaintenanceSpec pins as a real plan
     * divergence).
     *
+    * `upsertById`: when true, existing rows whose `vec_id` appears in
+    * the arriving batch are REPLACED instead of duplicated (an
+    * anti-join on the touched slice — bounded by the touched cells'
+    * volume, never the index). This makes the merge IDEMPOTENT under
+    * re-delivery (merge∘merge = merge, the U1 load∘load=load
+    * discipline), which is what lets a streaming `foreachBatch`
+    * replay a micro-batch after a restart without corrupting the
+    * index ([[graft.streaming.VectorStream.runIvfCompactOnce]]).
+    * Caveat, documented not hidden: an arriving vector whose NEW
+    * embedding argmaxes to a different cell leaves its old-cell row
+    * in place (the old cell is not touched); upsert covers
+    * re-delivery of immutable (vec_id, embedding) facts — a true
+    * re-embedding flow deletes first (the forget_gate lifecycle).
+    *
     * Returns the touched cell ids (k-bounded metadata). */
   def ivfCompact(s: SparkSession, vectorsPath: String,
       arriving: DataFrame,
       trained: Array[(Int, Array[Double])],
-      statsTable: Option[String] = None): Seq[Int] = {
+      statsTable: Option[String] = None,
+      upsertById: Boolean = false): Seq[Int] = {
     val assigned = arriving.select(col("vec_id"), col("embedding"),
       argmaxOver(trained).getField("cluster").as("cell"))
     val touched = assigned.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    val existing = s.read.parquet(vectorsPath)
+    val existingAll = s.read.parquet(vectorsPath)
       .filter(col("cell").isin(touched: _*)) // partition-pruned read
       .select(col("vec_id"), col("embedding"), col("cell"))
+    val existing = (if (upsertById)
+        existingAll.join(assigned.select("vec_id"), Seq("vec_id"),
+          "left_anti")
+      else existingAll)
       .localCheckpoint()
     val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -48,12 +48,17 @@ object ExplainDump {
     "ann_ivfpq_topk", "compaction_plan", "mm_phash_dedup",
     "quality_psi", "zipf_fit", "dedup_cross_source", "embed_power_iter",
     "scd2_history", "dp_release", "weighted_sample", "poisson_bootstrap",
-    "hll_merge_gate", "ab_test")
+    "hll_merge_gate", "ab_test",
     // round 9: both new queries (ann_ivf_batch, layout_skipping_gate)
     // are scratch-write lifecycles — building their DFs executes the
     // index/copy writes, so they follow the ann_ivf_compact exclusion;
     // the batch-probe plan shape (BHJ + dynamicpruning) is pinned in
     // SimilaritySpec instead
+    // round 10: the pixel/sample decode lanes plus the batch-lane gates
+    // (ann_lsh_batch/ann_rp_batch run the two lanes to compare them —
+    // the lanes' own plans are pinned in SimilaritySpec; ann_lsh_indexed
+    // is a scratch-write lifecycle, excluded like ann_ivf_compact)
+    "mm_audio_features", "mm_features_md5", "mm_resize_md5")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -608,6 +608,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchTop1.head.getLong(0) === 0L)
   }
 
+  test("streamed probes against the stored IVF index retrieve their " +
+      "originals at rank 1 through the partition-pruned plan") {
+    val rows = graft.streaming.VectorStream
+      .runAnnIndexedOnce(spark, TestSpark.sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) - graft.operators.Dedup.PlantOffset,
+        "each planted probe must retrieve its stored original " +
+          "through the indexed lane")
+      assert(r.getBoolean(2), "the planted match must be flagged exact")
+    }
+    // lifecycle reaps its scratch index + drop dirs
+    val tmp = new java.io.File(
+      System.getProperty("java.io.tmpdir")).listFiles()
+    assert(tmp == null ||
+      !tmp.exists(f => f.getName.startsWith("graft_annidx_") ||
+        f.getName.startsWith("graft_probeidx_drop_")),
+      "indexed stream lane must reap its scratch dirs")
+  }
+
+  test("streamed IVF index maintenance: planted copies reach the stored " +
+      "index only through micro-batch merges, probe equals rebuild") {
+    val rows = graft.streaming.VectorStream
+      .runIvfCompactOnce(spark, TestSpark.sf).collect()
+    assert(rows.length === 5)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i.toLong)
+      assert(r.getLong(1) === i.toLong + graft.operators.Dedup.PlantOffset,
+        "rank-1 hit must be the stream-merged planted copy")
+      assert(r.getInt(2) === 1)
+      assert(r.getBoolean(3), "planted copy must probe as exact")
+      assert(r.getBoolean(4),
+        "streamed maintenance top-k must equal the from-scratch rebuild")
+    }
+    val tmp = new java.io.File(
+      System.getProperty("java.io.tmpdir")).listFiles()
+    assert(tmp == null ||
+      !tmp.exists(_.getName.startsWith("graft_ivfcs_")),
+      "maintenance stream lane must reap its scratch dirs")
+  }
+
   test("LSH survivor sink is exactly-once: a micro-batch replayed with " +
       "its checkpoint batchId does not duplicate the keep set") {
     import spark.implicits._
