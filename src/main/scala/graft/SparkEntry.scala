@@ -117,6 +117,7 @@ object SparkEntry {
       graft.operators.Sketches.skewJoinFixed(s, d)),
     // -- text analysis (documents) --
     "text_stats" -> (TextAnalysis.textStats _),
+    "text_nfc" -> (TextAnalysis.nfcAudit _),
     "quality_scores" -> (TextAnalysis.qualityScores _),
     "lang_id" -> (TextAnalysis.langIdPredictions _),
     "fingerprints" -> (TextAnalysis.fingerprints _),
@@ -439,6 +440,10 @@ object SparkEntry {
     // closed-form TRUE when the layout alone prunes the scan
     "layout_skipping_gate" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.layoutSkippingGate(s, d)),
+    // small-file compaction EXECUTED: debris write -> bin-packed rewrite,
+    // row/content/bytes conservation + >=4x open-call reduction
+    "file_compaction_gate" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.fileCompactionGate(s, d)),
     // two-dimensional completion: aligned z-cell files prune range
     // predicates on BOTH interleaved keys; a single-key sort is blind
     // on the second
@@ -1476,6 +1481,26 @@ object SparkEntry {
         | JOIN (SELECT range AS k, range % 7 AS grp FROM range(0, 97)) d
         | USING (k)
         | GROUP BY grp ORDER BY grp""".stripMargin.replace("\n", ""),
+    // NFC canonicalization audit: both engines plant the same decomposed
+    // base+combining suffix on doc_id % 3 = 0 and normalize with their own
+    // independent UAX #15 implementation (java.text.Normalizer vs DuckDB
+    // nfc_normalize); counts, codepoint deltas and the composed tail bytes
+    // must agree exactly
+    "text_nfc" ->
+      """WITH planted AS (SELECT source, doc_id,
+        |  text || CASE WHEN doc_id % 3 = 0
+        |   THEN 'e' || chr(769) || 'a' || chr(778) ELSE '' END AS raw
+        |  FROM documents)
+        | SELECT source, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_planted,
+        |  CAST(sum(CASE WHEN nfc_normalize(raw) <> raw THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_changed,
+        |  CAST(sum(length(raw) - length(nfc_normalize(raw))) AS BIGINT)
+        |   AS delta_chars,
+        |  max(CASE WHEN doc_id % 3 = 0
+        |   THEN right(nfc_normalize(raw), 2) END) AS composed_tail
+        | FROM planted GROUP BY source ORDER BY source""".stripMargin.replace("\n", ""),
     "text_stats" ->
       """SELECT doc_id, length(text) AS len_chars,
         | len(string_split_regex(trim(text), '\s+')) AS n_tokens,
@@ -2175,6 +2200,12 @@ object SparkEntry {
       """SELECT TRUE AS layouts_written, TRUE AS unclustered_full_scan,
         | TRUE AS clustered_skips, TRUE AS rows_agree""".stripMargin
         .replace("\n", ""),
+    // executed bin-pack rewrite: every conservation/reduction boolean is
+    // TRUE by construction (closed-form gate)
+    "file_compaction_gate" ->
+      """SELECT TRUE AS small_layout_fragmented, TRUE AS compacted_bounded,
+        | TRUE AS rows_conserved, TRUE AS content_conserved,
+        | TRUE AS bytes_not_worse""".stripMargin.replace("\n", ""),
     // aligned z-cell files are 1/4 x 1/4 rectangles: a 1/8-domain slab
     // on either key intersects exactly its quadrant's 4 of 16 files,
     // while the single-key copy is provably blind on the second key

@@ -86,6 +86,26 @@ object SketchExpressions {
   def chainedReplace(str: Column, pairs: Seq[(String, String)]): Column =
     CB.column(ChainedReplace(CB.expression(str),
       pairs.map(_._1).toArray, pairs.map(_._2).toArray))
+
+  def nfcNormalize(str: Column): Column =
+    CB.column(NfcNormalize(CB.expression(str)))
+
+  /** NFC normalization of one UTF8String — the shared interpreted/codegen
+    * kernel of [[NfcNormalize]]. Two allocation-free fast paths cover the
+    * overwhelming majority of a web-scale corpus: pure-ASCII rows
+    * (numBytes == numChars ⇔ every sequence is one byte) are NFC by
+    * construction and return the INPUT object, and already-normalized
+    * non-ASCII rows ride `Normalizer.isNormalized`'s quick-check pass
+    * (no output string is built). Only genuinely denormalized rows pay
+    * the compose pass + re-encode. */
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    if (s.numBytes == s.numChars) return s
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** An ordered replace TABLE applied to a string in ONE expression:
@@ -732,5 +752,40 @@ case class TokenEntropy(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): TokenEntropy =
+    copy(child = c)
+}
+
+/** Unicode NFC (canonical composition) normalization as a native
+  * codegen'd expression — the pre-tokenization pass every text corpus
+  * needs before exact/fuzzy dedup or BPE: the SAME text arriving as
+  * composed `é` (U+00E9) and decomposed `e`+U+0301 hashes, shingles and
+  * tokenizes differently unless the corpus is canonicalized first, so
+  * normalization must run BEFORE [[MinHashSignature]]/[[SimHash64]]/
+  * [[ChainedReplace]] see a byte. Semantics are exactly
+  * `java.text.Normalizer.normalize(_, NFC)` (Unicode UAX #15 canonical
+  * decomposition + composition), matching DuckDB's `nfc_normalize` — the
+  * contract oracle. Generated and interpreted paths call the SAME
+  * [[SketchExpressions.nfc]] kernel, so they are bit-identical; the
+  * kernel's ASCII and quick-check fast paths make the expression
+  * near-free on the already-normalized bulk of a 100 TB corpus (one
+  * byte-length scan per row, no allocation). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchExpressions.nfc(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      in => s"graft.functions.SketchExpressions.nfc($in)")
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
     copy(child = c)
 }

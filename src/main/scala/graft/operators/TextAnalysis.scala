@@ -955,4 +955,46 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(20)
+
+  /** Unicode NFC canonicalization audit — the pass that runs BEFORE any
+    * hashing/shingling/BPE in a web-scale corpus, because the same text
+    * arriving composed (`é` U+00E9) and decomposed (`e`+U+0301) defeats
+    * exact dedup, splits MinHash buckets, and doubles BPE vocabulary
+    * entries. The fixture corpus is pure ASCII (verified: NFC is the
+    * identity on it), so the lane follows the repo's planted-oracle
+    * discipline: a deterministic third of the documents (doc_id % 3 = 0)
+    * get a decomposed suffix `e`+U+0301+`a`+U+030A appended IN-QUERY, and
+    * the closed forms pin what [[graft.functions.SketchExpressions.nfc]]
+    * must do — exactly the planted rows change, each shrinks by exactly
+    * 2 codepoints (two base+combining pairs compose to U+00E9/U+00E5),
+    * the composed tail bytes are returned for value comparison, and the
+    * corpus' own rows are untouched (`n_changed` = `n_planted`). The
+    * DuckDB oracle replays the plant and normalizes with its own
+    * `nfc_normalize` — two independent UAX #15 implementations agreeing
+    * on bytes, counts and codepoint deltas.
+    *
+    * Scale shape: one narrow (source, doc_id, text) scan, per-row
+    * codegen'd expression work, one partial+final hash aggregate on the
+    * low-cardinality source key. The expression's ASCII fast path means
+    * the already-normalized bulk of a real corpus pays one byte-length
+    * scan and zero allocation per row. */
+  def nfcAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchExpressions.nfcNormalize
+    val planted = col("doc_id") % 3 === 0
+    val raw = concat(col("text"),
+      when(planted, lit("e\u0301a\u030A")).otherwise(lit(""))) // base+combining pairs
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        raw.as("raw"), nfcNormalize(raw).as("norm"), planted.as("is_planted"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("is_planted"), 1L).otherwise(0L)).as("n_planted"),
+        sum(when(col("norm") =!= col("raw"), 1L).otherwise(0L)).as("n_changed"),
+        sum(length(col("raw")) - length(col("norm"))).cast("long")
+          .as("delta_chars"),
+        max(when(col("is_planted"), right(col("norm"), lit(2))))
+          .as("composed_tail"))
+      .orderBy("source")
+  }
 }

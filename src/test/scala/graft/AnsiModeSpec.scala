@@ -47,7 +47,9 @@ class AnsiModeSpec extends AnyFunSuite {
     // in the relational core
     "dedup_exact", "minhash_est_gate", "fingerprints", "text_stats",
     "quality_scores", "embed_norms", "bm25_search", "token_histogram",
-    "hash_split", "lang_id")
+    "hash_split", "lang_id",
+    // round-10 additions: NFC planted-suffix concat/length arithmetic
+    "text_nfc")
 
   private def withAnsi[T](on: Boolean)(f: => T): T = {
     val prev = spark.conf.getOption("spark.sql.ansi.enabled")

@@ -64,6 +64,8 @@ class DeterminismSpec extends AnyFunSuite {
         () => Layout.zorderSkippingGate(spark, sf).collect().toSeq),
       ("bloom_skip_gate",
         () => Layout.bloomSkippingGate(spark, sf).collect().toSeq),
+      ("file_compaction_gate",
+        () => Layout.fileCompactionGate(spark, sf).collect().toSeq),
       ("mart_incremental",
         () => graft.operators.Relational.martIncremental(spark, sf)
           .collect().toSeq),

@@ -119,6 +119,14 @@ class LayoutSpec extends AnyFunSuite {
       s"gate column $i false"))
   }
 
+  test("file compaction gate: all five invariants TRUE, and the " +
+      "rewrite actually lands at the planned file count") {
+    val r = Layout.fileCompactionGate(spark, TestSpark.sf).collect()
+    assert(r.length === 1)
+    (0 until 5).foreach(i => assert(r(0).getBoolean(i),
+      s"gate column $i false"))
+  }
+
   test("zorder skipping gate: aligned z-cell files prune BOTH " +
       "dimensions while the single-key sort is blind on the second") {
     val r = Layout.zorderSkippingGate(spark, TestSpark.sf).collect()

@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.functions.SketchExpressions
 import graft.functions.TextFunctions._
 
 class TextFunctionsSpec extends AnyFunSuite {
@@ -328,7 +329,8 @@ class TextFunctionsSpec extends AnyFunSuite {
   test("quality_train: the gradient step is internally consistent and " +
       "DESCENDS the logistic loss against the Gopher labels") {
     import org.apache.spark.sql.functions._
-    import graft.functions.TextFunctions._
+    import graft.functions.SketchExpressions
+import graft.functions.TextFunctions._
     val step = graft.operators.TextAnalysis
       .qualityLogitTrain(spark, TestSpark.sf).collect()
       .map(r => r.getString(0) ->
@@ -589,5 +591,49 @@ class TextFunctionsSpec extends AnyFunSuite {
     } finally prevFac.fold(
       spark.conf.unset("spark.sql.codegen.factoryMode"))(
       spark.conf.set("spark.sql.codegen.factoryMode", _))
+  }
+
+  test("NfcNormalize: composes decomposed sequences, identity on ASCII " +
+      "and on already-composed text, idempotent, codegen == interpreted") {
+    import spark.implicits._
+    val decomposed = "Caf" + "e\u0301" + " a\u030A"
+    val composed = "Caf\u00E9 \u00E5"
+    val ascii = "plain ascii text 123"
+    val ohm = "\u212B" // ANGSTROM SIGN
+    val rows = Seq(decomposed, composed, ascii, ohm, "")
+    def evalAll(): Seq[String] = rows.toDF("s")
+      .select(SketchExpressions.nfcNormalize(col("s")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    val gen = evalAll()
+    assert(gen(0) === composed, "decomposed pairs must compose")
+    assert(gen(1) === composed, "already-NFC text is a fixpoint")
+    assert(gen(2) === ascii, "ASCII fast path is the identity")
+    assert(gen(3) === "\u00C5", "singleton canonical composition (UAX #15)")
+    assert(gen(4) === "")
+    // the expression is not CodegenFallback and survives CODEGEN_ONLY
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    assert(!graft.functions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"))
+      .isInstanceOf[CodegenFallback])
+    val prevFac = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try assert(evalAll() === gen)
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    // interpreted path is the same kernel
+    try assert(evalAll() === gen)
+    finally prevFac.fold(
+      spark.conf.unset("spark.sql.codegen.factoryMode"))(
+      spark.conf.set("spark.sql.codegen.factoryMode", _))
+    // idempotence over the fixture corpus WITH the planted suffix: a
+    // second normalization changes nothing (and null propagates)
+    val docs = graft.Tables.load(spark, TestSpark.sf, "documents")
+      .select(concat(col("text"), lit("e\u0301")).as("raw"))
+      .select(SketchExpressions.nfcNormalize(col("raw")).as("n1"))
+      .select(col("n1"),
+        SketchExpressions.nfcNormalize(col("n1")).as("n2"))
+    assert(docs.filter(col("n1") =!= col("n2")).count() === 0L)
+    val nulls = Seq[Option[String]](None).toDF("s")
+      .select(SketchExpressions.nfcNormalize(col("s")).as("n")).collect()
+    assert(nulls(0).isNullAt(0))
   }
 }
