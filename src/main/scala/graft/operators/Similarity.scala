@@ -645,7 +645,8 @@ object Similarity {
     * rank on (adc_dist asc, vec_id). */
   def ivfPqProbeIndexedBatch(s: SparkSession, dir: String,
       indexPath: String, queries: DataFrame, k: Int = 10,
-      nProbe: Int = 3, excludeSelf: Boolean = true): DataFrame = {
+      nProbe: Int = 3, excludeSelf: Boolean = true,
+      broadcastProbes: Boolean = true): DataFrame = {
     val cents = collectCentroids(labelCentroids(s, dir), "label")
       .map { case (cl, v) => (cl.toLong, v) }
     val cb = pqCodebooks(s, dir)
@@ -656,7 +657,7 @@ object Similarity {
       .select(col("q_id"), col("q_emb"),
         col("probe").getField("cent").cast("int").as("cell"))
     val cand = s.read.parquet(s"$indexPath/codes")
-      .join(broadcast(probes), Seq("cell"))
+      .join(probeHint(probes, broadcastProbes), Seq("cell"))
     val filtered =
       if (excludeSelf) cand.filter(col("vec_id") =!= col("q_id"))
       else cand
@@ -1175,22 +1176,26 @@ object Similarity {
     * query-sized touches the driver (spec-asserted: no LocalTableScan
     * when the queries come from a scan) — at 1e6 queries the probe side
     * is still (q_id, band, bucket) longs plus one broadcast of query
-    * vectors for the exact rerank; past broadcast capacity both joins
-    * degrade gracefully to shuffle hash joins on the same keys.
+    * vectors for the exact rerank; past broadcast capacity pass
+    * `broadcastProbes = false` and both joins run as shuffles on the
+    * same keys (spec-pinned row-identical — [[probeHint]] explains why
+    * the hint must be explicit, not stats-derived).
     *
     * Row semantics are EXACTLY [[lshTopKOn]]'s when the query relation
     * is corpus rows themselves (identical signatures ⇒ identical
     * candidate sets ⇒ identical t6-cosine rank) — value-pinned per
     * query by `ann_lsh_batch`'s `agrees_seq_lane` gate column. */
   def lshTopKBatchOn(emb: DataFrame, queries: DataFrame,
-      k: Int = 10, planes: Int = 4, bands: Int = 8): DataFrame = {
+      k: Int = 10, planes: Int = 4, bands: Int = 8,
+      broadcastProbes: Boolean = true): DataFrame = {
     val sig = emb.select(col("vec_id"),
       posexplode(graft.functions.SketchExpressions.hyperplaneBands(
         col("embedding"), planes, bands)).as(Seq("band", "bucket")))
     val qsig = queries.select(col("q_id"),
       posexplode(graft.functions.SketchExpressions.hyperplaneBands(
         col("q_emb"), planes, bands)).as(Seq("band", "bucket")))
-    val cands = sig.join(broadcast(qsig), Seq("band", "bucket"))
+    val cands = sig.join(probeHint(qsig, broadcastProbes),
+        Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
       .distinct()
@@ -1198,7 +1203,7 @@ object Similarity {
       .partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     cands.join(emb, Seq("vec_id"))
-      .join(broadcast(queries), Seq("q_id"))
+      .join(probeHint(queries, broadcastProbes), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         Num.t6(cosine(col("embedding"), col("q_emb"))).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
@@ -1277,7 +1282,7 @@ object Similarity {
     * rank) — value-pinned by `ann_lsh_indexed`'s agrees_memory gate. */
   def lshProbeIndexed(s: SparkSession, indexPath: String,
       queries: DataFrame, k: Int = 10, planes: Int = 4,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8, broadcastProbes: Boolean = true): DataFrame = {
     // cast probe keys to the scan's inferred partition-column types so
     // the join keys are bare partition attributes (DPP-eligible)
     val qsig = queries.select(col("q_id"),
@@ -1286,14 +1291,14 @@ object Similarity {
       .select(col("q_id"), col("band").cast("int").as("band"),
         col("bucket").cast("int").as("bucket"))
     val cands = s.read.parquet(s"$indexPath/postings")
-      .join(broadcast(qsig), Seq("band", "bucket"))
+      .join(probeHint(qsig, broadcastProbes), Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
       .distinct()
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     cands.join(s.read.parquet(s"$indexPath/vectors"), Seq("vec_id"))
-      .join(broadcast(queries), Seq("q_id"))
+      .join(probeHint(queries, broadcastProbes), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         Num.t6(cosine(col("embedding"), col("q_emb"))).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
@@ -1703,13 +1708,14 @@ object Similarity {
     * a real inference batch carries foreign q_ids and leaves it off). */
   def ivfProbeIndexedBatch(s: SparkSession, indexPath: String,
       queries: DataFrame, k: Int = 10, nProbe: Int = 4,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      broadcastProbes: Boolean = true): DataFrame = {
     val cents = s.read.parquet(s"$indexPath/centroids")
       .select(col("cent_id"), col("centroid").cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     probeBatchOn(s.read.parquet(s"$indexPath/vectors"), cents, queries,
-      k, nProbe, excludeSelf)
+      k, nProbe, excludeSelf, broadcastProbes)
   }
 
   /** [[probeBatchOn]] against a stored index with PRE-COLLECTED
@@ -1720,17 +1726,41 @@ object Similarity {
     * lane). Semantics identical to [[ivfProbeIndexedBatch]]. */
   private[graft] def probeIndexBatchOn(vectors: DataFrame,
       cents: Array[(Long, Array[Double])], queries: DataFrame,
-      k: Int, nProbe: Int, excludeSelf: Boolean): DataFrame =
-    probeBatchOn(vectors, cents, queries, k, nProbe, excludeSelf)
+      k: Int, nProbe: Int, excludeSelf: Boolean,
+      broadcastProbes: Boolean = true): DataFrame =
+    probeBatchOn(vectors, cents, queries, k, nProbe, excludeSelf,
+      broadcastProbes)
 
   /** The ONE batch probe plan, over ANY (vec_id, embedding, cell)
     * relation — shared by the query-relation lane
     * ([[ivfProbeIndexedBatch]], where the broadcast's distinct cells
     * drive dynamic partition pruning of the hive `cell=` scan) and the
     * driver-Seq adapter ([[multiProbeOn]]). */
+  /** Broadcast hint iff the caller says the probe relation is
+    * broadcast-sized — the mechanism behind every batch lane's
+    * `broadcastProbes` switch. An explicit `broadcast()` hint is
+    * UNCONDITIONAL in Spark (hints override the size threshold), so
+    * leaving it hard-coded would force a 1e8-row probe relation through
+    * one driver-assembled broadcast — the opposite of the "degrades
+    * gracefully past broadcast capacity" contract the lane scaladocs
+    * state. With the hint withheld the planner shuffles BOTH sides on
+    * the same equi-keys (and AQE still upgrades back to broadcast at
+    * runtime if the actual probe bytes fit) — the correct bulk shape,
+    * where partition pruning is moot anyway because a probe set that
+    * large touches every cell/bucket. Default stays `true`: the
+    * contract gates probe k-row seed relations, whose spec-pinned
+    * BroadcastHashJoin + dynamic-partition-pruning plan IS the
+    * needle-lookup story. (Not derived from plan statistics on purpose:
+    * without CBO a `filter` keeps its child's size estimate, so a
+    * 5-seed slice of a big corpus would mis-read as corpus-sized and
+    * silently drop the DPP plan.) */
+  private[graft] def probeHint(df: DataFrame, bcast: Boolean): DataFrame =
+    if (bcast) broadcast(df) else df
+
   private def probeBatchOn(vectors: DataFrame,
       cents: Array[(Long, Array[Double])], queries: DataFrame,
-      k: Int, nProbe: Int, excludeSelf: Boolean): DataFrame = {
+      k: Int, nProbe: Int, excludeSelf: Boolean,
+      broadcastProbes: Boolean = true): DataFrame = {
     // cast to the scan's inferred partition-column type so the join key
     // is the bare partition attribute (a cast on the scan side would
     // block dynamic partition pruning)
@@ -1740,7 +1770,8 @@ object Similarity {
           .as("probe"))
       .select(col("q_id"), col("q_emb"),
         col("probe").getField("cent").cast("int").as("cell"))
-    val candidates = vectors.join(broadcast(probes), Seq("cell"))
+    val candidates = vectors.join(probeHint(probes, broadcastProbes),
+      Seq("cell"))
     val filtered =
       if (excludeSelf) candidates.filter(col("vec_id") =!= col("q_id"))
       else candidates

@@ -246,6 +246,77 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected a broadcast candidate join in:\n${plan.take(1200)}")
   }
 
+  test("bulk-probe fallback: broadcastProbes=false yields bit-identical " +
+      "rows through shuffled joins on the IVF and LSH batch lanes") {
+    // the past-broadcast-capacity scenario: auto-broadcast disabled so
+    // neither the planner nor AQE can pick a broadcast join — the lanes
+    // must run as shuffles on the same equi-keys and change NOTHING
+    val emb = graft.Tables.load(spark, TestSpark.sf, "embeddings")
+    val qDf = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfs_").toString
+    Similarity.writeIvfIndex(spark, TestSpark.sf, idx)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ivfB = rowsOf(Similarity.ivfProbeIndexedBatch(spark, idx, qDf,
+      k = 10, nProbe = 4).select("q_id", "vec_id", "cos_sim"))
+    val lshB = rowsOf(Similarity.lshTopKBatchOn(emb, qDf, k = 10)
+      .select("q_id", "vec_id", "cos_sim"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ivfS = Similarity.ivfProbeIndexedBatch(spark, idx, qDf,
+        k = 10, nProbe = 4, broadcastProbes = false)
+      val lshS = Similarity.lshTopKBatchOn(emb, qDf, k = 10,
+        broadcastProbes = false)
+      assert(rowsOf(ivfS.select("q_id", "vec_id", "cos_sim")) === ivfB)
+      assert(rowsOf(lshS.select("q_id", "vec_id", "cos_sim")) === lshB)
+      // no broadcast anywhere: the probe relation was never forced
+      // through the driver-assembled exchange
+      Seq(ivfS, lshS).foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastHashJoin"),
+          s"hint must be withheld when broadcastProbes=false:\n${
+            plan.take(1200)}")
+      }
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bulk-probe fallback covers the stored lanes too: IVF-PQ and " +
+      "materialized-LSH probes shuffle when broadcastProbes=false") {
+    val emb = graft.Tables.load(spark, TestSpark.sf, "embeddings")
+    val qDf = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val pqIdx = java.nio.file.Files.createTempDirectory("graft_pqs_").toString
+    Similarity.writeIvfPqIndex(spark, TestSpark.sf, pqIdx)
+    val lshIdx = java.nio.file.Files.createTempDirectory("graft_lshs_").toString
+    Similarity.writeLshIndex(spark, TestSpark.sf, lshIdx)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pqB = rowsOf(Similarity.ivfPqProbeIndexedBatch(spark, TestSpark.sf,
+      pqIdx, qDf, k = 5).select("q_id", "vec_id"))
+    val lshB = rowsOf(Similarity.lshProbeIndexed(spark, lshIdx, qDf, k = 5)
+      .select("q_id", "vec_id"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pqS = Similarity.ivfPqProbeIndexedBatch(spark, TestSpark.sf,
+        pqIdx, qDf, k = 5, broadcastProbes = false)
+      val lshS = Similarity.lshProbeIndexed(spark, lshIdx, qDf, k = 5,
+        broadcastProbes = false)
+      assert(rowsOf(pqS.select("q_id", "vec_id")) === pqB)
+      assert(rowsOf(lshS.select("q_id", "vec_id")) === lshB)
+      Seq(pqS, lshS).foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastHashJoin"),
+          s"hint must be withheld when broadcastProbes=false:\n${
+            plan.take(1200)}")
+      }
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("materialized LSH index: probe reads only the probed (band, " +
       "bucket) partitions and equals the in-memory batch lane") {
     val idx = java.nio.file.Files.createTempDirectory("graft_lshidx_").toString
