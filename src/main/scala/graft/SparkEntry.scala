@@ -223,6 +223,11 @@ object SparkEntry {
       Similarity.sourceSimilarity(s, d)),
     "chunk_documents" -> ((s: SparkSession, d: String) => Curation.chunkDocuments(s, d)),
     "split_leakage" -> ((s: SparkSession, d: String) => Curation.splitLeakage(s, d)),
+    // embedding-level decontamination: banded-LSH candidates vs a bounded
+    // eval relation, exact-cosine verify; flagged pairs must be EXACTLY
+    // the planted eval copies (closed form)
+    "semantic_leakage" -> ((s: SparkSession, d: String) =>
+      Curation.semanticLeakage(s, d)),
     "best_per_lang" -> ((s: SparkSession, d: String) => Curation.bestPerLang(s, d)),
     "snapshot_merge" -> (Curation.snapshotMerge _),
     "embed_quantize" -> (Curation.embedQuantize _),
@@ -1709,6 +1714,22 @@ object SparkEntry {
         | SELECT keep_id, digest, n_docs, n_splits, splits
         | FROM g WHERE n_splits > 1 ORDER BY keep_id"""
         .stripMargin.replace("\n", ""),
+    // embedding-level decontamination: flagged train x eval pairs must be
+    // EXACTLY the planted eval copies at their replayed self-cosine —
+    // a natural pair crossing the threshold (none exists) or a missed
+    // planted candidate would break the hash. Same cosine replay as
+    // embed_neardup_pairs (dot/(sqrt*sqrt) over double-widened lists).
+    "semantic_leakage" ->
+      """SELECT CAST(vec_id + 1000000 AS BIGINT) AS train_id,
+        |  vec_id AS eval_id,
+        |  floor((list_dot_product(d, d) / (sqrt(list_aggregate(
+        |    list_transform(d, x -> x * x), 'sum'))
+        |   * sqrt(list_aggregate(list_transform(d, x -> x * x), 'sum'))))
+        |   * 1000000.0) / 1000000.0 AS cos_sim
+        | FROM (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+        |  FROM embeddings WHERE vec_id % 50 = 7)
+        | ORDER BY train_id, eval_id""".stripMargin.replace("\n", ""),
     // snapshot merge: applying the edit script to v1 must reconstruct v2
     // exactly, so the oracle IS v2 built directly
     "snapshot_merge" ->

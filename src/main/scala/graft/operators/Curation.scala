@@ -325,6 +325,64 @@ object Curation {
       .orderBy("keep_id")
   }
 
+  /** EMBEDDING-level decontamination — the semantic member of the
+    * leakage family ([[decontaminate]] catches shared 8-grams,
+    * [[bloomDecontaminate]] its sketch form, [[splitLeakage]] exact
+    * duplicate text across splits; none catch a PARAPHRASED eval item,
+    * which shares no n-gram but sits at cosine ~1 in embedding space —
+    * the contamination mode semantic-dedup papers audit benchmarks
+    * for). The eval relation stands in for an external benchmark (the
+    * deterministic `vec_id % every = 7` slice); copies of every eval
+    * item are planted into the training corpus at +[[Dedup.PlantOffset]]
+    * so the audit always has closed-form true positives: flagged pairs
+    * must be EXACTLY the planted (eval_id + offset, eval_id) pairs at
+    * the self-cosine the shared replay formula produces, and any
+    * natural training vector crossing the threshold would break the
+    * oracle hash (none does at any bundled SF — the fixture embeddings
+    * are well-separated, the same property `embed_neardup_pairs` pins).
+    *
+    * Scale shape: never all-pairs. The corpus side is banded by the
+    * same [[graft.functions.SketchExpressions.hyperplaneBands]]
+    * signatures as the near-dup pipeline (pathological buckets capped),
+    * the EVAL side is bounded by definition (a benchmark suite, not a
+    * split — k rows of metadata), so its signatures and vectors ride
+    * broadcast joins; candidates dedup on (train, eval) id pairs before
+    * any embedding is read, and the exact cosine verifies only
+    * candidates. One corpus scan for signatures, one narrow rescan for
+    * candidate hydration. */
+  def semanticLeakage(s: SparkSession, dir: String, every: Int = 50,
+      threshold: Double = 0.95, planes: Int = 8, bands: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val evalRel = emb.filter(col("vec_id") % every === 7)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb"))
+    val train = emb.filter(col("vec_id") % every =!= 7)
+      .unionByName(evalRel.select(
+        (col("eval_id") + Dedup.PlantOffset).as("vec_id"),
+        col("eval_emb").as("embedding")))
+    def sig(c: Column) = posexplode(
+      graft.functions.SketchExpressions.hyperplaneBands(c, planes, bands))
+    val tsig = train.select(col("vec_id"),
+      sig(col("embedding")).as(Seq("band", "bucket")))
+    val tidx = tsig
+      .withColumn("bsz", count(lit(1))
+        .over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val esig = evalRel.select(col("eval_id"),
+      sig(col("eval_emb")).as(Seq("band", "bucket")))
+    val cands = tidx.join(broadcast(esig), Seq("band", "bucket"))
+      .select(col("vec_id"), col("eval_id"))
+      .distinct()
+    cands.join(train, Seq("vec_id"))
+      .join(broadcast(evalRel), Seq("eval_id"))
+      .select(col("vec_id").as("train_id"), col("eval_id"),
+        Num.t6(Similarity.cosine(col("embedding"), col("eval_emb")))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("train_id", "eval_id")
+  }
+
   /** Snapshot merge — the CDC-apply half of [[snapshotDiff]]: apply the
     * edit script (added/removed/changed with payload digests) to v1 and
     * emit the reconstructed corpus, which must equal v2 exactly (the

@@ -325,6 +325,24 @@ class CurationSpec extends AnyFunSuite {
     assert(flagged.map(_.getAs[String]("digest")).toSet === expect)
   }
 
+  test("semantic leakage: flagged pairs are exactly the planted eval " +
+      "copies at self-cosine, nothing natural crosses the threshold") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.semanticLeakage(spark, sf).collect()
+    val evalIds = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") % 50 === 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(evalIds.nonEmpty, "eval slice must be non-empty at this SF")
+    assert(rows.map(_.getLong(1)).toSet === evalIds,
+      "every planted eval copy must be recovered (banding guarantees " +
+        "identical vectors collide in every band)")
+    rows.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1) + 1000000L,
+        s"natural pair crossed the threshold: ${r.getLong(0)}")
+      assert(r.getDouble(2) >= 0.999999, "planted copy must sit at ~1.0")
+    }
+  }
+
   test("best-per-lang: full strata, descending quality, true per-lang argmax") {
     import org.apache.spark.sql.functions._
     val rows = Curation.bestPerLang(spark, sf).collect()
