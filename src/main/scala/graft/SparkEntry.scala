@@ -1504,7 +1504,9 @@ object SparkEntry {
         |  CAST(sum(length(raw) - length(nfc_normalize(raw))) AS BIGINT)
         |   AS delta_chars,
         |  max(CASE WHEN doc_id % 3 = 0
-        |   THEN right(nfc_normalize(raw), 2) END) AS composed_tail
+        |   THEN ascii(right(nfc_normalize(raw), 2)) END) AS tail_cp1,
+        |  max(CASE WHEN doc_id % 3 = 0
+        |   THEN ascii(right(nfc_normalize(raw), 1)) END) AS tail_cp2
         | FROM planted GROUP BY source ORDER BY source""".stripMargin.replace("\n", ""),
     "text_stats" ->
       """SELECT doc_id, length(text) AS len_chars,

@@ -967,17 +967,21 @@ object TextAnalysis {
     * the closed forms pin what [[graft.functions.SketchExpressions.nfc]]
     * must do — exactly the planted rows change, each shrinks by exactly
     * 2 codepoints (two base+combining pairs compose to U+00E9/U+00E5),
-    * the composed tail bytes are returned for value comparison, and the
-    * corpus' own rows are untouched (`n_changed` = `n_planted`). The
-    * DuckDB oracle replays the plant and normalizes with its own
-    * `nfc_normalize` — two independent UAX #15 implementations agreeing
-    * on bytes, counts and codepoint deltas.
+    * the composed tail CODEPOINTS (U+00E9, U+00E5) are returned for
+    * value comparison, and the corpus' own rows are untouched
+    * (`n_changed` = `n_planted`). The DuckDB oracle replays the plant
+    * and normalizes with its own `nfc_normalize` — two independent
+    * UAX #15 implementations agreeing on codepoints, counts and deltas.
     *
     * Scale shape: one narrow (source, doc_id, text) scan, per-row
-    * codegen'd expression work, one partial+final hash aggregate on the
-    * low-cardinality source key. The expression's ASCII fast path means
-    * the already-normalized bulk of a real corpus pays one byte-length
-    * scan and zero allocation per row. */
+    * codegen'd expression work, one partial+final HASH aggregate on the
+    * low-cardinality source key — the tail check aggregates the two
+    * composed codepoints as INTs rather than a `max(string)`, because a
+    * string max's immutable buffer forces SortAggregate (a per-partition
+    * sort of every corpus row, observed in the plan dump before this
+    * form). The expression's ASCII fast path means the
+    * already-normalized bulk of a real corpus pays one byte-length scan
+    * and zero allocation per row. */
   def nfcAudit(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.SketchExpressions.nfcNormalize
     val planted = col("doc_id") % 3 === 0
@@ -993,8 +997,10 @@ object TextAnalysis {
         sum(when(col("norm") =!= col("raw"), 1L).otherwise(0L)).as("n_changed"),
         sum(length(col("raw")) - length(col("norm"))).cast("long")
           .as("delta_chars"),
-        max(when(col("is_planted"), right(col("norm"), lit(2))))
-          .as("composed_tail"))
+        max(when(col("is_planted"), ascii(right(col("norm"), lit(2)))))
+          .as("tail_cp1"),
+        max(when(col("is_planted"), ascii(right(col("norm"), lit(1)))))
+          .as("tail_cp2"))
       .orderBy("source")
   }
 }

@@ -58,7 +58,12 @@ object ExplainDump {
     // (ann_lsh_batch/ann_rp_batch run the two lanes to compare them —
     // the lanes' own plans are pinned in SimilaritySpec; ann_lsh_indexed
     // is a scratch-write lifecycle, excluded like ann_ivf_compact)
-    "mm_audio_features", "mm_features_md5", "mm_resize_md5")
+    "mm_audio_features", "mm_features_md5", "mm_resize_md5",
+    // round-10 session 2: NFC audit (pure narrow scan + hash aggregate)
+    // and embedding decontamination (banded candidates + broadcast eval
+    // joins); file_compaction_gate is a scratch-write lifecycle,
+    // excluded like ann_ivf_compact
+    "text_nfc", "semantic_leakage")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
