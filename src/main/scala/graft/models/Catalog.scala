@@ -86,20 +86,35 @@ object Catalog {
     * at first stale plan. Column NDVs are requested explicitly because
     * they cost a sketch pass per column — only the join/filter keys the
     * CBO actually consults are worth it. */
+  /** `table` is a RAW (unquoted) name, optionally `db.table`-dotted —
+    * dots are database separators, never part of a name. Every path that
+    * round-trips through SQL text re-quotes it below. */
   def refreshStatsAfterMutation(s: SparkSession, table: String,
       columns: Seq[String] = Nil): Unit = {
-    s.catalog.refreshTable(table)
+    // identifiers are backtick-quoted (`` ` `` doubled inside — the
+    // Spark SQL escape), so reserved/special-char names parse as names
+    // everywhere a name becomes SQL text (refreshTable and
+    // recoverPartitions PARSE their argument too), and caller-supplied
+    // strings can never splice into the ANALYZE statement
+    def qPart(p: String): String = "`" + p.replace("`", "``") + "`"
+    def q(id: String): String = id.split('.').map(qPart).mkString(".")
+    s.catalog.refreshTable(q(table))
     // a path-level mutation can create partition DIRECTORIES the
     // catalog has never seen (a compaction batch landing in a fresh
     // cell); recover them before counting, or ANALYZE scans a stale
     // partition list
-    val meta = s.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val parts = table.split('.')
+    val ident =
+      if (parts.length >= 2)
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          parts.last, Some(parts(parts.length - 2)))
+      else org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val meta = s.sessionState.catalog.getTableMetadata(ident)
     if (meta.partitionColumnNames.nonEmpty)
-      s.catalog.recoverPartitions(table)
-    s.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+      s.catalog.recoverPartitions(q(table))
+    s.sql(s"ANALYZE TABLE ${q(table)} COMPUTE STATISTICS")
     if (columns.nonEmpty)
-      s.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS " +
-        s"FOR COLUMNS ${columns.mkString(", ")}")
+      s.sql(s"ANALYZE TABLE ${q(table)} COMPUTE STATISTICS " +
+        s"FOR COLUMNS ${columns.map(qPart).mkString(", ")}")
   }
 }

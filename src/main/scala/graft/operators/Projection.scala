@@ -199,14 +199,23 @@ object Projection {
     * rank-all-vectors lane (its candidate step is a corpus×query scan,
     * cheap only because rows are OutDim doubles); the bucketed lanes
     * (LSH/IVF) are the sublinear path when query batches grow past
-    * broadcast capacity. */
+    * broadcast capacity.
+    *
+    * `broadcastProbes`: the same past-broadcast-capacity switch every
+    * other batch ANN lane carries ([[Similarity.probeHint]] — an
+    * explicit `broadcast()` hint is UNCONDITIONAL, so a bulk query
+    * batch must withhold it). With `false`, the q-side cross join runs
+    * as a distributed cartesian and the candidate/rerank joins shuffle
+    * on their equi-keys — rows bit-identical (ProjectionSpec pins it),
+    * nothing query-sized forced through the driver. */
   def rpTopKBatchOn(emb: DataFrame, queries: DataFrame, k: Int = 10,
-      cand: Int = 200): DataFrame = {
+      cand: Int = 200, broadcastProbes: Boolean = true): DataFrame = {
+    import Similarity.probeHint
     val proj = withRp(emb)
     val qproj = queries.select(col("q_id"), rpArrayOf(col("q_emb")).as("q_rp"))
     val wc = Window.partitionBy(col("q_id"))
       .orderBy(col("rp_sim").desc, col("vec_id"))
-    val candidates = proj.crossJoin(broadcast(qproj))
+    val candidates = proj.crossJoin(probeHint(qproj, broadcastProbes))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         Num.t6(Similarity.cosine(col("rp"), col("q_rp"))).as("rp_sim"))
@@ -215,9 +224,9 @@ object Projection {
       .select(col("q_id"), col("vec_id"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    broadcast(candidates)
+    probeHint(candidates, broadcastProbes)
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .join(broadcast(queries), Seq("q_id"))
+      .join(probeHint(queries, broadcastProbes), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         Num.t6(Similarity.cosine(col("embedding"), col("q_emb")))
           .as("cos_sim"))

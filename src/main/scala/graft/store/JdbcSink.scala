@@ -103,15 +103,17 @@ object JdbcSink {
     * task retry that re-runs AFTER a prior attempt committed then
     * deletes exactly the rows that attempt wrote before re-inserting —
     * without this, executor-side commits re-applied under Spark's task
-    * retry would silently duplicate data. Sequential is what Spark
-    * guarantees when speculative execution is off (the default): a task
-    * is re-attempted only after the prior attempt terminated. With
-    * speculation ON two attempts can run CONCURRENTLY, and under READ
-    * COMMITTED both can pass the DELETE before either commits — a
-    * deployment that enables speculation over this sink must serialize
-    * attempts itself (e.g. `SELECT pg_advisory_xact_lock(day, hour)`
-    * as the txn's first statement, or run it at SERIALIZABLE with
-    * retry). The driver's day-wide DELETE still runs first to clear
+    * retry would silently duplicate data. CONCURRENT duplicate attempts
+    * (speculative execution, a zombie executor racing its retry) are
+    * serialized too: each hour slice takes
+    * `pg_advisory_xact_lock(epochDay, hour)` before its DELETE, so of
+    * two racing attempts one blocks until the other's txn ends, then
+    * deletes the winner's committed rows before re-inserting — under
+    * READ COMMITTED the post-lock DELETE sees the committed state, so
+    * the slice lands exactly once whichever attempt finishes last
+    * ([[loadHourPartition]]; `JdbcSinkSpec` pins the
+    * lock-before-DELETE statement order). The driver's day-wide DELETE
+    * still runs first to clear
     * hours present in the warehouse but absent from this batch
     * (day-overwrite semantics); the hour DELETEs are no-ops on a clean
     * first run.
@@ -154,9 +156,11 @@ object JdbcSink {
     * `JdbcSinkSpec` replays this function against a materializing fake
     * warehouse to pin exactly-once row counts under both SEQUENTIAL
     * retry shapes (after a commit, and after a mid-batch failure).
-    * CONCURRENT duplicate attempts (speculation) are out of scope here
-    * — see [[upsertDayDistributed]]'s scaladoc for the advisory-lock
-    * requirement a speculating deployment must add. */
+    * CONCURRENT duplicate attempts (speculation) serialize on a
+    * txn-scoped `pg_advisory_xact_lock(epochDay, hour)` taken before
+    * each hour's DELETE — see [[upsertDayDistributed]]'s scaladoc for
+    * the interleaving argument; the spec pins the lock-before-DELETE
+    * statement order the argument depends on. */
   private[graft] def loadHourPartition(
       rows: Iterator[org.apache.spark.sql.Row], day: java.sql.Date,
       connect: () => Connection, batchSize: Int = 1000): Unit = {
@@ -168,6 +172,8 @@ object JdbcSink {
         val del = c.prepareStatement(
           "DELETE FROM public.weather_hourly WHERE CAST(time AS DATE) = ?" +
             " AND EXTRACT(HOUR FROM time) = ?")
+        val lock = c.prepareStatement(
+          "SELECT pg_advisory_xact_lock(?, ?)")
         val seenHours = scala.collection.mutable.Set.empty[Int]
         var n = 0
         rows.foreach { r =>
@@ -176,6 +182,18 @@ object JdbcSink {
             // flush pending inserts BEFORE deleting a new hour slice, so
             // the delete can never eat rows this txn already staged
             ins.executeBatch()
+            // serialize attempts on this (day, hour) slice BEFORE the
+            // DELETE: pg_advisory_xact_lock blocks until any concurrent
+            // holder's txn ends, so a speculative duplicate attempt
+            // waits, then its DELETE sees (and wipes) the winner's
+            // committed rows before re-inserting — exactly-once even
+            // with two attempts racing under READ COMMITTED. The lock
+            // is txn-scoped: released at commit/rollback, no unlock
+            // bookkeeping to leak on failure.
+            lock.setInt(1, day.toLocalDate.toEpochDay.toInt)
+            lock.setInt(2, h)
+            val rs = lock.executeQuery()
+            if (rs != null) rs.close()
             del.setDate(1, day)
             del.setInt(2, h)
             del.executeUpdate()

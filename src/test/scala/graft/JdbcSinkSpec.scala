@@ -76,6 +76,7 @@ object RecordingJdbc {
                 log(key, "executeBatch")
                 Array.empty[Int]
               case "executeUpdate" => log(key, "executeUpdate"); Integer.valueOf(0)
+              case "executeQuery" => log(key, "executeQuery"); null
               case n if n.startsWith("set") => null
               case _ => default(pm)
             }
@@ -270,12 +271,34 @@ class JdbcSinkSpec extends AnyFunSuite {
     // the hour-scoped DELETE runs inside the task txn BEFORE that hour's
     // inserts — so a task retry first wipes what its earlier attempt
     // committed (retry-idempotence), and the flush-before-delete ordering
-    // never eats rows the txn already staged
+    // never eats rows the txn already staged; the advisory lock
+    // (executeQuery) is taken BEFORE the DELETE, so a concurrent
+    // duplicate attempt blocks before it can read pre-commit state
     assert(rest === List(
       "prepare:INSERT INTO", "prepare:DELETE FROM",
-      "executeBatch", "executeUpdate",
+      "prepare:SELECT pg_advisory_xact_lock(?,",
+      "executeBatch", "executeQuery", "executeUpdate",
       "addBatch", "addBatch", "executeBatch",
       "commit", "close"))
+  }
+
+  test("loadHourPartition: advisory lock precedes the DELETE for EVERY " +
+      "hour slice the txn owns (the speculation-safety statement order)") {
+    val key = "upsert_lock_order"
+    // hours 07/08/09 forced into ONE task txn -> three lock+delete pairs
+    JdbcSink.loadHourPartition(hourlyDf.collect().iterator, day,
+      () => RecordingJdbc.connection(key))
+    val got = RecordingJdbc.entries(key)
+    assert(got.count(_ == "executeQuery") === 3, "one lock per owned hour")
+    assert(got.count(_ == "executeUpdate") === 3, "one DELETE per owned hour")
+    // pairwise order: the i-th lock acquisition strictly precedes the
+    // i-th hour DELETE — the property the exactly-once-under-speculation
+    // argument rests on (lock, THEN read/delete committed state)
+    val locks = got.zipWithIndex.collect { case ("executeQuery", i) => i }
+    val dels = got.zipWithIndex.collect { case ("executeUpdate", i) => i }
+    locks.zip(dels).foreach { case (l, d) =>
+      assert(l < d, s"lock at $l must precede its hour DELETE at $d")
+    }
   }
 
   test("upsertDayDistributed: one hour-slice DELETE per distinct hour") {

@@ -90,4 +90,33 @@ class ProjectionSpec extends AnyFunSuite {
       assert(r.getInt(2) == 1 && r.getBoolean(3))
     }
   }
+
+  test("bulk-probe fallback: broadcastProbes=false yields bit-identical " +
+      "rows through shuffled joins on the RP batch lane") {
+    // the same past-broadcast-capacity contract the LSH/IVF/IVF-PQ batch
+    // lanes carry (SimilaritySpec): auto-broadcast disabled so neither
+    // the planner nor AQE can pick a broadcast join — the lane must run
+    // its cross/candidate/rerank joins distributed and change NOTHING
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, sf, "embeddings")
+    val qDf = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val hinted = rowsOf(Projection.rpTopKBatchOn(emb, qDf, k = 10)
+      .select("q_id", "vec_id", "cos_sim"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = Projection.rpTopKBatchOn(emb, qDf, k = 10,
+        broadcastProbes = false)
+      assert(rowsOf(shuffled.select("q_id", "vec_id", "cos_sim")) === hinted)
+      val plan = shuffled.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"hint must be withheld when broadcastProbes=false:\n${
+          plan.take(1200)}")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

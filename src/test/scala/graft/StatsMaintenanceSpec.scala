@@ -140,4 +140,31 @@ class StatsMaintenanceSpec extends AnyFunSuite {
       Similarity.deleteScratch(s, scratch)
     }
   }
+
+  test("refreshStatsAfterMutation quotes identifiers: a reserved-word " +
+      "table name and column list ANALYZE without a parse error") {
+    // `select` is catalog-legal (alphanumeric) but reserved in SQL text:
+    // pre-fix this interpolated raw into `ANALYZE TABLE select` and
+    // failed to parse; backtick-quoting makes any catalog-legal name
+    // (and any caller-supplied string) a NAME, never SQL text
+    spark.sql("DROP TABLE IF EXISTS `select`")
+    // a dropped-table location can survive an aborted earlier run; the
+    // managed-table create refuses to reuse it
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), "select")
+    if (loc.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    try {
+      spark.sql("CREATE TABLE `select` USING parquet AS " +
+        "SELECT 1L AS doc_id, 'a' AS `order`")
+      Catalog.refreshStatsAfterMutation(spark, "select",
+        columns = Seq("order"))
+      val t = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("select"))
+      assert(t.stats.flatMap(_.rowCount).contains(BigInt(1)))
+      assert(t.stats.exists(_.colStats.contains("order")),
+        "column ANALYZE must have produced column stats for `order`")
+    } finally spark.sql("DROP TABLE IF EXISTS `select`")
+  }
 }
