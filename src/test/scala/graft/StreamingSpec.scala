@@ -649,6 +649,60 @@ class StreamingSpec extends AnyFunSuite {
       "maintenance stream lane must reap its scratch dirs")
   }
 
+  test("streamed IVF maintenance survives an EMPTY micro-batch: an " +
+      "empty drop file merges as a byte-identical no-op and the " +
+      "stream goes on to land the real batch") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val trained = Similarity.collectCentroids(
+      Similarity.kmeansIterate(spark, TestSpark.sf, 1), "cluster")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfce_idx_").toString
+    emb.filter(col("vec_id") % 10 =!= 3)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.argmaxOver(trained).getField("cluster").as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$idxDir/vectors")
+    val dropDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfce_drop_").toString
+    // drop 1: schema-correct but ZERO rows — the legitimate trigger
+    // outcome an upstream job emits for an idle window (and what a
+    // replayed already-upserted batch reduces to under upsertById)
+    emb.filter(col("vec_id") < 0).select("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(dropDir)
+    // drop 2: the real arriving slice
+    emb.filter(col("vec_id") % 10 === 3).select("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(dropDir)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ivfce_ckpt_").toString
+    val before = spark.read.parquet(s"$idxDir/vectors").count()
+    val touched = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = graft.streaming.VectorStream
+      .readVectorBatches(spark, dropDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        touched ++= Similarity.ivfCompact(spark, s"$idxDir/vectors", b,
+          trained, upsertById = true)
+        ()
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // the empty micro-batch contributed no touched cells and no crash
+    // (pre-fix lshCompact's sibling threw on empty.reduce); the real
+    // batch landed exactly once
+    val expected = emb.filter(col("vec_id") % 10 === 3).count()
+    assert(spark.read.parquet(s"$idxDir/vectors").count()
+      === before + expected)
+    assert(touched.nonEmpty, "the real batch must have touched cells")
+    Seq(idxDir, dropDir, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
   test("LSH survivor sink is exactly-once: a micro-batch replayed with " +
       "its checkpoint batchId does not duplicate the keep set") {
     import spark.implicits._
