@@ -18,8 +18,171 @@ import org.apache.spark.sql.SparkSession
   *   output capture tails the stdout line and can truncate its head, which
   *   round 4 lost the total and ~20 queries to), and the total is
   *   duplicated at the END of the JSON line so a head-truncated tail still
-  *   carries it. */
+  *   carries it.
+  *
+  * DETERMINISTIC REGRESSION SIGNAL (round-10 verdict item 2): wall time
+  * on a shared host swings ±30-50% per query, so every round's perf
+  * review degenerates into noise adjudication. Plan-derived metrics
+  * don't — per query the bench records
+  *  - `scan_bytes`   — Σ `filesSize` over the executed plan's file
+  *                     scans: the bytes planning SELECTED after
+  *                     partition pruning / DPP (lost pruning jumps it);
+  *  - `scan_columns` — Σ scanned-schema width over the file scans:
+  *                     lost COLUMN pruning jumps it (measured fact: on
+  *                     local parquet, task-level `bytesRead` counts
+  *                     only footer/metadata bytes — 17.8 KB for a
+  *                     10.8 MB file, projection-independent — so the
+  *                     plan-side columns are the honest signal);
+  *  - `shuffle_records` — records written to shuffle across all
+  *                     exchanges, from task metrics (an extra or
+  *                     premature exchange jumps this; records, not
+  *                     bytes, because compressed shuffle BYTES vary
+  *                     with partition framing);
+  *  - `shuffle_bytes` — the compressed write volume (diagnostic:
+  *                     approximately stable, framing-dependent);
+  *  - `output_rows`  — rows delivered to the sink (result drift),
+  *                     counted by an [[org.apache.spark.sql.Observation]]
+  *                     riding the SAME execution (CollectMetricsExec —
+  *                     no extra pass; the noop sink reports no task
+  *                     output metrics of its own).
+  * These are properties of the PLAN, not the host: BenchMetricsSpec
+  * pins scan_bytes/scan_columns/shuffle_records/output_rows invariant
+  * under a shuffle-partition change for representative queries, so a
+  * round-over-round diff of BENCH_FULL.json separates real plan
+  * regressions from timing noise. Metrics ride ONLY the last timed rep
+  * (identical across reps for a deterministic plan; the observation's
+  * per-row accumulator stays off the other reps) and are written to
+  * BENCH_FULL.json only — the stdout contract line keeps its
+  * driver-parsed shape. */
 object Bench {
+
+  /** Accumulating task-metrics listener. Spark delivers task-end events
+    * asynchronously; [[drain]] flushes the bus (via the package-private
+    * `listenerBus` accessor — reflection keeps this tooling-only code
+    * out of the spark package) before a snapshot is read. */
+  /** One query's deterministic regression record (see object doc). */
+  final case class PlanMetrics(scanBytes: Long, scanColumns: Long,
+      shuffleRecords: Long, shuffleBytes: Long, outputRows: Long)
+
+  final class TaskMetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    private val shuffleRecords = new java.util.concurrent.atomic.AtomicLong
+    private val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+
+    def reset(): Unit = { shuffleRecords.set(0); shuffleBytes.set(0) }
+
+    def snapshot(): (Long, Long) = (shuffleRecords.get, shuffleBytes.get)
+  }
+
+  /** Captures the last completed QueryExecution (delivered async on the
+    * listener bus — drain before reading). */
+  final class CaptureQEListener
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    @volatile private[graft] var last
+        : org.apache.spark.sql.execution.QueryExecution = _
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit = last = qe
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = last = qe
+  }
+
+  /** Walk an executed plan INCLUDING the trees AQE hides (final
+    * adaptive plan, materialized query stages, reused exchanges) —
+    * a plain `collect` stops at those boundaries. */
+  private def walkPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => walkPlan(a.executedPlan)
+      case q: QueryStageExec => walkPlan(q.plan)
+      case r: ReusedExchangeExec => walkPlan(r.child)
+      case _ => p.children.flatMap(walkPlan)
+    })
+  }
+
+  /** (scan_bytes, scan_columns) from the executed plan's file scans:
+    * `filesSize` is the post-pruning planned byte volume, the scanned
+    * schema width the column-pruning record. */
+  private def scanStats(qe: org.apache.spark.sql.execution.QueryExecution)
+      : (Long, Long) = {
+    val scans = walkPlan(qe.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    (scans.map(f => f.metrics.get("filesSize").map(_.value).getOrElse(0L)).sum,
+      scans.map(_.requiredSchema.size.toLong).sum)
+  }
+
+  /** One metrics-bearing execution of a query: noop-sink write with the
+    * task listener freshly reset, an [[org.apache.spark.sql.Observation]]
+    * counting sink rows in the same pass, and the executed plan
+    * captured for the scan-side columns. Returns (seconds, metrics).
+    * Shared by the bench main (its last timed rep) and
+    * BenchMetricsSpec (the invariance pin), so the two can never
+    * measure different things. */
+  def measuredRep(s: SparkSession, listener: TaskMetricsListener,
+      fn: SparkSession => org.apache.spark.sql.DataFrame): (Double, PlanMetrics) = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val qeCap = new CaptureQEListener
+    s.listenerManager.register(qeCap)
+    drainListenerBus(s)
+    listener.reset()
+    val t0 = System.nanoTime()
+    val obs = org.apache.spark.sql.Observation()
+    var observed = false
+    try {
+      val df = fn(s)
+      val df2 =
+        try { observed = true; df.observe(obs, count(lit(1)).as("rows")) }
+        catch { case _: Throwable => observed = false; df }
+      df2.write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable =>
+      // a failed action never reaches the observation point, and
+      // Observation.get would block forever waiting for it
+      observed = false
+      System.err.println(s"[bench] metrics rep failed: ${e.getMessage}")
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val outRows =
+      if (observed)
+        try obs.get("rows").asInstanceOf[Long]
+        catch { case _: Throwable => -1L }
+      else -1L
+    drainListenerBus(s)
+    val (sr, sb) = listener.snapshot()
+    val (scanBytes, scanCols) =
+      if (qeCap.last != null)
+        try scanStats(qeCap.last) catch { case _: Throwable => (-1L, -1L) }
+      else (-1L, -1L)
+    s.listenerManager.unregister(qeCap)
+    System.gc()
+    (sec, PlanMetrics(scanBytes, scanCols, sr, sb, outRows))
+  }
+
+  /** Flush the async listener bus so a snapshot covers every task of
+    * the action that just returned. `listenerBus` is private[spark];
+    * its generated accessor is public bytecode, and waitUntilEmpty
+    * bounds the stall — benign best-effort if the internals move. */
+  def drainListenerBus(s: SparkSession): Unit =
+    try {
+      val sc = s.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .foreach(_.invoke(bus))
+    } catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -38,6 +201,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
     // untimed warmup: absorb JVM/codegen/scan init so the first measured
     // query isn't charged for it
     try {
@@ -71,13 +236,19 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       runOnce(name, fn) // warm-up: codegen + scan caches, untimed
-      val timed = Seq.fill(reps)(runOnce(name, fn)).sorted
+      val head = Seq.fill(reps - 1)(runOnce(name, fn))
+      // the LAST rep carries the metrics snapshot (deterministic per
+      // plan, so any rep would do; isolating one keeps it exact)
+      val (last, metrics) = measuredRep(spark, listener, s => fn(s, sfDir))
+      val timed = (head :+ last).sorted
       val median = timed(timed.length / 2)
       System.err.println(
-        f"[bench] $name median $median%.3fs (reps ${timed.map(t => f"$t%.3f").mkString(",")})")
-      name -> median
+        f"[bench] $name median $median%.3fs (reps ${timed.map(t => f"$t%.3f").mkString(",")})" +
+          s" scanB=${metrics.scanBytes} shufRec=${metrics.shuffleRecords}" +
+          s" outRows=${metrics.outputRows}")
+      (name, median, metrics)
     }
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // contract-size fields derived from SparkEntry ITSELF, never hand
@@ -89,13 +260,21 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"n_queries":$nQueries,"n_oracle":$nOracle,"total_sec":$total%.3f}"""
     println(line)
-    // full copy in the repo: immune to any driver-side stdout truncation.
+    // full copy in the repo: immune to any driver-side stdout truncation,
+    // and EXTENDED with the deterministic task-metric columns (stdout
+    // keeps the driver-parsed shape; the file is the regression record)
+    val ms = results.map { case (k, _, m) =>
+      s""""$k":{"scan_bytes":${m.scanBytes},"scan_columns":${m.scanColumns},""" +
+        s""""shuffle_records":${m.shuffleRecords},"shuffle_bytes":${m.shuffleBytes},""" +
+        s""""output_rows":${m.outputRows}}"""
+    }.mkString("{", ",", "}")
+    val fileLine = line.dropRight(1) + s""","task_metrics":$ms}"""
     // Only for full runs — a SPARK_GRAFT_BENCH_ONLY iteration must not
     // clobber the complete map.
     if (only.isEmpty) {
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-          (line + "\n").getBytes("UTF-8"))
+          (fileLine + "\n").getBytes("UTF-8"))
       } catch { case _: Throwable => () }
     }
     spark.stop()

@@ -380,6 +380,10 @@ object SparkEntry {
     // closed-form survivor contract
     "semdedup_trained" -> ((s: SparkSession, d: String) =>
       Similarity.semDedupTrainedPlanted(s, d)),
+    // corpus-adaptive k (k ∝ √N from plan stats): pair cost N^1.5, not
+    // N²/flat-k; identical closed-form survivor contract at any k
+    "semdedup_adaptive" -> ((s: SparkSession, d: String) =>
+      Similarity.semDedupAdaptivePlanted(s, d)),
     "dsir_weights" -> (TextAnalysis.dsirWeights _),
     // the apply half: hash-acceptance importance resampling
     "dsir_resample" -> ((s: SparkSession, d: String) =>
@@ -493,8 +497,13 @@ object SparkEntry {
     // the oracle replays the fixture pixel formula closed-form, so a
     // decoder offset/stride/channel bug is a hash mismatch
     "mm_features" -> (graft.multimodal.Multimodal.decodedFeatures _),
-    // md5-stub twin covering the codec-bound kinds (png/wav/mp4): scalar
-    // projection (f0..f7) of the deterministic fake feature vector
+    // REAL codec decode: the same channel stats THROUGH the JDK PNG
+    // decoder (zlib inflate + scanline unfilter) — PNG is lossless, so
+    // the closed-form pixel oracle still holds bit-exactly
+    "mm_features_png" -> (graft.multimodal.Multimodal.decodedFeaturesPng _),
+    // md5-stub twin covering the remaining codec-bound kinds (jpeg —
+    // lossy, no exact oracle — and mp4): scalar projection (f0..f7) of
+    // the deterministic fake feature vector
     "mm_features_md5" -> (graft.multimodal.Multimodal.extractFeatureScalars _),
     // REAL audio decode: RIFF chunk walk + s16le PCM parse, exact
     // integer sample statistics from the decoded waveform
@@ -509,6 +518,10 @@ object SparkEntry {
     // pixels, exact integer channel sums + first/last probe bytes
     "mm_resize" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.resizeDecoded(s, d)),
+    // REAL codec resize: nearest-neighbor downsample from PNG-decoded
+    // pixels (same integer arithmetic, through the real bitstream)
+    "mm_resize_png" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.resizeDecodedPng(s, d)),
     // stride-sample stub twin (bytes-in/bytes-out resize contract)
     "mm_resize_md5" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.resizeImages(s, d)),
@@ -1915,6 +1928,12 @@ object SparkEntry {
     // trained-cells variant: identical survivor contract (an exact copy
     // shares its original's argmax cell under ANY centroid set)
     "semdedup_trained" ->
+      """SELECT vec_id, label FROM embeddings
+        | ORDER BY vec_id""".stripMargin.replace("\n", ""),
+    // adaptive-k variant: the same survivor closed form — copies land
+    // with their originals under any centroid set, and within-cluster
+    // natural maxima only shrink as k grows
+    "semdedup_adaptive" ->
       """SELECT vec_id, label FROM embeddings
         | ORDER BY vec_id""".stripMargin.replace("\n", ""),
     // DSIR importance weight: mean log-ratio of the lang='en' unigram LM
@@ -3472,6 +3491,32 @@ object SparkEntry {
         |   / CAST(w * h AS DOUBLE)) * 1000000.0) / 1000000.0 AS mean_b
         | FROM g GROUP BY media_id, w, h
         | ORDER BY media_id""".stripMargin.replace("\n", ""),
+    // REAL codec lane: the identical pixel-formula replay over the PNG
+    // slice (doc_id % 3 = 2) — PNG is lossless, so the stats recovered
+    // THROUGH the JDK decoder (zlib inflate + scanline unfilter +
+    // channel unpack) must equal the closed form bit-exactly
+    "mm_features_png" ->
+      """WITH img AS (SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 9 AS INTEGER) AS w,
+        |  CAST(6 + doc_id % 7 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 3 = 2),
+        | g AS (SELECT media_id, w, h, y.y AS y, x.x AS x
+        |  FROM img
+        |  CROSS JOIN (SELECT unnest(range(0, 12)) AS y) y
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS x) x
+        |  WHERE y.y < h AND x.x < w)
+        | SELECT media_id, w AS width, h AS height,
+        |  CAST(SUM((media_id*7 + y*31 + x*5) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((media_id*7 + y*31 + x*5 + 11) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((media_id*7 + y*31 + x*5 + 22) % 256) AS BIGINT) AS sum_b,
+        |  floor((CAST(SUM((media_id*7 + y*31 + x*5) % 256) AS DOUBLE)
+        |   / CAST(w * h AS DOUBLE)) * 1000000.0) / 1000000.0 AS mean_r,
+        |  floor((CAST(SUM((media_id*7 + y*31 + x*5 + 11) % 256) AS DOUBLE)
+        |   / CAST(w * h AS DOUBLE)) * 1000000.0) / 1000000.0 AS mean_g,
+        |  floor((CAST(SUM((media_id*7 + y*31 + x*5 + 22) % 256) AS DOUBLE)
+        |   / CAST(w * h AS DOUBLE)) * 1000000.0) / 1000000.0 AS mean_b
+        | FROM g GROUP BY media_id, w, h
+        | ORDER BY media_id""".stripMargin.replace("\n", ""),
     // nearest-neighbor 2x downsample from decoded pixels: out(x,y,c) =
     // in(2x,2y,c) over floor-halved dims; first/last probe bytes catch
     // the offset bugs a sum can mask
@@ -3482,6 +3527,31 @@ object SparkEntry {
         |  greatest(CAST((8 + doc_id % 9) // 2 AS INTEGER), 1) AS ow,
         |  greatest(CAST((6 + doc_id % 7) // 2 AS INTEGER), 1) AS oh
         |  FROM documents WHERE doc_id % 3 = 0),
+        | g AS (SELECT media_id, w, h, ow, oh, y.y AS y, x.x AS x
+        |  FROM img
+        |  CROSS JOIN (SELECT unnest(range(0, 6)) AS y) y
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS x) x
+        |  WHERE y.y < oh AND x.x < ow)
+        | SELECT media_id, ow AS width, oh AS height,
+        |  CAST(SUM((media_id*7 + (2*y)*31 + (2*x)*5) % 256) AS BIGINT)
+        |   AS sum_r,
+        |  CAST(SUM((media_id*7 + (2*y)*31 + (2*x)*5 + 11) % 256) AS BIGINT)
+        |   AS sum_g,
+        |  CAST(SUM((media_id*7 + (2*y)*31 + (2*x)*5 + 22) % 256) AS BIGINT)
+        |   AS sum_b,
+        |  CAST(media_id*7 % 256 AS INTEGER) AS first_px,
+        |  CAST((media_id*7 + (2*(oh-1))*31 + (2*(ow-1))*5 + 22) % 256
+        |   AS INTEGER) AS last_px
+        | FROM g GROUP BY media_id, ow, oh
+        | ORDER BY media_id""".stripMargin.replace("\n", ""),
+    // the same strided replay over the PNG slice (doc_id % 3 = 2)
+    "mm_resize_png" ->
+      """WITH img AS (SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 9 AS INTEGER) AS w,
+        |  CAST(6 + doc_id % 7 AS INTEGER) AS h,
+        |  greatest(CAST((8 + doc_id % 9) // 2 AS INTEGER), 1) AS ow,
+        |  greatest(CAST((6 + doc_id % 7) // 2 AS INTEGER), 1) AS oh
+        |  FROM documents WHERE doc_id % 3 = 2),
         | g AS (SELECT media_id, w, h, ow, oh, y.y AS y, x.x AS x
         |  FROM img
         |  CROSS JOIN (SELECT unnest(range(0, 6)) AS y) y

@@ -1107,6 +1107,93 @@ object Similarity {
       collectCentroids(kmeansIterate(s, dir, 2), "cluster"),
       threshold = 0.99)
 
+  /** Corpus-adaptive SemDeDup cluster count — k ∝ √N (round-10 verdict
+    * item 7): the pairwise stage costs Σ|cluster|² ≈ N²/k, so FLAT k
+    * makes SemDeDup quadratic in corpus size (the rehearsal's measured
+    * 4.2× at 30× was exactly this), while k ∝ √N holds expected
+    * per-cluster size at √N and the total pair count at N^1.5 — the
+    * paper's own deployment discipline (50k clusters on LAION) made
+    * automatic. N comes from `optimizedPlan.stats.sizeInBytes` at an
+    * assumed ≥256 B/row (the raw float payload of a 64-dim embedding)
+    * — free driver metadata, ZERO extra jobs (the [[ivfCentroids]]
+    * sizing discipline), and any constant-factor estimate error enters
+    * k only through a √, where it shifts the constant, not the
+    * asymptotic. Floored at the label-centroid lanes' cell count so
+    * small corpora never under-cluster. */
+  private[graft] def semDedupAdaptiveK(emb: DataFrame): Int = {
+    val nEst = (emb.queryExecution.optimizedPlan.stats.sizeInBytes
+      .max(BigInt(256)) / 256).toLong
+    math.max(16, math.ceil(math.sqrt(nEst.toDouble)).toInt)
+  }
+
+  /** The SemDeDup pipeline against a BROADCAST centroid RELATION — the
+    * large-k rendering [[semDedupAdaptiveK]] needs: at k ∝ √N the
+    * [[argmaxOver]] literal inlining would generate k cosine
+    * expressions per row (a codegen wall in the hundreds), so the
+    * assignment here is a crossJoin with the broadcast k-row centroid
+    * table, a NARROW (vec_id, cluster, cos) projection, and a
+    * partial+final max-struct aggregate keyed on vec_id — embeddings
+    * never ride the N×k relation or its shuffle; they join back once
+    * by vec_id for the bounded within-cluster verify. Tie-break
+    * (cos desc, cluster asc) via max(struct(cos, -cluster)) keeps the
+    * assignment deterministic, so an exact copy still lands in its
+    * original's cluster under ANY centroid set — the structural-recall
+    * property every semdedup gate rides. At 100 TB the assignment is
+    * the plain brute map (N·k cosines, embarrassingly parallel); past
+    * that, the IVF probe lanes are the sublinear assignment path. */
+  private def semDedupOnCentroidRelation(emb: DataFrame,
+      cents: Array[(Long, Array[Float])], threshold: Double): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val centDf = cents.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cluster", "centroid")
+    val best = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centDf))
+      .select(col("vec_id"),
+        struct(cosine(col("embedding"), col("centroid")).as("cs"),
+          (-col("cluster")).as("negc")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), (-col("best").getField("negc")).as("cluster"))
+    val assigned = emb.join(best, Seq("vec_id"))
+    val left = assigned.select(col("cluster"), col("vec_id").as("ia"),
+      col("embedding").as("ea"))
+    val right = assigned.select(col("cluster"), col("vec_id").as("ib"),
+      col("embedding").as("eb"))
+    val drops = left.join(right, Seq("cluster"))
+      .filter(col("ia") < col("ib"))
+      .filter(cosine(col("ea"), col("eb")) >= threshold)
+      .select(col("ib").as("vec_id")).distinct()
+    emb.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
+  /** Library entry: SemDeDup with the corpus-adaptive cluster count
+    * (seeded by [[ivfCentroids]]' deterministic hash sample at the
+    * derived k; a production run swaps in k-means|| centroids, the
+    * pipeline downstream is unchanged). */
+  def semDedupAdaptive(s: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    semDedupOnCentroidRelation(emb,
+      ivfCentroids(emb, semDedupAdaptiveK(emb)), threshold)
+  }
+
+  /** `semdedup_adaptive` gate — the [[semDedupPlanted]] closed form
+    * through the adaptive-k path: exact copies land in their
+    * original's cluster under any centroid set and no natural pair
+    * reaches cosine 0.99 (within-cluster maxima only SHRINK as k
+    * grows), so the survivor set is exactly the original corpus at
+    * EVERY scale — which is what lets the 30× rehearsal value-check
+    * this lane while measuring its N^1.5 cost shape. */
+  def semDedupAdaptivePlanted(s: SparkSession, dir: String,
+      n: Int = 5): DataFrame = {
+    val emb = plantedEmb(t(s, dir, "embeddings"), n)
+    semDedupOnCentroidRelation(emb,
+      ivfCentroids(emb, semDedupAdaptiveK(emb)), threshold = 0.99)
+  }
+
   /** H-bit random-hyperplane signature. Plane weights are deterministic
     * pseudo-randoms (splitmix64 of (plane, dim) mapped to [-1, 1]) — no
     * RNG state, reproducible on any cluster. Single-pass custom

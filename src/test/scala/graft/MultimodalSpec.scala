@@ -190,6 +190,53 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG decode: the payload is a genuine compressed PNG bitstream " +
+      "and the JDK decode round-trips every fixture pixel") {
+    for (id <- Seq(0L, 5L, 61L)) {
+      val w = Multimodal.ppmWidth(id); val h = Multimodal.ppmHeight(id)
+      val png = Multimodal.pngEncode(id, w, h)
+      // PNG signature: a real bitstream, not repackaged raw pixels
+      assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte &&
+        png(2) === 'N'.toByte && png(3) === 'G'.toByte)
+      val (dw, dh, px) = Multimodal.decodePng(png)
+      assert(dw === w && dh === h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert((px((y * w + x) * 3 + c) & 0xff) ===
+          Multimodal.pixelByte(id, y, x, c),
+          s"pixel ($x,$y,$c) of image $id")
+    }
+    // a non-image payload fails loudly, never emits garbage pixels
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng("not a png".getBytes("UTF-8"))
+    }
+  }
+
+  test("PNG decoded features and resize equal the PPM arithmetic on " +
+      "the same formula — codec-independent stats contract") {
+    // the two lanes share pixel formulas, so for any id the PNG lane's
+    // numbers must equal a direct formula replay (the oracle's claim,
+    // checked here without DuckDB for one row)
+    val rows = Multimodal.decodedFeaturesPng(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val r = rows.head
+    val id = r.getLong(0)
+    val w = Multimodal.ppmWidth(id); val h = Multimodal.ppmHeight(id)
+    val expSum = (c: Int) => (for (y <- 0 until h; x <- 0 until w)
+      yield Multimodal.pixelByte(id, y, x, c).toLong).sum
+    assert(r.getInt(1) === w && r.getInt(2) === h)
+    assert(r.getLong(3) === expSum(0))
+    assert(r.getLong(4) === expSum(1))
+    assert(r.getLong(5) === expSum(2))
+    val rz = Multimodal.resizeDecodedPng(spark, TestSpark.sf).collect().head
+    val ow = math.max(w / 2, 1); val oh = math.max(h / 2, 1)
+    assert(rz.getInt(1) === ow && rz.getInt(2) === oh)
+    assert(rz.getLong(3) === (for (y <- 0 until oh; x <- 0 until ow)
+      yield Multimodal.pixelByte(id, 2 * y, 2 * x, 0).toLong).sum)
+    assert(rz.getInt(6) === Multimodal.pixelByte(id, 0, 0, 0))
+    assert(rz.getInt(7) ===
+      Multimodal.pixelByte(id, 2 * (oh - 1), 2 * (ow - 1), 2))
+  }
+
   test("phash dedup gate: exactly the planted copies, all bands " +
       "shared, and the chain finds nothing at Hamming > cap for them") {
     val got = Multimodal.phashDedupPlanted(spark, TestSpark.sf).collect()
