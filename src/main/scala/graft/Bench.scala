@@ -24,10 +24,14 @@ import org.apache.spark.sql.SparkSession
   * on a shared host swings ±30-50% per query, so every round's perf
   * review degenerates into noise adjudication. Plan-derived metrics
   * don't — per query the bench records
-  *  - `scan_bytes`   — Σ `filesSize` over the executed plan's file
-  *                     scans: the bytes planning SELECTED after
+  *  - `scan_bytes`   — Σ `filesSize` over the executed plans' file
+  *                     scans, accumulated across EVERY action the rep
+  *                     runs (the index/gate lanes run internal writes
+  *                     and bounded collects before the final gate
+  *                     relation — last-action capture read 0 for all
+  *                     of them): the bytes planning SELECTED after
   *                     partition pruning / DPP (lost pruning jumps it);
-  *  - `scan_columns` — Σ scanned-schema width over the file scans:
+  *  - `scan_columns` — Σ scanned-schema width over the same scans:
   *                     lost COLUMN pruning jumps it (measured fact: on
   *                     local parquet, task-level `bytesRead` counts
   *                     only footer/metadata bytes — 17.8 KB for a
@@ -83,18 +87,36 @@ object Bench {
     def snapshot(): (Long, Long) = (shuffleRecords.get, shuffleBytes.get)
   }
 
-  /** Captures the last completed QueryExecution (delivered async on the
-    * listener bus — drain before reading). */
+  /** Accumulates plan-side scan stats over EVERY action completed while
+    * registered (delivered async on the listener bus — drain before a
+    * snapshot). Accumulation, not last-action capture, because the
+    * index/gate lanes run several internal actions (index writes,
+    * bounded collects) before their final gate relation: last-action
+    * capture read `scan_bytes=0` for all of them, blind to exactly the
+    * regression the column exists for — a lost touched-partition
+    * pruning inside the lane (round 10's `ivfCompactPlanted` bug
+    * class). Accumulated, the column covers the rep the same way
+    * shuffle_records always did. */
   final class CaptureQEListener
       extends org.apache.spark.sql.util.QueryExecutionListener {
-    @volatile private[graft] var last
-        : org.apache.spark.sql.execution.QueryExecution = _
+    private val bytes = new java.util.concurrent.atomic.AtomicLong
+    private val cols = new java.util.concurrent.atomic.AtomicLong
+    private val seen = new java.util.concurrent.atomic.AtomicLong
+    private def add(qe: org.apache.spark.sql.execution.QueryExecution)
+        : Unit =
+      try {
+        val (b, c) = scanStats(qe)
+        bytes.addAndGet(b); cols.addAndGet(c); seen.incrementAndGet()
+      } catch { case _: Throwable => () } // a plan that can't render
     override def onSuccess(funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution,
-        durationNs: Long): Unit = last = qe
+        durationNs: Long): Unit = add(qe)
     override def onFailure(funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution,
-        exception: Exception): Unit = last = qe
+        exception: Exception): Unit = add(qe)
+    /** (scan_bytes, scan_columns), or (-1,-1) if no action reported. */
+    def snapshot(): (Long, Long) =
+      if (seen.get == 0L) (-1L, -1L) else (bytes.get, cols.get)
   }
 
   /** Walk an executed plan INCLUDING the trees AQE hides (final
@@ -135,8 +157,10 @@ object Bench {
       fn: SparkSession => org.apache.spark.sql.DataFrame): (Double, PlanMetrics) = {
     import org.apache.spark.sql.functions.{count, lit}
     val qeCap = new CaptureQEListener
-    s.listenerManager.register(qeCap)
+    // drain BEFORE registering: a straggler completion event from the
+    // previous rep must not accumulate into this rep's scan columns
     drainListenerBus(s)
+    s.listenerManager.register(qeCap)
     listener.reset()
     val t0 = System.nanoTime()
     val obs = org.apache.spark.sql.Observation()
@@ -161,10 +185,7 @@ object Bench {
       else -1L
     drainListenerBus(s)
     val (sr, sb) = listener.snapshot()
-    val (scanBytes, scanCols) =
-      if (qeCap.last != null)
-        try scanStats(qeCap.last) catch { case _: Throwable => (-1L, -1L) }
-      else (-1L, -1L)
+    val (scanBytes, scanCols) = qeCap.snapshot()
     s.listenerManager.unregister(qeCap)
     System.gc()
     (sec, PlanMetrics(scanBytes, scanCols, sr, sb, outRows))

@@ -508,6 +508,12 @@ object SparkEntry {
     // REAL audio decode: RIFF chunk walk + s16le PCM parse, exact
     // integer sample statistics from the decoded waveform
     "mm_audio_features" -> (graft.multimodal.Multimodal.audioFeatures _),
+    // REAL lossy-codec decode (JPEG through javax.imageio) with a
+    // bounded-error gate: decoded dims exact, per-channel decoded means
+    // within 2.0 of the smooth fixture's closed form — as far as an
+    // oracle can reach into a lossy bitstream
+    "mm_jpeg_gate" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.jpegDecodeGate(s, d)),
     // perceptual-hash image dedup gate: banded 64-bit pHash, bucket-join
     // candidates, Hamming verify — planted copies must survive the chain
     "mm_phash_dedup" -> ((s: SparkSession, d: String) =>
@@ -3568,6 +3574,17 @@ object SparkEntry {
         |  CAST((media_id*7 + (2*(oh-1))*31 + (2*(ow-1))*5 + 22) % 256
         |   AS INTEGER) AS last_px
         | FROM g GROUP BY media_id, ow, oh
+        | ORDER BY media_id""".stripMargin.replace("\n", ""),
+    // REAL lossy-codec gate: dims replay closed-form; features_close
+    // states the decoded channel means landed within 2.0 of the smooth
+    // gradient's exact means — TRUE for a correct decoder at quality
+    // 0.98, a hash mismatch for offset/channel/inflate bugs
+    "mm_jpeg_gate" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 9 AS INTEGER) AS width,
+        |  CAST(6 + doc_id % 7 AS INTEGER) AS height,
+        |  TRUE AS features_close
+        | FROM documents WHERE doc_id % 3 = 1
         | ORDER BY media_id""".stripMargin.replace("\n", ""),
     // REAL audio-decode lane: fixture clips are genuine RIFF/WAVE PCM
     // s16le payloads whose sample i follows (id*13 + i*17) % 4096 - 2048

@@ -78,4 +78,21 @@ class BenchMetricsSpec extends AnyFunSuite {
         s"extra exchange (${extra.shuffleRecords}) vs ${base.shuffleRecords}")
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  test("multi-action lanes: internal scans accumulate into scan_bytes — " +
+      "an index lane's partition-pruned reads are visible, not 0") {
+    val l = new Bench.TaskMetricsListener
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // ann_lsh_indexed writes an index to scratch, then probes it —
+      // several actions before the final gate relation; last-action
+      // capture read scan_bytes=0 here, blind to a lost pruning inside
+      val m = Bench.measuredRep(spark, l,
+        s => SparkEntry.queries("ann_lsh_indexed")(s, TestSpark.sf))._2
+      assert(m.scanBytes > 0L,
+        "internal actions' planned scan bytes must accumulate")
+      assert(m.scanColumns > 0L)
+      assert(m.outputRows > 0L)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }

@@ -249,4 +249,41 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getInt(2) === 0 && r.getInt(3) === 4 && r.getBoolean(4))
     }
   }
+
+  test("JPEG: the payload is a genuine lossy bitstream; decode recovers " +
+      "dims exactly and channel means within a fraction of the gate's " +
+      "2.0 tolerance") {
+    for (id <- Seq(1L, 7L, 64L)) {
+      val w = Multimodal.ppmWidth(id); val h = Multimodal.ppmHeight(id)
+      val jpg = Multimodal.jpegEncode(id, w, h)
+      // JPEG SOI marker: a real entropy-coded bitstream
+      assert((jpg(0) & 0xff) === 0xff && (jpg(1) & 0xff) === 0xd8)
+      val (dw, dh, px) = Multimodal.decodePng(jpg) // ImageIO sniffs format
+      assert(dw === w && dh === h)
+      // lossy: pixels differ, but each channel MEAN stays inside 1.5
+      // (measured max 1.0 — chroma DC quantization) against the gate's
+      // 2.0, while a channel-order bug would read 25
+      for (c <- 0 until 3) {
+        val dec = (for (y <- 0 until h; x <- 0 until w)
+          yield (px((y * w + x) * 3 + c) & 0xff).toLong).sum / (w * h).toDouble
+        val exact = (for (y <- 0 until h; x <- 0 until w)
+          yield Multimodal.jpegPixelByte(id, y, x, c).toLong).sum /
+          (w * h).toDouble
+        assert(math.abs(dec - exact) <= 1.5,
+          s"channel $c mean drift ${math.abs(dec - exact)} on image $id")
+      }
+    }
+  }
+
+  test("JPEG gate: every image decodes with exact dims and " +
+      "features_close TRUE — the oracle's claim") {
+    val rows = Multimodal.jpegDecodeGate(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === Multimodal.ppmWidth(id))
+      assert(r.getInt(2) === Multimodal.ppmHeight(id))
+      assert(r.getBoolean(3), s"image $id outside tolerance")
+    }
+  }
 }
