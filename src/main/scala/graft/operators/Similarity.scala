@@ -615,7 +615,7 @@ object Similarity {
     * codes, top-k. No embedding is touched at probe time. */
   def ivfPqProbeIndexed(s: SparkSession, dir: String, indexPath: String,
       queryId: Long = 0L, k: Int = 10, nProbe: Int = 3): DataFrame = {
-    graft.store.IndexCommit.recover(s, indexPath) // reader-side healing
+    graft.store.IndexCommit.recoverForRead(s, indexPath) // reader-side healing
     val cents = collectCentroids(labelCentroids(s, dir), "label")
     val cb = pqCodebooks(s, dir)
     val q = t(s, dir, "embeddings").filter(col("vec_id") === queryId)
@@ -648,7 +648,7 @@ object Similarity {
       indexPath: String, queries: DataFrame, k: Int = 10,
       nProbe: Int = 3, excludeSelf: Boolean = true,
       broadcastProbes: Boolean = true): DataFrame = {
-    graft.store.IndexCommit.recover(s, indexPath) // reader-side healing
+    graft.store.IndexCommit.recoverForRead(s, indexPath) // reader-side healing
     val cents = collectCentroids(labelCentroids(s, dir), "label")
       .map { case (cl, v) => (cl.toLong, v) }
     val cb = pqCodebooks(s, dir)
@@ -1369,10 +1369,11 @@ object Similarity {
   def lshProbeIndexed(s: SparkSession, indexPath: String,
       queries: DataFrame, k: Int = 10, planes: Int = 4,
       bands: Int = 8, broadcastProbes: Boolean = true): DataFrame = {
-    // heal any crashed maintenance txn first — the reader half of the
-    // IndexCommit old-state-or-new-state guarantee (a healthy index
-    // pays one existence check)
-    graft.store.IndexCommit.recover(s, indexPath)
+    // heal any COMMITTED-but-unapplied maintenance txn first — the
+    // reader half of the IndexCommit old-state-or-new-state guarantee
+    // (roll-forward only: a live writer's staging is never touched; a
+    // healthy index pays one existence check)
+    graft.store.IndexCommit.recoverForRead(s, indexPath)
     // cast probe keys to the scan's inferred partition-column types so
     // the join keys are bare partition attributes (DPP-eligible)
     val qsig = queries.select(col("q_id"),
@@ -1713,7 +1714,7 @@ object Similarity {
   def ivfProbeIndexed(s: SparkSession, indexPath: String,
       query: Array[Float], k: Int = 10, nProbe: Int = 4): DataFrame = {
     // reader-side healing on the cell store (ivfCompact's txn root)
-    graft.store.IndexCommit.recover(s, s"$indexPath/vectors")
+    graft.store.IndexCommit.recoverForRead(s, s"$indexPath/vectors")
     // centroids may be stored float (sampled index) or double (trained
     // index); widen to double — exact for floats, and the same values
     // the build-side argmax expression saw
@@ -1755,7 +1756,7 @@ object Similarity {
   def ivfProbeIndexedMulti(s: SparkSession, indexPath: String,
       queries: Seq[(Long, Array[Float])], k: Int = 10,
       nProbe: Int = 4): DataFrame = {
-    graft.store.IndexCommit.recover(s, s"$indexPath/vectors")
+    graft.store.IndexCommit.recoverForRead(s, s"$indexPath/vectors")
     val cents = s.read.parquet(s"$indexPath/centroids")
       .select(col("cent_id"), col("centroid").cast("array<double>"))
       .collect()
@@ -1832,7 +1833,7 @@ object Similarity {
       queries: DataFrame, k: Int = 10, nProbe: Int = 4,
       excludeSelf: Boolean = false,
       broadcastProbes: Boolean = true): DataFrame = {
-    graft.store.IndexCommit.recover(s, s"$indexPath/vectors")
+    graft.store.IndexCommit.recoverForRead(s, s"$indexPath/vectors")
     val cents = s.read.parquet(s"$indexPath/centroids")
       .select(col("cent_id"), col("centroid").cast("array<double>"))
       .collect()

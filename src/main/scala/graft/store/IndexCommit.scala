@@ -40,14 +40,39 @@ import org.apache.spark.sql.SparkSession
   * never a mix — `IndexCommitSpec` kills the protocol at every point
   * and pins both outcomes.
   *
-  * Scope, stated not hidden: this serializes CRASH-atomicity for a
-  * single writer (Spark's own job-level output commit has the same
-  * contract). Two concurrent compactions of one index need external
-  * mutual exclusion — at 100 TB that is the table-format lock service
-  * (or the JdbcSink advisory-lock pattern); concurrent READERS during
-  * a healthy apply see the same transient window a dynamic partition
-  * overwrite always had, now bounded by metadata renames instead of
-  * data rewrites.
+  * Concurrency model, stated not hidden:
+  *
+  *  - ONE writer (maintenance run) at a time — two concurrent
+  *    compactions of one index need external mutual exclusion; at
+  *    100 TB that is the table-format lock service (or the JdbcSink
+  *    advisory-lock pattern). Spark's own job-level output commit has
+  *    the same single-committer contract.
+  *  - READERS are concurrent with the writer and with each other, and
+  *    probe-side healing is safe under that: [[recoverForRead]] rolls
+  *    committed transactions FORWARD only — it never touches a
+  *    marker-less staging dir, because "marker-less" cannot be
+  *    distinguished from a LIVE writer mid-stage, and deleting a live
+  *    staging would silently drop the writer's batch (staging is
+  *    `_`-invisible to scans, so leaving it costs readers nothing;
+  *    rollback belongs to the next writer's [[begin]], where the
+  *    single-writer discipline makes it safe).
+  *  - Roll-forward itself serializes on a HEALING LOCK inside the txn
+  *    dir: without it, two healers (two probes after a crash; or a
+  *    probe racing the writer's own apply) can interleave
+  *    delete(target)/rename(staged) and lose a partition. The writer
+  *    takes the lock before publishing the marker, so a reader that
+  *    sees the marker mid-apply WAITS for the txn dir to disappear
+  *    instead of racing. Lock acquisition is write-then-verify (an
+  *    owner UUID read back after a settle delay) so it stays correct
+  *    even where `create(overwrite=false)` is check-then-act rather
+  *    than atomic (local FS; HDFS creates are namenode-atomic), and
+  *    carries a LEASE: a lock older than `leaseMs` is presumed
+  *    crashed and stolen via atomic rename (only one stealer wins).
+  *    The lease must out-live any healthy apply — apply is O(touched)
+  *    metadata renames, so the 5-minute default has orders-of-
+  *    magnitude headroom; a waiter that can neither acquire nor steal
+  *    fails loudly after `waitMs` rather than reading a possibly-mixed
+  *    tree.
   *
   * The op log is line-oriented `R<TAB>target<TAB>staged` /
   * `A<TAB>target<TAB>staged` with repo-controlled relative paths
@@ -62,6 +87,77 @@ object IndexCommit {
 
   /** Staging root name — `_` prefix keeps it out of every Spark scan. */
   val TxnDirName = "_graft_txn"
+
+  /** Healing-lock file name inside a txn dir (see object doc). */
+  val HealLockName = "_HEALING"
+
+  /** Lease on a healing lock: a holder silent for this long is
+    * presumed crashed and its lock is stolen. Must out-live any healthy
+    * apply (O(touched) metadata renames — milliseconds to seconds), so
+    * 5 minutes has orders-of-magnitude headroom. `var` as a test seam
+    * (the [[killPoint]] precedent): the kill-point spec compresses the
+    * lease to heal its own same-JVM "crashes" immediately — never set
+    * outside specs. */
+  private[graft] var HealLeaseMs: Long = 5 * 60 * 1000L
+
+  /** Bound on waiting for a busy healer before failing loudly (same
+    * test-seam discipline as [[HealLeaseMs]]). */
+  private[graft] var HealWaitMs: Long = 60 * 1000L
+
+  /** Write-then-verify acquisition of the healing lock under `txnDir`.
+    * Returns true = this caller owns healing; false = the transaction
+    * was retired by a peer while waiting (txn dir gone — nothing left
+    * to heal). Stale locks (older than `leaseMs`) are stolen via
+    * atomic rename, so exactly one stealer wins. Throws after `waitMs`
+    * if the lock stays busy and fresh — a healer that can neither
+    * acquire nor steal must not proceed into a possibly-mixed tree. */
+  private[graft] def acquireHealLock(fs: FileSystem, txnDir: Path,
+      leaseMs: Long, waitMs: Long): Boolean = {
+    val lock = new Path(txnDir, HealLockName)
+    val me = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + waitMs
+    while (true) {
+      if (!fs.exists(txnDir)) return false
+      val created =
+        try {
+          val out = fs.create(lock, false)
+          try out.write(me.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (created) {
+        // settle, then read back: where create(overwrite=false) is
+        // check-then-act (local FS), two racers may both have written;
+        // the file holds the LAST write, so exactly one sees itself
+        Thread.sleep(25)
+        val owner =
+          try {
+            val in = fs.open(lock)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          } catch { case _: java.io.IOException => "" }
+        if (owner == me) return true
+      } else {
+        // busy: steal only a lease-expired lock (atomic rename — one
+        // stealer wins), then loop back to a fresh acquisition attempt
+        val stale =
+          try {
+            val st = fs.getFileStatus(lock)
+            System.currentTimeMillis() - st.getModificationTime > leaseMs
+          } catch { case _: java.io.IOException => false }
+        if (stale) {
+          try fs.rename(lock, new Path(txnDir,
+            HealLockName + ".stale-" + me.take(8)))
+          catch { case _: java.io.IOException => () }
+        }
+      }
+      if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"healing lock busy past ${waitMs}ms under $txnDir — " +
+            "a healer is alive (wait) or the lease has not expired")
+      Thread.sleep(50)
+    }
+    false // unreachable
+  }
 
   /** One logged mutation. `target` is relative to the index root,
     * `staged` relative to the txn dir. */
@@ -108,9 +204,14 @@ object IndexCommit {
 
   /** Publish the commit marker (the atomic point), then apply + clean.
     * A crash anywhere before the marker rename leaves the live tree
-    * untouched; anywhere after, [[recover]] completes the apply. */
+    * untouched; anywhere after, [[recover]]/[[recoverForRead]]
+    * completes the apply. The writer takes the HEALING LOCK before
+    * publishing the marker, so a concurrent reader that sees the
+    * marker waits out this apply instead of racing it (object doc). */
   def commit(txn: Txn, ops: Seq[Op]): Unit = {
     killPoint("staged")
+    val lock = txn.fs.create(new Path(txn.dir, HealLockName), false)
+    try lock.write("writer".getBytes("UTF-8")) finally lock.close()
     val tmp = new Path(txn.dir, "_COMMIT.tmp")
     val out = txn.fs.create(tmp, true)
     try ops.foreach { op =>
@@ -155,29 +256,74 @@ object IndexCommit {
     } catch { case _: java.io.IOException => () }
   }
 
-  /** Heal any crashed transaction under `indexRoot`: no marker → roll
-    * BACK (delete staging; the live tree was never touched), marker →
-    * roll FORWARD (re-run the logged apply). Safe to call any time on
-    * a healthy index (no-op). Maintenance ops call it via [[begin]];
-    * probe lanes call it before reading. */
-  def recover(s: SparkSession, indexRoot: String): Unit = {
+  /** WRITER-side heal (called by [[begin]], under the single-writer
+    * discipline): no marker → roll BACK (delete staging; the live tree
+    * was never touched — safe here because no OTHER writer can be
+    * mid-stage), marker → roll FORWARD through the healing lock.
+    * Safe to call any time on a healthy index (no-op). */
+  def recover(s: SparkSession, indexRoot: String,
+      leaseMs: Long = HealLeaseMs, waitMs: Long = HealWaitMs): Unit = {
     val (fs, root) = fsOf(s, indexRoot)
-    recover(fs, root)
+    recover(fs, root, leaseMs, waitMs)
   }
 
-  private[graft] def recover(fs: FileSystem, root: Path): Unit = {
+  /** READER-side heal (probe lanes, before reading): rolls committed
+    * transactions FORWARD only. Never deletes a marker-less staging —
+    * a reader cannot distinguish "crashed pre-commit" from "live
+    * writer mid-stage", and staging is scan-invisible anyway (object
+    * doc). A healthy index pays one existence check. */
+  def recoverForRead(s: SparkSession, indexRoot: String,
+      leaseMs: Long = HealLeaseMs, waitMs: Long = HealWaitMs): Unit = {
+    val (fs, root) = fsOf(s, indexRoot)
+    recoverForRead(fs, root, leaseMs, waitMs)
+  }
+
+  private[graft] def recover(fs: FileSystem, root: Path): Unit =
+    recover(fs, root, HealLeaseMs, HealWaitMs)
+
+  private[graft] def recover(fs: FileSystem, root: Path,
+      leaseMs: Long, waitMs: Long): Unit = {
     val txns = new Path(root, TxnDirName)
     if (!fs.exists(txns)) return
     fs.listStatus(txns).foreach { st =>
       val marker = new Path(st.getPath, "_COMMIT")
-      if (fs.exists(marker)) apply(fs, root, st.getPath, readOps(fs, marker))
+      if (fs.exists(marker)) rollForward(fs, root, st.getPath, leaseMs, waitMs)
       else fs.delete(st.getPath, true)
     }
+    reapIfEmpty(fs, txns)
+  }
+
+  private[graft] def recoverForRead(fs: FileSystem, root: Path,
+      leaseMs: Long, waitMs: Long): Unit = {
+    val txns = new Path(root, TxnDirName)
+    if (!fs.exists(txns)) return
+    fs.listStatus(txns).foreach { st =>
+      val marker = new Path(st.getPath, "_COMMIT")
+      if (fs.exists(marker)) rollForward(fs, root, st.getPath, leaseMs, waitMs)
+      // marker-less: possibly a LIVE writer's staging — never touched
+    }
+    reapIfEmpty(fs, txns)
+  }
+
+  /** Serialize a roll-forward on the healing lock: acquire (waiting
+    * out a live healer, stealing an expired one) and re-run the logged
+    * apply; if the txn dir disappeared while waiting, a peer already
+    * retired it — done. The marker is re-checked under the lock: the
+    * dir may have been replayed and recreated between listing and
+    * locking. */
+  private def rollForward(fs: FileSystem, root: Path, txnDir: Path,
+      leaseMs: Long, waitMs: Long): Unit =
+    if (acquireHealLock(fs, txnDir, leaseMs, waitMs)) {
+      val marker = new Path(txnDir, "_COMMIT")
+      if (fs.exists(marker)) apply(fs, root, txnDir, readOps(fs, marker))
+      else fs.delete(txnDir, true) // lock acquired on a dead husk
+    }
+
+  private def reapIfEmpty(fs: FileSystem, txns: Path): Unit =
     try {
       if (fs.exists(txns) && fs.listStatus(txns).isEmpty)
         fs.delete(txns, false)
     } catch { case _: java.io.IOException => () }
-  }
 
   private def readOps(fs: FileSystem, marker: Path): Seq[Op] = {
     val in = fs.open(marker)

@@ -63,7 +63,12 @@ object ExplainDump {
     // and embedding decontamination (banded candidates + broadcast eval
     // joins); file_compaction_gate is a scratch-write lifecycle,
     // excluded like ann_ivf_compact
-    "text_nfc", "semantic_leakage")
+    "text_nfc", "semantic_leakage",
+    // round 11: the adaptive-k SemDeDup (bounded centroid collect —
+    // the kmeans_assign precedent) and the codec decode lanes (pure
+    // mapPartitions over the typed fixture map, like mm_features)
+    "semdedup_adaptive", "mm_features_png", "mm_resize_png",
+    "mm_jpeg_gate")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

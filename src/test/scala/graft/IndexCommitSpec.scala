@@ -83,6 +83,17 @@ class IndexCommitSpec extends AnyFunSuite {
     } finally IndexCommit.killPoint = _ => ()
   }
 
+  /** A post-marker "crash" in this JVM leaves the writer's healing
+    * lock on disk with a FRESH mtime; production healers wait out the
+    * 5-minute lease before presuming the holder dead. The spec
+    * compresses the lease to zero so its own crashes heal immediately
+    * (the [[IndexCommit.killPoint]] seam discipline). */
+  private def withLease0[T](f: => T): T = {
+    val prev = IndexCommit.HealLeaseMs
+    IndexCommit.HealLeaseMs = 0L
+    try f finally IndexCommit.HealLeaseMs = prev
+  }
+
   test("pre-commit crash (staged, marker not published): index is " +
       "byte-identical old state after recovery; a rerun then completes") {
     val idx = tempDir("graft_ic_pre_")
@@ -93,8 +104,9 @@ class IndexCommitSpec extends AnyFunSuite {
     withKill("staged") {
       Similarity.lshCompact(spark, idx, arrivingSlice)
     }
-    // recovery rolls the marker-less txn BACK: staging gone, live
-    // untouched — reader entry points run it implicitly
+    // WRITER-side recovery rolls the marker-less txn BACK: staging
+    // gone, live untouched (readers deliberately never roll back —
+    // see the reader-safety test below)
     IndexCommit.recover(spark, idx)
     assert(inventory(idx) === before,
       "pre-commit crash must leave the index byte-identical")
@@ -115,8 +127,10 @@ class IndexCommitSpec extends AnyFunSuite {
       Similarity.lshCompact(spark, idx, arrivingSlice)
     }
     // the live tree is still old here; the FIRST reader heals it
-    // (lshProbeIndexed calls recover) — and must see the new state
-    val healed = probeRows(idx)
+    // (lshProbeIndexed rolls committed txns forward) — and must see
+    // the new state. Lease compressed: the crashed writer's lock is
+    // fresh, and a production reader would wait out the real lease.
+    val healed = withLease0 { probeRows(idx) }
     Similarity.lshCompact(spark, ref, arrivingSlice)
     assert(healed === probeRows(ref),
       "post-commit crash + reader recovery must equal the clean run")
@@ -133,7 +147,7 @@ class IndexCommitSpec extends AnyFunSuite {
     withKill("applied:0") {
       Similarity.lshCompact(spark, idx, arrivingSlice)
     }
-    IndexCommit.recover(spark, idx)
+    withLease0 { IndexCommit.recover(spark, idx) }
     Similarity.lshCompact(spark, ref, arrivingSlice)
     assert(probeRows(idx) === probeRows(ref),
       "mid-apply crash + recovery must equal the clean run")
@@ -164,7 +178,7 @@ class IndexCommitSpec extends AnyFunSuite {
     withKill("committed") {
       Similarity.ivfCompact(spark, s"$idx/vectors", arrivingSlice, trained)
     }
-    IndexCommit.recover(spark, s"$idx/vectors")
+    withLease0 { IndexCommit.recover(spark, s"$idx/vectors") }
     Similarity.ivfCompact(spark, s"$ref/vectors", arrivingSlice, trained)
     def rows(d: String) = spark.read.parquet(s"$d/vectors")
       .select("vec_id", "cell").collect()
@@ -228,5 +242,94 @@ class IndexCommitSpec extends AnyFunSuite {
     val nDistinct = spark.read.parquet(s"$dup/vectors")
       .select("vec_id").distinct().count()
     assert(nVec > nDistinct, "without upsertById a replay duplicates")
+  }
+
+  test("reader-side healing never rolls back a marker-less staging — " +
+      "a probe racing a LIVE writer mid-stage cannot drop its batch") {
+    val idx = tempDir("graft_ic_live_")
+    buildBase(idx)
+    // simulate a writer mid-stage: an open transaction with staged
+    // files and NO marker (exactly what a concurrent probe observes)
+    val txn = IndexCommit.begin(spark, idx)
+    val stagedFile = new org.apache.hadoop.fs.Path(
+      txn.stagingDir("postings"), "part-live.parquet")
+    val out = txn.fs.create(stagedFile, true)
+    try out.write("live-writer-bytes".getBytes("UTF-8")) finally out.close()
+    val before = inventory(idx)
+    // the reader path (what every probe lane calls) must leave it alone
+    IndexCommit.recoverForRead(spark, idx)
+    assert(inventory(idx) === before,
+      "recoverForRead must not touch a marker-less (possibly live) txn")
+    assert(txn.fs.exists(stagedFile), "live staging must survive readers")
+    // the NEXT WRITER (single-writer discipline) is who rolls it back
+    IndexCommit.recover(spark, idx)
+    assert(!txn.fs.exists(txn.dir), "writer recovery rolls dead staging back")
+  }
+
+  test("concurrent healers: N threads racing recoverForRead on a " +
+      "committed-crashed txn heal it exactly once — final state equals " +
+      "the clean run, no lost partitions, no exceptions") {
+    val idx = tempDir("graft_ic_race_")
+    val ref = tempDir("graft_ic_raceref_")
+    buildBase(idx)
+    copyTree(idx, ref)
+    withKill("committed") {
+      Similarity.lshCompact(spark, idx, arrivingSlice)
+    }
+    // 4 concurrent healers, lease compressed (the crashed writer's
+    // lock is fresh): the healing lock must elect exactly one to
+    // apply; the rest wait out the txn dir and return
+    withLease0 {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (1 to 4).map { _ =>
+        new Thread(() =>
+          try IndexCommit.recoverForRead(spark, idx)
+          catch { case t: Throwable => errs.add(t) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(60000))
+      assert(errs.isEmpty, s"healer threw: ${errs.peek()}")
+    }
+    assert(!new java.io.File(idx, IndexCommit.TxnDirName).exists(),
+      "the race must retire the transaction")
+    Similarity.lshCompact(spark, ref, arrivingSlice)
+    assert(probeRows(idx) === probeRows(ref),
+      "racing healers must produce exactly the clean-run state")
+    val a = spark.read.parquet(s"$idx/postings")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(identity).toSeq
+    val b = spark.read.parquet(s"$ref/postings")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(identity).toSeq
+    assert(a === b, "no partition may be lost to a healer race")
+  }
+
+  test("healing lock: fresh lock blocks (waiter times out loudly " +
+      "rather than racing); lease-expired lock is stolen and healed") {
+    val idx = tempDir("graft_ic_lock_")
+    buildBase(idx)
+    withKill("committed") {
+      Similarity.lshCompact(spark, idx, arrivingSlice)
+    }
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val txnRoot = new org.apache.hadoop.fs.Path(idx, IndexCommit.TxnDirName)
+    val txnDir = fs.listStatus(txnRoot).head.getPath
+    val lock = new org.apache.hadoop.fs.Path(txnDir, IndexCommit.HealLockName)
+    assert(fs.exists(lock), "the crashed writer's lock is on disk")
+    // fresh lock + real lease: a waiter must fail loudly, not proceed
+    val prevWait = IndexCommit.HealWaitMs
+    IndexCommit.HealWaitMs = 300L
+    try {
+      val e = intercept[IllegalStateException] {
+        IndexCommit.recoverForRead(spark, idx)
+      }
+      assert(e.getMessage.contains("healing lock busy"))
+    } finally IndexCommit.HealWaitMs = prevWait
+    // expire the lease (backdate the lock), and the same call steals
+    // the lock and heals to completion
+    fs.setTimes(lock, System.currentTimeMillis() - 10 * 60 * 1000L, -1)
+    IndexCommit.recoverForRead(spark, idx)
+    assert(!fs.exists(txnRoot), "lease takeover must retire the txn")
+    assert(probeRows(idx).nonEmpty)
   }
 }
