@@ -13,11 +13,21 @@ package graft.tools
   * shuffle_bytes, output_rows); this tool diffs two pinned files on
   * them and makes the verdict mechanical:
   *
-  *  - `scan_bytes` / `scan_columns` drift  → lost partition/column
-  *    pruning (or an intended scan change) — HARD finding;
-  *  - `shuffle_records` drift              → an exchange appeared,
-  *    disappeared, or moved (broadcast↔shuffle) — HARD finding;
-  *  - `output_rows` drift                  → the result itself changed
+  *  - `scan_bytes` / `shuffle_records` drift beyond the jitter band
+  *    (>1% relative AND >64 absolute) → lost partition pruning or an
+  *    exchange appeared/disappeared/moved (broadcast↔shuffle) — HARD
+  *    finding. The band exists because scratch-lifecycle lanes have a
+  *    measured sub-0.01% nondeterminism: row arrival order inside a
+  *    shuffle partition varies run to run → zstd-compressed scratch
+  *    index files differ by a few bytes → `maxPartitionBytes` split
+  *    boundaries shift → partial WindowGroupLimit emits a handful
+  *    more/fewer pre-exchange rows (observed: ann_lsh_compact
+  *    40,350 vs 40,347 on identical code). Real regressions move
+  *    these columns by integer factors, not fractions of a percent;
+  *    sub-band drift is reported as a note.
+  *  - `scan_columns` drift (any)           → lost column pruning —
+  *    HARD finding (schema widths cannot jitter);
+  *  - `output_rows` drift (any)            → the result itself changed
   *    — HARD finding (correctness, not perf);
   *  - wall-time ratio outside [1/1.5, 1.5] with CLEAN deterministic
   *    columns → flagged as noise-or-host, NOT a plan regression —
@@ -77,14 +87,25 @@ object BenchDiff {
       osec: Double, nsec: Double): (Seq[String], Seq[String]) = {
     val hard = Seq.newBuilder[String]
     val note = Seq.newBuilder[String]
+    // split-boundary jitter band (object doc): count columns fed by
+    // scratch-written files move sub-0.01% run-to-run on identical
+    // code; real plan regressions move them by integer factors
+    def beyondJitter(a: Long, b: Long): Boolean = {
+      val diff = math.abs(a - b)
+      diff > 64 && diff.toDouble / math.max(math.max(a, b), 1L) > 0.01
+    }
     (om, nm) match {
       case (Some(o), Some(n)) =>
-        if (o.scanBytes != n.scanBytes)
+        if (beyondJitter(o.scanBytes, n.scanBytes))
           hard += s"$name: scan_bytes ${o.scanBytes} -> ${n.scanBytes} (pruning or scan change)"
+        else if (o.scanBytes != n.scanBytes)
+          note += s"$name: scan_bytes ${o.scanBytes} -> ${n.scanBytes} (within jitter band)"
         if (o.scanCols != n.scanCols)
           hard += s"$name: scan_columns ${o.scanCols} -> ${n.scanCols} (column pruning change)"
-        if (o.shufRec != n.shufRec)
+        if (beyondJitter(o.shufRec, n.shufRec))
           hard += s"$name: shuffle_records ${o.shufRec} -> ${n.shufRec} (exchange added/moved/removed)"
+        else if (o.shufRec != n.shufRec)
+          note += s"$name: shuffle_records ${o.shufRec} -> ${n.shufRec} (within jitter band)"
         if (o.outRows != n.outRows && o.outRows >= 0 && n.outRows >= 0)
           hard += s"$name: output_rows ${o.outRows} -> ${n.outRows} (RESULT drift)"
         if (o.shufBytes != n.shufBytes)

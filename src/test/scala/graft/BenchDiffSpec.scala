@@ -25,15 +25,31 @@ class BenchDiffSpec extends AnyFunSuite {
   }
 
   test("shuffle_records / scan_bytes / output_rows drift are HARD; shuffle_bytes is not") {
-    val o = BenchDiff.parse(line("q1", 1.0, (100L, 5L, 42L, 900L, 7L)))
-    val n = BenchDiff.parse(line("q1", 1.0, (200L, 6L, 43L, 901L, 8L)))
+    val o = BenchDiff.parse(line("q1", 1.0, (10000L, 5L, 42000L, 900L, 7L)))
+    val n = BenchDiff.parse(line("q1", 1.0, (20000L, 6L, 43000L, 901L, 8L)))
     val (hard, notes) = BenchDiff.diffQuery("q1", o.metrics.get("q1"),
       n.metrics.get("q1"), 1.0, 1.0)
     assert(hard.size === 4) // scan_bytes, scan_columns, shuffle_records, output_rows
-    assert(hard.exists(_.contains("shuffle_records 42 -> 43")))
+    assert(hard.exists(_.contains("shuffle_records 42000 -> 43000")))
     assert(hard.exists(_.contains("RESULT drift")))
     assert(!hard.exists(_.contains("shuffle_bytes")))
     assert(notes.exists(_.contains("shuffle_bytes")))
+  }
+
+  test("sub-1% count drift is split-boundary jitter — a note, not hard " +
+      "(the measured ann_lsh_compact 40350-vs-40347 case); output_rows " +
+      "and scan_columns stay exact") {
+    val o = BenchDiff.parse(line("q1", 1.0, (7322306L, 5L, 40350L, 900L, 5L)))
+    val n = BenchDiff.parse(line("q1", 1.0, (7322400L, 5L, 40347L, 901L, 5L)))
+    val (hard, notes) = BenchDiff.diffQuery("q1", o.metrics.get("q1"),
+      n.metrics.get("q1"), 1.0, 1.0)
+    assert(hard.isEmpty, hard.mkString("; "))
+    assert(notes.exists(_.contains("shuffle_records 40350 -> 40347")))
+    // but a single-row output drift is ALWAYS hard
+    val n2 = BenchDiff.parse(line("q1", 1.0, (7322306L, 5L, 40350L, 900L, 6L)))
+    val (hard2, _) = BenchDiff.diffQuery("q1", o.metrics.get("q1"),
+      n2.metrics.get("q1"), 1.0, 1.0)
+    assert(hard2.exists(_.contains("RESULT drift")))
   }
 
   test("wall-time movement with clean deterministic columns is a note, never hard") {
