@@ -276,19 +276,30 @@ class IndexCommitSpec extends AnyFunSuite {
     withKill("committed") {
       Similarity.lshCompact(spark, idx, arrivingSlice)
     }
-    // 4 concurrent healers, lease compressed (the crashed writer's
-    // lock is fresh): the healing lock must elect exactly one to
-    // apply; the rest wait out the txn dir and return
-    withLease0 {
-      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
-      val threads = (1 to 4).map { _ =>
-        new Thread(() =>
-          try IndexCommit.recoverForRead(spark, idx)
-          catch { case t: Throwable => errs.add(t) })
-      }
-      threads.foreach(_.start()); threads.foreach(_.join(60000))
-      assert(errs.isEmpty, s"healer threw: ${errs.peek()}")
+    // Backdate the crashed writer's lock past the REAL lease (the
+    // production crash picture: the healers arrive after the lease
+    // expired), then race 4 healers under that lease: exactly one
+    // steals the stale lock and applies; the others see the winner's
+    // FRESH lock and wait out the txn dir. Lease 0 would be wrong
+    // here — it marks the ACTIVE winner's lock instantly stale too,
+    // reintroducing the double-apply the lock exists to prevent
+    // (the documented lease-must-outlive-apply contract).
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val txnDir = fs.listStatus(
+      new org.apache.hadoop.fs.Path(idx, IndexCommit.TxnDirName))
+      .head.getPath
+    fs.setTimes(new org.apache.hadoop.fs.Path(txnDir,
+      IndexCommit.HealLockName),
+      System.currentTimeMillis() - 10 * 60 * 1000L, -1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 4).map { _ =>
+      new Thread(() =>
+        try IndexCommit.recoverForRead(spark, idx)
+        catch { case t: Throwable => errs.add(t) })
     }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(errs.isEmpty, s"healer threw: ${errs.peek()}")
     assert(!new java.io.File(idx, IndexCommit.TxnDirName).exists(),
       "the race must retire the transaction")
     Similarity.lshCompact(spark, ref, arrivingSlice)
