@@ -281,11 +281,21 @@ object IndexCommit {
   private[graft] def recover(fs: FileSystem, root: Path): Unit =
     recover(fs, root, HealLeaseMs, HealWaitMs)
 
+  /** FNF-tolerant txn listing: a CONCURRENT healer may reap the txn
+    * root between the existence check and the listing (two probes
+    * healing after the same maintenance run is normal operation) —
+    * a vanished root means a peer finished, not an error. */
+  private def listTxns(fs: FileSystem, txns: Path)
+      : Array[org.apache.hadoop.fs.FileStatus] =
+    try { if (fs.exists(txns)) fs.listStatus(txns) else Array.empty }
+    catch {
+      case _: java.io.FileNotFoundException => Array.empty
+    }
+
   private[graft] def recover(fs: FileSystem, root: Path,
       leaseMs: Long, waitMs: Long): Unit = {
     val txns = new Path(root, TxnDirName)
-    if (!fs.exists(txns)) return
-    fs.listStatus(txns).foreach { st =>
+    listTxns(fs, txns).foreach { st =>
       val marker = new Path(st.getPath, "_COMMIT")
       if (fs.exists(marker)) rollForward(fs, root, st.getPath, leaseMs, waitMs)
       else fs.delete(st.getPath, true)
@@ -296,8 +306,7 @@ object IndexCommit {
   private[graft] def recoverForRead(fs: FileSystem, root: Path,
       leaseMs: Long, waitMs: Long): Unit = {
     val txns = new Path(root, TxnDirName)
-    if (!fs.exists(txns)) return
-    fs.listStatus(txns).foreach { st =>
+    listTxns(fs, txns).foreach { st =>
       val marker = new Path(st.getPath, "_COMMIT")
       if (fs.exists(marker)) rollForward(fs, root, st.getPath, leaseMs, waitMs)
       // marker-less: possibly a LIVE writer's staging — never touched
@@ -316,7 +325,9 @@ object IndexCommit {
     if (acquireHealLock(fs, txnDir, leaseMs, waitMs)) {
       val marker = new Path(txnDir, "_COMMIT")
       if (fs.exists(marker)) apply(fs, root, txnDir, readOps(fs, marker))
-      else fs.delete(txnDir, true) // lock acquired on a dead husk
+      else // lock landed on a dead husk a peer is mid-deleting
+        try fs.delete(txnDir, true)
+        catch { case _: java.io.IOException => () }
     }
 
   private def reapIfEmpty(fs: FileSystem, txns: Path): Unit =
