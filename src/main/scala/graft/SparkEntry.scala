@@ -514,6 +514,14 @@ object SparkEntry {
     // oracle can reach into a lossy bitstream
     "mm_jpeg_gate" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.jpegDecodeGate(s, d)),
+    // REAL container parse (mp4/ISO-BMFF): box walk over genuine
+    // ftyp/moov/trak trees — brand, mvhd timescale + duration (rescaled
+    // with the PARSED timescale), track count, hdlr + stsd 4CCs; the
+    // oracle replays the fixture closed forms. Retires the mp4 stub for
+    // METADATA; the md5 twins remain only for frame content (no
+    // pure-JDK video decode exists).
+    "mm_mp4_meta" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.mp4Meta(s, d)),
     // perceptual-hash image dedup gate: banded 64-bit pHash, bucket-join
     // candidates, Hamming verify — planted copies must survive the chain
     "mm_phash_dedup" -> ((s: SparkSession, d: String) =>
@@ -3623,6 +3631,21 @@ object SparkEntry {
         |   WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  octet_length(encode(text)) AS n_bytes, md5(text) AS h
         |  FROM documents)
+        | ORDER BY media_id""".stripMargin.replace("\n", ""),
+    // REAL ISO-BMFF parse lane: the oracle replays the container
+    // closed forms — duration authored in ms but STORED at timescale
+    // 600, so a parser skipping the rescale (or missing a trak, or
+    // reading hdlr/stsd at wrong offsets) is a hash mismatch
+    "mm_mp4_meta" ->
+      """SELECT doc_id AS media_id, 'isom' AS brand,
+        | CAST(600 AS BIGINT) AS timescale,
+        | CAST(1000 + (doc_id % 17) * 250 AS BIGINT) AS duration_ms,
+        | CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks,
+        | CASE WHEN doc_id % 2 = 1 THEN 'vide,soun' ELSE 'vide' END
+        |  AS handlers,
+        | CASE WHEN doc_id % 2 = 1 THEN 'avc1,mp4a' ELSE 'avc1' END
+        |  AS codecs
+        | FROM documents WHERE doc_id % 3 = 2
         | ORDER BY media_id""".stripMargin.replace("\n", ""),
     // pHash dedup gate: every planted copy must re-surface through
     // banding + Hamming verify — Hamming 0, all 4 bands shared

@@ -98,6 +98,13 @@ object Catalog {
     // strings can never splice into the ANALYZE statement
     def qPart(p: String): String = "`" + p.replace("`", "``") + "`"
     def q(id: String): String = id.split('.').map(qPart).mkString(".")
+    // 3+-part names (catalog.db.table) would silently drop the catalog
+    // below (the TableIdentifier built here is 2-part) and resolve
+    // db.table in the SESSION catalog — wrong table or a confusing
+    // NoSuchTable. Reject loudly; this API is session-catalog scoped.
+    require(table.split('.').length <= 2,
+      s"refreshStatsAfterMutation is session-catalog scoped: got " +
+        s"'$table' — pass db.table (no catalog part)")
     s.catalog.refreshTable(q(table))
     // a path-level mutation can create partition DIRECTORIES the
     // catalog has never seen (a compaction batch landing in a fresh

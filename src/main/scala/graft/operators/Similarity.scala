@@ -1169,15 +1169,170 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** Library entry: SemDeDup with the corpus-adaptive cluster count
-    * (seeded by [[ivfCentroids]]' deterministic hash sample at the
-    * derived k; a production run swaps in k-means|| centroids, the
-    * pipeline downstream is unchanged). */
+  /** k-means|| initialization (Bahmani et al., VLDB '12 — the
+    * distributed k-means++ replacement) over cosine divergence, fully
+    * deterministic (hash uniforms, no RNG state) — the round-11
+    * verdict's promised swap-in behind the adaptive-k SemDeDup path.
+    *
+    * Shape per the paper: one seed center (min-xxhash row — the
+    * [[ivfCentroids]] discipline), then `rounds` oversampling passes,
+    * each admitting every point independently with probability
+    * min(1, ℓ·cost(x)/φ) where cost(x) = 1 − max-cosine to the centers
+    * so far and φ = Σcost (ℓ = 2k — the paper's recommended
+    * oversampling); a final pass weighs every candidate by the corpus
+    * mass it attracts; the weighted candidate set (≈ ℓ·rounds rows —
+    * bounded MODEL state, the only collect) reduces driver-side to k
+    * centers via deterministic farthest-point seeding + weighted
+    * Lloyd. Distributed cost: 2 narrow corpus passes per round + 1
+    * weighting pass — each a broadcast-k crossJoin projected to
+    * (vec_id, cost) BEFORE the aggregate, so embeddings never ride the
+    * N×k relation (the [[semDedupOnCentroidRelation]] discipline).
+    * That is the honest price of seeding quality: a bad seed set at
+    * k ∝ √N costs recall, and this is the fix the SemDeDup paper's own
+    * deployment (k-means on LAION) assumes. */
+  private[graft] def kmeansParCentroids(emb: DataFrame, k: Int,
+      rounds: Int = 3): Array[(Long, Array[Float])] = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val ell = 2L * k
+    // uniform in [0,1) from (vec_id, round) — the dsirResample hash
+    def uni(round: Int) = conv(substring(md5(concat_ws("-",
+      col("vec_id").cast("string"), lit(round.toString))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    def centDf(cs: Seq[Array[Float]]) = cs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("cid", "centroid")
+    // (vec_id, d-to-nearest-of-cs) — narrow: the crossJoin streams
+    // embeddings through the broadcast nested loop but projects them
+    // away pre-shuffle
+    def costVs(cs: Seq[Array[Float]]) = emb
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centDf(cs)))
+      .select(col("vec_id"),
+        (lit(1.0) - cosine(col("embedding"), col("centroid"))).as("d"))
+      .groupBy(col("vec_id")).agg(min(col("d")).as("nc"))
+    val seed = ivfCentroids(emb, 1)
+    val centers = scala.collection.mutable.ArrayBuffer(seed.map(_._2): _*)
+    // running per-row cost, maintained INCREMENTALLY: each round prices
+    // the corpus against only that round's NEW centers and folds it in
+    // with a narrow least() join — pass r costs N·|new|, not N·|all|
+    // (recomputing against the full set would make round r cost grow
+    // linearly in r — the difference between N·ℓ·rounds and
+    // N·ℓ·rounds² total work at scale)
+    var cost: DataFrame = null
+    var fresh: Seq[Array[Float]] = centers.toSeq
+    try {
+      for (r <- 1 to rounds if fresh.nonEmpty) {
+        val next = {
+          val nc = costVs(fresh)
+          if (cost == null) nc.select(col("vec_id"), col("nc").as("cost"))
+          else cost.join(nc, Seq("vec_id"))
+            .select(col("vec_id"),
+              least(col("cost"), col("nc")).as("cost"))
+        }.persist()
+        val prev = cost
+        cost = next
+        if (prev != null) prev.unpersist(blocking = false)
+        val phi = cost.agg(sum(col("cost"))).collect()(0).getDouble(0)
+        fresh =
+          if (phi <= 0) Seq.empty // every point already at a center
+          else cost
+            .filter(uni(r) < lit(ell.toDouble) * col("cost") / lit(phi))
+            .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+            .select(col("vec_id"), col("embedding"))
+            .orderBy(col("vec_id")) // deterministic candidate order
+            .collect()
+            .map(_.getSeq[Float](1).toArray).toSeq
+        centers ++= fresh
+      }
+    } finally if (cost != null) cost.unpersist(blocking = false)
+    // weigh candidates by attracted corpus mass (narrow argmin +
+    // count); tie-break cid asc via min(struct(d, cid))
+    val cands = centers.toSeq
+    val weights = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centDf(cands)))
+      .select(col("vec_id"),
+        struct((lit(1.0) - cosine(col("embedding"), col("centroid")))
+          .as("d"), col("cid")).as("dc"))
+      .groupBy(col("vec_id")).agg(min(col("dc")).as("best"))
+      .groupBy(col("best").getField("cid").as("cid"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val weighted = cands.indices
+      .map(i => (cands(i), weights.getOrElse(i.toLong, 0L)))
+    val reduced = weightedKmeansDriver(weighted, k)
+    // an improbably thin oversample (tiny corpus, tight uniforms) pads
+    // deterministically from the hash-sample seeds — never under-k
+    val out =
+      if (reduced.length >= k) reduced
+      else reduced ++ ivfCentroids(emb, k).map(_._2).take(k - reduced.length)
+    out.take(k).zipWithIndex.map { case (c, i) => (i.toLong, c) }.toArray
+  }
+
+  /** Driver-local weighted k-means over the bounded candidate set:
+    * deterministic farthest-point seeding (argmax weight·cost, ties by
+    * candidate order), then weighted Lloyd over cosine divergence.
+    * O(|cands|·k·iters·dim) on ≈ ℓ·rounds candidates — model-sized. */
+  private def weightedKmeansDriver(cands: Seq[(Array[Float], Long)],
+      k: Int, iters: Int = 10): Array[Array[Float]] = {
+    val cs = cands.filter(_._2 >= 0)
+    if (cs.isEmpty) return cands.take(k).map(_._1).toArray
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val centers = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+    val minCost = Array.fill(cs.length)(Double.MaxValue)
+    // seed: heaviest candidate; then argmax weight·distance-so-far
+    centers += cs.maxBy(c => (c._2, -cs.indexOf(c)))._1
+    while (centers.length < math.min(k, cs.length)) {
+      var bi = -1; var bs = -1.0
+      var i = 0
+      while (i < cs.length) {
+        minCost(i) = math.min(minCost(i), 1.0 - cos(cs(i)._1, centers.last))
+        val sc = cs(i)._2.toDouble * minCost(i)
+        if (sc > bs) { bs = sc; bi = i }
+        i += 1
+      }
+      centers += cs(bi)._1
+    }
+    val dim = cs.head._1.length
+    var cur = centers.toArray
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cur.length)(new Array[Double](dim))
+      val ws = new Array[Long](cur.length)
+      cs.foreach { case (v, w) =>
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < cur.length) {
+          val d = 1.0 - cos(v, cur(j))
+          if (d < bd) { bd = d; best = j }
+          j += 1
+        }
+        var t = 0
+        while (t < dim) { sums(best)(t) += v(t).toDouble * w; t += 1 }
+        ws(best) += w
+      }
+      cur = cur.indices.map { j =>
+        if (ws(j) == 0) cur(j)
+        else Array.tabulate(dim)(t => (sums(j)(t) / ws(j)).toFloat)
+      }.toArray
+    }
+    cur
+  }
+
+  /** Library entry: SemDeDup with the corpus-adaptive cluster count,
+    * seeded by [[kmeansParCentroids]] (round 12 — previously the
+    * deterministic hash sample; the pipeline downstream is unchanged,
+    * and the planted closed forms are centroid-set-independent by
+    * construction, so every gate hash is too). */
   def semDedupAdaptive(s: SparkSession, dir: String,
       threshold: Double = 0.9): DataFrame = {
     val emb = t(s, dir, "embeddings")
     semDedupOnCentroidRelation(emb,
-      ivfCentroids(emb, semDedupAdaptiveK(emb)), threshold)
+      kmeansParCentroids(emb, semDedupAdaptiveK(emb)), threshold)
   }
 
   /** `semdedup_adaptive` gate — the [[semDedupPlanted]] closed form
@@ -1191,7 +1346,7 @@ object Similarity {
       n: Int = 5): DataFrame = {
     val emb = plantedEmb(t(s, dir, "embeddings"), n)
     semDedupOnCentroidRelation(emb,
-      ivfCentroids(emb, semDedupAdaptiveK(emb)), threshold = 0.99)
+      kmeansParCentroids(emb, semDedupAdaptiveK(emb)), threshold = 0.99)
   }
 
   /** H-bit random-hyperplane signature. Plane weights are deterministic
@@ -1466,7 +1621,9 @@ object Similarity {
     *
     * An EMPTY arriving batch (a legitimate streaming trigger outcome —
     * and, with `upsertById`, a fully re-delivered batch) is an explicit
-    * no-op: `Seq.empty`, no transaction, index byte-identical.
+    * no-op: `Seq.empty`, transaction aborted (this lane's guard reads
+    * the live store, so it opens under the writer lease — round 12 —
+    * and releases it on the early-out), index byte-identical.
     *
     * `upsertById`: when true, arriving rows whose `vec_id` is already
     * in the vectors store are DROPPED before anything is staged — for
@@ -1487,10 +1644,14 @@ object Similarity {
       statsTable: Option[String] = None,
       upsertById: Boolean = false): Seq[(Int, Int)] = {
     import graft.store.IndexCommit
-    // heal BEFORE the first read: the upsert guard and the touched scan
-    // below consult the live store, which a crashed predecessor txn may
-    // still owe its committed state ([[IndexCommit.recover]])
-    IndexCommit.recover(s, indexPath)
+    // begin FIRST (writer lease + heal): the upsert guard and the
+    // touched scan below consult the live store — taking the lease
+    // before the first read means (a) a crashed predecessor's
+    // committed state is healed in, and (b) no concurrent writer can
+    // move the store between the guard read and the staged merge (the
+    // round-12 writer-lease contract). An empty effective batch
+    // aborts the transaction (lease released, live tree untouched).
+    val txn = IndexCommit.begin(s, indexPath)
     val fresh =
       if (upsertById)
         arriving.join(s.read.parquet(s"$indexPath/vectors")
@@ -1505,11 +1666,10 @@ object Similarity {
         col("bucket").cast("int").as("bucket"))
     val touched = newPostings.select("band", "bucket").distinct()
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
-    if (touched.isEmpty) return Seq.empty
+    if (touched.isEmpty) { IndexCommit.abort(txn); return Seq.empty }
     val touchedPred = touched.groupBy(_._1).toSeq.map { case (b, bks) =>
       col("band") === b && col("bucket").isin(bks.map(_._2): _*)
     }.reduce(_ || _)
-    val txn = IndexCommit.begin(s, indexPath)
     val existing = s.read.parquet(s"$indexPath/postings")
       .filter(touchedPred) // partition-pruned read of touched dirs only
       .select(col("vec_id"), col("band"), col("bucket"))
@@ -1518,6 +1678,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("band", "bucket")
       .option("compression", "zstd")
       .parquet(txn.stagingDir("postings").toString)
+    txn.heartbeat() // refresh the lease between long staged writes
     fresh.select(col("vec_id"), col("embedding"))
       .write.mode("overwrite")
       .option("compression", "zstd")

@@ -96,19 +96,33 @@ object BenchDiff {
     }
     (om, nm) match {
       case (Some(o), Some(n)) =>
-        if (beyondJitter(o.scanBytes, n.scanBytes))
-          hard += s"$name: scan_bytes ${o.scanBytes} -> ${n.scanBytes} (pruning or scan change)"
-        else if (o.scanBytes != n.scanBytes)
-          note += s"$name: scan_bytes ${o.scanBytes} -> ${n.scanBytes} (within jitter band)"
-        if (o.scanCols != n.scanCols)
+        // -1 is the "no QE event / failed action" sentinel on EVERY
+        // column — a one-sided -1 is missing data, never drift
+        def both(a: Long, b: Long): Boolean = a >= 0 && b >= 0
+        def oneSided(col: String, a: Long, b: Long): Unit =
+          if ((a < 0) != (b < 0))
+            note += s"$name: $col unmeasured on one side ($a -> $b)"
+        oneSided("scan_bytes", o.scanBytes, n.scanBytes)
+        oneSided("scan_columns", o.scanCols, n.scanCols)
+        oneSided("shuffle_records", o.shufRec, n.shufRec)
+        oneSided("output_rows", o.outRows, n.outRows)
+        if (both(o.scanBytes, n.scanBytes)) {
+          if (beyondJitter(o.scanBytes, n.scanBytes))
+            hard += s"$name: scan_bytes ${o.scanBytes} -> ${n.scanBytes} (pruning or scan change)"
+          else if (o.scanBytes != n.scanBytes)
+            note += s"$name: scan_bytes ${o.scanBytes} -> ${n.scanBytes} (within jitter band)"
+        }
+        if (both(o.scanCols, n.scanCols) && o.scanCols != n.scanCols)
           hard += s"$name: scan_columns ${o.scanCols} -> ${n.scanCols} (column pruning change)"
-        if (beyondJitter(o.shufRec, n.shufRec))
-          hard += s"$name: shuffle_records ${o.shufRec} -> ${n.shufRec} (exchange added/moved/removed)"
-        else if (o.shufRec != n.shufRec)
-          note += s"$name: shuffle_records ${o.shufRec} -> ${n.shufRec} (within jitter band)"
-        if (o.outRows != n.outRows && o.outRows >= 0 && n.outRows >= 0)
+        if (both(o.shufRec, n.shufRec)) {
+          if (beyondJitter(o.shufRec, n.shufRec))
+            hard += s"$name: shuffle_records ${o.shufRec} -> ${n.shufRec} (exchange added/moved/removed)"
+          else if (o.shufRec != n.shufRec)
+            note += s"$name: shuffle_records ${o.shufRec} -> ${n.shufRec} (within jitter band)"
+        }
+        if (both(o.outRows, n.outRows) && o.outRows != n.outRows)
           hard += s"$name: output_rows ${o.outRows} -> ${n.outRows} (RESULT drift)"
-        if (o.shufBytes != n.shufBytes)
+        if (both(o.shufBytes, n.shufBytes) && o.shufBytes != n.shufBytes)
           note += s"$name: shuffle_bytes ${o.shufBytes} -> ${n.shufBytes} (framing-dependent, not flagged)"
       case _ =>
         note += s"$name: task_metrics missing on one side (pre-metrics pin?)"

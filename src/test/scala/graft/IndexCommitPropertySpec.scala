@@ -113,7 +113,9 @@ class IndexCommitPropertySpec extends AnyFunSuite {
       "old state (pre-marker) or exactly the modeled new state " +
       "(post-marker) — never a mix") {
     val prevLease = IndexCommit.HealLeaseMs
+    val prevWriter = IndexCommit.WriterLeaseMs
     IndexCommit.HealLeaseMs = 0L
+    IndexCommit.WriterLeaseMs = 0L // crashed writers leave a fresh root lease
     try {
       var cases = 0
       shapes(12, seed = 20260815L).foreach { shape =>
@@ -148,13 +150,16 @@ class IndexCommitPropertySpec extends AnyFunSuite {
     } finally {
       IndexCommit.killPoint = _ => ()
       IndexCommit.HealLeaseMs = prevLease
+      IndexCommit.WriterLeaseMs = prevWriter
     }
   }
 
   test("a second crash DURING recovery still converges: kill the " +
       "roll-forward mid-apply, recover again, state is exactly new") {
     val prevLease = IndexCommit.HealLeaseMs
+    val prevWriter = IndexCommit.WriterLeaseMs
     IndexCommit.HealLeaseMs = 0L
+    IndexCommit.WriterLeaseMs = 0L
     try {
       shapes(8, seed = 42L).filter(s =>
         s.replaced.size + s.appends >= 2).foreach { shape =>
@@ -181,6 +186,7 @@ class IndexCommitPropertySpec extends AnyFunSuite {
     } finally {
       IndexCommit.killPoint = _ => ()
       IndexCommit.HealLeaseMs = prevLease
+      IndexCommit.WriterLeaseMs = prevWriter
     }
   }
 }

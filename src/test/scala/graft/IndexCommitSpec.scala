@@ -83,15 +83,22 @@ class IndexCommitSpec extends AnyFunSuite {
     } finally IndexCommit.killPoint = _ => ()
   }
 
-  /** A post-marker "crash" in this JVM leaves the writer's healing
-    * lock on disk with a FRESH mtime; production healers wait out the
-    * 5-minute lease before presuming the holder dead. The spec
-    * compresses the lease to zero so its own crashes heal immediately
-    * (the [[IndexCommit.killPoint]] seam discipline). */
+  /** A "crash" in this JVM leaves the writer's locks on disk with a
+    * FRESH mtime — the WRITER lease at the root from [[IndexCommit
+    * .begin]], and (post-marker) the healing lock in the txn dir;
+    * production recovery waits out the real leases before presuming
+    * the holder dead. The spec compresses BOTH leases to zero so its
+    * own crashes heal immediately (the [[IndexCommit.killPoint]] seam
+    * discipline). */
   private def withLease0[T](f: => T): T = {
-    val prev = IndexCommit.HealLeaseMs
+    val prevHeal = IndexCommit.HealLeaseMs
+    val prevWriter = IndexCommit.WriterLeaseMs
     IndexCommit.HealLeaseMs = 0L
-    try f finally IndexCommit.HealLeaseMs = prev
+    IndexCommit.WriterLeaseMs = 0L
+    try f finally {
+      IndexCommit.HealLeaseMs = prevHeal
+      IndexCommit.WriterLeaseMs = prevWriter
+    }
   }
 
   test("pre-commit crash (staged, marker not published): index is " +
@@ -106,8 +113,9 @@ class IndexCommitSpec extends AnyFunSuite {
     }
     // WRITER-side recovery rolls the marker-less txn BACK: staging
     // gone, live untouched (readers deliberately never roll back —
-    // see the reader-safety test below)
-    IndexCommit.recover(spark, idx)
+    // see the reader-safety test below). Lease compressed: the crashed
+    // writer's ROOT lease is fresh, and recovery must steal it first.
+    withLease0 { IndexCommit.recover(spark, idx) }
     assert(inventory(idx) === before,
       "pre-commit crash must leave the index byte-identical")
     // the rerun (healing first via begin) completes the maintenance
@@ -187,7 +195,9 @@ class IndexCommitSpec extends AnyFunSuite {
   }
 
   test("empty arriving batch is an explicit byte-identical no-op on " +
-      "all three compaction lanes (no transaction is even opened)") {
+      "all three compaction lanes (IVF lanes never open a transaction; " +
+      "the LSH lane — whose guard reads the live store under the " +
+      "lease — opens one and ABORTS it, releasing the writer lease)") {
     val none = arrivingSlice.filter(col("vec_id") < 0)
     // LSH
     val lsh = tempDir("graft_ic_el_")
@@ -261,7 +271,22 @@ class IndexCommitSpec extends AnyFunSuite {
     assert(inventory(idx) === before,
       "recoverForRead must not touch a marker-less (possibly live) txn")
     assert(txn.fs.exists(stagedFile), "live staging must survive readers")
-    // the NEXT WRITER (single-writer discipline) is who rolls it back
+    // while the writer is LIVE (fresh root lease), a second writer-side
+    // entry must fail loudly rather than roll a live staging back —
+    // the round-12 writer-lease contract
+    val prevWait = IndexCommit.WriterWaitMs
+    IndexCommit.WriterWaitMs = 300L
+    try {
+      val e = intercept[IllegalStateException] {
+        IndexCommit.recover(spark, idx)
+      }
+      assert(e.getMessage.contains("busy past"))
+    } finally IndexCommit.WriterWaitMs = prevWait
+    // once the writer's lease EXPIRES (the crash picture — backdate
+    // the root lock), the next writer steals it and rolls back
+    txn.fs.setTimes(new org.apache.hadoop.fs.Path(
+      txn.root, IndexCommit.WriterLockName),
+      System.currentTimeMillis() - 20 * 60 * 1000L, -1)
     IndexCommit.recover(spark, idx)
     assert(!txn.fs.exists(txn.dir), "writer recovery rolls dead staging back")
   }
@@ -334,7 +359,8 @@ class IndexCommitSpec extends AnyFunSuite {
       val e = intercept[IllegalStateException] {
         IndexCommit.recoverForRead(spark, idx)
       }
-      assert(e.getMessage.contains("healing lock busy"))
+      assert(e.getMessage.contains(
+        s"lock ${IndexCommit.HealLockName} busy past"))
     } finally IndexCommit.HealWaitMs = prevWait
     // expire the lease (backdate the lock), and the same call steals
     // the lock and heals to completion
@@ -342,5 +368,139 @@ class IndexCommitSpec extends AnyFunSuite {
     IndexCommit.recoverForRead(spark, idx)
     assert(!fs.exists(txnRoot), "lease takeover must retire the txn")
     assert(probeRows(idx).nonEmpty)
+  }
+
+  // ---- round-12: writer lease (verdict item 1) ----
+
+  test("writer lease: two CONCURRENT lshCompacts on one index " +
+      "serialize — both complete, final state equals sequential " +
+      "execution, no interleaved staging") {
+    val idx = tempDir("graft_ic_w2_")
+    val ref = tempDir("graft_ic_w2ref_")
+    buildBase(idx)
+    copyTree(idx, ref)
+    // two disjoint arriving batches — the double-fired-maintenance
+    // picture (retry + zombie driver). Disjoint and append-shaped, so
+    // the two orders the lease may serialize them in commute.
+    val batchA = emb.filter(col("vec_id") % 10 === 3)
+    val batchB = emb.filter(col("vec_id") % 10 === 4)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    // the loser legitimately WAITS out the winner's whole maintenance
+    // run — give the wait bound loaded-host headroom so the spec pins
+    // serialization, not scheduler luck
+    val prevWait = IndexCommit.WriterWaitMs
+    IndexCommit.WriterWaitMs = 180 * 1000L
+    try {
+      val t1 = new Thread(() =>
+        try Similarity.lshCompact(spark, idx, batchA)
+        catch { case t: Throwable => errs.add(t) })
+      val t2 = new Thread(() =>
+        try Similarity.lshCompact(spark, idx, batchB)
+        catch { case t: Throwable => errs.add(t) })
+      t1.start(); t2.start()
+      t1.join(240000); t2.join(240000)
+    } finally IndexCommit.WriterWaitMs = prevWait
+    assert(errs.isEmpty, s"concurrent compaction threw: ${errs.peek()}")
+    // the loser waited for the lease: no txn debris, lease released
+    assert(!new java.io.File(idx, IndexCommit.TxnDirName).exists())
+    assert(!new java.io.File(idx, IndexCommit.WriterLockName).exists())
+    // sequential reference: same two batches, one after the other
+    Similarity.lshCompact(spark, ref, batchA)
+    Similarity.lshCompact(spark, ref, batchB)
+    assert(probeRows(idx) === probeRows(ref),
+      "concurrent execution must probe exactly like sequential")
+    def postings(d: String) = spark.read.parquet(s"$d/postings")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(identity).toSeq
+    def vectors(d: String) = spark.read.parquet(s"$d/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(postings(idx) === postings(ref),
+      "no posting may be lost or duplicated by the race")
+    assert(vectors(idx) === vectors(ref),
+      "no vector row may be lost or duplicated by the race")
+  }
+
+  test("writer lease: a second begin() fails loudly while the first " +
+      "writer is live and past the wait bound; abort() releases") {
+    val idx = tempDir("graft_ic_wl_")
+    buildBase(idx)
+    val txn = IndexCommit.begin(spark, idx)
+    val prevWait = IndexCommit.WriterWaitMs
+    IndexCommit.WriterWaitMs = 300L
+    try {
+      val e = intercept[IllegalStateException] {
+        IndexCommit.begin(spark, idx)
+      }
+      assert(e.getMessage.contains(
+        s"lock ${IndexCommit.WriterLockName} busy past"))
+    } finally IndexCommit.WriterWaitMs = prevWait
+    // abort releases the lease; the next writer proceeds immediately
+    IndexCommit.abort(txn)
+    assert(!new java.io.File(idx, IndexCommit.WriterLockName).exists())
+    val txn2 = IndexCommit.begin(spark, idx)
+    IndexCommit.abort(txn2)
+  }
+
+  test("stolen writer lease: a stalled writer is detected BEFORE it " +
+      "can publish a marker — heartbeat/commit abort with the live " +
+      "tree holding only the thief's result") {
+    val idx = tempDir("graft_ic_steal_")
+    buildBase(idx)
+    // writer 1 begins and stages something, then stalls past its lease
+    val txn1 = IndexCommit.begin(spark, idx)
+    val staged1 = new org.apache.hadoop.fs.Path(
+      txn1.stagingDir("postings"), "stalled-writer.parquet")
+    val o = txn1.fs.create(staged1, true)
+    try o.write("stalled".getBytes("UTF-8")) finally o.close()
+    txn1.fs.setTimes(new org.apache.hadoop.fs.Path(
+      txn1.root, IndexCommit.WriterLockName),
+      System.currentTimeMillis() - 20 * 60 * 1000L, -1)
+    // writer 2 steals the expired lease; its begin() heals writer 1's
+    // marker-less staging AWAY (rollback is safe under the lease)
+    val before = inventory(idx)
+    Similarity.lshCompact(spark, idx, arrivingSlice)
+    assert(!txn1.fs.exists(staged1),
+      "the thief's begin() must roll the stalled staging back")
+    // writer 1 wakes up: heartbeat (and commit, which calls it) must
+    // fail loudly — the live tree was already moved by the thief
+    val e1 = intercept[IllegalStateException](txn1.heartbeat())
+    assert(e1.getMessage.contains("stolen"))
+    val e2 = intercept[IllegalStateException] {
+      IndexCommit.commit(txn1, Seq(
+        IndexCommit.Replace("postings/band=0", "postings/band=0")))
+    }
+    assert(e2.getMessage.contains("stolen"))
+    // and the index is exactly the thief's result — writer 1 never
+    // touched it (probe healthy, no foreign txn debris)
+    assert(!new java.io.File(idx, IndexCommit.TxnDirName).exists())
+    assert(probeRows(idx).nonEmpty)
+    assert(inventory(idx) !== before, "the thief's compaction landed")
+  }
+
+  // ---- round-12: object-store capability gate (verdict item 2) ----
+
+  test("capability gate: schemes without atomic O(1) rename are " +
+      "refused fast with the table-format pointer; HDFS-like schemes " +
+      "and file: pass") {
+    for (bad <- Seq("s3a", "s3n", "s3", "gs", "wasb", "oss"))
+      assert(!IndexCommit.atomicRenameScheme(bad), s"scheme $bad")
+    for (good <- Seq("file", "hdfs", "viewfs", "abfs", "abfss"))
+      assert(IndexCommit.atomicRenameScheme(good), s"scheme $good")
+    val localFs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val e = intercept[IllegalArgumentException] {
+      IndexCommit.requireAtomicRename(localFs,
+        new org.apache.hadoop.fs.Path("s3a://bucket/index"))
+    }
+    assert(e.getMessage.contains("atomic O(1) rename"))
+    assert(e.getMessage.contains("s3a"))
+    assert(e.getMessage.contains("manifest"),
+      "the refusal must point at the table-format answer")
+    // a file: tree passes the gate end-to-end (every other test in
+    // this suite exercises it; begin() is the gated entry)
+    val idx = tempDir("graft_ic_gate_")
+    buildBase(idx)
+    val txn = IndexCommit.begin(spark, idx)
+    IndexCommit.abort(txn)
   }
 }

@@ -198,7 +198,7 @@ class MultimodalSpec extends AnyFunSuite {
       // PNG signature: a real bitstream, not repackaged raw pixels
       assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte &&
         png(2) === 'N'.toByte && png(3) === 'G'.toByte)
-      val (dw, dh, px) = Multimodal.decodePng(png)
+      val (dw, dh, px) = Multimodal.decodeViaRegistry(png)
       assert(dw === w && dh === h)
       for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
         assert((px((y * w + x) * 3 + c) & 0xff) ===
@@ -207,7 +207,7 @@ class MultimodalSpec extends AnyFunSuite {
     }
     // a non-image payload fails loudly, never emits garbage pixels
     intercept[IllegalArgumentException] {
-      Multimodal.decodePng("not a png".getBytes("UTF-8"))
+      Multimodal.decodeViaRegistry("not a png".getBytes("UTF-8"))
     }
   }
 
@@ -255,10 +255,10 @@ class MultimodalSpec extends AnyFunSuite {
       "2.0 tolerance") {
     for (id <- Seq(1L, 7L, 64L)) {
       val w = Multimodal.ppmWidth(id); val h = Multimodal.ppmHeight(id)
-      val jpg = Multimodal.jpegEncode(id, w, h)
+      val jpg = Multimodal.jpegEncode(id)
       // JPEG SOI marker: a real entropy-coded bitstream
       assert((jpg(0) & 0xff) === 0xff && (jpg(1) & 0xff) === 0xd8)
-      val (dw, dh, px) = Multimodal.decodePng(jpg) // ImageIO sniffs format
+      val (dw, dh, px) = Multimodal.decodeViaRegistry(jpg) // sniffs format
       assert(dw === w && dh === h)
       // lossy: pixels differ, but each channel MEAN stays inside 1.5
       // (measured max 1.0 — chroma DC quantization) against the gate's
@@ -272,6 +272,54 @@ class MultimodalSpec extends AnyFunSuite {
         assert(math.abs(dec - exact) <= 1.5,
           s"channel $c mean drift ${math.abs(dec - exact)} on image $id")
       }
+    }
+  }
+
+  test("mp4: payload is a genuine ISO-BMFF container; the box walk " +
+      "recovers brand/duration/tracks/handlers/codecs FROM the bytes " +
+      "and rescales duration with the PARSED timescale") {
+    for (id <- Seq(2L, 5L, 8L, 35L, 170L)) {
+      val p = Multimodal.mp4Encode(id)
+      // leads with a real ftyp box (size + 4CC + major brand)
+      assert(new String(p, 4, 4, "US-ASCII") === "ftyp")
+      assert(new String(p, 8, 4, "US-ASCII") === "isom")
+      val m = Multimodal.parseMp4(id, p)
+      assert(m.brand === "isom")
+      assert(m.timescale === 600L, "stored at the QuickTime timescale")
+      assert(m.duration_ms === 1000L + (id % 17) * 250L)
+      assert(m.n_tracks === 1 + (id % 2).toInt)
+      assert(m.handlers === (if (id % 2 == 1) "vide,soun" else "vide"))
+      assert(m.codecs === (if (id % 2 == 1) "avc1,mp4a" else "avc1"))
+    }
+    // duration genuinely comes from mvhd units ÷ timescale: patch the
+    // stored 32-bit duration field and the parsed ms must track the
+    // BYTES, diverging from the id's closed form
+    val id = 5L
+    val p = Multimodal.mp4Encode(id)
+    val pos = (0 until p.length - 4).find(i =>
+      p(i) == 'm' && p(i + 1) == 'v' && p(i + 2) == 'h' &&
+        p(i + 3) == 'd').get
+    // mvhd payload: ver/flags(4) ctime(4) mtime(4) timescale(4) then
+    // duration — 20 bytes past the type 4CC
+    val d = pos + 20
+    p(d) = 0; p(d + 1) = 0; p(d + 2) = 4; p(d + 3) = 0xb0.toByte // 1200
+    assert(Multimodal.parseMp4(id, p).duration_ms === 2000L,
+      "1200 units at timescale 600 must parse as 2000 ms")
+    // a malformed payload fails loudly, never emits garbage metadata
+    intercept[IllegalArgumentException] {
+      Multimodal.parseMp4(0L, "notanmp4boxstream!!".getBytes("UTF-8"))
+    }
+    // the Spark lane reproduces the closed forms end-to-end
+    val rows = Multimodal.mp4Meta(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mid = r.getLong(0)
+      assert(mid % 3 === 2L)
+      assert(r.getString(1) === "isom")
+      assert(r.getLong(2) === 600L)
+      assert(r.getLong(3) === 1000L + (mid % 17) * 250L)
+      assert(r.getInt(4) === 1 + (mid % 2).toInt)
+      assert(r.getString(6) === (if (mid % 2 == 1) "avc1,mp4a" else "avc1"))
     }
   }
 

@@ -23,6 +23,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(seeded === full)
   }
 
+  test("kmeans|| seeding (round 12): deterministic, k centroids out, " +
+      "corpus clustering cost no worse than the hash-sample seed set, " +
+      "and the adaptive SemDeDup closed form is unchanged") {
+    val emb = graft.Tables.load(spark, TestSpark.sf, "embeddings")
+    val k = Similarity.semDedupAdaptiveK(emb)
+    val a = Similarity.kmeansParCentroids(emb, k)
+    val b = Similarity.kmeansParCentroids(emb, k)
+    assert(a.length === k)
+    // hash-uniform sampling + deterministic reduce: bit-stable rerun
+    assert(a.map { case (i, v) => (i, v.toSeq) }.toSeq ===
+      b.map { case (i, v) => (i, v.toSeq) }.toSeq)
+    // the seeding's whole point: corpus k-means cost (sum of 1 - cosine
+    // to the nearest center) must not be WORSE than the naive
+    // hash-sample seed set it replaces (driver replay — the fixture
+    // corpus is small enough to price exactly)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+        ny += y(i).toDouble * y(i); i += 1
+      }
+      if (nx == 0 || ny == 0) 0.0 else d / math.sqrt(nx * ny)
+    }
+    def costOf(cents: Array[(Long, Array[Float])]): Double =
+      vecs.map(v => cents.map(c => 1.0 - cos(v, c._2)).min).sum
+    val naive = Similarity.ivfCentroids(emb, k)
+    val parCost = costOf(a)
+    val naiveCost = costOf(naive)
+    assert(parCost <= naiveCost * 1.0001,
+      s"kmeans|| cost $parCost must not exceed hash-sample cost $naiveCost")
+    // planted recall through the swapped seeding: survivors are exactly
+    // the original corpus (centroid-set independence — the gate's claim)
+    val surv = Similarity.semDedupAdaptivePlanted(spark, TestSpark.sf)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val orig = emb.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(surv === orig)
+  }
+
   test("brute-force top-k: k rows, descending, cosine in [-1,1]") {
     val out = Similarity.bruteForceTopK(spark, TestSpark.sf, 0L, 10).collect()
     assert(out.length === 10)
