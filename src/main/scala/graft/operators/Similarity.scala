@@ -1175,26 +1175,52 @@ object Similarity {
     * verdict's promised swap-in behind the adaptive-k SemDeDup path.
     *
     * Shape per the paper: one seed center (min-xxhash row — the
-    * [[ivfCentroids]] discipline), then `rounds` oversampling passes,
-    * each admitting every point independently with probability
+    * [[ivfCentroids]] discipline), then `rounds` oversampling passes
+    * (2 by default — Spark MLlib's own `initSteps` default), each
+    * admitting every point independently with probability
     * min(1, ℓ·cost(x)/φ) where cost(x) = 1 − max-cosine to the centers
     * so far and φ = Σcost (ℓ = 2k — the paper's recommended
-    * oversampling); a final pass weighs every candidate by the corpus
-    * mass it attracts; the weighted candidate set (≈ ℓ·rounds rows —
-    * bounded MODEL state, the only collect) reduces driver-side to k
-    * centers via deterministic farthest-point seeding + weighted
-    * Lloyd. Distributed cost: 2 narrow corpus passes per round + 1
-    * weighting pass — each a broadcast-k crossJoin projected to
-    * (vec_id, cost) BEFORE the aggregate, so embeddings never ride the
-    * N×k relation (the [[semDedupOnCentroidRelation]] discipline).
-    * That is the honest price of seeding quality: a bad seed set at
-    * k ∝ √N costs recall, and this is the fix the SemDeDup paper's own
-    * deployment (k-means on LAION) assumes. */
+    * oversampling); a final pass weighs every candidate by the mass it
+    * attracts; the weighted candidate set (≈ ℓ·rounds rows — bounded
+    * MODEL state, the only collect) reduces driver-side to k centers
+    * via deterministic farthest-point seeding + weighted Lloyd.
+    *
+    * COST DISCIPLINE — seeding must stay cheaper than the job it
+    * seeds: every pass costs O(|train| · candidates) cosines, and at
+    * k ∝ √N a FULL-corpus train relation makes seeding Θ(N·k) =
+    * Θ(N^1.5) — the same order as the SemDeDup pair term itself, which
+    * would erase the adaptive-k win. So the passes run on a
+    * DETERMINISTIC HASH SAMPLE capped at `samplesPerCenter`·k rows
+    * (xxhash64 threshold, the hash_sample discipline; the full corpus
+    * whenever it is smaller than the cap, so small-SF behavior — and
+    * every contract hash — is unchanged). 64 rows per center is
+    * k-means++-init-quality territory (≥ k·log k samples), and it
+    * makes seeding Θ(k²·spc) = Θ(N) at k ∝ √N — strictly below the
+    * pair term. The passes are broadcast-k crossJoins projected to
+    * (vec_id, cost) BEFORE the aggregate, so embeddings never ride
+    * the |train|×k relation (the [[semDedupOnCentroidRelation]]
+    * discipline). */
   private[graft] def kmeansParCentroids(emb: DataFrame, k: Int,
-      rounds: Int = 3): Array[(Long, Array[Float])] = {
+      rounds: Int = 2, samplesPerCenter: Int = 64)
+      : Array[(Long, Array[Float])] = {
     val s = emb.sparkSession
     import s.implicits._
     val ell = 2L * k
+    // deterministic training slice: ~cap rows by xxhash64 threshold
+    // (sizing from optimizer stats at >= 256 B/row — free metadata,
+    // zero extra jobs; estimate error only moves the sample size)
+    val nEst = (emb.queryExecution.optimizedPlan.stats.sizeInBytes
+      .max(BigInt(256)) / 256).toLong
+    val cap = math.max(4096L, samplesPerCenter.toLong * k)
+    val emb0 =
+      if (nEst <= cap) emb.select(col("vec_id"), col("embedding"))
+      else {
+        val cut = BigInt(Long.MinValue) + (BigInt(2).pow(64) * cap / nEst)
+        val cutL =
+          if (cut >= BigInt(Long.MaxValue)) Long.MaxValue else cut.toLong
+        emb.select(col("vec_id"), col("embedding"))
+          .filter(xxhash64(col("vec_id")) < lit(cutL))
+      }
     // uniform in [0,1) from (vec_id, round) — the dsirResample hash
     def uni(round: Int) = conv(substring(md5(concat_ws("-",
       col("vec_id").cast("string"), lit(round.toString))), 1, 8), 16, 10)
@@ -1204,13 +1230,12 @@ object Similarity {
     // (vec_id, d-to-nearest-of-cs) — narrow: the crossJoin streams
     // embeddings through the broadcast nested loop but projects them
     // away pre-shuffle
-    def costVs(cs: Seq[Array[Float]]) = emb
-      .select(col("vec_id"), col("embedding"))
+    def costVs(cs: Seq[Array[Float]]) = emb0
       .crossJoin(broadcast(centDf(cs)))
       .select(col("vec_id"),
         (lit(1.0) - cosine(col("embedding"), col("centroid"))).as("d"))
       .groupBy(col("vec_id")).agg(min(col("d")).as("nc"))
-    val seed = ivfCentroids(emb, 1)
+    val seed = ivfCentroids(emb0, 1)
     val centers = scala.collection.mutable.ArrayBuffer(seed.map(_._2): _*)
     // running per-row cost, maintained INCREMENTALLY: each round prices
     // the corpus against only that round's NEW centers and folds it in
@@ -1237,7 +1262,7 @@ object Similarity {
           if (phi <= 0) Seq.empty // every point already at a center
           else cost
             .filter(uni(r) < lit(ell.toDouble) * col("cost") / lit(phi))
-            .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+            .join(emb0, Seq("vec_id"))
             .select(col("vec_id"), col("embedding"))
             .orderBy(col("vec_id")) // deterministic candidate order
             .collect()
@@ -1248,7 +1273,7 @@ object Similarity {
     // weigh candidates by attracted corpus mass (narrow argmin +
     // count); tie-break cid asc via min(struct(d, cid))
     val cands = centers.toSeq
-    val weights = emb.select(col("vec_id"), col("embedding"))
+    val weights = emb0
       .crossJoin(broadcast(centDf(cands)))
       .select(col("vec_id"),
         struct((lit(1.0) - cosine(col("embedding"), col("centroid")))
@@ -1271,49 +1296,70 @@ object Similarity {
   /** Driver-local weighted k-means over the bounded candidate set:
     * deterministic farthest-point seeding (argmax weight·cost, ties by
     * candidate order), then weighted Lloyd over cosine divergence.
-    * O(|cands|·k·iters·dim) on ≈ ℓ·rounds candidates — model-sized. */
+    * O(|cands|·k·iters·dim) on ≈ ℓ·rounds candidates — model-sized,
+    * but at k ∝ √N that product reaches tens of gigaflops at the 30×
+    * rehearsal, so the inner products run on CACHED norms and the
+    * Lloyd assignment step fans out over a parallel stream (each slot
+    * written independently; the accumulation stays serial in fixed
+    * candidate order, so the reduce is bit-deterministic). */
   private def weightedKmeansDriver(cands: Seq[(Array[Float], Long)],
       k: Int, iters: Int = 10): Array[Array[Float]] = {
-    val cs = cands.filter(_._2 >= 0)
-    if (cs.isEmpty) return cands.take(k).map(_._1).toArray
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-        nb += b(i).toDouble * b(i); i += 1
-      }
-      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    val vec = cands.map(_._1).toArray
+    val wt = cands.map(_._2).toArray
+    val n = vec.length
+    if (n == 0) return Array.empty
+    val dim = vec(0).length
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); i += 1 }
+      d
     }
+    def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val vn = vec.map(norm)
+    def divTo(i: Int, c: Array[Float], cn: Double): Double =
+      if (vn(i) == 0 || cn == 0) 1.0
+      else 1.0 - dot(vec(i), c) / (vn(i) * cn)
     val centers = scala.collection.mutable.ArrayBuffer[Array[Float]]()
-    val minCost = Array.fill(cs.length)(Double.MaxValue)
-    // seed: heaviest candidate; then argmax weight·distance-so-far
-    centers += cs.maxBy(c => (c._2, -cs.indexOf(c)))._1
-    while (centers.length < math.min(k, cs.length)) {
+    val minCost = Array.fill(n)(Double.MaxValue)
+    // seed: heaviest candidate (ties → first); then argmax w·cost
+    var s0 = 0
+    var i0 = 1
+    while (i0 < n) { if (wt(i0) > wt(s0)) s0 = i0; i0 += 1 }
+    centers += vec(s0)
+    while (centers.length < math.min(k, n)) {
+      val last = centers.last; val ln = norm(last)
       var bi = -1; var bs = -1.0
       var i = 0
-      while (i < cs.length) {
-        minCost(i) = math.min(minCost(i), 1.0 - cos(cs(i)._1, centers.last))
-        val sc = cs(i)._2.toDouble * minCost(i)
+      while (i < n) {
+        minCost(i) = math.min(minCost(i), divTo(i, last, ln))
+        val sc = wt(i).toDouble * minCost(i)
         if (sc > bs) { bs = sc; bi = i }
         i += 1
       }
-      centers += cs(bi)._1
+      centers += vec(bi)
     }
-    val dim = cs.head._1.length
     var cur = centers.toArray
     for (_ <- 1 to iters) {
-      val sums = Array.fill(cur.length)(new Array[Double](dim))
-      val ws = new Array[Long](cur.length)
-      cs.foreach { case (v, w) =>
+      val cn = cur.map(norm)
+      val assign = new Array[Int](n)
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
         var best = 0; var bd = Double.MaxValue; var j = 0
         while (j < cur.length) {
-          val d = 1.0 - cos(v, cur(j))
+          val d = divTo(i, cur(j), cn(j))
           if (d < bd) { bd = d; best = j }
           j += 1
         }
+        assign(i) = best
+      }
+      val sums = Array.fill(cur.length)(new Array[Double](dim))
+      val ws = new Array[Long](cur.length)
+      var c = 0
+      while (c < n) { // serial, fixed order — deterministic sums
+        val b = assign(c)
         var t = 0
-        while (t < dim) { sums(best)(t) += v(t).toDouble * w; t += 1 }
-        ws(best) += w
+        while (t < dim) { sums(b)(t) += vec(c)(t).toDouble * wt(c); t += 1 }
+        ws(b) += wt(c)
+        c += 1
       }
       cur = cur.indices.map { j =>
         if (ws(j) == 0) cur(j)

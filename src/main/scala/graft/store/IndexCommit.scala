@@ -100,13 +100,12 @@ import org.apache.spark.sql.SparkSession
   *    delete(target)/rename(staged) and lose a partition. The writer
   *    takes the lock before publishing the marker, so a reader that
   *    sees the marker mid-apply WAITS for the txn dir to disappear
-  *    instead of racing. Lock acquisition is write-then-verify (an
-  *    owner UUID read back after a settle delay) so it stays correct
-  *    even where `create(overwrite=false)` is check-then-act rather
-  *    than atomic (the local FS; on HDFS-like stores creates are
-  *    namenode-atomic and the settle is skipped), and carries a
-  *    LEASE: a lock older than `leaseMs` is presumed crashed and
-  *    stolen via atomic rename (only one stealer wins). The apply
+  *    instead of racing. Lock acquisition is a genuinely ATOMIC
+  *    exclusive create per scheme (O_EXCL via java.nio on the local
+  *    FS — Hadoop's local `create(overwrite=false)` is check-then-act;
+  *    namenode/server-arbitrated creates on HDFS-like stores), and
+  *    carries a LEASE: a lock older than `leaseMs` is presumed crashed
+  *    and stolen via atomic rename (only one stealer wins). The apply
   *    loop REFRESHES the lock's mtime and RE-VERIFIES ownership
   *    before every destructive step, so a live-but-slow applier is
   *    never presumed dead while it works, and an applier whose lock
@@ -141,12 +140,6 @@ object IndexCommit {
     * silently turning the commit point into a copy. */
   private val AtomicRenameSchemes =
     Set("file", "hdfs", "viewfs", "abfs", "abfss")
-
-  /** Schemes whose `create(overwrite=false)` is atomic (namenode/
-    * server-arbitrated), letting lock acquisition trust the create
-    * result and skip the settle+read-back heuristic the local FS's
-    * check-then-act create needs. */
-  private val AtomicCreateSchemes = Set("hdfs", "viewfs", "abfs", "abfss")
 
   /** Lease on a healing lock: a holder silent for this long is
     * presumed crashed and its lock is stolen. The apply loop touches
@@ -193,41 +186,59 @@ object IndexCommit {
           "pointer swap (Iceberg/Delta-style) instead of directory moves.")
   }
 
-  /** Write-then-verify, lease-carrying lock acquisition — the shared
-    * machinery behind both the healing lock and the writer lease.
-    * Returns Some(ownerToken) on acquisition; None when `stillNeeded`
-    * turns false while waiting (the guarded resource was retired by a
-    * peer — nothing left to do). Stale locks (older than `leaseMs`)
-    * are stolen via atomic rename (one stealer wins; the winner deletes
+  /** Lease-carrying lock acquisition — the shared machinery behind
+    * both the healing lock and the writer lease. Returns
+    * Some(ownerToken) on acquisition; None when `stillNeeded` turns
+    * false while waiting (the guarded resource was retired by a peer —
+    * nothing left to do). Stale locks (older than `leaseMs`) are
+    * stolen via atomic rename (one stealer wins; the winner deletes
     * the renamed-aside husk). Throws after `waitMs` if the lock stays
     * busy and fresh — a caller that can neither acquire nor steal must
-    * not proceed. On [[AtomicCreateSchemes]] the create result is
-    * trusted directly; elsewhere (local FS) acquisition settles 25 ms
-    * and reads back the owner, so two check-then-act racers resolve to
-    * exactly one winner. */
+    * not proceed.
+    *
+    * Acquisition is a genuinely ATOMIC exclusive create per scheme:
+    * on `file:` Hadoop's `create(overwrite=false)` is check-then-act
+    * (a >settle GC pause between one racer's existence check and its
+    * write defeated the earlier 25 ms settle+read-back heuristic under
+    * test-suite heap pressure — TWO owners), so the local path goes
+    * through `java.nio.Files.createFile` (O_EXCL — OS-atomic); on the
+    * HDFS-like schemes the capability gate admits, the namenode/server
+    * arbitrates `create(overwrite=false)` and its result is trusted
+    * directly. The token write lands AFTER
+    * the claim; a concurrent content read in that window sees an empty
+    * owner, which only the owner's own verify paths consult (they run
+    * strictly after the write). */
   private[graft] def acquireLock(fs: FileSystem, lock: Path,
       stillNeeded: () => Boolean, leaseMs: Long, waitMs: Long)
       : Option[String] = {
     val me = java.util.UUID.randomUUID().toString
-    val atomicCreate = AtomicCreateSchemes(
-      Option(lock.toUri.getScheme).getOrElse(fs.getScheme))
+    val scheme = Option(lock.toUri.getScheme).getOrElse(fs.getScheme)
     val deadline = System.currentTimeMillis() + waitMs
-    while (true) {
-      if (!stillNeeded()) return None
-      val created =
+    def claim(): Boolean =
+      if (scheme == "file") {
+        // OS-level O_EXCL create, then write the token through the
+        // claimed handle's path
+        try {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(lock.toUri.getPath))
+          val out = fs.create(lock, true)
+          try out.write(me.getBytes("UTF-8")) finally out.close()
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false // parent gone: busy/retry
+        }
+      } else {
         try {
           val out = fs.create(lock, false)
           try out.write(me.getBytes("UTF-8")) finally out.close()
           true
         } catch { case _: java.io.IOException => false }
-      if (created) {
-        if (atomicCreate) return Some(me)
-        // settle, then read back: where create(overwrite=false) is
-        // check-then-act (local FS), two racers may both have written;
-        // the file holds the LAST write, so exactly one sees itself
-        Thread.sleep(25)
-        if (lockOwner(fs, lock).contains(me)) return Some(me)
-      } else {
+      }
+    while (true) {
+      if (!stillNeeded()) return None
+      if (claim()) return Some(me)
+      else {
         // busy: steal only a lease-expired lock (atomic rename — one
         // stealer wins), then loop back to a fresh acquisition attempt
         val stale =

@@ -10,7 +10,7 @@ object CompactProfile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     def t[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"[prof] $tag ${(System.nanoTime()-t0)/1e9}%.2fs"); r

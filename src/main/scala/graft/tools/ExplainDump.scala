@@ -16,7 +16,7 @@ object ExplainDump {
     // (no stream_* or dedup_clusters here: building those DFs EXECUTES
     // the stream / the iterative rounds, not just plans them)
     "ann_ivf_topk", "ann_lsh_topk", "ann_lsh_recall", "dedup_candidates",
-    "text_stats", "mm_meta", "mm_resize", "contract_nulls",
+    "text_stats", "mm_meta", "mm_mp4_meta", "mm_resize", "contract_nulls",
     "repetition_scores", "entropy_scores", "source_quantiles",
     "ann_lsh_recall_gate", "approx_stats_gate", "mm_features",
     "fingerprints", "join_anti", "set_except",
