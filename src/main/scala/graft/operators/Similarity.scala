@@ -742,18 +742,22 @@ object Similarity {
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return Seq.empty
     val txn = IndexCommit.begin(s, indexPath)
-    val existing = s.read.parquet(s"$indexPath/codes")
-      .filter(col("cell").isin(touched: _*)) // partition-pruned read
-      .select(col("vec_id"), col("cell"),
-        col("c0"), col("c1"), col("c2"), col("c3"))
-    existing.unionByName(coded)
-      .repartition(col("cell")) // one writer task per touched cell
-      .write.mode("overwrite").partitionBy("cell")
-      .option("compression", "zstd")
-      .parquet(txn.stagingDir("codes").toString)
-    IndexCommit.commit(txn,
-      IndexCommit.replaceOpsFor(txn, "codes", "codes",
-        partitionDepth = 1))
+    try {
+      val existing = s.read.parquet(s"$indexPath/codes")
+        .filter(col("cell").isin(touched: _*)) // partition-pruned read
+        .select(col("vec_id"), col("cell"),
+          col("c0"), col("c1"), col("c2"), col("c3"))
+      existing.unionByName(coded)
+        .repartition(col("cell")) // one writer task per touched cell
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd")
+        .parquet(txn.stagingDir("codes").toString)
+      IndexCommit.commit(txn,
+        IndexCommit.replaceOpsFor(txn, "codes", "codes",
+          partitionDepth = 1))
+    } catch { case t if scala.util.control.NonFatal(t) =>
+      IndexCommit.releaseOnFailure(txn); throw t // see lshCompact
+    }
     statsTable.foreach(
       graft.models.Catalog.refreshStatsAfterMutation(s, _))
     touched
@@ -1698,41 +1702,54 @@ object Similarity {
     // round-12 writer-lease contract). An empty effective batch
     // aborts the transaction (lease released, live tree untouched).
     val txn = IndexCommit.begin(s, indexPath)
-    val fresh =
-      if (upsertById)
-        arriving.join(s.read.parquet(s"$indexPath/vectors")
-          .select("vec_id"), Seq("vec_id"), "left_anti")
-      else arriving
-    // cast to the partitioned read's inferred types (int/int) so the
-    // merge union and the staged write target identical partition values
-    val newPostings = fresh.select(col("vec_id"),
-      posexplode(graft.functions.SketchExpressions.hyperplaneBands(
-        col("embedding"), planes, bands)).as(Seq("band", "bucket")))
-      .select(col("vec_id"), col("band").cast("int").as("band"),
-        col("bucket").cast("int").as("bucket"))
-    val touched = newPostings.select("band", "bucket").distinct()
-      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
-    if (touched.isEmpty) { IndexCommit.abort(txn); return Seq.empty }
-    val touchedPred = touched.groupBy(_._1).toSeq.map { case (b, bks) =>
-      col("band") === b && col("bucket").isin(bks.map(_._2): _*)
-    }.reduce(_ || _)
-    val existing = s.read.parquet(s"$indexPath/postings")
-      .filter(touchedPred) // partition-pruned read of touched dirs only
-      .select(col("vec_id"), col("band"), col("bucket"))
-    existing.unionByName(newPostings)
-      .repartition(col("band"), col("bucket"))
-      .write.mode("overwrite").partitionBy("band", "bucket")
-      .option("compression", "zstd")
-      .parquet(txn.stagingDir("postings").toString)
-    txn.heartbeat() // refresh the lease between long staged writes
-    fresh.select(col("vec_id"), col("embedding"))
-      .write.mode("overwrite")
-      .option("compression", "zstd")
-      .parquet(txn.stagingDir("vectors").toString)
-    IndexCommit.commit(txn,
-      IndexCommit.replaceOpsFor(txn, "postings", "postings",
-        partitionDepth = 2) ++
-        IndexCommit.appendOpsFor(txn, "vectors", "vectors"))
+    val touched =
+      try {
+        val fresh =
+          if (upsertById)
+            arriving.join(s.read.parquet(s"$indexPath/vectors")
+              .select("vec_id"), Seq("vec_id"), "left_anti")
+          else arriving
+        // cast to the partitioned read's inferred types (int/int) so the
+        // merge union and the staged write target identical partition
+        // values
+        val newPostings = fresh.select(col("vec_id"),
+          posexplode(graft.functions.SketchExpressions.hyperplaneBands(
+            col("embedding"), planes, bands)).as(Seq("band", "bucket")))
+          .select(col("vec_id"), col("band").cast("int").as("band"),
+            col("bucket").cast("int").as("bucket"))
+        val touched0 = newPostings.select("band", "bucket").distinct()
+          .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+        if (touched0.isEmpty) { IndexCommit.abort(txn); return Seq.empty }
+        val touchedPred = touched0.groupBy(_._1).toSeq.map { case (b, bks) =>
+          col("band") === b && col("bucket").isin(bks.map(_._2): _*)
+        }.reduce(_ || _)
+        val existing = s.read.parquet(s"$indexPath/postings")
+          .filter(touchedPred) // partition-pruned read of touched dirs
+          .select(col("vec_id"), col("band"), col("bucket"))
+        existing.unionByName(newPostings)
+          .repartition(col("band"), col("bucket"))
+          .write.mode("overwrite").partitionBy("band", "bucket")
+          .option("compression", "zstd")
+          .parquet(txn.stagingDir("postings").toString)
+        txn.heartbeat() // refresh the lease between long staged writes
+        fresh.select(col("vec_id"), col("embedding"))
+          .write.mode("overwrite")
+          .option("compression", "zstd")
+          .parquet(txn.stagingDir("vectors").toString)
+        IndexCommit.commit(txn,
+          IndexCommit.replaceOpsFor(txn, "postings", "postings",
+            partitionDepth = 2) ++
+            IndexCommit.appendOpsFor(txn, "vectors", "vectors"))
+        touched0
+      } catch { case t if scala.util.control.NonFatal(t) =>
+        // NON-FATAL exception is a transient FAILURE, not a crash: roll
+        // marker-less staging back and release the lease NOW instead of
+        // holding the index for a whole lease term; a committed txn is
+        // left for roll-forward healing. Fatal errors (VM death) fall
+        // through untouched: that IS a crash, and the lease-expiry +
+        // healing protocol owns it.
+        IndexCommit.releaseOnFailure(txn); throw t
+      }
     statsTable.foreach(
       graft.models.Catalog.refreshStatsAfterMutation(s, _))
     touched
@@ -2367,21 +2384,25 @@ object Similarity {
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return Seq.empty
     val txn = IndexCommit.begin(s, vectorsPath)
-    val existingAll = s.read.parquet(vectorsPath)
-      .filter(col("cell").isin(touched: _*)) // partition-pruned read
-      .select(col("vec_id"), col("embedding"), col("cell"))
-    val existing =
-      if (upsertById)
-        existingAll.join(assigned.select("vec_id"), Seq("vec_id"),
-          "left_anti")
-      else existingAll
-    existing.unionByName(assigned)
-      .repartition(col("cell")) // one writer task per touched cell
-      .write.mode("overwrite").partitionBy("cell")
-      .option("compression", "zstd")
-      .parquet(txn.stagingDir("cells").toString)
-    IndexCommit.commit(txn,
-      IndexCommit.replaceOpsFor(txn, "cells", "", partitionDepth = 1))
+    try {
+      val existingAll = s.read.parquet(vectorsPath)
+        .filter(col("cell").isin(touched: _*)) // partition-pruned read
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val existing =
+        if (upsertById)
+          existingAll.join(assigned.select("vec_id"), Seq("vec_id"),
+            "left_anti")
+        else existingAll
+      existing.unionByName(assigned)
+        .repartition(col("cell")) // one writer task per touched cell
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd")
+        .parquet(txn.stagingDir("cells").toString)
+      IndexCommit.commit(txn,
+        IndexCommit.replaceOpsFor(txn, "cells", "", partitionDepth = 1))
+    } catch { case t if scala.util.control.NonFatal(t) =>
+      IndexCommit.releaseOnFailure(txn); throw t // see lshCompact
+    }
     statsTable.foreach(
       graft.models.Catalog.refreshStatsAfterMutation(s, _))
     touched

@@ -378,6 +378,43 @@ object IndexCommit {
     releaseWriterLease(txn.fs, txn.root, txn.writerToken)
   }
 
+  /** Cleanup for a maintenance run that FAILED with an exception (a
+    * transient Spark error mid-stage, a kill signal that unwound the
+    * stack) — as opposed to a process crash, where nothing runs and
+    * the lease expires. Releasing promptly here is what keeps a flaky
+    * batch from locking the index for a whole [[WriterLeaseMs]]:
+    *
+    *  - no commit marker yet → the failure predates the atomic point:
+    *    pure rollback (staging deleted, live tree untouched, lease
+    *    released) — the next run starts clean immediately;
+    *  - marker PUBLISHED → the transaction is durable and MUST roll
+    *    forward, never back: the txn dir is left for healing (the
+    *    next writer's [[begin]] or any probe's [[recoverForRead]]
+    *    completes it) and only the lease is released.
+    *
+    * Ownership-checked like every release — if the lease was already
+    * stolen (the failure WAS a stall), nothing is touched. */
+  def releaseOnFailure(txn: Txn): Unit = {
+    val committed =
+      try txn.fs.exists(new Path(txn.dir, "_COMMIT"))
+      catch { case _: java.io.IOException => true } // unsure: keep the txn
+    if (!committed)
+      try txn.fs.delete(txn.dir, true)
+      catch { case _: java.io.IOException => () }
+    else {
+      // the failed writer owns the txn's healing lock (it created it
+      // pre-marker); releasing it here lets the NEXT healer roll the
+      // durable txn forward immediately instead of waiting out the
+      // heal lease on a lock whose holder is known-unwound
+      val lock = new Path(txn.dir, HealLockName)
+      if (lockOwner(txn.fs, lock).contains(txn.writerToken))
+        try txn.fs.delete(lock, false)
+        catch { case _: java.io.IOException => () }
+    }
+    reapIfEmpty(txn.fs, new Path(txn.root, TxnDirName))
+    releaseWriterLease(txn.fs, txn.root, txn.writerToken)
+  }
+
   /** Publish the commit marker (the atomic point), then apply + clean,
     * then release the writer lease. The lease is re-verified BEFORE
     * the marker: a writer that lost it mid-stage aborts here with the

@@ -74,12 +74,28 @@ class IndexCommitSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
   }
 
+  /** CRASH model: a FATAL-classed throwable (`NonFatal` = false), so
+    * the maintenance lanes' transient-failure cleanup does NOT run —
+    * exactly like a process death, the locks and staging stay on disk
+    * for the healing protocol. The transient-failure test below uses
+    * [[withFail]] (a plain RuntimeException) to pin the cleanup path. */
   private def withKill[T](at: String)(f: => T): Unit = {
     IndexCommit.killPoint = ev =>
-      if (ev == at) throw new RuntimeException(s"KILLED@$ev")
+      if (ev == at) throw new InterruptedException(s"KILLED@$ev")
+    try {
+      val e = intercept[InterruptedException](f)
+      assert(e.getMessage == s"KILLED@$at")
+    } finally IndexCommit.killPoint = _ => ()
+  }
+
+  /** TRANSIENT-FAILURE model: a NonFatal exception unwinds the lane,
+    * whose cleanup ([[IndexCommit.releaseOnFailure]]) must run. */
+  private def withFail[T](at: String)(f: => T): Unit = {
+    IndexCommit.killPoint = ev =>
+      if (ev == at) throw new RuntimeException(s"FAIL@$ev")
     try {
       val e = intercept[RuntimeException](f)
-      assert(e.getMessage == s"KILLED@$at")
+      assert(e.getMessage == s"FAIL@$at")
     } finally IndexCommit.killPoint = _ => ()
   }
 
@@ -475,6 +491,42 @@ class IndexCommitSpec extends AnyFunSuite {
     assert(!new java.io.File(idx, IndexCommit.TxnDirName).exists())
     assert(probeRows(idx).nonEmpty)
     assert(inventory(idx) !== before, "the thief's compaction landed")
+  }
+
+  test("transient lane failure (NonFatal) releases the writer lease " +
+      "IMMEDIATELY: pre-marker failure rolls staging back; post-marker " +
+      "failure leaves the durable txn healable without any lease wait") {
+    val idx = tempDir("graft_ic_fail_")
+    val ref = tempDir("graft_ic_failref_")
+    buildBase(idx)
+    copyTree(idx, ref)
+    val before = inventory(idx)
+    // pre-marker failure: staging rolled back, lease free, live tree
+    // byte-identical — the next run needs NO lease compression, NO
+    // recover call, NO waiting
+    withFail("staged") {
+      Similarity.lshCompact(spark, idx, arrivingSlice)
+    }
+    assert(!new java.io.File(idx, IndexCommit.WriterLockName).exists(),
+      "a failed (not crashed) run must release the writer lease")
+    assert(!new java.io.File(idx, IndexCommit.TxnDirName).exists(),
+      "a pre-marker failure must roll its own staging back")
+    assert(inventory(idx) === before)
+    // post-marker failure: the txn is DURABLE (marker published) and
+    // must survive for roll-forward; the lease AND the failed writer's
+    // healing lock are released, so the next writer heals it forward
+    // under DEFAULT leases — nothing to steal, nothing to wait out
+    withFail("committed") {
+      Similarity.lshCompact(spark, idx, arrivingSlice)
+    }
+    assert(!new java.io.File(idx, IndexCommit.WriterLockName).exists())
+    assert(new java.io.File(idx, IndexCommit.TxnDirName).exists(),
+      "a committed txn must never be rolled back by failure cleanup")
+    IndexCommit.recover(spark, idx) // default leases — immediate
+    assert(!new java.io.File(idx, IndexCommit.TxnDirName).exists())
+    Similarity.lshCompact(spark, ref, arrivingSlice)
+    assert(probeRows(idx) === probeRows(ref),
+      "failure + healing must land exactly the clean-run state")
   }
 
   // ---- round-12: object-store capability gate (verdict item 2) ----
