@@ -368,6 +368,11 @@ object SparkEntry {
     // cells by per-cell rewrite; probes must equal a from-scratch rebuild
     "ann_ivf_compact" -> ((s: SparkSession, d: String) =>
       Similarity.ivfCompactPlanted(s, d)),
+    // the same maintenance lifecycle over the versioned-manifest store
+    // (immutable segments, one-file commit, manifest-level pruning) —
+    // the object-store-honest deployment of index maintenance
+    "ann_ivf_compact_mf" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfCompactManifestPlanted(s, d)),
     // metadata-filtered index probe: cell pruning + label row-group
     // pushdown; top-k must be label-pure with the copy at rank 1
     "ann_ivf_filtered" -> ((s: SparkSession, d: String) =>
@@ -2513,6 +2518,15 @@ object SparkEntry {
     // compaction == rebuild, and the planted copies (which exist ONLY in
     // the arriving batch) surface at rank 1 — both closed-form
     "ann_ivf_compact" ->
+      """SELECT CAST(q_id AS BIGINT) AS q_id,
+        | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
+        | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact,
+        | TRUE AS agrees_rebuild
+        | FROM (SELECT unnest(range(0, 5)) AS q_id)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    // manifest-store maintenance: identical closed form — the commit
+    // protocol must not change one probed row
+    "ann_ivf_compact_mf" ->
       """SELECT CAST(q_id AS BIGINT) AS q_id,
         | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
         | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact,

@@ -2507,6 +2507,123 @@ object Similarity {
     }
   }
 
+  /** [[ivfCompact]] over a [[graft.store.ManifestStore]] — the
+    * versioned-manifest deployment of IVF maintenance (round-12: the
+    * object-store-honest commit path). Semantics are IDENTICAL to
+    * [[ivfCompact]]: frozen centroids, arriving vectors assigned to
+    * their frozen-argmax home cells, only the touched cells merged
+    * (with the same `upsertById` re-delivery contract); what changes is
+    * the storage protocol — the merged cells land as a new IMMUTABLE
+    * segment and the commit is one manifest create, so
+    *
+    *  - concurrent probes keep snapshot isolation with NO mid-swap
+    *    window (IndexCommit's documented in-flight-scan caveat does not
+    *    exist here — nothing published ever moves);
+    *  - the store works on flat-namespace object stores, where
+    *    IndexCommit fails fast by design;
+    *  - every prior version stays time-travel-readable until
+    *    [[graft.store.ManifestStore.vacuum]] retires it.
+    *
+    * Returns the touched cell ids (k-bounded metadata), as
+    * [[ivfCompact]] does. */
+  def ivfCompactManifest(s: SparkSession, rootPath: String,
+      arriving: DataFrame,
+      trained: Array[(Int, Array[Double])],
+      upsertById: Boolean = false): Seq[Int] = {
+    val assigned = arriving.select(col("vec_id"), col("embedding"),
+      argmaxOver(trained).getField("cluster").as("cell"))
+    graft.store.ManifestStore.upsertPartitions(s, rootPath, assigned,
+      "cell", if (upsertById) Some("vec_id") else None).map(_.toInt)
+  }
+
+  /** Contract gate for [[ivfCompactManifest]] — the
+    * [[ivfCompactPlanted]] lifecycle run over the versioned-manifest
+    * store instead of the in-place hive tree, closing the loop on the
+    * same two closed-form expectations (planted copies reach the index
+    * only through the maintenance path and surface at rank 1;
+    * compaction ≡ from-scratch rebuild row-for-row).
+    *
+    * The probe is the manifest-pruning showcase: the per-query probe
+    * cells are ranked driver-side against the frozen centroids (the
+    * identical accumulation order as [[ivfProbeIndexed]]'s replica, so
+    * the two lanes agree bit-for-bit) and ONLY those cells' manifest
+    * entries reach the scan — at 100 TB on an object store that is
+    * zero list calls over unprobed prefixes, the pruning DPP performs
+    * on the hive lane moved up into driver-side metadata. */
+  def ivfCompactManifestPlanted(s: SparkSession, dir: String, n: Int = 5,
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    import graft.store.ManifestStore
+    val emb = t(s, dir, "embeddings")
+    val isBatch = col("vec_id") % 10 === 3
+    val base = emb.filter(!isBatch)
+    val arriving = emb.filter(isBatch).unionByName(
+      emb.filter(col("vec_id") < n)
+        .withColumn("vec_id", col("vec_id") + Dedup.PlantOffset))
+    val trained = collectCentroids(kmeansIterate(s, dir, 2), "cluster")
+    val scratch = scratchDir(s, "graft-ivfmf-")
+    // closed-range planted predicate — the ivfCompactPlanted 30x lesson
+    val isArriving = col("vec_id") % 10 === 3 ||
+      (col("vec_id") >= Dedup.PlantOffset &&
+        col("vec_id") < Dedup.PlantOffset + n)
+    val assignedAll = base.unionByName(arriving)
+      .select(col("vec_id"), col("embedding"),
+        argmaxOver(trained).getField("cluster").as("cell"))
+      .persist()
+    try {
+      val live = s"$scratch/live"
+      ManifestStore.create(s, live, assignedAll.filter(!isArriving), "cell")
+      ivfCompactManifest(s, live, arriving, trained)
+      val queries = emb.filter(col("vec_id") < n)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      // driver-side cell ranking, identical accumulation order to the
+      // CosineSim expression (the ivfProbeIndexed replica)
+      def cos(a: Array[Float], b: Array[Double]): Double = {
+        var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+        while (i < a.length) {
+          val xi = a(i).toDouble; val yi = b(i)
+          xy += xi * yi; xx += xi * xi; yy += yi * yi; i += 1
+        }
+        xy / (math.sqrt(xx) * math.sqrt(yy))
+      }
+      val probeCells = queries.flatMap { case (_, qv) =>
+        trained.map { case (cid, v) => (-cos(qv, v), cid) }
+          .sorted.take(nProbe).map(_._2)
+      }.distinct.sorted
+      val centsL = trained.map { case (c, v) => (c.toLong, v) }
+      def reduceTopk(df: DataFrame): Map[Long, Array[(Long, Double)]] =
+        df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .groupBy(_._1)
+          .map { case (q, hits) =>
+            q -> hits.filter(_._2 != q).map(h => (h._2, h._3))
+          }
+      // live lane: the REAL storage path — manifest-pruned snapshot scan
+      val pruned = ManifestStore.read(s, live,
+        Some(probeCells.map(_.toString).toSeq))
+        .select("vec_id", "embedding", "cell")
+      val liveTop = reduceTopk(
+        multiProbeOn(pruned, centsL, queries.toSeq, k, nProbe))
+      // rebuild reference: same probe plan over the cached assignment
+      // (the ivfCompactPlanted argument — a rebuilt store holds exactly
+      // these rows in exactly these cells)
+      val rebuildTop = reduceTopk(multiProbeOn(assignedAll, centsL,
+        queries.toSeq, k, nProbe))
+      val rows = queries.map { case (qid, _) =>
+        val a = liveTop(qid)
+        val b = rebuildTop(qid)
+        (qid, a.head._1, 1, a.head._2 >= 0.999999, a.sameElements(b))
+      }
+      s.createDataFrame(rows.toSeq)
+        .toDF("q_id", "vec_id", "rn", "is_exact", "agrees_rebuild")
+        .orderBy("q_id")
+    } finally {
+      assignedAll.unpersist()
+      deleteScratch(s, scratch)
+    }
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold — the
     * embedding analog of MinHash near-dup dedup, and shaped the same way
     * (`Dedup.minhashCandidates`):

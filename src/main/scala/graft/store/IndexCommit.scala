@@ -46,12 +46,12 @@ import org.apache.spark.sql.SparkSession
   * an apply swaps a partition (delete target, rename staged in) can
   * observe the partition mid-swap — absent, or FileNotFound — exactly
   * as it can under Spark's own dynamic partition overwrite. Removing
-  * that window needs versioned directories behind a pointer file
-  * (readers resolve a `_CURRENT` manifest; commit = one small-file
-  * rename, apply moves nothing) — at 100 TB that is a table format's
-  * job (Iceberg/Delta-style metadata trees), not a library's; the
-  * probe lanes here heal-then-scan, which is the contract this module
-  * actually keeps.
+  * that window needs versioned immutable segments behind a manifest
+  * commit (readers resolve a snapshot; commit publishes one small
+  * file, apply moves nothing) — which is exactly what the sibling
+  * [[ManifestStore]] provides (round 12), object stores included; the
+  * probe lanes here heal-then-scan, which is the contract THIS module
+  * keeps for in-place hive trees.
   *
   * FILESYSTEM CAPABILITY GATE: both the commit marker's atomicity and
   * the "nothing index-sized moves" cost claim assume `rename` is an
@@ -182,8 +182,9 @@ object IndexCommit {
           "(O(index bytes)) and the commit-marker rename decays to " +
           "copy+delete, losing the atomic commit point. Host the index " +
           "on an HDFS-like store (hdfs, viewfs, abfs) or local disk, or " +
-          "manage it through a table format whose commit is a manifest-" +
-          "pointer swap (Iceberg/Delta-style) instead of directory moves.")
+          "use graft.store.ManifestStore, whose commit is one immutable " +
+          "manifest-file publish (no directory moves) and which supports " +
+          "object stores by design.")
   }
 
   /** Lease-carrying lock acquisition — the shared machinery behind

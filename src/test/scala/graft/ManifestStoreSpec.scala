@@ -1,0 +1,321 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{IndexCommit, ManifestStore}
+
+/** Contract spec for the versioned-manifest store (round-12: the
+  * object-store-honest commit path [[graft.store.IndexCommit]]'s
+  * scaladoc points at). The protocol claims four things IndexCommit
+  * cannot give, and each gets a direct test:
+  *
+  *  - NO mid-swap window: a scan resolved BEFORE a commit collects the
+  *    identical rows AFTER it — published data never moves;
+  *  - crash-atomicity with NO healing protocol at all: a pre-commit
+  *    crash leaves readers on the old version (orphan segment
+  *    invisible), a post-commit crash is simply durable;
+  *  - TIME TRAVEL: every retained version stays readable;
+  *  - MANIFEST-LEVEL pruning: a parts-filtered read scans only the
+  *    named partitions' leaf dirs (asserted on `inputFiles`).
+  *
+  * Plus the shared maintenance contracts: upsert == rebuild,
+  * upsertById re-delivery idempotence, empty-batch no-op, crashed
+  * writer's lease stolen by the next writer, vacuum retention. */
+class ManifestStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def tempDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/store"
+
+  /** Small typed fixture: (id, part, payload). Deterministic. */
+  private def rows(ids: Range, tag: String): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, i % 4, s"$tag-$i")).toDF("id", "part", "v")
+  }
+
+  private def contents(df: DataFrame): Set[(Long, Int, String)] =
+    df.select("id", "part", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+
+  test("create + read roundtrip; version 1") {
+    val root = tempDir("mf-roundtrip")
+    val base = rows(0 until 40, "a")
+    assert(ManifestStore.create(spark, root, base, "part") === 1L)
+    assert(ManifestStore.currentVersion(spark, root) === Some(1L))
+    assert(contents(ManifestStore.read(spark, root)) === contents(base))
+    // the partition column survives as a DATA column (the layout
+    // duplicate is the hive dir; `part` itself rides in the files)
+    assert(ManifestStore.read(spark, root).columns.toSet
+      === Set("id", "part", "v"))
+  }
+
+  test("upsert == rebuild; untouched segment files never rewritten") {
+    val root = tempDir("mf-upsert")
+    val base = rows(0 until 40, "a")
+    ManifestStore.create(spark, root, base, "part")
+    val before = inventory(root)
+    val batch = rows(40 until 60, "b") // parts 0..3 — all touched
+    val touched = ManifestStore.upsertPartitions(
+      spark, root, batch, "part")
+    assert(touched === Seq("0", "1", "2", "3"))
+    assert(ManifestStore.currentVersion(spark, root) === Some(2L))
+    assert(contents(ManifestStore.read(spark, root))
+      === contents(base.unionByName(batch)))
+    // every file present at v1 is byte-identical after the commit —
+    // immutability is the protocol, not a best effort
+    val after = inventory(root)
+    before.filterNot(_._1.startsWith("_")).foreach { case (rel, sig) =>
+      assert(after.get(rel) === Some(sig), s"v1 file $rel was mutated")
+    }
+  }
+
+  test("partially-touched upsert keeps untouched entries by reference") {
+    val root = tempDir("mf-partial")
+    ManifestStore.create(spark, root, rows(0 until 40, "a"), "part")
+    import spark.implicits._
+    val batch = Seq((100L, 2, "x-100")).toDF("id", "part", "v")
+    assert(ManifestStore.upsertPartitions(spark, root, batch, "part")
+      === Seq("2"))
+    val got = contents(ManifestStore.read(spark, root))
+    assert(got === contents(rows(0 until 40, "a")) + ((100L, 2, "x-100")))
+  }
+
+  test("no mid-swap window: a pre-commit scan is stable through a commit") {
+    val root = tempDir("mf-snapshot")
+    val base = rows(0 until 40, "a")
+    ManifestStore.create(spark, root, base, "part")
+    val inflight = ManifestStore.read(spark, root) // paths resolved NOW
+    ManifestStore.upsertPartitions(spark, root,
+      rows(40 until 80, "b"), "part")
+    // the commit landed (current reader sees it)...
+    assert(contents(ManifestStore.read(spark, root)).size === 80)
+    // ...and the in-flight scan still collects exactly the old snapshot
+    // — the guarantee IndexCommit's apply-phase directory swaps cannot
+    // give a scan that resolved before the marker
+    assert(contents(inflight) === contents(base))
+  }
+
+  test("time travel: every retained version readable; bad version loud") {
+    val root = tempDir("mf-travel")
+    val base = rows(0 until 20, "a")
+    ManifestStore.create(spark, root, base, "part")
+    ManifestStore.upsertPartitions(spark, root, rows(20 until 30, "b"), "part")
+    ManifestStore.upsertPartitions(spark, root, rows(30 until 40, "c"), "part")
+    assert(ManifestStore.versions(spark, root) === Seq(1L, 2L, 3L))
+    assert(contents(ManifestStore.read(spark, root, version = Some(1L)))
+      === contents(base))
+    assert(contents(ManifestStore.read(spark, root, version = Some(2L)))
+      === contents(base.unionByName(rows(20 until 30, "b"))))
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.read(spark, root, version = Some(9L))
+    }
+    assert(e.getMessage.contains("not retained"))
+  }
+
+  test("upsertById: re-delivered batch is content-idempotent") {
+    val root = tempDir("mf-redeliver")
+    ManifestStore.create(spark, root, rows(0 until 40, "a"), "part")
+    val batch = rows(10 until 20, "NEW") // overwrites ids 10..19
+    ManifestStore.upsertPartitions(spark, root, batch, "part",
+      idCol = Some("id"))
+    val once = contents(ManifestStore.read(spark, root))
+    assert(once.size === 40) // replaced, not duplicated
+    assert(once.count(_._3.startsWith("NEW")) === 10)
+    ManifestStore.upsertPartitions(spark, root, batch, "part",
+      idCol = Some("id")) // replay
+    assert(contents(ManifestStore.read(spark, root)) === once)
+  }
+
+  test("empty batch: no version bump, no transaction") {
+    val root = tempDir("mf-empty")
+    ManifestStore.create(spark, root, rows(0 until 8, "a"), "part")
+    val empty = rows(0 until 8, "a").filter(lit(false))
+    assert(ManifestStore.upsertPartitions(spark, root, empty, "part")
+      === Seq.empty)
+    assert(ManifestStore.currentVersion(spark, root) === Some(1L))
+  }
+
+  test("crash before manifest publish: readers keep the old version; " +
+      "vacuum reaps the orphan segment") {
+    val root = tempDir("mf-crash-staged")
+    val base = rows(0 until 40, "a")
+    ManifestStore.create(spark, root, base, "part")
+    ManifestStore.killPoint = p =>
+      if (p == "staged") throw new RuntimeException("kill@staged")
+    try intercept[RuntimeException] {
+      ManifestStore.upsertPartitions(spark, root,
+        rows(40 until 60, "b"), "part")
+    } finally ManifestStore.killPoint = _ => ()
+    // no healing protocol, nothing to recover: the reader just reads
+    assert(ManifestStore.currentVersion(spark, root) === Some(1L))
+    assert(contents(ManifestStore.read(spark, root)) === contents(base))
+    // the orphan segment is on disk but unreferenced…
+    val segs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "seg")).count()
+    assert(segs === 2) // v1's segment + the orphan
+    // …and vacuum (under the writer lease, so "unreferenced" = dead)
+    // reaps it without touching the live version
+    val deleted = ManifestStore.vacuum(spark, root, keepLast = 1)
+    assert(deleted.nonEmpty)
+    assert(contents(ManifestStore.read(spark, root)) === contents(base))
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "seg")).count() === 1)
+  }
+
+  test("crash after manifest publish: the commit is simply durable") {
+    val root = tempDir("mf-crash-committed")
+    val base = rows(0 until 40, "a")
+    ManifestStore.create(spark, root, base, "part")
+    ManifestStore.killPoint = p =>
+      if (p == "committed") throw new RuntimeException("kill@committed")
+    try intercept[RuntimeException] {
+      ManifestStore.upsertPartitions(spark, root,
+        rows(40 until 60, "b"), "part")
+    } finally ManifestStore.killPoint = _ => ()
+    assert(ManifestStore.currentVersion(spark, root) === Some(2L))
+    assert(contents(ManifestStore.read(spark, root))
+      === contents(base.unionByName(rows(40 until 60, "b"))))
+  }
+
+  test("crashed writer's expired lease is stolen by the next writer") {
+    val root = tempDir("mf-lease-steal")
+    ManifestStore.create(spark, root, rows(0 until 8, "a"), "part")
+    // model a crashed writer: a lease file nobody will release,
+    // backdated past WriterLeaseMs so it is steal-eligible
+    val lock = java.nio.file.Paths.get(root, IndexCommit.WriterLockName)
+    java.nio.file.Files.write(lock, "dead-writer".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - IndexCommit.WriterLeaseMs - 60000))
+    ManifestStore.upsertPartitions(spark, root, rows(8 until 12, "b"), "part")
+    assert(contents(ManifestStore.read(spark, root)).size === 12)
+    assert(!java.nio.file.Files.exists(lock)) // released by the thief
+  }
+
+  test("a live lease blocks a second writer loudly past the wait bound") {
+    val root = tempDir("mf-lease-busy")
+    ManifestStore.create(spark, root, rows(0 until 8, "a"), "part")
+    val lock = java.nio.file.Paths.get(root, IndexCommit.WriterLockName)
+    java.nio.file.Files.write(lock, "live-writer".getBytes("UTF-8"))
+    val oldWait = IndexCommit.WriterWaitMs
+    IndexCommit.WriterWaitMs = 250
+    try {
+      val e = intercept[IllegalStateException] {
+        ManifestStore.upsertPartitions(spark, root,
+          rows(8 until 12, "b"), "part")
+      }
+      assert(e.getMessage.contains("busy"))
+    } finally {
+      IndexCommit.WriterWaitMs = oldWait
+      java.nio.file.Files.deleteIfExists(lock)
+    }
+  }
+
+  test("concurrent writers serialize on the lease; both batches land") {
+    val root = tempDir("mf-concurrent")
+    ManifestStore.create(spark, root, rows(0 until 20, "a"), "part")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(ManifestStore.upsertPartitions(spark, root,
+      rows(20 until 30, "b"), "part", idCol = Some("id")))
+    val f2 = Future(ManifestStore.upsertPartitions(spark, root,
+      rows(30 until 40, "c"), "part", idCol = Some("id")))
+    Await.result(f1, 120.seconds); Await.result(f2, 120.seconds)
+    assert(ManifestStore.currentVersion(spark, root) === Some(3L))
+    assert(contents(ManifestStore.read(spark, root)) === contents(
+      rows(0 until 20, "a").unionByName(rows(20 until 30, "b"))
+        .unionByName(rows(30 until 40, "c"))))
+  }
+
+  test("manifest-level pruning: only the named partitions' dirs scan") {
+    val root = tempDir("mf-prune")
+    ManifestStore.create(spark, root, rows(0 until 40, "a"), "part")
+    ManifestStore.upsertPartitions(spark, root,
+      rows(40 until 50, "b"), "part")
+    val pruned = ManifestStore.read(spark, root, parts = Some(Seq("2")))
+    assert(contents(pruned) ===
+      contents(rows(0 until 50, "a").filter(col("part") === 2))
+        .map { case (id, p, _) =>
+          (id, p, if (id >= 40) s"b-$id" else s"a-$id") })
+    // the scan's input files live ONLY under part=2 leaf dirs — the
+    // pruning happened in driver-side manifest metadata, before Spark
+    // ever listed a path
+    val files = pruned.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("part__p=2")), files.mkString("\n"))
+    val allFiles = ManifestStore.read(spark, root).inputFiles
+    assert(files.length < allFiles.length)
+    // pruned-to-nothing: empty frame, schema intact
+    val none = ManifestStore.read(spark, root, parts = Some(Seq("99")))
+    assert(none.count() === 0)
+    assert(none.columns.toSet === Set("id", "part", "v"))
+  }
+
+  test("vacuum: retention horizon; old versions unreadable, current intact") {
+    val root = tempDir("mf-vacuum")
+    val base = rows(0 until 20, "a")
+    ManifestStore.create(spark, root, base, "part")
+    ManifestStore.upsertPartitions(spark, root, rows(20 until 30, "b"), "part")
+    ManifestStore.upsertPartitions(spark, root, rows(30 until 40, "c"), "part")
+    val current = contents(ManifestStore.read(spark, root))
+    val deleted = ManifestStore.vacuum(spark, root, keepLast = 1)
+    assert(deleted.exists(_.endsWith("v00000001.mf")))
+    assert(ManifestStore.versions(spark, root) === Seq(3L))
+    assert(contents(ManifestStore.read(spark, root)) === current)
+    intercept[IllegalArgumentException] {
+      ManifestStore.read(spark, root, version = Some(1L))
+    }
+    // vacuum keeps PARTIALLY-referenced old segments' live leaves: the
+    // kept manifest may reference v1-era leaf dirs for untouched parts
+    val kept = ManifestStore.read(spark, root).inputFiles
+    assert(kept.nonEmpty) // every referenced file still resolves
+  }
+
+  test("create refuses an initialized root; keyed-column mismatch loud") {
+    val root = tempDir("mf-guard")
+    ManifestStore.create(spark, root, rows(0 until 8, "a"), "part")
+    val e1 = intercept[IllegalArgumentException] {
+      ManifestStore.create(spark, root, rows(0 until 8, "a"), "part")
+    }
+    assert(e1.getMessage.contains("already initialized"))
+    import spark.implicits._
+    val wrong = Seq((1L, 0, "x")).toDF("id", "other", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestStore.upsertPartitions(spark, root, wrong, "other")
+    }
+    assert(e2.getMessage.contains("keyed by"))
+  }
+
+  test("ivfCompactManifestPlanted: compaction == rebuild, copies at rank 1") {
+    val got = graft.operators.Similarity
+      .ivfCompactManifestPlanted(spark, sf).collect()
+    assert(got.length === 5)
+    got.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) + graft.operators.Dedup.PlantOffset)
+      assert(r.getInt(2) === 1)
+      assert(r.getBoolean(3), s"planted copy not exact at q=${r.getLong(0)}")
+      assert(r.getBoolean(4), s"manifest compaction != rebuild at q=${r.getLong(0)}")
+    }
+  }
+
+  /** Recursive (relative path → (length, content hash)) inventory —
+    * the IndexCommitSpec discipline for byte-level immutability. */
+  private def inventory(root: String): Map[String, (Long, Long)] = {
+    val base = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(base)) return Map.empty
+    val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    java.nio.file.Files.walk(base).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        var h = 1125899906842597L
+        bytes.foreach(b => h = h * 31 + b)
+        out(base.relativize(p).toString) = (bytes.length.toLong, h)
+      }
+    }
+    out.toMap
+  }
+}
