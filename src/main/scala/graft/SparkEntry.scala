@@ -373,6 +373,11 @@ object SparkEntry {
     // the object-store-honest deployment of index maintenance
     "ann_ivf_compact_mf" -> ((s: SparkSession, d: String) =>
       Similarity.ivfCompactManifestPlanted(s, d)),
+    // LSH maintenance over the MULTI-TABLE manifest store: touched
+    // posting partitions + the vectors append land in ONE atomic
+    // manifest commit — no redo log, no healing, no mixed state
+    "ann_lsh_compact_mf" -> ((s: SparkSession, d: String) =>
+      Similarity.lshCompactManifestPlanted(s, d)),
     // metadata-filtered index probe: cell pruning + label row-group
     // pushdown; top-k must be label-pure with the copy at rank 1
     "ann_ivf_filtered" -> ((s: SparkSession, d: String) =>
@@ -2518,6 +2523,15 @@ object SparkEntry {
     // compaction == rebuild, and the planted copies (which exist ONLY in
     // the arriving batch) surface at rank 1 — both closed-form
     "ann_ivf_compact" ->
+      """SELECT CAST(q_id AS BIGINT) AS q_id,
+        | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
+        | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact,
+        | TRUE AS agrees_rebuild
+        | FROM (SELECT unnest(range(0, 5)) AS q_id)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    // multi-table manifest-store LSH maintenance: identical closed form
+    // to ann_lsh_compact — the commit protocol must not change one row
+    "ann_lsh_compact_mf" ->
       """SELECT CAST(q_id AS BIGINT) AS q_id,
         | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
         | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact,

@@ -2507,6 +2507,159 @@ object Similarity {
     }
   }
 
+  /** [[writeLshIndex]]'s layout over a multi-table
+    * [[graft.store.ManifestStore]]: the `(band, bucket)`-keyed postings
+    * table (key rendered `band_bucket`, layout-only — band and bucket
+    * ride as data columns, nothing redundant stored) plus the
+    * append-only narrow vectors table, initialized in ONE atomic
+    * version-1 commit. */
+  def writeLshIndexManifest(s: SparkSession, emb: DataFrame,
+      rootPath: String, planes: Int = 4, bands: Int = 8): Unit = {
+    import graft.store.ManifestStore
+    val postings = emb.select(col("vec_id"),
+      posexplode(graft.functions.SketchExpressions.hyperplaneBands(
+        col("embedding"), planes, bands)).as(Seq("band", "bucket")))
+      .select(col("vec_id"), col("band").cast("int").as("band"),
+        col("bucket").cast("int").as("bucket"))
+      .withColumn("bb", concat(col("band"), lit("_"), col("bucket")))
+    ManifestStore.createTables(s, rootPath, Seq(
+      (ManifestStore.TableDef("postings", "bb", keyInData = false),
+        postings),
+      (ManifestStore.TableDef("vectors", ""),
+        emb.select(col("vec_id"), col("embedding")))))
+  }
+
+  /** [[lshCompact]] over the manifest store — incremental LSH
+    * maintenance where the touched `(band, bucket)` posting partitions
+    * AND the vectors append land in ONE atomic manifest commit: a
+    * reader sees postings-new with vectors-new or postings-old with
+    * vectors-old, never the mixed state, with no redo log, no healing
+    * protocol, and no mid-swap window (snapshot isolation — the
+    * [[graft.store.ManifestStore]] claims). Semantics identical to
+    * [[lshCompact]]: frozen hyperplanes, per-batch work bounded by
+    * batch × bands, `upsertById` re-delivery idempotence via the
+    * narrow anti-join against the live vectors table — which runs
+    * INSIDE the commit's planning closure, i.e. under the writer
+    * lease, the same guard-read discipline lshCompact gets from
+    * opening its transaction first.
+    *
+    * Returns the touched (band, bucket) pairs (bounded metadata). */
+  def lshCompactManifest(s: SparkSession, rootPath: String,
+      arriving: DataFrame, planes: Int = 4, bands: Int = 8,
+      upsertById: Boolean = false): Seq[(Int, Int)] = {
+    import graft.store.ManifestStore
+    val touched = ManifestStore.commitTables(s, rootPath) {
+      val fresh =
+        if (upsertById)
+          arriving.join(
+            ManifestStore.readTable(s, rootPath, "vectors")
+              .select("vec_id"), Seq("vec_id"), "left_anti")
+        else arriving
+      val newPostings = fresh.select(col("vec_id"),
+        posexplode(graft.functions.SketchExpressions.hyperplaneBands(
+          col("embedding"), planes, bands)).as(Seq("band", "bucket")))
+        .select(col("vec_id"), col("band").cast("int").as("band"),
+          col("bucket").cast("int").as("bucket"))
+        .withColumn("bb", concat(col("band"), lit("_"), col("bucket")))
+      Seq(
+        ManifestStore.Upsert("postings", newPostings,
+          // bb is layout-only (derivable): restore it on the live
+          // touched slice with the same derivation as the write side
+          rekey = Some(df => df.withColumn("bb",
+            concat(col("band"), lit("_"), col("bucket"))))),
+        ManifestStore.Append("vectors",
+          fresh.select(col("vec_id"), col("embedding"))))
+    }
+    touched.getOrElse("postings", Seq.empty).map { bb =>
+      val Array(b, k) = bb.split('_'); (b.toInt, k.toInt)
+    }.sorted
+  }
+
+  /** [[lshProbeIndexed]] over the manifest store: the probe signatures
+    * are computed by the SAME distributed expression (bit-identical
+    * buckets), their distinct `(band, bucket)` keys collected (bounded
+    * by queries × bands — the probe relation is already a driver-side
+    * batch in this lane family), and ONLY those keys' manifest entries
+    * reach the postings scan — manifest-level pruning standing in for
+    * the hive lane's DPP. Candidates dedup before any vector byte is
+    * read; the exact-cosine rerank hydrates from the vectors table by
+    * `vec_id` join, exactly the stored lane's plan. */
+  def lshProbeManifest(s: SparkSession, rootPath: String,
+      queries: DataFrame, k: Int = 10, planes: Int = 4,
+      bands: Int = 8): DataFrame = {
+    import graft.store.ManifestStore
+    val qsig = queries.select(col("q_id"),
+      posexplode(graft.functions.SketchExpressions.hyperplaneBands(
+        col("q_emb"), planes, bands)).as(Seq("band", "bucket")))
+      .select(col("q_id"), col("band").cast("int").as("band"),
+        col("bucket").cast("int").as("bucket"))
+    val probeKeys = qsig.select("band", "bucket").distinct()
+      .collect().map(r => s"${r.getInt(0)}_${r.getInt(1)}").toSeq.sorted
+    val cands = ManifestStore
+      .readTable(s, rootPath, "postings", parts = Some(probeKeys))
+      .join(broadcast(qsig), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    cands.join(ManifestStore.readTable(s, rootPath, "vectors"),
+        Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Num.t6(cosine(col("embedding"), col("q_emb"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("q_id", "rn")
+  }
+
+  /** `ann_lsh_compact_mf` gate — the [[lshCompactPlanted]] lifecycle
+    * over the multi-table manifest store: base index via
+    * [[writeLshIndexManifest]], arriving batch (held-out slice +
+    * planted copies) merged through ONE atomic postings+vectors
+    * commit, probed manifest-pruned. Reference: the in-memory batch
+    * lane over the full corpus (the lshCompactPlanted argument —
+    * identical frozen hyperplanes ⇒ identical signatures ⇒ a rebuild
+    * holds exactly these postings). Same closed form: planted copies
+    * exist only in the arriving batch, rank-1 at cosine ~1.0 proves
+    * the batch reached the index through the commit, `agrees_rebuild`
+    * pins compaction ≡ rebuild row-for-row. */
+  def lshCompactManifestPlanted(s: SparkSession, dir: String, n: Int = 5,
+      k: Int = 10): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val isBatch = col("vec_id") % 10 === 3
+    val base = emb.filter(!isBatch)
+    val arriving = emb.filter(isBatch).unionByName(
+      emb.filter(col("vec_id") < n)
+        .withColumn("vec_id", col("vec_id") + Dedup.PlantOffset))
+    val queries = emb.filter(col("vec_id") < n)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scratch = scratchDir(s, "graft-lshmf-")
+    try {
+      val live = s"$scratch/live"
+      writeLshIndexManifest(s, base, live, 4, 8)
+      lshCompactManifest(s, live, arriving, 4, 8)
+      def keyed(df: DataFrame): Map[Long, Seq[(Long, Double, Int)]] =
+        df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .groupBy(_._1)
+          .map { case (q, rows) =>
+            q -> rows.sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq
+          }
+      val stored = keyed(lshProbeManifest(s, live, queries, k))
+      val memory = keyed(lshTopKBatchOn(plantedEmb(emb, n), queries, k))
+      val rows = (0L until n.toLong).map { qid =>
+        val b = stored(qid)
+        (qid, b.head._1, 1, b.head._2 >= 0.999999, b == memory(qid))
+      }
+      s.createDataFrame(rows)
+        .toDF("q_id", "vec_id", "rn", "is_exact", "agrees_rebuild")
+        .orderBy("q_id")
+    } finally {
+      deleteScratch(s, scratch)
+    }
+  }
+
   /** [[ivfCompact]] over a [[graft.store.ManifestStore]] — the
     * versioned-manifest deployment of IVF maintenance (round-12: the
     * object-store-honest commit path). Semantics are IDENTICAL to

@@ -25,16 +25,20 @@ import org.apache.spark.sql.functions._
   * {{{
   *   <root>/_manifests/v00000001.mf     immutable, line-oriented
   *   <root>/_manifests/v00000002.mf
-  *   <root>/seg/<segId>/<part>=<v>/...  immutable data segments
+  *   <root>/seg/<segId>/<key>=<v>/...   immutable data segments
   *   <root>/_WRITER                     writer lease (IndexCommit's
   *                                      lock machinery, same seams)
   * }}}
   *
-  * A manifest file IS a table version: the authoritative list of
-  * (partition value → segment leaf directory) making up that snapshot.
-  * Writers stage a new immutable segment (only the touched partitions'
-  * merged rows), then publish manifest N+1 = untouched entries of N ++
-  * the new entries. NOTHING published is ever renamed, moved, or
+  * A manifest file IS a store version: the authoritative list of
+  * (table, partition key → segment leaf directory) making up that
+  * snapshot. A store holds one or more named TABLES — e.g. the LSH
+  * index's `(band,bucket)`-keyed postings table and its append-only
+  * vectors table — and one commit covers ALL of them atomically:
+  * writers stage new immutable segments (only the touched partitions'
+  * merged rows, plus any append segments), then publish manifest
+  * N+1 = untouched entries of N ++ the new entries, across every
+  * table, in ONE file. NOTHING published is ever renamed, moved, or
   * deleted by a commit — the commit point is the APPEARANCE of the
   * `vN+1.mf` key, which is atomic on every store this library meets:
   * one small-file rename on rename-atomic schemes, and a single PUT on
@@ -51,28 +55,43 @@ import org.apache.spark.sql.functions._
   *    to document. No reader-side healing exists because none is
   *    needed: a writer crash before the manifest create leaves only an
   *    unreferenced segment (invisible; [[vacuum]] reaps it), and after
-  *    the create the commit is simply durable.
+  *    the create the commit is simply durable. Multi-table commits are
+  *    atomic BY the same token: a reader sees postings-new with
+  *    vectors-new or postings-old with vectors-old, never a mix —
+  *    without any redo log or healing lock.
   *  - TIME TRAVEL: any retained version is readable (`version =`),
   *    because old manifests and the segments they reference stay put
   *    until [[vacuum]] retires them past the retention horizon.
   *  - MANIFEST-LEVEL PRUNING: the probe lanes pass the partition
-  *    values they need and only those leaf dirs reach the scan — at
+  *    keys they need and only those leaf dirs reach the scan — at
   *    100 TB on an object store that means ZERO list calls over
   *    irrelevant prefixes (cheaper than hive-layout listing + DPP,
-  *    which must at least enumerate the partition dirs). The partition
-  *    column is DUPLICATED into the data files (`partCol__p=` carries
-  *    the layout, `partCol` stays a data column), so a multi-root scan
-  *    keeps the column without partition-inference over a shared base
-  *    path; the duplication costs one small column, dwarfed by the
-  *    embedding payloads these stores hold.
+  *    which must at least enumerate the partition dirs).
+  *
+  * Partitioned tables are keyed by ONE key column (`TableDef.partCol`);
+  * a composite key — the LSH `(band, bucket)` — is a caller-synthesized
+  * rendering (`concat(band, '_', bucket)`). `keyInData` controls
+  * whether the key column is duplicated into the data files (the
+  * single-table default — a multi-root scan keeps the column without
+  * partition inference) or carried by the layout only (`false` — right
+  * when the key is derivable from other data columns, as the synthetic
+  * LSH key is from band+bucket; nothing redundant is stored).
+  * Append-only tables (`partCol = ""`) take whole segments as entries
+  * and are never partition-pruned or merged — the narrow vector store
+  * shape, hydrated by id join.
   *
   * Concurrency: ONE writer at a time via the same per-root writer
   * lease as [[IndexCommit]] (write-then-verify, lease-steal, the
-  * `WriterLeaseMs`/`WriterWaitMs` seams). The manifest create is the
-  * backstop: it refuses to overwrite an existing version file, so even
-  * a pathological double-grant cannot silently drop a commit — the
-  * loser fails loudly. [[vacuum]] runs under the same lease, which is
-  * what makes "unreferenced segment" mean "dead" (no writer can be
+  * `WriterLeaseMs`/`WriterWaitMs` seams). [[commitTables]] runs the
+  * caller's planning closure UNDER the lease, so guard reads (e.g. the
+  * upsert-dedup anti-join against the live vectors table) and the
+  * staged writes see a store no concurrent writer can move — the same
+  * guarantee lshCompact gets from opening its IndexCommit transaction
+  * before its guard reads. The manifest create is the backstop: it
+  * refuses to overwrite an existing version file, so even a
+  * pathological double-grant cannot silently drop a commit — the loser
+  * fails loudly. [[vacuum]] runs under the same lease, which is what
+  * makes "unreferenced segment" mean "dead" (no writer can be
   * mid-stage while the lease is held); retention (`keepLast`) is the
   * reader contract — vacuum only against a horizon older than the
   * longest-running scan, exactly Delta's VACUUM discipline.
@@ -85,27 +104,68 @@ import org.apache.spark.sql.functions._
   * partitions a real table format's manifest TREES take over; the
   * index stores here hold k-to-thousands of cells/buckets.
   *
-  * Partition values must be non-null and are keyed by their hive
-  * directory rendering (for the integer cell/bucket keys the ANN lanes
-  * use, that is the plain decimal string). */
+  * Partition keys must be non-null and are matched by their hive
+  * directory rendering (for the integer cell keys and the `b_b`
+  * composite renderings the ANN lanes use, the plain string). */
 object ManifestStore {
 
-  /** One manifest line: partition value (hive dir rendering) → leaf
-    * data dir, relative to the store root. */
-  final case class Entry(part: String, dir: String)
+  /** One manifest line: table name, partition key (hive rendering; ""
+    * for append-segment entries) → leaf data dir relative to root. */
+  final case class Entry(table: String, part: String, dir: String)
 
-  /** A parsed manifest: the partition column it is keyed by and the
-    * full entry list of that version. */
-  final case class Manifest(partCol: String, entries: Seq[Entry])
+  /** A parsed manifest: per-table RAW key spec ("" = append-only;
+    * `~`-prefixed = layout-only key, see [[keyInData]]) and the full
+    * entry list of that version. */
+  final case class Manifest(partCols: Map[String, String],
+      entries: Seq[Entry])
+
+  /** The key column of a raw header spec (strips the layout-only tag). */
+  private def keyColOf(raw: String): String = raw.stripPrefix("~")
+  /** Whether the raw spec says the key is duplicated into the data. */
+  private def keyInDataOf(raw: String): Boolean = !raw.startsWith("~")
+  private def rawSpecOf(td: TableDef): String =
+    if (td.partCol.isEmpty || td.keyInData) td.partCol else "~" + td.partCol
+
+  /** Table declaration for [[createTables]]: `partCol` names the key
+    * column ("" = append-only); `keyInData` duplicates the key into
+    * the data files (see object doc). */
+  final case class TableDef(name: String, partCol: String,
+      keyInData: Boolean = true) {
+    require(!name.contains("\t") && !name.contains("\n"), s"bad name $name")
+  }
+
+  /** One table's mutation inside an atomic [[commitTables]] commit. */
+  sealed trait TableOp { def table: String; def df: DataFrame }
+  /** Merge `df` into the partitioned `table`: touched partitions (the
+    * batch's distinct keys) are read back manifest-pruned, merged
+    * (rows whose `idCol` appears in the batch replaced when set), and
+    * re-staged; untouched entries carry over by reference.
+    *
+    * `rekey`: REQUIRED for layout-only-key tables (`keyInData =
+    * false`) — the live slice read back for merging lacks the key
+    * column (it was never stored, being derivable), so the caller
+    * restores it with the same derivation used at write time (the LSH
+    * lane's `concat(band, '_', bucket)`). One scan over the touched
+    * slice, no per-partition plan branching. */
+  final case class Upsert(table: String, df: DataFrame,
+      idCol: Option[String] = None,
+      rekey: Option[DataFrame => DataFrame] = None) extends TableOp
+  /** Add `df` as one whole immutable segment of the append-only
+    * `table` — nothing existing is read or merged (the narrow vector
+    * store shape). An empty `df` appends nothing. */
+  final case class Append(table: String, df: DataFrame) extends TableOp
 
   private val ManifestDirName = "_manifests"
   private val SegDirName = "seg"
   private val Header = "graft-manifest"
+  private val FormatVersion = "2"
+  /** Table name the single-table sugar API stores under. */
+  private val DefaultTable = "t"
 
   /** Kill-point hook for the crash spec — same seam discipline as
-    * [[IndexCommit.killPoint]]: "staged" fires after the new segment is
-    * fully written (manifest not yet published), "committed" after the
-    * manifest create. Never set outside specs. */
+    * [[IndexCommit.killPoint]]: "staged" fires after every new segment
+    * is fully written (manifest not yet published), "committed" after
+    * the manifest create. Never set outside specs. */
   private[graft] var killPoint: String => Unit = _ => ()
 
   private def fsOf(s: SparkSession, root: String): (FileSystem, Path) = {
@@ -173,6 +233,16 @@ object ManifestStore {
     listVersions(fs, r)
   }
 
+  private def renderPartCols(pcs: Map[String, String]): String =
+    pcs.toSeq.sorted.map { case (t, c) => s"$t=$c" }.mkString(";")
+
+  private def parsePartCols(spec: String): Map[String, String] =
+    spec.split(';').iterator.filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      require(i >= 0, s"corrupt table spec: $kv")
+      (kv.take(i), kv.drop(i + 1))
+    }.toMap
+
   private def readManifest(fs: FileSystem, root: Path, v: Long): Manifest = {
     val p = manifestPath(root, v)
     val in = fs.open(p)
@@ -180,22 +250,23 @@ object ManifestStore {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.filter(_.nonEmpty).toSeq
-    val partCol = lines.headOption match {
+    val partCols = lines.headOption match {
       case Some(h) => h.split('\t') match {
-        case Array(Header, "1", pc) => pc
+        case Array(Header, FormatVersion, spec) => parsePartCols(spec)
         case _ => throw new IllegalStateException(
           s"corrupt manifest header in $p: $h")
       }
       case None => throw new IllegalStateException(s"empty manifest $p")
     }
     val entries = lines.tail.map { line =>
-      line.split('\t') match {
-        case Array("E", part, dir) => Entry(part, dir)
+      // -1 keeps trailing empty fields (append entries have part = "")
+      line.split("\t", -1) match {
+        case Array("E", table, part, dir) => Entry(table, part, dir)
         case _ => throw new IllegalStateException(
           s"corrupt manifest line in $p: $line")
       }
     }
-    Manifest(partCol, entries)
+    Manifest(partCols, entries)
   }
 
   /** Publish version `v`: write the manifest body to a dot-invisible
@@ -203,7 +274,7 @@ object ManifestStore {
     * key IS the commit point (object doc); the pre-existence check plus
     * rename-refuses-to-overwrite is the double-writer backstop. */
   private def writeManifest(fs: FileSystem, root: Path, v: Long,
-      partCol: String, entries: Seq[Entry]): Unit = {
+      partCols: Map[String, String], entries: Seq[Entry]): Unit = {
     val dir = manifestDir(root)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val fin = manifestPath(root, v)
@@ -214,25 +285,34 @@ object ManifestStore {
       java.util.UUID.randomUUID().toString.take(8))
     val out = fs.create(tmp, true)
     try {
-      out.write(s"$Header\t1\t$partCol\n".getBytes("UTF-8"))
-      entries.sortBy(e => (e.part, e.dir)).foreach { e =>
-        out.write(s"E\t${e.part}\t${e.dir}\n".getBytes("UTF-8"))
+      out.write(
+        s"$Header\t$FormatVersion\t${renderPartCols(partCols)}\n"
+          .getBytes("UTF-8"))
+      entries.sortBy(e => (e.table, e.part, e.dir)).foreach { e =>
+        out.write(s"E\t${e.table}\t${e.part}\t${e.dir}\n".getBytes("UTF-8"))
       }
     } finally out.close()
     require(fs.rename(tmp, fin),
       s"manifest publish rename $tmp -> $fin failed (concurrent commit?)")
   }
 
-  /** Write `df` as a fresh immutable segment, hive-partitioned by a
-    * DUPLICATE of `partCol` so the values stay data columns (object
-    * doc), and return the manifest entries its leaf dirs become. */
-  private def writeSegment(s: SparkSession, fs: FileSystem, root: Path,
-      df: DataFrame, partCol: String): Seq[Entry] = {
-    val layoutCol = partCol + "__p"
-    val segRel = s"$SegDirName/seg-" +
-      java.util.UUID.randomUUID().toString.take(13)
+  private def freshSegRel(): String =
+    s"$SegDirName/seg-" + java.util.UUID.randomUUID().toString.take(13)
+
+  /** Write `df` as a fresh immutable partitioned segment of `table`
+    * and return the manifest entries its leaf dirs become. With
+    * `keyInData` the key is hive-partitioned via a duplicate layout
+    * column and stays a data column; without it the key column itself
+    * carries the layout (dropped from the files — object doc). */
+  private def writePartitionedSegment(s: SparkSession, fs: FileSystem,
+      root: Path, table: String, df: DataFrame, partCol: String,
+      keyInData: Boolean): Seq[Entry] = {
+    val layoutCol = if (keyInData) partCol + "__p" else partCol
+    val segRel = freshSegRel()
     val segPath = new Path(root, segRel)
-    df.withColumn(layoutCol, col(partCol))
+    val toWrite =
+      if (keyInData) df.withColumn(layoutCol, col(partCol)) else df
+    toWrite
       .repartition(col(partCol)) // one writer task per touched partition
       .write.mode("errorifexists").partitionBy(layoutCol)
       .option("compression", "zstd")
@@ -242,87 +322,164 @@ object ManifestStore {
         st.getPath.getName.startsWith(layoutCol + "="))
       .map { st =>
         val name = st.getPath.getName
-        Entry(name.stripPrefix(layoutCol + "="), s"$segRel/$name")
+        Entry(table, name.stripPrefix(layoutCol + "="), s"$segRel/$name")
       }
       .sortBy(_.part)
   }
 
-  /** Initialize a manifest store at `root` from `df`, keyed by
-    * `partCol`. Returns the committed version (always 1). Fails loudly
-    * on an already-initialized root — re-creation is a destructive
-    * intent this API refuses to guess at. */
-  def create(s: SparkSession, root: String, df: DataFrame,
-      partCol: String): Long = {
+  /** Write `df` as one whole append segment of `table`; one entry. */
+  private def writeAppendSegment(s: SparkSession, root: Path,
+      table: String, df: DataFrame): Seq[Entry] = {
+    val segRel = freshSegRel()
+    df.write.mode("errorifexists")
+      .option("compression", "zstd")
+      .parquet(new Path(root, segRel).toString)
+    Seq(Entry(table, "", segRel))
+  }
+
+  /** Initialize a multi-table manifest store at `root`: one atomic
+    * version-1 commit covering every (def, initial data) pair.
+    * Append-only tables (`partCol = ""`) may start empty — pass a
+    * `df.filter(lit(false))` shaped frame, which appends nothing.
+    * Fails loudly on an already-initialized root — re-creation is a
+    * destructive intent this API refuses to guess at. */
+  def createTables(s: SparkSession, root: String,
+      tables: Seq[(TableDef, DataFrame)]): Long = {
+    require(tables.nonEmpty, "createTables needs at least one table")
+    require(tables.map(_._1.name).distinct.size == tables.size,
+      "duplicate table names")
     val (fs, r) = fsOf(s, root)
     require(currentVersion(fs, r).isEmpty,
-      s"manifest store at $root is already initialized — upsert into " +
-        "it, or point create() at a fresh root")
+      s"manifest store at $root is already initialized — commit into " +
+        "it, or point createTables() at a fresh root")
     val token = acquireLease(fs, r)
     try {
-      val entries = writeSegment(s, fs, r, df, partCol)
+      val entries = tables.flatMap { case (td, df) =>
+        if (td.partCol.isEmpty) {
+          if (df.isEmpty) Seq.empty
+          else writeAppendSegment(s, r, td.name, df)
+        } else writePartitionedSegment(s, fs, r, td.name, df,
+          td.partCol, td.keyInData)
+      }
       killPoint("staged")
-      writeManifest(fs, r, 1L, partCol, entries)
+      writeManifest(fs, r, 1L,
+        tables.map(t => t._1.name -> rawSpecOf(t._1)).toMap, entries)
       killPoint("committed")
       1L
     } finally releaseLease(fs, r, token)
   }
 
-  /** Merge `arriving` into the store: the touched partitions (the
-    * distinct `partCol` values of the batch — bounded metadata, the
-    * [[graft.operators.Similarity.ivfCompact]] asymmetry) are read
-    * back MANIFEST-PRUNED, merged with the batch, and written as a new
-    * immutable segment; version N+1 keeps every untouched entry of N
-    * by reference. Per-batch work scales with the batch and the
-    * partitions it lands in, never with store size — and nothing
-    * published moves.
+  /** Initialize a single-table store (sugar over [[createTables]] with
+    * the default table). Returns the committed version (always 1). */
+  def create(s: SparkSession, root: String, df: DataFrame,
+      partCol: String): Long =
+    createTables(s, root, Seq((TableDef(DefaultTable, partCol), df)))
+
+  /** One ATOMIC commit across any number of tables. The `plan` closure
+    * runs UNDER the writer lease — its reads (e.g. [[readTable]] for an
+    * upsert-dedup guard) see a store no concurrent writer can move
+    * before this commit lands, the same guarantee the IndexCommit lanes
+    * get by opening their transaction before their guard reads. An
+    * empty plan (or one whose ops all reduce to nothing: empty upsert
+    * batches, empty appends) commits nothing and bumps no version.
     *
-    * `idCol`: when set, live rows of the touched partitions whose id
-    * appears in the batch are REPLACED, not duplicated (anti-join on
-    * the touched slice) — merge∘merge = merge under re-delivery, the
-    * same contract as `ivfCompact(upsertById)`.
-    *
-    * An empty batch commits nothing and bumps no version. Returns the
-    * touched partition keys (hive rendering, sorted). */
-  def upsertPartitions(s: SparkSession, root: String, arriving: DataFrame,
-      partCol: String, idCol: Option[String] = None): Seq[String] = {
+    * Returns the touched partition keys per upserted table (hive
+    * rendering, sorted; append tables report no keys). */
+  def commitTables(s: SparkSession, root: String)
+      (plan: => Seq[TableOp]): Map[String, Seq[String]] = {
     val (fs, r) = fsOf(s, root)
-    val touched = arriving.select(partCol).distinct()
-      .collect().map(_.get(0).toString).toSeq.sorted
-    if (touched.isEmpty) return Seq.empty
     val token = acquireLease(fs, r)
     try {
       val v = currentVersion(fs, r).getOrElse(
         throw new IllegalStateException(
-          s"manifest store at $root is not initialized — create() first"))
+          s"manifest store at $root is not initialized — create first"))
       val m = readManifest(fs, r, v)
-      require(m.partCol == partCol,
-        s"store at $root is keyed by '${m.partCol}', not '$partCol'")
-      val touchedSet = touched.toSet
-      val (touchedE, untouchedE) =
-        m.entries.partition(e => touchedSet.contains(e.part))
-      val cols = arriving.columns.map(col)
-      val merged =
-        if (touchedE.isEmpty) arriving
-        else {
-          val live = s.read.parquet(
-            touchedE.map(e => new Path(r, e.dir).toString): _*)
-          val kept = idCol.fold(live)(id =>
-            live.join(arriving.select(id), Seq(id), "left_anti"))
-          kept.select(cols: _*).unionByName(arriving.select(cols: _*))
-        }
-      val newEntries = writeSegment(s, fs, r, merged, partCol)
+      val ops = plan
+      require(ops.map(_.table).distinct.size == ops.size,
+        "one op per table and commit — compose the frames instead")
+      ops.foreach(op => require(m.partCols.contains(op.table),
+        s"store at $root has no table '${op.table}' " +
+          s"(tables: ${m.partCols.keys.toSeq.sorted.mkString(",")})"))
+      // evaluate every op's staging; track touched keys and new entries
+      var newEntries = Seq.empty[Entry]
+      var dropKeys = Map.empty[String, Set[String]] // table -> touched
+      var touched = Map.empty[String, Seq[String]]
+      ops.foreach {
+        case Upsert(table, df, idCol, rekey) =>
+          val raw = m.partCols(table)
+          val pc = keyColOf(raw)
+          require(pc.nonEmpty,
+            s"table '$table' is append-only — use Append")
+          val keys = df.select(pc).distinct()
+            .collect().map(_.get(0).toString).toSeq.sorted
+          if (keys.nonEmpty) {
+            val keySet = keys.toSet
+            val liveE = m.entries.filter(e =>
+              e.table == table && keySet.contains(e.part))
+            val cols = df.columns.map(col)
+            val merged =
+              if (liveE.isEmpty) df
+              else {
+                val liveRaw = s.read.parquet(
+                  liveE.map(e => new Path(r, e.dir).toString): _*)
+                // layout-only key: restore it on the live slice with
+                // the caller's derivation (Upsert doc)
+                val live =
+                  if (liveRaw.columns.contains(pc)) liveRaw
+                  else rekey.map(_(liveRaw)).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"table '$table' stores its key '$pc' layout-" +
+                        "only; Upsert needs a rekey function to " +
+                        "restore it on the live slice"))
+                val kept = idCol.fold(live)(id =>
+                  live.join(df.select(id), Seq(id), "left_anti"))
+                kept.select(cols: _*).unionByName(df.select(cols: _*))
+              }
+            newEntries ++= writePartitionedSegment(s, fs, r, table,
+              merged, pc, keyInDataOf(raw))
+            dropKeys += table -> keySet
+            touched += table -> keys
+          }
+        case Append(table, df) =>
+          require(m.partCols(table).isEmpty,
+            s"table '$table' is partitioned — use Upsert")
+          if (!df.isEmpty)
+            newEntries ++= writeAppendSegment(s, r, table, df)
+      }
+      if (newEntries.isEmpty) return Map.empty
       killPoint("staged")
-      writeManifest(fs, r, v + 1, partCol, untouchedE ++ newEntries)
+      val kept = m.entries.filterNot(e =>
+        dropKeys.get(e.table).exists(_.contains(e.part)))
+      writeManifest(fs, r, v + 1, m.partCols, kept ++ newEntries)
       killPoint("committed")
       touched
     } finally releaseLease(fs, r, token)
   }
 
-  /** Snapshot read. `parts` prunes at the MANIFEST level — only the
-    * named partitions' leaf dirs reach the scan (object doc); `version`
-    * time-travels to any retained manifest. A pruned read matching
-    * nothing returns an empty frame with the store's schema. */
-  def read(s: SparkSession, root: String,
+  /** Single-table upsert (sugar over [[commitTables]] with the default
+    * table). Returns the touched partition keys. */
+  def upsertPartitions(s: SparkSession, root: String, arriving: DataFrame,
+      partCol: String, idCol: Option[String] = None): Seq[String] = {
+    val (fs, r) = fsOf(s, root)
+    currentVersion(fs, r).foreach { v =>
+      val stored = keyColOf(readManifest(fs, r, v).partCols.getOrElse(
+        DefaultTable,
+        throw new IllegalStateException(
+          s"store at $root is multi-table — use commitTables")))
+      require(stored == partCol,
+        s"store at $root is keyed by '$stored', not '$partCol'")
+    }
+    commitTables(s, root)(Seq(Upsert(DefaultTable, arriving, idCol)))
+      .getOrElse(DefaultTable, Seq.empty)
+  }
+
+  /** Snapshot read of one table. `parts` prunes at the MANIFEST level —
+    * only the named partitions' leaf dirs reach the scan (object doc);
+    * `version` time-travels to any retained manifest. A pruned read
+    * matching nothing (and an append-only table with no segments yet)
+    * returns an empty frame with the table's schema when any segment
+    * exists to borrow it from, and fails loudly otherwise. */
+  def readTable(s: SparkSession, root: String, table: String,
       parts: Option[Seq[String]] = None,
       version: Option[Long] = None): DataFrame = {
     val (fs, r) = fsOf(s, root)
@@ -333,22 +490,33 @@ object ManifestStore {
       s"version $v of $root is not retained (vacuumed, or never " +
         s"committed) — retained: ${listVersions(fs, r).mkString(",")}")
     val m = readManifest(fs, r, v)
-    require(m.entries.nonEmpty, s"manifest v$v at $root lists no data")
-    val sel = parts.fold(m.entries)(ps =>
-      m.entries.filter(e => ps.contains(e.part)))
+    require(m.partCols.contains(table),
+      s"store at $root has no table '$table' " +
+        s"(tables: ${m.partCols.keys.toSeq.sorted.mkString(",")})")
+    val all = m.entries.filter(_.table == table)
+    require(all.nonEmpty, s"table '$table' v$v at $root lists no data")
+    val sel = parts.fold(all)(ps => all.filter(e => ps.contains(e.part)))
     if (sel.isEmpty)
-      s.read.parquet(new Path(r, m.entries.head.dir).toString)
+      s.read.parquet(new Path(r, all.head.dir).toString)
         .filter(lit(false))
     else
       s.read.parquet(sel.map(e => new Path(r, e.dir).toString): _*)
   }
 
+  /** Single-table snapshot read (sugar over [[readTable]]). */
+  def read(s: SparkSession, root: String,
+      parts: Option[Seq[String]] = None,
+      version: Option[Long] = None): DataFrame =
+    readTable(s, root, DefaultTable, parts, version)
+
   /** Retire history: keep the newest `keepLast` manifests, delete the
-    * older ones, then delete every segment LEAF dir no kept manifest
+    * older ones, then delete every segment dir no kept manifest
     * references (which also reaps crashed writers' orphan segments —
     * safe because the writer lease is held, so no live writer can be
-    * mid-stage). Empty segment parents are reaped. Returns the deleted
-    * paths (manifests + leaf dirs), for the caller's audit log.
+    * mid-stage). Both leaf-level dirs (partitioned segments that are
+    * only partially superseded) and whole segments are reaped; empty
+    * parents go with their last child. Returns the deleted paths, for
+    * the caller's audit log.
     *
     * Retention is the reader contract: a scan of version V stays valid
     * until vacuum drops V — run vacuum only against a horizon older
@@ -374,16 +542,19 @@ object ManifestStore {
           Array.empty[org.apache.hadoop.fs.FileStatus] }
       segs.filter(_.isDirectory).foreach { seg =>
         val segRel = s"$SegDirName/${seg.getPath.getName}"
-        fs.listStatus(seg.getPath).foreach { leaf =>
-          val rel = s"$segRel/${leaf.getPath.getName}"
-          if (!referenced.contains(rel) && fs.delete(leaf.getPath, true))
-            deleted += leaf.getPath.toString
+        if (referenced.contains(segRel)) () // whole-segment reference
+        else {
+          fs.listStatus(seg.getPath).foreach { leaf =>
+            val rel = s"$segRel/${leaf.getPath.getName}"
+            if (!referenced.contains(rel) && fs.delete(leaf.getPath, true))
+              deleted += leaf.getPath.toString
+          }
+          // reap a now-empty segment dir (best-effort)
+          try {
+            if (fs.listStatus(seg.getPath).isEmpty)
+              fs.delete(seg.getPath, false)
+          } catch { case _: java.io.IOException => () }
         }
-        // reap a now-empty segment dir (best-effort)
-        try {
-          if (fs.listStatus(seg.getPath).isEmpty)
-            fs.delete(seg.getPath, false)
-        } catch { case _: java.io.IOException => () }
       }
       deleted.toSeq
     } finally releaseLease(fs, r, token)

@@ -290,6 +290,140 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("keyed by"))
   }
 
+  // ---- multi-table commits (the LSH postings+vectors shape) ----
+
+  /** Two-table fixture: a partitioned "postings" table (layout-only
+    * composite key, like LSH's band_bucket) and an append-only
+    * "vectors" table. */
+  private def twoTableStore(root: String): Unit = {
+    import spark.implicits._
+    val postings = (0 until 24)
+      .map(i => (i.toLong, i % 3, i % 2, s"${i % 3}_${i % 2}"))
+      .toDF("vec_id", "band", "bucket", "bb")
+    val vectors = (0 until 8).map(i => (i.toLong, Seq.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    ManifestStore.createTables(spark, root, Seq(
+      (ManifestStore.TableDef("postings", "bb", keyInData = false),
+        postings),
+      (ManifestStore.TableDef("vectors", ""), vectors)))
+  }
+
+  test("multi-table: create + per-table reads; layout-only key is not " +
+      "stored in the data files") {
+    val root = tempDir("mf-multi")
+    twoTableStore(root)
+    val p = ManifestStore.readTable(spark, root, "postings")
+    // bb carried the layout and was NOT duplicated into the files
+    assert(p.columns.toSet === Set("vec_id", "band", "bucket"))
+    assert(p.count() === 24)
+    val v = ManifestStore.readTable(spark, root, "vectors")
+    assert(v.columns.toSet === Set("vec_id", "embedding"))
+    assert(v.count() === 8)
+    // pruning by the composite rendering still works (manifest keys)
+    val pruned = ManifestStore.readTable(spark, root, "postings",
+      parts = Some(Seq("1_0")))
+    assert(pruned.count() === 4) // i%3==1 && i%2==0: 4,10,16,22
+    assert(pruned.inputFiles.forall(_.contains("bb=1_0")))
+  }
+
+  test("multi-table commit is atomic: kill before the manifest leaves " +
+      "BOTH tables old; after, both new") {
+    import spark.implicits._
+    val root = tempDir("mf-multi-atomic")
+    twoTableStore(root)
+    def batchOps() = Seq(
+      ManifestStore.Upsert("postings",
+        Seq((100L, 0, 0, "0_0")).toDF("vec_id", "band", "bucket", "bb"),
+        rekey = Some(df => df.withColumn("bb",
+          concat(col("band"), lit("_"), col("bucket"))))),
+      ManifestStore.Append("vectors",
+        Seq((100L, Seq.fill(4)(9f))).toDF("vec_id", "embedding")))
+    ManifestStore.killPoint = p =>
+      if (p == "staged") throw new RuntimeException("kill@staged")
+    try intercept[RuntimeException] {
+      ManifestStore.commitTables(spark, root)(batchOps())
+    } finally ManifestStore.killPoint = _ => ()
+    // NEITHER table moved — the mixed postings-new/vectors-old state
+    // is structurally impossible: there is only one commit point
+    assert(ManifestStore.currentVersion(spark, root) === Some(1L))
+    assert(ManifestStore.readTable(spark, root, "postings").count() === 24)
+    assert(ManifestStore.readTable(spark, root, "vectors").count() === 8)
+    val touched = ManifestStore.commitTables(spark, root)(batchOps())
+    assert(touched === Map("postings" -> Seq("0_0")))
+    assert(ManifestStore.readTable(spark, root, "postings")
+      .filter(col("vec_id") === 100L).count() === 1)
+    assert(ManifestStore.readTable(spark, root, "vectors")
+      .filter(col("vec_id") === 100L).count() === 1)
+    // the untouched 0_0-external postings survive; 0_0 was merged
+    assert(ManifestStore.readTable(spark, root, "postings").count() === 25)
+  }
+
+  test("multi-table: op-kind mismatches fail loudly; unknown table too") {
+    import spark.implicits._
+    val root = tempDir("mf-multi-guard")
+    twoTableStore(root)
+    val pdf = Seq((1L, 0, 0, "0_0")).toDF("vec_id", "band", "bucket", "bb")
+    val e1 = intercept[IllegalArgumentException] {
+      ManifestStore.commitTables(spark, root)(
+        Seq(ManifestStore.Upsert("vectors", pdf)))
+    }
+    assert(e1.getMessage.contains("append-only"))
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestStore.commitTables(spark, root)(
+        Seq(ManifestStore.Append("postings", pdf)))
+    }
+    assert(e2.getMessage.contains("partitioned"))
+    val e3 = intercept[IllegalArgumentException] {
+      ManifestStore.commitTables(spark, root)(
+        Seq(ManifestStore.Append("nope", pdf)))
+    }
+    assert(e3.getMessage.contains("no table"))
+  }
+
+  test("lshCompactManifest: replayed batch is a content no-op under " +
+      "upsertById, across BOTH tables") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val base = emb.filter(col("vec_id") % 10 =!= 3)
+    val arriving = emb.filter(col("vec_id") % 10 === 3)
+    val root = tempDir("mf-lsh-replay")
+    graft.operators.Similarity.writeLshIndexManifest(spark, base, root)
+    val t1 = graft.operators.Similarity
+      .lshCompactManifest(spark, root, arriving, upsertById = true)
+    assert(t1.nonEmpty)
+    val postings1 = contents3(ManifestStore
+      .readTable(spark, root, "postings"))
+    val vecIds1 = ManifestStore.readTable(spark, root, "vectors")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    // replay the SAME batch — the anti-join inside the lease-guarded
+    // planning closure drops every row; nothing commits
+    val t2 = graft.operators.Similarity
+      .lshCompactManifest(spark, root, arriving, upsertById = true)
+    assert(t2.isEmpty)
+    assert(contents3(ManifestStore.readTable(spark, root, "postings"))
+      === postings1)
+    assert(ManifestStore.readTable(spark, root, "vectors")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      === vecIds1)
+    // and no duplicate vec_ids snuck into the vector store
+    assert(vecIds1.distinct.size === vecIds1.size)
+  }
+
+  private def contents3(df: DataFrame): Set[(Long, Int, Int)] =
+    df.select("vec_id", "band", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+
+  test("lshCompactManifestPlanted: compaction == rebuild, copies at rank 1") {
+    val got = graft.operators.Similarity
+      .lshCompactManifestPlanted(spark, sf).collect()
+    assert(got.length === 5)
+    got.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) + graft.operators.Dedup.PlantOffset)
+      assert(r.getInt(2) === 1)
+      assert(r.getBoolean(3), s"planted copy not exact at q=${r.getLong(0)}")
+      assert(r.getBoolean(4), s"manifest compaction != rebuild at q=${r.getLong(0)}")
+    }
+  }
+
   test("ivfCompactManifestPlanted: compaction == rebuild, copies at rank 1") {
     val got = graft.operators.Similarity
       .ivfCompactManifestPlanted(spark, sf).collect()
