@@ -431,6 +431,11 @@ object SparkEntry {
     // post-drain probes must equal the from-scratch rebuild
     "stream_ivf_compact" -> ((s: SparkSession, d: String) =>
       graft.streaming.VectorStream.runIvfCompactOnce(s, d)),
+    // streamed maintenance over the versioned-manifest store: each
+    // micro-batch is one atomic manifest commit; replay commits an
+    // identical version (upsertById anti-join), probes keep snapshots
+    "stream_ivf_compact_mf" -> ((s: SparkSession, d: String) =>
+      graft.streaming.VectorStream.runIvfCompactManifestOnce(s, d)),
     // exact k-per-(lang,source) deterministic sample
     "stratified_sample" -> ((s: SparkSession, d: String) =>
       Curation.stratifiedSample(s, d)),
@@ -2483,6 +2488,15 @@ object SparkEntry {
     // streamed index maintenance == rebuild: planted copies reach the
     // index only through the micro-batch merges, rank-1 closed form
     "stream_ivf_compact" ->
+      """SELECT CAST(q_id AS BIGINT) AS q_id,
+        | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
+        | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact,
+        | TRUE AS agrees_rebuild
+        | FROM (SELECT unnest(range(0, 5)) AS q_id)
+        | ORDER BY q_id""".stripMargin.replace("\n", ""),
+    // streamed manifest-commit maintenance: identical closed form —
+    // the storage protocol must not change one probed row
+    "stream_ivf_compact_mf" ->
       """SELECT CAST(q_id AS BIGINT) AS q_id,
         | CAST(q_id + 1000000 AS BIGINT) AS vec_id,
         | CAST(1 AS INTEGER) AS rn, TRUE AS is_exact,

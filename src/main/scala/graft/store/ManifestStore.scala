@@ -150,6 +150,16 @@ object ManifestStore {
   final case class Upsert(table: String, df: DataFrame,
       idCol: Option[String] = None,
       rekey: Option[DataFrame => DataFrame] = None) extends TableOp
+  /** REPLACE the touched partitions of `table` wholesale: every key
+    * present in `df` gets exactly `df`'s rows — live rows of those
+    * partitions are dropped from the new version without ever being
+    * read (their entries just don't carry over). This is Spark's
+    * dynamic partition overwrite re-expressed as a manifest commit —
+    * the idempotent day-overwrite semantic (load∘load = load, the U1
+    * discipline): replaying the same day's load commits a new version
+    * with identical content, and the superseded version stays
+    * time-travel-readable until vacuumed. */
+  final case class Replace(table: String, df: DataFrame) extends TableOp
   /** Add `df` as one whole immutable segment of the append-only
     * `table` — nothing existing is read or merged (the narrow vector
     * store shape). An empty `df` appends nothing. */
@@ -440,6 +450,21 @@ object ManifestStore {
             dropKeys += table -> keySet
             touched += table -> keys
           }
+        case Replace(table, df) =>
+          val raw = m.partCols(table)
+          val pc = keyColOf(raw)
+          require(pc.nonEmpty,
+            s"table '$table' is append-only — use Append")
+          val keys = df.select(pc).distinct()
+            .collect().map(_.get(0).toString).toSeq.sorted
+          if (keys.nonEmpty) {
+            // no live read at all: the touched keys' old entries simply
+            // don't carry over — replacement is pure metadata
+            newEntries ++= writePartitionedSegment(s, fs, r, table,
+              df, pc, keyInDataOf(raw))
+            dropKeys += table -> keys.toSet
+            touched += table -> keys
+          }
         case Append(table, df) =>
           require(m.partCols(table).isEmpty,
             s"table '$table' is partitioned — use Upsert")
@@ -472,6 +497,14 @@ object ManifestStore {
     commitTables(s, root)(Seq(Upsert(DefaultTable, arriving, idCol)))
       .getOrElse(DefaultTable, Seq.empty)
   }
+
+  /** Single-table partition replacement (sugar over [[commitTables]]
+    * with the default table; see [[Replace]] — the idempotent
+    * day-overwrite semantic). Returns the replaced partition keys. */
+  def replacePartitions(s: SparkSession, root: String, df: DataFrame,
+      partCol: String): Seq[String] =
+    commitTables(s, root)(Seq(Replace(DefaultTable, df)))
+      .getOrElse(DefaultTable, Seq.empty)
 
   /** Snapshot read of one table. `parts` prunes at the MANIFEST level —
     * only the named partitions' leaf dirs reach the scan (object doc);

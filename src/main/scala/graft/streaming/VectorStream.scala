@@ -267,4 +267,94 @@ object VectorStream {
     Seq(idxDir, dropDir, ckpt).foreach(HourlyStream.reapScratch)
     out
   }
+
+  /** [[runIvfCompactOnce]] over a [[graft.store.ManifestStore]] — the
+    * streaming write side of the versioned-manifest index: each
+    * micro-batch lands as ONE manifest commit
+    * ([[graft.operators.Similarity.ivfCompactManifest]] with
+    * `upsertById = true`), so
+    *
+    *  - a crash-restart replay commits a new version with IDENTICAL
+    *    content (the anti-join drops every re-delivered row before the
+    *    merge) — the same merge∘merge = merge exactly-once story as
+    *    the hive lane, now with the replay also visible as a version
+    *    in the store's history;
+    *  - concurrent probes NEVER observe a partition mid-rewrite: they
+    *    resolve whichever manifest was newest when they planned
+    *    (snapshot isolation), where the hive lane's foreachBatch
+    *    rewrite has the documented in-flight-scan window;
+    *  - after the stream drains, every intermediate index state stays
+    *    time-travel-readable until vacuumed — the operational story a
+    *    production index wants (probe the pre-batch version while
+    *    validating the post-batch one).
+    *
+    * Same gate contract and closed form as [[runIvfCompactOnce]]: the
+    * planted copies reach the index only through the streamed manifest
+    * commits; rank-1 recovery plus rebuild equality through the
+    * identical batch probe plan. */
+  def runIvfCompactManifestOnce(s: SparkSession, srcDir: String,
+      n: Int = 5, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    import graft.operators.Similarity
+    import graft.store.ManifestStore
+    val emb = graft.Tables.load(s, srcDir, "embeddings")
+    val isBatch = col("vec_id") % 10 === 3
+    val arriving = emb.filter(isBatch).unionByName(
+      emb.filter(col("vec_id") < n)
+        .withColumn("vec_id", col("vec_id") + Dedup.PlantOffset))
+    // static side: frozen trained centroids, collected once
+    val trained = Similarity.collectCentroids(
+      Similarity.kmeansIterate(s, srcDir, 2), "cluster")
+    val idxDir = HourlyStream.scratchDir("graft_ivfmfs_idx_")
+    ManifestStore.create(s, idxDir,
+      emb.filter(!isBatch)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.argmaxOver(trained).getField("cluster").as("cell")),
+      "cell")
+    val dropDir = HourlyStream.scratchDir("graft_ivfmfs_drop_")
+    arriving
+      .coalesce(2) // pinned drop-file count: 2 micro-batches at any SF
+      .write.mode("overwrite").parquet(dropDir)
+    val ckpt = HourlyStream.scratchDir("graft_ivfmfs_ckpt_")
+    val q = readVectorBatches(s, dropDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val _ = Similarity.ivfCompactManifest(s, idxDir, b, trained,
+          upsertById = true)
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // probe the compacted snapshot and the rebuild reference through
+    // the IDENTICAL one-join batch plan
+    val centsL = trained.map { case (c, v) => (c.toLong, v) }
+    val queries = emb.filter(col("vec_id") < n)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def keyed(df: DataFrame): Map[Long, Seq[(Long, Double)]] =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .groupBy(_._1)
+        .map { case (qid, rows) =>
+          qid -> rows.sortBy(_._4).map(t => (t._2, t._3)).toSeq
+        }
+    val stored = keyed(Similarity.probeIndexBatchOn(
+      ManifestStore.read(s, idxDir)
+        .select("vec_id", "embedding", "cell"), centsL, queries,
+      k, nProbe, excludeSelf = true))
+    val rebuild = keyed(Similarity.probeIndexBatchOn(
+      emb.filter(!isBatch).unionByName(arriving)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.argmaxOver(trained).getField("cluster").as("cell")),
+      centsL, queries, k, nProbe, excludeSelf = true))
+    val rows = (0L until n.toLong).map { qid =>
+      val b = stored(qid)
+      (qid, b.head._1, 1, b.head._2 >= 0.999999, b == rebuild(qid))
+    }
+    val out = s.createDataFrame(rows)
+      .toDF("q_id", "vec_id", "rn", "is_exact", "agrees_rebuild")
+      .orderBy("q_id")
+      .localCheckpoint(true)
+    Seq(idxDir, dropDir, ckpt).foreach(HourlyStream.reapScratch)
+    out
+  }
 }

@@ -424,6 +424,52 @@ class ManifestStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("Replace: the idempotent day-overwrite semantic — " +
+      "load∘load = load, superseded version time-travelable") {
+    import spark.implicits._
+    val root = tempDir("mf-replace")
+    // a date=-keyed mart, the U1 shape on the manifest store
+    val day1 = Seq((1L, "2026-01-01", 10.0), (2L, "2026-01-01", 12.0))
+      .toDF("id", "day", "temp")
+    val day2 = Seq((3L, "2026-01-02", 8.0)).toDF("id", "day", "temp")
+    ManifestStore.create(spark, root, day1.unionByName(day2), "day")
+    // the corrected reload of day 1 REPLACES it wholesale (row 2 gone)
+    val fixed = Seq((1L, "2026-01-01", 11.5)).toDF("id", "day", "temp")
+    assert(ManifestStore.replacePartitions(spark, root, fixed, "day")
+      === Seq("2026-01-01"))
+    def snap(v: Option[Long]) =
+      ManifestStore.read(spark, root, version = v)
+        .select("id", "day", "temp").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(snap(None) ===
+      Set((1L, "2026-01-01", 11.5), (3L, "2026-01-02", 8.0)))
+    // load∘load = load: replaying the same load is content-invariant
+    ManifestStore.replacePartitions(spark, root, fixed, "day")
+    assert(snap(None) ===
+      Set((1L, "2026-01-01", 11.5), (3L, "2026-01-02", 8.0)))
+    // the pre-fix state is still auditable (time travel), then vacuum
+    // retires it
+    assert(snap(Some(1L)) === Set((1L, "2026-01-01", 10.0),
+      (2L, "2026-01-01", 12.0), (3L, "2026-01-02", 8.0)))
+    ManifestStore.vacuum(spark, root, keepLast = 1)
+    intercept[IllegalArgumentException] {
+      ManifestStore.read(spark, root, version = Some(1L))
+    }
+    assert(snap(None) ===
+      Set((1L, "2026-01-01", 11.5), (3L, "2026-01-02", 8.0)))
+  }
+
+  test("streamed manifest maintenance: one version per micro-batch, " +
+      "gate closed form holds") {
+    val got = graft.streaming.VectorStream
+      .runIvfCompactManifestOnce(spark, sf).collect()
+    assert(got.length === 5)
+    got.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) + graft.operators.Dedup.PlantOffset)
+      assert(r.getBoolean(3) && r.getBoolean(4))
+    }
+  }
+
   test("ivfCompactManifestPlanted: compaction == rebuild, copies at rank 1") {
     val got = graft.operators.Similarity
       .ivfCompactManifestPlanted(spark, sf).collect()
