@@ -466,6 +466,11 @@ object SparkEntry {
       graft.operators.Layout.layoutSkippingGate(s, d)),
     // small-file compaction EXECUTED: debris write -> bin-packed rewrite,
     // row/content/bytes conservation + >=4x open-call reduction
+    // the manifest store's own lifecycle: append-per-batch segments →
+    // CompactAppend (metadata retirement, nothing moves) → time-travel
+    // audit → vacuum retention, each invariant an oracle boolean
+    "mf_lifecycle_gate" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.manifestLifecycleGate(s, d)),
     "file_compaction_gate" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.fileCompactionGate(s, d)),
     // two-dimensional completion: aligned z-cell files prune range
@@ -2271,6 +2276,13 @@ object SparkEntry {
       """SELECT TRUE AS layouts_written, TRUE AS unclustered_full_scan,
         | TRUE AS clustered_skips, TRUE AS rows_agree""".stripMargin
         .replace("\n", ""),
+    // manifest-store lifecycle: append fragmentation, compaction
+    // conservation, snapshot-isolated history, vacuum retention — all
+    // TRUE by construction (closed-form gate)
+    "mf_lifecycle_gate" ->
+      """SELECT TRUE AS segments_fragmented, TRUE AS content_conserved,
+        | TRUE AS segments_compacted, TRUE AS history_consistent,
+        | TRUE AS vacuum_safe""".stripMargin.replace("\n", ""),
     // executed bin-pack rewrite: every conservation/reduction boolean is
     // TRUE by construction (closed-form gate)
     "file_compaction_gate" ->

@@ -135,7 +135,7 @@ object ManifestStore {
   }
 
   /** One table's mutation inside an atomic [[commitTables]] commit. */
-  sealed trait TableOp { def table: String; def df: DataFrame }
+  sealed trait TableOp { def table: String }
   /** Merge `df` into the partitioned `table`: touched partitions (the
     * batch's distinct keys) are read back manifest-pruned, merged
     * (rows whose `idCol` appears in the batch replaced when set), and
@@ -164,6 +164,15 @@ object ManifestStore {
     * `table` — nothing existing is read or merged (the narrow vector
     * store shape). An empty `df` appends nothing. */
   final case class Append(table: String, df: DataFrame) extends TableOp
+  /** Rewrite ALL of an append-only `table`'s segments into ONE — the
+    * small-file compaction an append-per-micro-batch table needs
+    * (thousands of narrow segments after a production streaming run):
+    * one scan over the live segments, one new segment, every old entry
+    * dropped from the new version. Content-invariant by construction
+    * and, like every op here, non-destructive — superseded segments
+    * stay readable through older versions until [[vacuum]]. A
+    * single-segment (or empty) table is a no-op. */
+  final case class CompactAppend(table: String) extends TableOp
 
   private val ManifestDirName = "_manifests"
   private val SegDirName = "seg"
@@ -413,6 +422,7 @@ object ManifestStore {
       // evaluate every op's staging; track touched keys and new entries
       var newEntries = Seq.empty[Entry]
       var dropKeys = Map.empty[String, Set[String]] // table -> touched
+      var dropAllOf = Set.empty[String] // tables whose entries ALL retire
       var touched = Map.empty[String, Seq[String]]
       ops.foreach {
         case Upsert(table, df, idCol, rekey) =>
@@ -470,11 +480,24 @@ object ManifestStore {
             s"table '$table' is partitioned — use Upsert")
           if (!df.isEmpty)
             newEntries ++= writeAppendSegment(s, r, table, df)
+        case CompactAppend(table) =>
+          require(m.partCols(table).isEmpty,
+            s"table '$table' is partitioned — its upserts already " +
+              "rewrite whole partitions; CompactAppend is for " +
+              "append-only tables")
+          val liveE = m.entries.filter(_.table == table)
+          if (liveE.size > 1) {
+            val live = s.read.parquet(
+              liveE.map(e => new Path(r, e.dir).toString): _*)
+            newEntries ++= writeAppendSegment(s, r, table, live)
+            dropAllOf += table
+          }
       }
       if (newEntries.isEmpty) return Map.empty
       killPoint("staged")
       val kept = m.entries.filterNot(e =>
-        dropKeys.get(e.table).exists(_.contains(e.part)))
+        dropAllOf.contains(e.table) ||
+          dropKeys.get(e.table).exists(_.contains(e.part)))
       writeManifest(fs, r, v + 1, m.partCols, kept ++ newEntries)
       killPoint("committed")
       touched
@@ -534,6 +557,18 @@ object ManifestStore {
         .filter(lit(false))
     else
       s.read.parquet(sel.map(e => new Path(r, e.dir).toString): _*)
+  }
+
+  /** The manifest entries of one table at a version (newest when
+    * omitted) — bounded driver-side metadata, for observability and
+    * gates (segment counts, pruning audits). */
+  def tableEntries(s: SparkSession, root: String, table: String,
+      version: Option[Long] = None): Seq[Entry] = {
+    val (fs, r) = fsOf(s, root)
+    val v = version.getOrElse(currentVersion(fs, r).getOrElse(
+      throw new IllegalStateException(
+        s"manifest store at $root has no committed version")))
+    readManifest(fs, r, v).entries.filter(_.table == table)
   }
 
   /** Single-table snapshot read (sugar over [[readTable]]). */

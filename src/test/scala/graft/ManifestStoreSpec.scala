@@ -424,6 +424,52 @@ class ManifestStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("CompactAppend: segments merge to one, content invariant, " +
+      "single-segment table is a no-op") {
+    import spark.implicits._
+    val root = tempDir("mf-compactappend")
+    ManifestStore.createTables(spark, root, Seq(
+      (ManifestStore.TableDef("vecs", ""),
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v"))))
+    ManifestStore.commitTables(spark, root)(Seq(
+      ManifestStore.Append("vecs", Seq((3L, "c")).toDF("id", "v"))))
+    ManifestStore.commitTables(spark, root)(Seq(
+      ManifestStore.Append("vecs", Seq((4L, "d")).toDF("id", "v"))))
+    assert(ManifestStore.tableEntries(spark, root, "vecs").size === 3)
+    def all(v: Option[Long] = None) = ManifestStore
+      .readTable(spark, root, "vecs", version = v)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val before = all()
+    ManifestStore.commitTables(spark, root)(Seq(
+      ManifestStore.CompactAppend("vecs")))
+    assert(ManifestStore.tableEntries(spark, root, "vecs").size === 1)
+    assert(all() === before)
+    // pre-compaction version untouched (snapshot isolation)
+    assert(all(Some(3L)) === before)
+    // single-segment table: no-op, no version bump
+    val v = ManifestStore.currentVersion(spark, root)
+    assert(ManifestStore.commitTables(spark, root)(Seq(
+      ManifestStore.CompactAppend("vecs"))) === Map.empty)
+    assert(ManifestStore.currentVersion(spark, root) === v)
+    // partitioned tables refuse CompactAppend loudly
+    val root2 = tempDir("mf-compactappend-part")
+    ManifestStore.create(spark, root2, rows(0 until 8, "a"), "part")
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.commitTables(spark, root2)(Seq(
+        ManifestStore.CompactAppend("t")))
+    }
+    assert(e.getMessage.contains("partitioned"))
+  }
+
+  test("manifestLifecycleGate: all five lifecycle invariants hold") {
+    val got = graft.operators.Layout.manifestLifecycleGate(spark, sf)
+      .collect()
+    assert(got.length === 1)
+    val r = got.head
+    (0 until 5).foreach(i =>
+      assert(r.getBoolean(i), s"invariant ${got.head.schema(i).name}"))
+  }
+
   test("Replace: the idempotent day-overwrite semantic — " +
       "load∘load = load, superseded version time-travelable") {
     import spark.implicits._
