@@ -424,6 +424,35 @@ class ManifestStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("double-commit backstop: the version-file create arbitrates — " +
+      "a writer racing a committed version fails loudly, store intact") {
+    val root = tempDir("mf-double-commit")
+    val base = rows(0 until 20, "a")
+    ManifestStore.create(spark, root, base, "part")
+    // model a thief that committed v2 in the window between this
+    // writer's version read and its publish (a stall past the lease +
+    // steal): the killPoint hook plants the thief's v2 right after our
+    // staging completes, WITHOUT unwinding our commit
+    val thief = java.nio.file.Paths.get(root, "_manifests", "v00000002.mf")
+    val v1 = java.nio.file.Paths.get(root, "_manifests", "v00000001.mf")
+    ManifestStore.killPoint = p =>
+      if (p == "staged" && !java.nio.file.Files.exists(thief))
+        java.nio.file.Files.copy(v1, thief)
+    val e =
+      try intercept[IllegalArgumentException] {
+        ManifestStore.upsertPartitions(spark, root,
+          rows(20 until 30, "b"), "part")
+      } finally ManifestStore.killPoint = _ => ()
+    assert(e.getMessage.contains("already exists"))
+    // the loser changed nothing a reader can see: v2 is the thief's,
+    // and the loser's staged segment is an unreferenced orphan that
+    // vacuum reaps
+    assert(contents(ManifestStore.read(spark, root, version = Some(2L)))
+      === contents(base))
+    ManifestStore.vacuum(spark, root, keepLast = 1)
+    assert(contents(ManifestStore.read(spark, root)) === contents(base))
+  }
+
   test("CompactAppend: segments merge to one, content invariant, " +
       "single-segment table is a no-op") {
     import spark.implicits._
