@@ -471,6 +471,11 @@ object SparkEntry {
     // audit → vacuum retention, each invariant an oracle boolean
     "mf_lifecycle_gate" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.manifestLifecycleGate(s, d)),
+    // added-column drift across manifest segments: merged reads
+    // null-fill, and CompactAppend bakes the union schema into its one
+    // rewritten segment — evolution debt retired by a bounded rewrite
+    "mf_schema_evolution_gate" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.mfSchemaEvolutionGate(s, d)),
     "file_compaction_gate" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.fileCompactionGate(s, d)),
     // two-dimensional completion: aligned z-cell files prune range
@@ -2283,6 +2288,12 @@ object SparkEntry {
       """SELECT TRUE AS segments_fragmented, TRUE AS content_conserved,
         | TRUE AS segments_compacted, TRUE AS history_consistent,
         | TRUE AS vacuum_safe""".stripMargin.replace("\n", ""),
+    // manifest-segment schema drift: merged reads widen + null-fill,
+    // compaction bakes the union — all TRUE by construction
+    "mf_schema_evolution_gate" ->
+      """SELECT TRUE AS schema_widened, TRUE AS old_rows_null_filled,
+        | TRUE AS new_rows_carry_values, TRUE AS rows_conserved,
+        | TRUE AS compaction_bakes_schema""".stripMargin.replace("\n", ""),
     // executed bin-pack rewrite: every conservation/reduction boolean is
     // TRUE by construction (closed-form gate)
     "file_compaction_gate" ->

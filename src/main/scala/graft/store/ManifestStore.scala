@@ -346,14 +346,29 @@ object ManifestStore {
       .sortBy(_.part)
   }
 
-  /** Write `df` as one whole append segment of `table`; one entry. */
-  private def writeAppendSegment(s: SparkSession, root: Path,
-      table: String, df: DataFrame): Seq[Entry] = {
+  /** Write `df` as one whole append segment of `table`; one entry.
+    * An EMPTY batch is detected from the WRITTEN files (no data files
+    * landed → segment deleted, no entry) rather than a pre-write
+    * `isEmpty` probe — the probe re-evaluates the batch's whole plan
+    * (for the streaming maintenance lanes that is the upsert anti-join
+    * per micro-batch), while the written listing is file-count
+    * metadata the write already produced. */
+  private def writeAppendSegment(s: SparkSession, fs: FileSystem,
+      root: Path, table: String, df: DataFrame): Seq[Entry] = {
     val segRel = freshSegRel()
+    val segPath = new Path(root, segRel)
     df.write.mode("errorifexists")
       .option("compression", "zstd")
-      .parquet(new Path(root, segRel).toString)
-    Seq(Entry(table, "", segRel))
+      .parquet(segPath.toString)
+    val dataFiles = fs.listStatus(segPath).exists(st =>
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    // the count is parquet-footer-only metadata over the segment just
+    // written (never the batch plan), guarding the schema-only-file case
+    val hasData = dataFiles &&
+      s.read.parquet(segPath.toString).count() > 0
+    if (hasData) Seq(Entry(table, "", segRel))
+    else { fs.delete(segPath, true); Seq.empty }
   }
 
   /** Initialize a multi-table manifest store at `root`: one atomic
@@ -374,10 +389,8 @@ object ManifestStore {
     val token = acquireLease(fs, r)
     try {
       val entries = tables.flatMap { case (td, df) =>
-        if (td.partCol.isEmpty) {
-          if (df.isEmpty) Seq.empty
-          else writeAppendSegment(s, r, td.name, df)
-        } else writePartitionedSegment(s, fs, r, td.name, df,
+        if (td.partCol.isEmpty) writeAppendSegment(s, fs, r, td.name, df)
+        else writePartitionedSegment(s, fs, r, td.name, df,
           td.partCol, td.keyInData)
       }
       killPoint("staged")
@@ -436,12 +449,14 @@ object ManifestStore {
             val keySet = keys.toSet
             val liveE = m.entries.filter(e =>
               e.table == table && keySet.contains(e.part))
-            val cols = df.columns.map(col)
+            val colNames = df.columns
             val merged =
               if (liveE.isEmpty) df
               else {
-                val liveRaw = s.read.parquet(
-                  liveE.map(e => new Path(r, e.dir).toString): _*)
+                // mergeSchema: touched dirs may span an added-column
+                // evolution (object doc) — the union schema applies
+                val liveRaw = s.read.option("mergeSchema", "true")
+                  .parquet(liveE.map(e => new Path(r, e.dir).toString): _*)
                 // layout-only key: restore it on the live slice with
                 // the caller's derivation (Upsert doc)
                 val live =
@@ -451,9 +466,25 @@ object ManifestStore {
                       s"table '$table' stores its key '$pc' layout-" +
                         "only; Upsert needs a rekey function to " +
                         "restore it on the live slice"))
-                val kept = idCol.fold(live)(id =>
+                // evolution is ADD-only: a batch that drops a live
+                // column would silently lose it for the touched
+                // partitions while the untouched keep it — refuse
+                val dropped = live.columns.toSet -- colNames.toSet
+                require(dropped.isEmpty,
+                  s"arriving batch for '$table' is missing live " +
+                    s"column(s) ${dropped.toSeq.sorted.mkString(",")} — " +
+                    "schema evolution only ADDS columns")
+                val kept0 = idCol.fold(live)(id =>
                   live.join(df.select(id), Seq(id), "left_anti"))
-                kept.select(cols: _*).unionByName(df.select(cols: _*))
+                // null-fill the batch's NEW columns on pre-evolution
+                // live rows (parquet's merge semantic, applied eagerly
+                // so the rewritten partition is schema-homogeneous)
+                val aligned = colNames.map { name =>
+                  if (kept0.columns.contains(name)) col(name)
+                  else lit(null).cast(df.schema(name).dataType).as(name)
+                }
+                kept0.select(aligned.toSeq: _*)
+                  .unionByName(df.select(colNames.map(col).toSeq: _*))
               }
             newEntries ++= writePartitionedSegment(s, fs, r, table,
               merged, pc, keyInDataOf(raw))
@@ -478,8 +509,7 @@ object ManifestStore {
         case Append(table, df) =>
           require(m.partCols(table).isEmpty,
             s"table '$table' is partitioned — use Upsert")
-          if (!df.isEmpty)
-            newEntries ++= writeAppendSegment(s, r, table, df)
+          newEntries ++= writeAppendSegment(s, fs, r, table, df)
         case CompactAppend(table) =>
           require(m.partCols(table).isEmpty,
             s"table '$table' is partitioned — its upserts already " +
@@ -487,9 +517,12 @@ object ManifestStore {
               "append-only tables")
           val liveE = m.entries.filter(_.table == table)
           if (liveE.size > 1) {
-            val live = s.read.parquet(
+            // mergeSchema: the segments may span an added-column
+            // evolution; the compacted segment BAKES the union schema
+            // (null-filled old rows), retiring the per-read merge cost
+            val live = s.read.option("mergeSchema", "true").parquet(
               liveE.map(e => new Path(r, e.dir).toString): _*)
-            newEntries ++= writeAppendSegment(s, r, table, live)
+            newEntries ++= writeAppendSegment(s, fs, r, table, live)
             dropAllOf += table
           }
       }
@@ -534,10 +567,20 @@ object ManifestStore {
     * `version` time-travels to any retained manifest. A pruned read
     * matching nothing (and an append-only table with no segments yet)
     * returns an empty frame with the table's schema when any segment
-    * exists to borrow it from, and fails loudly otherwise. */
+    * exists to borrow it from, and fails loudly otherwise.
+    *
+    * `mergeSchema`: set when the table's segments span an ADDED-COLUMN
+    * schema evolution (old segments written before the column existed)
+    * — the union schema applies and pre-evolution rows read NULL,
+    * parquet's lossless merge. Costs a footer read per data file at
+    * planning, bounded by the table's file count — which is exactly
+    * what [[CompactAppend]] reduces, and compaction also BAKES the
+    * merged schema into its one rewritten segment, retiring the need
+    * for this flag along with the small files. */
   def readTable(s: SparkSession, root: String, table: String,
       parts: Option[Seq[String]] = None,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val (fs, r) = fsOf(s, root)
     val v = version.getOrElse(currentVersion(fs, r).getOrElse(
       throw new IllegalStateException(
@@ -553,10 +596,12 @@ object ManifestStore {
     require(all.nonEmpty, s"table '$table' v$v at $root lists no data")
     val sel = parts.fold(all)(ps => all.filter(e => ps.contains(e.part)))
     if (sel.isEmpty)
-      s.read.parquet(new Path(r, all.head.dir).toString)
+      s.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(new Path(r, all.head.dir).toString)
         .filter(lit(false))
     else
-      s.read.parquet(sel.map(e => new Path(r, e.dir).toString): _*)
+      s.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(sel.map(e => new Path(r, e.dir).toString): _*)
   }
 
   /** The manifest entries of one table at a version (newest when
@@ -574,8 +619,9 @@ object ManifestStore {
   /** Single-table snapshot read (sugar over [[readTable]]). */
   def read(s: SparkSession, root: String,
       parts: Option[Seq[String]] = None,
-      version: Option[Long] = None): DataFrame =
-    readTable(s, root, DefaultTable, parts, version)
+      version: Option[Long] = None,
+      mergeSchema: Boolean = false): DataFrame =
+    readTable(s, root, DefaultTable, parts, version, mergeSchema)
 
   /** Retire history: keep the newest `keepLast` manifests, delete the
     * older ones, then delete every segment dir no kept manifest

@@ -499,6 +499,38 @@ class ManifestStoreSpec extends AnyFunSuite {
       assert(r.getBoolean(i), s"invariant ${got.head.schema(i).name}"))
   }
 
+  test("schema evolution: evolved upsert null-fills old live rows and " +
+      "refuses dropped columns; mergeSchema read spans segments") {
+    import spark.implicits._
+    val root = tempDir("mf-evolve")
+    ManifestStore.create(spark, root,
+      Seq((1L, 0, "a"), (2L, 1, "b")).toDF("id", "part", "v"), "part")
+    // the evolved batch carries a NEW column and touches part 0 only
+    val evolved = Seq((3L, 0, "c", 9.5)).toDF("id", "part", "v", "score")
+    ManifestStore.upsertPartitions(spark, root, evolved, "part")
+    // merged read across evolved + pre-evolution segments
+    val all = ManifestStore.read(spark, root, None, None, mergeSchema = true)
+    assert(all.columns.toSeq === Seq("id", "part", "v", "score"))
+    val byId = all.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(byId === Map(1L -> None, 2L -> None, 3L -> Some(9.5)))
+    // a batch missing a live column is refused loudly (ADD-only)
+    val dropping = Seq((4L, 0, 1.0)).toDF("id", "part", "score")
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.upsertPartitions(spark, root, dropping, "part")
+    }
+    assert(e.getMessage.contains("only ADDS"))
+  }
+
+  test("mfSchemaEvolutionGate: all five drift invariants hold") {
+    val got = graft.operators.Layout.mfSchemaEvolutionGate(spark, sf)
+      .collect()
+    assert(got.length === 1)
+    (0 until 5).foreach(i =>
+      assert(got.head.getBoolean(i), s"invariant ${got.head.schema(i).name}"))
+  }
+
   test("Replace: the idempotent day-overwrite semantic — " +
       "load∘load = load, superseded version time-travelable") {
     import spark.implicits._
