@@ -110,8 +110,16 @@ import org.apache.spark.sql.functions._
 object ManifestStore {
 
   /** One manifest line: table name, partition key (hive rendering; ""
-    * for append-segment entries) → leaf data dir relative to root. */
-  final case class Entry(table: String, part: String, dir: String)
+    * for append-segment entries) → leaf data dir relative to root,
+    * plus the FINGERPRINT of the schema the segment's files carry —
+    * which is what makes schema evolution safe BY DEFAULT: a read
+    * whose selected entries disagree on the fingerprint turns on
+    * parquet schema merging automatically (union schema, null-filled
+    * old rows), while homogeneous tables — the overwhelmingly common
+    * case — pay zero footer-merge cost. No reader has to know whether
+    * the table ever evolved. */
+  final case class Entry(table: String, part: String, dir: String,
+      schemaId: String)
 
   /** A parsed manifest: per-table RAW key spec ("" = append-only;
     * `~`-prefixed = layout-only key, see [[keyInData]]) and the full
@@ -280,7 +288,8 @@ object ManifestStore {
     val entries = lines.tail.map { line =>
       // -1 keeps trailing empty fields (append entries have part = "")
       line.split("\t", -1) match {
-        case Array("E", table, part, dir) => Entry(table, part, dir)
+        case Array("E", table, part, dir, schemaId) =>
+          Entry(table, part, dir, schemaId)
         case _ => throw new IllegalStateException(
           s"corrupt manifest line in $p: $line")
       }
@@ -308,11 +317,22 @@ object ManifestStore {
         s"$Header\t$FormatVersion\t${renderPartCols(partCols)}\n"
           .getBytes("UTF-8"))
       entries.sortBy(e => (e.table, e.part, e.dir)).foreach { e =>
-        out.write(s"E\t${e.table}\t${e.part}\t${e.dir}\n".getBytes("UTF-8"))
+        out.write(s"E\t${e.table}\t${e.part}\t${e.dir}\t${e.schemaId}\n"
+          .getBytes("UTF-8"))
       }
     } finally out.close()
     require(fs.rename(tmp, fin),
       s"manifest publish rename $tmp -> $fin failed (concurrent commit?)")
+  }
+
+  /** Stable fingerprint of the schema a segment's FILES carry (the
+    * layout column, when distinct from the data, is already absent
+    * from `written`). Field names + types + nullability, hashed. */
+  private def schemaIdOf(written: org.apache.spark.sql.types.StructType)
+      : String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = md.digest(written.catalogString.getBytes("UTF-8"))
+    bytes.take(6).map(b => f"$b%02x").mkString
   }
 
   private def freshSegRel(): String =
@@ -331,6 +351,9 @@ object ManifestStore {
     val segPath = new Path(root, segRel)
     val toWrite =
       if (keyInData) df.withColumn(layoutCol, col(partCol)) else df
+    // the files carry toWrite's schema minus the layout column
+    val sid = schemaIdOf(org.apache.spark.sql.types.StructType(
+      toWrite.schema.filterNot(_.name == layoutCol)))
     toWrite
       .repartition(col(partCol)) // one writer task per touched partition
       .write.mode("errorifexists").partitionBy(layoutCol)
@@ -341,7 +364,8 @@ object ManifestStore {
         st.getPath.getName.startsWith(layoutCol + "="))
       .map { st =>
         val name = st.getPath.getName
-        Entry(table, name.stripPrefix(layoutCol + "="), s"$segRel/$name")
+        Entry(table, name.stripPrefix(layoutCol + "="), s"$segRel/$name",
+          sid)
       }
       .sortBy(_.part)
   }
@@ -367,7 +391,7 @@ object ManifestStore {
     // written (never the batch plan), guarding the schema-only-file case
     val hasData = dataFiles &&
       s.read.parquet(segPath.toString).count() > 0
-    if (hasData) Seq(Entry(table, "", segRel))
+    if (hasData) Seq(Entry(table, "", segRel, schemaIdOf(df.schema)))
     else { fs.delete(segPath, true); Seq.empty }
   }
 
@@ -453,9 +477,11 @@ object ManifestStore {
             val merged =
               if (liveE.isEmpty) df
               else {
-                // mergeSchema: touched dirs may span an added-column
-                // evolution (object doc) — the union schema applies
-                val liveRaw = s.read.option("mergeSchema", "true")
+                // merge only when the touched dirs' fingerprints
+                // disagree (added-column evolution; object doc)
+                val liveMerge = liveE.map(_.schemaId).distinct.size > 1
+                val liveRaw = s.read
+                  .option("mergeSchema", liveMerge.toString)
                   .parquet(liveE.map(e => new Path(r, e.dir).toString): _*)
                 // layout-only key: restore it on the live slice with
                 // the caller's derivation (Upsert doc)
@@ -517,10 +543,12 @@ object ManifestStore {
               "append-only tables")
           val liveE = m.entries.filter(_.table == table)
           if (liveE.size > 1) {
-            // mergeSchema: the segments may span an added-column
-            // evolution; the compacted segment BAKES the union schema
-            // (null-filled old rows), retiring the per-read merge cost
-            val live = s.read.option("mergeSchema", "true").parquet(
+            // merge exactly when the segments' fingerprints disagree;
+            // the compacted segment BAKES the union schema (null-filled
+            // old rows), retiring the per-read merge cost
+            val liveMerge = liveE.map(_.schemaId).distinct.size > 1
+            val live = s.read
+              .option("mergeSchema", liveMerge.toString).parquet(
               liveE.map(e => new Path(r, e.dir).toString): _*)
             newEntries ++= writeAppendSegment(s, fs, r, table, live)
             dropAllOf += table
@@ -569,14 +597,18 @@ object ManifestStore {
     * returns an empty frame with the table's schema when any segment
     * exists to borrow it from, and fails loudly otherwise.
     *
-    * `mergeSchema`: set when the table's segments span an ADDED-COLUMN
-    * schema evolution (old segments written before the column existed)
-    * — the union schema applies and pre-evolution rows read NULL,
-    * parquet's lossless merge. Costs a footer read per data file at
+    * ADDED-COLUMN schema evolution (old segments written before the
+    * column existed) is handled automatically: every entry carries its
+    * segment's schema fingerprint, and parquet schema merging turns on
+    * exactly when the selected entries disagree — union schema,
+    * pre-evolution rows read NULL. Homogeneous tables pay zero
+    * footer-merge cost, and no caller has to know whether the table
+    * ever evolved. The merge costs a footer read per data file at
     * planning, bounded by the table's file count — which is exactly
     * what [[CompactAppend]] reduces, and compaction also BAKES the
-    * merged schema into its one rewritten segment, retiring the need
-    * for this flag along with the small files. */
+    * merged schema into its one rewritten segment, retiring the merge
+    * along with the small files. `mergeSchema = true` forces the merge
+    * regardless (diagnostic override). */
   def readTable(s: SparkSession, root: String, table: String,
       parts: Option[Seq[String]] = None,
       version: Option[Long] = None,
@@ -595,12 +627,16 @@ object ManifestStore {
     val all = m.entries.filter(_.table == table)
     require(all.nonEmpty, s"table '$table' v$v at $root lists no data")
     val sel = parts.fold(all)(ps => all.filter(e => ps.contains(e.part)))
+    // safe-by-default evolution: the manifest KNOWS whether the
+    // selected segments agree on schema — merging turns on exactly
+    // when they don't (object doc), so no reader has to pass the flag
+    val needMerge = mergeSchema ||
+      sel.map(_.schemaId).distinct.size > 1
     if (sel.isEmpty)
-      s.read.option("mergeSchema", mergeSchema.toString)
-        .parquet(new Path(r, all.head.dir).toString)
+      s.read.parquet(new Path(r, all.head.dir).toString)
         .filter(lit(false))
     else
-      s.read.option("mergeSchema", mergeSchema.toString)
+      s.read.option("mergeSchema", needMerge.toString)
         .parquet(sel.map(e => new Path(r, e.dir).toString): _*)
   }
 

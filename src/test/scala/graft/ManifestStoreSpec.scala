@@ -508,13 +508,19 @@ class ManifestStoreSpec extends AnyFunSuite {
     // the evolved batch carries a NEW column and touches part 0 only
     val evolved = Seq((3L, 0, "c", 9.5)).toDF("id", "part", "v", "score")
     ManifestStore.upsertPartitions(spark, root, evolved, "part")
-    // merged read across evolved + pre-evolution segments
-    val all = ManifestStore.read(spark, root, None, None, mergeSchema = true)
+    // merged read across evolved + pre-evolution segments — WITHOUT
+    // any flag: the entry fingerprints disagree, so the store turns
+    // schema merging on by itself (safe-by-default evolution)
+    val all = ManifestStore.read(spark, root)
     assert(all.columns.toSeq === Seq("id", "part", "v", "score"))
     val byId = all.collect().map(r =>
       r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
       .toMap
     assert(byId === Map(1L -> None, 2L -> None, 3L -> Some(9.5)))
+    // a pruned read that stays INSIDE one fingerprint pays no merge
+    // and keeps that segment's own schema
+    val oldOnly = ManifestStore.read(spark, root, parts = Some(Seq("1")))
+    assert(oldOnly.columns.toSeq === Seq("id", "part", "v"))
     // a batch missing a live column is refused loudly (ADD-only)
     val dropping = Seq((4L, 0, 1.0)).toDF("id", "part", "score")
     val e = intercept[IllegalArgumentException] {
