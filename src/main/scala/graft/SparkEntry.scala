@@ -291,6 +291,11 @@ object SparkEntry {
     // probe must reproduce the full math replay over the planted corpus
     "ann_ivfpq_compact" -> ((s: SparkSession, d: String) =>
       Similarity.ivfPqCompactPlanted(s, d)),
+    // the same PQ compaction lifecycle over the versioned-manifest
+    // codes store (the round-13 DEFAULT protocol) — identical oracle:
+    // the commit protocol must not change one row
+    "ann_ivfpq_compact_mf" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqCompactManifestPlanted(s, d)),
     "ann_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.filteredTopK(s, d)),
     "length_percentiles" -> (TextAnalysis.lengthPercentiles _),
     "search_docs" -> ((s: SparkSession, d: String) => Similarity.searchDocs(s, d)),
@@ -476,6 +481,11 @@ object SparkEntry {
     // rewritten segment — evolution debt retired by a bounded rewrite
     "mf_schema_evolution_gate" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.mfSchemaEvolutionGate(s, d)),
+    // spark.read.format("graft-manifest"): snapshot read + manifest
+    // pruning through the SQL front door; the plan is the real pruned
+    // parquet scan (the facade unwraps to the file relation)
+    "mf_facade_read" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.manifestFacadeRead(s, d)),
     "file_compaction_gate" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.fileCompactionGate(s, d)),
     // two-dimensional completion: aligned z-cell files prune range
@@ -827,12 +837,10 @@ object SparkEntry {
     // from the natural table (cents/cb CTEs untouched), only the
     // database side (assign + enc) reads the planted corpus — which is
     // exactly what compaction ≡ rebuild promises the stored lane holds
-    ("ann_ivfpq_compact" -> ivfPqBatchSql
-      .replaceFirst("WITH ",
-        "WITH embp AS (SELECT vec_id, embedding FROM embeddings" +
-          " UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding" +
-          " FROM embeddings WHERE vec_id < 5), ")
-      .replace("FROM embeddings e ", "FROM embp e ")) +
+    ("ann_ivfpq_compact" -> ivfPqCompactSql) +
+    // the manifest-protocol twin replays the IDENTICAL math — the
+    // commit protocol must not change one row
+    ("ann_ivfpq_compact_mf" -> ivfPqCompactSql) +
     // streaming drift accumulates the SAME integer band counts the
     // batch PSI aggregates in one pass — associativity makes the
     // relations identical, so the queries share one oracle
@@ -846,6 +854,19 @@ object SparkEntry {
         | FROM pred GROUP BY lang_labeled, lang_pred
         | ORDER BY lang_labeled, lang_pred""".stripMargin
         .replace("\n", "")))
+
+  /** The PQ compaction gates' oracle: [[ivfPqBatchSql]] with the
+    * database side (assign + enc) swapped to the planted corpus while
+    * the frozen centroids/codebooks stay on the natural table — shared
+    * verbatim by `ann_ivfpq_compact` (rename protocol) and
+    * `ann_ivfpq_compact_mf` (manifest protocol, the round-13 default):
+    * compaction ≡ rebuild under EITHER commit protocol. */
+  private lazy val ivfPqCompactSql: String = ivfPqBatchSql
+    .replaceFirst("WITH ",
+      "WITH embp AS (SELECT vec_id, embedding FROM embeddings" +
+        " UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding" +
+        " FROM embeddings WHERE vec_id < 5), ")
+    .replace("FROM embeddings e ", "FROM embp e ")
 
   /** Full DuckDB replay of the IVF-PQ batch probe's math (coarse-cell
     * ranking, frozen-codebook encode, code-selected ADC, per-q_id
@@ -2288,12 +2309,24 @@ object SparkEntry {
       """SELECT TRUE AS segments_fragmented, TRUE AS content_conserved,
         | TRUE AS segments_compacted, TRUE AS history_consistent,
         | TRUE AS vacuum_safe""".stripMargin.replace("\n", ""),
-    // manifest-segment schema drift: merged reads widen + null-fill,
-    // compaction bakes the union — all TRUE by construction
+    // manifest-segment schema drift, BOTH axes: merged reads null-fill
+    // added columns and widen int→long types, compaction bakes the
+    // union — all TRUE by construction
     "mf_schema_evolution_gate" ->
       """SELECT TRUE AS schema_widened, TRUE AS old_rows_null_filled,
         | TRUE AS new_rows_carry_values, TRUE AS rows_conserved,
-        | TRUE AS compaction_bakes_schema""".stripMargin.replace("\n", ""),
+        | TRUE AS compaction_bakes_schema, TRUE AS type_widened,
+        | TRUE AS widened_values_conserved""".stripMargin.replace("\n", ""),
+    // the facade read with parts=A,N equals the raw-parquet aggregate
+    // under the equivalent IN filter — the SQL front door changes no
+    // row, and the manifest pruning is value-visible (no 'R' group)
+    "mf_facade_read" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n
+        | FROM lineitem WHERE l_returnflag IN ('A','N')
+        | GROUP BY l_returnflag ORDER BY l_returnflag"""
+      .stripMargin.replace("\n", ""),
     // executed bin-pack rewrite: every conservation/reduction boolean is
     // TRUE by construction (closed-form gate)
     "file_compaction_gate" ->

@@ -652,14 +652,32 @@ object Similarity {
     val cents = collectCentroids(labelCentroids(s, dir), "label")
       .map { case (cl, v) => (cl.toLong, v) }
     val cb = pqCodebooks(s, dir)
-    val probes = queries
+    val probes = pqProbesOf(queries, cents, nProbe)
+    pqAdcRank(s.read.parquet(s"$indexPath/codes"), probes, cb, k,
+      excludeSelf, broadcastProbes)
+  }
+
+  /** The batch lanes' per-query coarse-cell probe relation: (q_id,
+    * q_emb, probed cell) via the [[cellRankingOn]] literal projection —
+    * never collected; shared verbatim by the hive-indexed and
+    * manifest-store PQ probes so both rank bit-identically. */
+  private def pqProbesOf(queries: DataFrame,
+      cents: Array[(Long, Array[Double])], nProbe: Int): DataFrame =
+    queries
       .select(col("q_id"), col("q_emb"),
         explode(slice(cellRankingOn(col("q_emb"), cents), 1, nProbe))
           .as("probe"))
       .select(col("q_id"), col("q_emb"),
         col("probe").getField("cent").cast("int").as("cell"))
-    val cand = s.read.parquet(s"$indexPath/codes")
-      .join(probeHint(probes, broadcastProbes), Seq("cell"))
+
+  /** ADC rank of a codes relation against a probe relation — the body
+    * of [[ivfPqProbeIndexedBatch]], parameterized by the codes SOURCE
+    * (hive-partitioned scan or manifest-pruned snapshot) so the two
+    * storage lanes share one plan shape and one set of semantics. */
+  private def pqAdcRank(codes: DataFrame, probes: DataFrame,
+      cb: Array[Array[Array[Double]]], k: Int, excludeSelf: Boolean,
+      broadcastProbes: Boolean): DataFrame = {
+    val cand = codes.join(probeHint(probes, broadcastProbes), Seq("cell"))
     val filtered =
       if (excludeSelf) cand.filter(col("vec_id") =!= col("q_id"))
       else cand
@@ -2637,8 +2655,10 @@ object Similarity {
     val scratch = scratchDir(s, "graft-lshmf-")
     try {
       val live = s"$scratch/live"
-      writeLshIndexManifest(s, base, live, 4, 8)
-      lshCompactManifest(s, live, arriving, 4, 8)
+      // DEFAULT-protocol facades, no protocol argument: this gate IS
+      // the library's default LSH lifecycle, oracle-checked
+      buildLshIndex(s, base, live, 4, 8)
+      maintainLshIndex(s, live, arriving, 4, 8)
       def keyed(df: DataFrame): Map[Long, Seq[(Long, Double, Int)]] =
         df.collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
@@ -2646,7 +2666,7 @@ object Similarity {
           .map { case (q, rows) =>
             q -> rows.sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq
           }
-      val stored = keyed(lshProbeManifest(s, live, queries, k))
+      val stored = keyed(probeLshIndex(s, live, queries, k))
       val memory = keyed(lshTopKBatchOn(plantedEmb(emb, n), queries, k))
       val rows = (0L until n.toLong).map { qid =>
         val b = stored(qid)
@@ -2724,26 +2744,14 @@ object Similarity {
       .persist()
     try {
       val live = s"$scratch/live"
-      ManifestStore.create(s, live, assignedAll.filter(!isArriving), "cell")
-      ivfCompactManifest(s, live, arriving, trained)
+      // DEFAULT-protocol facades, no protocol argument: this gate IS
+      // the library's default IVF lifecycle, oracle-checked
+      buildIvfIndex(s, live, assignedAll.filter(!isArriving), trained)
+      maintainIvfIndex(s, live, arriving, trained)
       val queries = emb.filter(col("vec_id") < n)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
-      // driver-side cell ranking, identical accumulation order to the
-      // CosineSim expression (the ivfProbeIndexed replica)
-      def cos(a: Array[Float], b: Array[Double]): Double = {
-        var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
-        while (i < a.length) {
-          val xi = a(i).toDouble; val yi = b(i)
-          xy += xi * yi; xx += xi * xi; yy += yi * yi; i += 1
-        }
-        xy / (math.sqrt(xx) * math.sqrt(yy))
-      }
-      val probeCells = queries.flatMap { case (_, qv) =>
-        trained.map { case (cid, v) => (-cos(qv, v), cid) }
-          .sorted.take(nProbe).map(_._2)
-      }.distinct.sorted
       val centsL = trained.map { case (c, v) => (c.toLong, v) }
       def reduceTopk(df: DataFrame): Map[Long, Array[(Long, Double)]] =
         df.collect()
@@ -2752,12 +2760,13 @@ object Similarity {
           .map { case (q, hits) =>
             q -> hits.filter(_._2 != q).map(h => (h._2, h._3))
           }
-      // live lane: the REAL storage path — manifest-pruned snapshot scan
-      val pruned = ManifestStore.read(s, live,
-        Some(probeCells.map(_.toString).toSeq))
-        .select("vec_id", "embedding", "cell")
-      val liveTop = reduceTopk(
-        multiProbeOn(pruned, centsL, queries.toSeq, k, nProbe))
+      // live lane: the REAL storage path through the default-protocol
+      // facade — the probed cells' distinct set (centroid-bounded
+      // metadata, ranked by the same accumulation order as the
+      // CosineSim expression) prunes at the manifest level
+      import s.implicits._
+      val liveTop = reduceTopk(probeIvfIndex(s, live,
+        queries.toSeq.toDF("q_id", "q_emb"), trained, k, nProbe))
       // rebuild reference: same probe plan over the cached assignment
       // (the ivfCompactPlanted argument — a rebuilt store holds exactly
       // these rows in exactly these cells)
@@ -2776,6 +2785,267 @@ object Similarity {
       deleteScratch(s, scratch)
     }
   }
+
+  /** [[writeIvfPqIndexOn]] over a [[graft.store.ManifestStore]]: the
+    * PQ codes table keyed by home cell, one version-1 commit. The
+    * SHARED [[pqEncodeOn]] projection encodes, so the two storage
+    * layouts hold bit-identical codes by construction. */
+  def writeIvfPqIndexManifestOn(s: SparkSession, emb: DataFrame,
+      cents: Array[(Int, Array[Double])],
+      cb: Array[Array[Array[Double]]], rootPath: String): Unit =
+    graft.store.ManifestStore.createTables(s, rootPath, Seq(
+      (graft.store.ManifestStore.TableDef("codes", "cell"),
+        pqEncodeOn(emb, cents, cb))))
+
+  /** [[ivfPqCompact]] over the manifest store — incremental IVF-PQ
+    * maintenance under the versioned-manifest commit: frozen centroids
+    * AND codebooks (retraining either IS a rebuild), the arriving
+    * batch encoded by the shared [[pqEncodeOn]] projection (12 bits +
+    * id per vector), only the TOUCHED `cell` partitions merged into a
+    * new immutable segment, one manifest create as the commit point.
+    * Object-store-safe, snapshot-isolated, time-travel-readable — the
+    * [[ivfCompactManifest]] properties at the codes level, with the
+    * same `upsertById` re-delivery idempotence contract. Returns the
+    * touched cell ids (k-bounded metadata). */
+  def ivfPqCompactManifest(s: SparkSession, rootPath: String,
+      arriving: DataFrame, cents: Array[(Int, Array[Double])],
+      cb: Array[Array[Array[Double]]],
+      upsertById: Boolean = false): Seq[Int] = {
+    import graft.store.ManifestStore
+    ManifestStore.commitTables(s, rootPath)(Seq(
+      ManifestStore.Upsert("codes", pqEncodeOn(arriving, cents, cb),
+        idCol = if (upsertById) Some("vec_id") else None)))
+      .getOrElse("codes", Seq.empty).map(_.toInt).sorted
+  }
+
+  /** [[ivfPqProbeIndexedBatch]] over the manifest store: identical
+    * coarse ranking and ADC math ([[pqProbesOf]] / [[pqAdcRank]],
+    * shared verbatim — the two lanes are bit-identical on the same
+    * queries by construction); what changes is the scan source. The
+    * probed cells' DISTINCT set — bounded by the centroid count, never
+    * the query count — prunes at the MANIFEST level, so only those
+    * cells' entries reach the scan: at 100 TB on an object store,
+    * zero list calls over unprobed prefixes, the hive lane's DPP
+    * moved up into driver-side metadata. */
+  def ivfPqProbeManifestBatch(s: SparkSession, dir: String,
+      rootPath: String, queries: DataFrame, k: Int = 10,
+      nProbe: Int = 3, excludeSelf: Boolean = true,
+      broadcastProbes: Boolean = true): DataFrame = {
+    val cents = collectCentroids(labelCentroids(s, dir), "label")
+      .map { case (cl, v) => (cl.toLong, v) }
+    val cb = pqCodebooks(s, dir)
+    val probes = pqProbesOf(queries, cents, nProbe)
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0).toString).toSeq.sorted
+    val codes = graft.store.ManifestStore.readTable(s, rootPath,
+      "codes", parts = Some(cells))
+    pqAdcRank(codes, probes, cb, k, excludeSelf, broadcastProbes)
+  }
+
+  /** `ann_ivfpq_compact_mf` gate — [[ivfPqCompactPlanted]]'s lifecycle
+    * over the versioned-manifest codes store: base index from the
+    * historical slice ([[writeIvfPqIndexManifestOn]]), the arriving
+    * batch (held-out slice + planted copies of the probe seeds) merged
+    * through [[ivfPqCompactManifest]]'s touched-cell upsert, probed
+    * manifest-pruned through the default-protocol facade. Oracle: the
+    * IDENTICAL DuckDB full-math replay as `ann_ivfpq_compact` — the
+    * commit protocol must not change one row. */
+  def ivfPqCompactManifestPlanted(s: SparkSession, dir: String,
+      n: Int = 5, k: Int = 10, nProbe: Int = 3): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val isBatch = col("vec_id") % 10 === 3
+    val arriving = emb.filter(isBatch).unionByName(
+      emb.filter(col("vec_id") < n)
+        .withColumn("vec_id", col("vec_id") + Dedup.PlantOffset))
+    val cents = collectCentroids(labelCentroids(s, dir), "label")
+    val cb = pqCodebooks(s, dir)
+    val scratch = scratchDir(s, "graft-pqcmf-")
+    try {
+      val live = s"$scratch/live"
+      // DEFAULT-protocol facades, no protocol argument: this gate IS
+      // the library's default index lifecycle, oracle-checked
+      buildIvfPqIndex(s, emb.filter(!isBatch), cents, cb, live)
+      maintainIvfPqIndex(s, live, arriving, cents, cb)
+      val queries = emb.filter(col("vec_id") < n)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val topk = probeIvfPqIndex(s, dir, live, queries, k, nProbe)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3), r.getInt(4)))
+      import s.implicits._
+      topk.toSeq.toDF("q_id", "vec_id", "cell", "adc_dist", "rn")
+        .orderBy("q_id", "rn")
+    } finally {
+      deleteScratch(s, scratch)
+    }
+  }
+
+  // ---- protocol-selectable index lifecycle facades (round 13) ----
+  // The versioned-manifest protocol is the library DEFAULT for every
+  // materialized ANN index lifecycle ([[graft.store.IndexProtocol]]:
+  // object-store-safe, snapshot-isolated, measured faster at scale);
+  // the rename/hive-tree protocol stays available behind the explicit
+  // [[graft.store.IndexProtocol.Rename]] flag for deployments that
+  // need a plain hive layout. Both protocols run identical semantics
+  // over identical merged rows — the `*_mf` gates pin hash equality
+  // against the rename twins' oracles.
+
+  import graft.store.IndexProtocol
+
+  /** Build an LSH index at `rootPath` under the selected protocol:
+    * Manifest (default) → [[writeLshIndexManifest]]'s two-table store;
+    * Rename → [[writeLshIndex]]'s plain hive tree. */
+  def buildLshIndex(s: SparkSession, emb: DataFrame, rootPath: String,
+      planes: Int = 4, bands: Int = 8,
+      protocol: IndexProtocol = IndexProtocol.Default): Unit =
+    protocol match {
+      case IndexProtocol.Manifest =>
+        writeLshIndexManifest(s, emb, rootPath, planes, bands)
+      case IndexProtocol.Rename =>
+        writeLshIndexOn(emb, rootPath, planes, bands)
+    }
+
+  /** Incremental LSH maintenance under the selected protocol —
+    * [[lshCompactManifest]] (default) or [[lshCompact]]. Identical
+    * frozen-hyperplane semantics and `upsertById` contract; returns
+    * the touched (band, bucket) pairs. */
+  def maintainLshIndex(s: SparkSession, rootPath: String,
+      arriving: DataFrame, planes: Int = 4, bands: Int = 8,
+      upsertById: Boolean = false,
+      protocol: IndexProtocol = IndexProtocol.Default): Seq[(Int, Int)] =
+    protocol match {
+      case IndexProtocol.Manifest =>
+        lshCompactManifest(s, rootPath, arriving, planes, bands, upsertById)
+      case IndexProtocol.Rename =>
+        lshCompact(s, rootPath, arriving, planes, bands,
+          upsertById = upsertById)
+    }
+
+  /** LSH probe under the selected protocol — [[lshProbeManifest]]
+    * (default, manifest-pruned) or [[lshProbeIndexed]] (DPP-pruned
+    * hive scan). Row-identical on the same index content. */
+  def probeLshIndex(s: SparkSession, rootPath: String,
+      queries: DataFrame, k: Int = 10, planes: Int = 4, bands: Int = 8,
+      protocol: IndexProtocol = IndexProtocol.Default): DataFrame =
+    protocol match {
+      case IndexProtocol.Manifest =>
+        lshProbeManifest(s, rootPath, queries, k, planes, bands)
+      case IndexProtocol.Rename =>
+        lshProbeIndexed(s, rootPath, queries, k, planes, bands)
+    }
+
+  /** Build an IVF index from an assigned (vec_id, embedding, cell)
+    * relation. Manifest (default): the cell-keyed manifest store at
+    * `rootPath`. Rename: the hive `cell=` tree at `rootPath/vectors`
+    * plus the stored centroid table the hive probe lanes read
+    * (`rootPath/centroids`). */
+  def buildIvfIndex(s: SparkSession, rootPath: String,
+      assigned: DataFrame, trained: Array[(Int, Array[Double])],
+      protocol: IndexProtocol = IndexProtocol.Default): Unit =
+    protocol match {
+      case IndexProtocol.Manifest =>
+        graft.store.ManifestStore.create(s, rootPath, assigned, "cell")
+      case IndexProtocol.Rename =>
+        assigned
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .option("compression", "zstd").parquet(s"$rootPath/vectors")
+        import s.implicits._
+        trained.toSeq.map { case (c, v) => (c.toLong, v.toSeq) }
+          .toDF("cent_id", "centroid")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$rootPath/centroids")
+    }
+
+  /** Incremental IVF maintenance under the selected protocol —
+    * [[ivfCompactManifest]] (default) or [[ivfCompact]] against the
+    * `rootPath/vectors` hive tree. Identical frozen-centroid and
+    * `upsertById` semantics; returns the touched cell ids. */
+  def maintainIvfIndex(s: SparkSession, rootPath: String,
+      arriving: DataFrame, trained: Array[(Int, Array[Double])],
+      upsertById: Boolean = false,
+      protocol: IndexProtocol = IndexProtocol.Default): Seq[Int] =
+    protocol match {
+      case IndexProtocol.Manifest =>
+        ivfCompactManifest(s, rootPath, arriving, trained, upsertById)
+      case IndexProtocol.Rename =>
+        ivfCompact(s, s"$rootPath/vectors", arriving, trained,
+          upsertById = upsertById)
+    }
+
+  /** Query-relation IVF probe under the selected protocol. Both lanes
+    * ride the ONE [[probeBatchOn]] plan; the Manifest default prunes
+    * at the manifest level (the probed cells' distinct set is
+    * centroid-bounded driver metadata), the Rename lane through the
+    * hive scan's dynamic partition pruning. */
+  def probeIvfIndex(s: SparkSession, rootPath: String,
+      queries: DataFrame, trained: Array[(Int, Array[Double])],
+      k: Int = 10, nProbe: Int = 4, excludeSelf: Boolean = false,
+      broadcastProbes: Boolean = true,
+      protocol: IndexProtocol = IndexProtocol.Default): DataFrame = {
+    val centsL = trained.map { case (c, v) => (c.toLong, v) }
+    protocol match {
+      case IndexProtocol.Manifest =>
+        val cells = queries
+          .select(explode(slice(cellRankingOn(col("q_emb"), centsL),
+            1, nProbe)).as("probe"))
+          .select(col("probe").getField("cent").as("cell"))
+          .distinct().collect().map(_.getLong(0).toString).toSeq.sorted
+        val pruned = graft.store.ManifestStore.read(s, rootPath,
+          Some(cells))
+        probeIndexBatchOn(pruned, centsL, queries, k, nProbe,
+          excludeSelf, broadcastProbes)
+      case IndexProtocol.Rename =>
+        graft.store.IndexCommit.recoverForRead(s, s"$rootPath/vectors")
+        probeIndexBatchOn(s.read.parquet(s"$rootPath/vectors"), centsL,
+          queries, k, nProbe, excludeSelf, broadcastProbes)
+    }
+  }
+
+  /** Build an IVF-PQ codes index under the selected protocol:
+    * Manifest (default) → [[writeIvfPqIndexManifestOn]]; Rename →
+    * [[writeIvfPqIndexOn]]'s hive `cell=` tree. */
+  def buildIvfPqIndex(s: SparkSession, emb: DataFrame,
+      cents: Array[(Int, Array[Double])],
+      cb: Array[Array[Array[Double]]], rootPath: String,
+      protocol: IndexProtocol = IndexProtocol.Default): Unit =
+    protocol match {
+      case IndexProtocol.Manifest =>
+        writeIvfPqIndexManifestOn(s, emb, cents, cb, rootPath)
+      case IndexProtocol.Rename =>
+        writeIvfPqIndexOn(emb, cents, cb, rootPath)
+    }
+
+  /** Incremental IVF-PQ maintenance under the selected protocol —
+    * [[ivfPqCompactManifest]] (default; carries `upsertById`) or
+    * [[ivfPqCompact]]. Returns the touched cell ids. */
+  def maintainIvfPqIndex(s: SparkSession, rootPath: String,
+      arriving: DataFrame, cents: Array[(Int, Array[Double])],
+      cb: Array[Array[Array[Double]]],
+      protocol: IndexProtocol = IndexProtocol.Default): Seq[Int] =
+    protocol match {
+      case IndexProtocol.Manifest =>
+        ivfPqCompactManifest(s, rootPath, arriving, cents, cb)
+      case IndexProtocol.Rename =>
+        ivfPqCompact(s, rootPath, arriving, cents, cb)
+    }
+
+  /** Query-relation IVF-PQ probe under the selected protocol —
+    * [[ivfPqProbeManifestBatch]] (default) or
+    * [[ivfPqProbeIndexedBatch]]; shared ADC math, bit-identical rows
+    * on the same index content. */
+  def probeIvfPqIndex(s: SparkSession, dir: String, rootPath: String,
+      queries: DataFrame, k: Int = 10, nProbe: Int = 3,
+      excludeSelf: Boolean = true, broadcastProbes: Boolean = true,
+      protocol: IndexProtocol = IndexProtocol.Default): DataFrame =
+    protocol match {
+      case IndexProtocol.Manifest =>
+        ivfPqProbeManifestBatch(s, dir, rootPath, queries, k, nProbe,
+          excludeSelf, broadcastProbes)
+      case IndexProtocol.Rename =>
+        ivfPqProbeIndexedBatch(s, dir, rootPath, queries, k, nProbe,
+          excludeSelf, broadcastProbes)
+    }
 
   /** Embedding near-duplicate pairs above a cosine threshold — the
     * embedding analog of MinHash near-dup dedup, and shaped the same way

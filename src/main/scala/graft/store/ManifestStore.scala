@@ -195,6 +195,26 @@ object ManifestStore {
     * the manifest create. Never set outside specs. */
   private[graft] var killPoint: String => Unit = _ => ()
 
+  /** Race seam for the publish-verification spec: fires between the
+    * manifest pre-existence check and the publish rename, the window a
+    * pathological lease double-grant would race in. Never set outside
+    * specs. */
+  private[graft] var beforePublishRename: () => Unit = () => ()
+
+  /** Driver-phase timing seam for the scoped profiling tool
+    * ([[graft.tools.ManifestProfile]]): receives (phase, nanos) for
+    * each driver-side phase of a commit — "lease", "manifestRead",
+    * "keyCollect", "stageWrite", "publish" — so the per-commit driver
+    * overhead the task metrics cannot see is attributable. A no-op
+    * outside profiling runs. */
+  private[graft] var phaseHook: (String, Long) => Unit = (_, _) => ()
+  @inline private def phased[T](phase: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    phaseHook(phase, System.nanoTime() - t0)
+    r
+  }
+
   private def fsOf(s: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
@@ -299,35 +319,58 @@ object ManifestStore {
 
   /** Publish version `v`: write the manifest body to a dot-invisible
     * temp name and rename it to `v%08d.mf`. The appearance of the final
-    * key IS the commit point (object doc); the pre-existence check plus
-    * rename-refuses-to-overwrite is the double-writer backstop. */
+    * key IS the commit point (object doc). Double-writer backstop,
+    * stated honestly per storage scheme: the pre-existence check plus
+    * rename-refuses-to-overwrite arbitrates on rename-atomic schemes,
+    * but BOTH are check-then-act on S3-like stores (where rename is
+    * copy+delete and can overwrite) — so after the rename the published
+    * manifest is READ BACK and required to equal what this writer
+    * staged. A loser whose commit was overwritten by a racing winner
+    * (or who overwrote the winner — either interleaving) fails loudly
+    * here instead of silently believing its lost commit. */
   private def writeManifest(fs: FileSystem, root: Path, v: Long,
-      partCols: Map[String, String], entries: Seq[Entry]): Unit = {
+      partCols: Map[String, String], entries: Seq[Entry]): Unit =
+    phased("publish") {
     val dir = manifestDir(root)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val fin = manifestPath(root, v)
     require(!fs.exists(fin),
       s"manifest $fin already exists — a concurrent writer committed " +
         "this version (the writer lease should have prevented this)")
+    val body = new StringBuilder
+    body ++= s"$Header\t$FormatVersion\t${renderPartCols(partCols)}\n"
+    entries.sortBy(e => (e.table, e.part, e.dir)).foreach { e =>
+      body ++= s"E\t${e.table}\t${e.part}\t${e.dir}\t${e.schemaId}\n"
+    }
     val tmp = new Path(dir, f".v$v%08d.mf.tmp-" +
       java.util.UUID.randomUUID().toString.take(8))
     val out = fs.create(tmp, true)
-    try {
-      out.write(
-        s"$Header\t$FormatVersion\t${renderPartCols(partCols)}\n"
-          .getBytes("UTF-8"))
-      entries.sortBy(e => (e.table, e.part, e.dir)).foreach { e =>
-        out.write(s"E\t${e.table}\t${e.part}\t${e.dir}\t${e.schemaId}\n"
-          .getBytes("UTF-8"))
-      }
-    } finally out.close()
+    try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+    beforePublishRename()
     require(fs.rename(tmp, fin),
       s"manifest publish rename $tmp -> $fin failed (concurrent commit?)")
+    // write-then-verify (the writer-lease discipline applied to the
+    // commit point itself): one small-file GET per commit
+    val in = fs.open(fin)
+    val published =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    if (published != body.toString)
+      throw new IllegalStateException(
+        s"manifest $fin does not contain this writer's commit — a " +
+          "concurrent writer raced the publish (double-granted lease?). " +
+          "This commit did NOT land; the store reflects the other " +
+          "writer's version. Retry against the new current version.")
   }
 
   /** Stable fingerprint of the schema a segment's FILES carry (the
     * layout column, when distinct from the data, is already absent
-    * from `written`). Field names + types + nullability, hashed. */
+    * from `written`). Field names + types, hashed. Nullability is
+    * DELIBERATELY excluded (`catalogString` drops it): parquet reads
+    * come back nullable regardless of what the writer's frame
+    * declared, so hashing nullability would make a written frame and
+    * its own read-back disagree — flagging spurious "evolution" on
+    * every untouched-vs-rewritten segment pair. */
   private def schemaIdOf(written: org.apache.spark.sql.types.StructType)
       : String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -338,6 +381,65 @@ object ManifestStore {
   private def freshSegRel(): String =
     s"$SegDirName/seg-" + java.util.UUID.randomUUID().toString.take(13)
 
+  /** Enforce the documented key contract (object doc: partition keys
+    * are non-null and matched by their hive directory rendering): the
+    * staged entries' part set must EQUAL the batch's collected key
+    * values. A key whose hive rendering escapes its `toString` (a
+    * string carrying % : / = # …, a null, an empty string) would
+    * silently miss the live entries it supersedes and the partition's
+    * rows would double in the new version — abort BEFORE the manifest
+    * publish instead (the staged segment is an unreferenced orphan
+    * [[vacuum]] reaps). */
+  private def requireKeysRendered(table: String, pc: String,
+      keySet: Set[String], staged: Seq[Entry]): Unit = {
+    val parts = staged.map(_.part).toSet
+    require(parts == keySet, {
+      val missing = (keySet -- parts).toSeq.sorted.take(4)
+      val extra = (parts -- keySet).toSeq.sorted.take(4)
+      s"table '$table': the batch's '$pc' key values do not round-trip " +
+        s"through their hive directory renderings (values with no " +
+        s"matching dir: ${missing.mkString(",")}; dirs with no matching " +
+        s"value: ${extra.mkString(",")}). Manifest-store keys must be " +
+        "non-null and render verbatim (no characters hive escapes) — " +
+        "pre-render the key into a safe string column (the LSH lanes' " +
+        "band_bucket discipline) and key the table by that. Nothing " +
+        "was committed."
+    })
+  }
+
+  /** Read a set of manifest entries as ONE frame, handling BOTH axes
+    * of schema evolution the store admits:
+    *
+    *  - ADDED columns (segments written before the column existed):
+    *    union schema, pre-evolution rows read NULL;
+    *  - WIDENED primitive types (int→long, float→double): every row
+    *    reads at the widened type.
+    *
+    * Entries group by schema fingerprint; each group — internally
+    * homogeneous — reads as one merge-free multi-root parquet scan, and
+    * the groups fold through `unionByName(allowMissingColumns)`, whose
+    * set-operation type coercion performs the widening parquet's own
+    * footer merge REFUSES (`mergeSchema` fails loudly on int-vs-long
+    * files). A single-fingerprint selection — the overwhelmingly common
+    * case — stays exactly the one merge-free scan it always was, so
+    * homogeneous tables pay nothing; an evolved table pays one extra
+    * scan node per schema version it still carries, which is also what
+    * [[CompactAppend]] and full-partition upserts retire. Fold order
+    * (hence column order: first group's columns, later-added appended)
+    * follows the entries' manifest order — deterministic. */
+  private def readEntries(s: SparkSession, r: Path, entries: Seq[Entry],
+      forceMerge: Boolean): DataFrame = {
+    val byId = entries.groupBy(_.schemaId)
+    val groups = entries.map(_.schemaId).distinct.map(byId)
+    if (groups.size == 1)
+      s.read.option("mergeSchema", forceMerge.toString)
+        .parquet(entries.map(e => new Path(r, e.dir).toString): _*)
+    else
+      groups.map { es =>
+        s.read.parquet(es.map(e => new Path(r, e.dir).toString): _*)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Write `df` as a fresh immutable partitioned segment of `table`
     * and return the manifest entries its leaf dirs become. With
     * `keyInData` the key is hive-partitioned via a duplicate layout
@@ -345,7 +447,7 @@ object ManifestStore {
     * carries the layout (dropped from the files — object doc). */
   private def writePartitionedSegment(s: SparkSession, fs: FileSystem,
       root: Path, table: String, df: DataFrame, partCol: String,
-      keyInData: Boolean): Seq[Entry] = {
+      keyInData: Boolean): Seq[Entry] = phased("stageWrite") {
     val layoutCol = if (keyInData) partCol + "__p" else partCol
     val segRel = freshSegRel()
     val segPath = new Path(root, segRel)
@@ -378,7 +480,7 @@ object ManifestStore {
     * per micro-batch), while the written listing is file-count
     * metadata the write already produced. */
   private def writeAppendSegment(s: SparkSession, fs: FileSystem,
-      root: Path, table: String, df: DataFrame): Seq[Entry] = {
+      root: Path, table: String, df: DataFrame): Seq[Entry] = phased("stageWrite") {
     val segRel = freshSegRel()
     val segPath = new Path(root, segRel)
     df.write.mode("errorifexists")
@@ -444,12 +546,12 @@ object ManifestStore {
   def commitTables(s: SparkSession, root: String)
       (plan: => Seq[TableOp]): Map[String, Seq[String]] = {
     val (fs, r) = fsOf(s, root)
-    val token = acquireLease(fs, r)
+    val token = phased("lease")(acquireLease(fs, r))
     try {
       val v = currentVersion(fs, r).getOrElse(
         throw new IllegalStateException(
           s"manifest store at $root is not initialized — create first"))
-      val m = readManifest(fs, r, v)
+      val m = phased("manifestRead")(readManifest(fs, r, v))
       val ops = plan
       require(ops.map(_.table).distinct.size == ops.size,
         "one op per table and commit — compose the frames instead")
@@ -467,8 +569,8 @@ object ManifestStore {
           val pc = keyColOf(raw)
           require(pc.nonEmpty,
             s"table '$table' is append-only — use Append")
-          val keys = df.select(pc).distinct()
-            .collect().map(_.get(0).toString).toSeq.sorted
+          val keys = phased("keyCollect")(df.select(pc).distinct()
+            .collect().map(_.get(0).toString).toSeq.sorted)
           if (keys.nonEmpty) {
             val keySet = keys.toSet
             val liveE = m.entries.filter(e =>
@@ -477,12 +579,9 @@ object ManifestStore {
             val merged =
               if (liveE.isEmpty) df
               else {
-                // merge only when the touched dirs' fingerprints
-                // disagree (added-column evolution; object doc)
-                val liveMerge = liveE.map(_.schemaId).distinct.size > 1
-                val liveRaw = s.read
-                  .option("mergeSchema", liveMerge.toString)
-                  .parquet(liveE.map(e => new Path(r, e.dir).toString): _*)
+                // fingerprint-grouped read: added columns null-fill,
+                // widened types read widened ([[readEntries]])
+                val liveRaw = readEntries(s, r, liveE, forceMerge = false)
                 // layout-only key: restore it on the live slice with
                 // the caller's derivation (Upsert doc)
                 val live =
@@ -492,14 +591,19 @@ object ManifestStore {
                       s"table '$table' stores its key '$pc' layout-" +
                         "only; Upsert needs a rekey function to " +
                         "restore it on the live slice"))
-                // evolution is ADD-only: a batch that drops a live
-                // column would silently lose it for the touched
-                // partitions while the untouched keep it — refuse
+                // evolution ADDS columns and WIDENS types, never drops:
+                // a batch missing a live column would silently lose it
+                // for the touched partitions while the untouched keep
+                // it — and a RENAME is exactly a drop plus an add, so
+                // it is refused by the same check
                 val dropped = live.columns.toSet -- colNames.toSet
                 require(dropped.isEmpty,
                   s"arriving batch for '$table' is missing live " +
                     s"column(s) ${dropped.toSeq.sorted.mkString(",")} — " +
-                    "schema evolution only ADDS columns")
+                    "schema evolution only ADDS columns or WIDENS " +
+                    "types. A renamed column is a drop + an add and is " +
+                    "refused the same way: write the new name alongside " +
+                    "the old, or rewrite the table under the new schema")
                 val kept0 = idCol.fold(live)(id =>
                   live.join(df.select(id), Seq(id), "left_anti"))
                 // null-fill the batch's NEW columns on pre-evolution
@@ -512,8 +616,10 @@ object ManifestStore {
                 kept0.select(aligned.toSeq: _*)
                   .unionByName(df.select(colNames.map(col).toSeq: _*))
               }
-            newEntries ++= writePartitionedSegment(s, fs, r, table,
+            val staged = writePartitionedSegment(s, fs, r, table,
               merged, pc, keyInDataOf(raw))
+            requireKeysRendered(table, pc, keySet, staged)
+            newEntries ++= staged
             dropKeys += table -> keySet
             touched += table -> keys
           }
@@ -522,13 +628,15 @@ object ManifestStore {
           val pc = keyColOf(raw)
           require(pc.nonEmpty,
             s"table '$table' is append-only — use Append")
-          val keys = df.select(pc).distinct()
-            .collect().map(_.get(0).toString).toSeq.sorted
+          val keys = phased("keyCollect")(df.select(pc).distinct()
+            .collect().map(_.get(0).toString).toSeq.sorted)
           if (keys.nonEmpty) {
             // no live read at all: the touched keys' old entries simply
             // don't carry over — replacement is pure metadata
-            newEntries ++= writePartitionedSegment(s, fs, r, table,
+            val staged = writePartitionedSegment(s, fs, r, table,
               df, pc, keyInDataOf(raw))
+            requireKeysRendered(table, pc, keys.toSet, staged)
+            newEntries ++= staged
             dropKeys += table -> keys.toSet
             touched += table -> keys
           }
@@ -543,13 +651,10 @@ object ManifestStore {
               "append-only tables")
           val liveE = m.entries.filter(_.table == table)
           if (liveE.size > 1) {
-            // merge exactly when the segments' fingerprints disagree;
-            // the compacted segment BAKES the union schema (null-filled
-            // old rows), retiring the per-read merge cost
-            val liveMerge = liveE.map(_.schemaId).distinct.size > 1
-            val live = s.read
-              .option("mergeSchema", liveMerge.toString).parquet(
-              liveE.map(e => new Path(r, e.dir).toString): _*)
+            // fingerprint-grouped read ([[readEntries]]); the compacted
+            // segment BAKES the union/widened schema (null-filled old
+            // rows), retiring the per-read evolution cost
+            val live = readEntries(s, r, liveE, forceMerge = false)
             newEntries ++= writeAppendSegment(s, fs, r, table, live)
             dropAllOf += table
           }
@@ -597,18 +702,17 @@ object ManifestStore {
     * returns an empty frame with the table's schema when any segment
     * exists to borrow it from, and fails loudly otherwise.
     *
-    * ADDED-COLUMN schema evolution (old segments written before the
-    * column existed) is handled automatically: every entry carries its
-    * segment's schema fingerprint, and parquet schema merging turns on
-    * exactly when the selected entries disagree — union schema,
-    * pre-evolution rows read NULL. Homogeneous tables pay zero
-    * footer-merge cost, and no caller has to know whether the table
-    * ever evolved. The merge costs a footer read per data file at
-    * planning, bounded by the table's file count — which is exactly
-    * what [[CompactAppend]] reduces, and compaction also BAKES the
-    * merged schema into its one rewritten segment, retiring the merge
-    * along with the small files. `mergeSchema = true` forces the merge
-    * regardless (diagnostic override). */
+    * Schema evolution — ADDED columns and WIDENED types — is handled
+    * automatically: every entry carries its segment's schema
+    * fingerprint, and [[readEntries]] groups by fingerprint exactly
+    * when the selected entries disagree (union schema, pre-evolution
+    * rows read NULL, int→long / float→double read widened).
+    * Homogeneous tables pay zero evolution cost, and no caller has to
+    * know whether the table ever evolved; an evolved table pays one
+    * scan node per schema version it still carries — which is exactly
+    * what [[CompactAppend]] reduces, baking the merged schema into its
+    * one rewritten segment. `mergeSchema = true` forces parquet's
+    * footer merge on a homogeneous selection (diagnostic override). */
   def readTable(s: SparkSession, root: String, table: String,
       parts: Option[Seq[String]] = None,
       version: Option[Long] = None,
@@ -628,16 +732,16 @@ object ManifestStore {
     require(all.nonEmpty, s"table '$table' v$v at $root lists no data")
     val sel = parts.fold(all)(ps => all.filter(e => ps.contains(e.part)))
     // safe-by-default evolution: the manifest KNOWS whether the
-    // selected segments agree on schema — merging turns on exactly
-    // when they don't (object doc), so no reader has to pass the flag
-    val needMerge = mergeSchema ||
-      sel.map(_.schemaId).distinct.size > 1
-    if (sel.isEmpty)
-      s.read.parquet(new Path(r, all.head.dir).toString)
-        .filter(lit(false))
-    else
-      s.read.option("mergeSchema", needMerge.toString)
-        .parquet(sel.map(e => new Path(r, e.dir).toString): _*)
+    // selected segments agree on schema — [[readEntries]] groups by
+    // fingerprint exactly when they don't, so no reader passes a flag.
+    // A pruned read matching NOTHING still carries the table's UNION
+    // schema (one representative entry per fingerprint, emptied) — an
+    // evolved table's empty slice must not lack the newest columns.
+    if (sel.isEmpty) {
+      val byId = all.groupBy(_.schemaId)
+      val reps = all.map(_.schemaId).distinct.map(id => byId(id).head)
+      readEntries(s, r, reps, mergeSchema).filter(lit(false))
+    } else readEntries(s, r, sel, mergeSchema)
   }
 
   /** The manifest entries of one table at a version (newest when
@@ -670,7 +774,16 @@ object ManifestStore {
     *
     * Retention is the reader contract: a scan of version V stays valid
     * until vacuum drops V — run vacuum only against a horizon older
-    * than the longest-running read, as with any snapshot store. */
+    * than the longest-running read, as with any snapshot store. What a
+    * reader that OUTLIVES its horizon observes is pinned mechanically
+    * (spec): a scan holding version V whose exclusive segments are
+    * reaped mid-scan FAILS LOUDLY with a missing-file error — never
+    * silent partial rows — because the scan's file list was fixed at
+    * resolution time and Spark refuses missing files by default. Keep
+    * it that way: do NOT enable `spark.sql.files.ignoreMissingFiles`
+    * on manifest roots — it would trade the loud failure for silent
+    * row loss. A V-scan whose segments all remain referenced by kept
+    * manifests completes normally. */
   def vacuum(s: SparkSession, root: String, keepLast: Int): Seq[String] = {
     require(keepLast >= 1, "vacuum must keep at least the newest version")
     val (fs, r) = fsOf(s, root)
@@ -685,6 +798,19 @@ object ManifestStore {
         val p = manifestPath(r, v)
         if (fs.delete(p, false)) deleted += p.toString
       }
+      // reap crashed writers' manifest temp litter (a crash between the
+      // tmp create and the publish rename strands a dot-prefixed file
+      // forever otherwise) — safe because the writer lease is held, so
+      // no live writer can be mid-publish
+      val mdir = manifestDir(r)
+      if (fs.exists(mdir)) fs.listStatus(mdir)
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && n.startsWith(".") && n.contains(".mf.tmp-")
+        }
+        .foreach { st =>
+          if (fs.delete(st.getPath, false)) deleted += st.getPath.toString
+        }
       val segRoot = new Path(r, SegDirName)
       val segs =
         try { if (fs.exists(segRoot)) fs.listStatus(segRoot) else Array.empty[org.apache.hadoop.fs.FileStatus] }

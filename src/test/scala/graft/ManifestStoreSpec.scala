@@ -424,6 +424,161 @@ class ManifestStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("publish verification: a commit whose manifest was overwritten " +
+      "by a racing writer fails loudly — never a silently lost commit") {
+    val root = tempDir("mf-publish-verify")
+    val base = rows(0 until 20, "a")
+    ManifestStore.create(spark, root, base, "part")
+    // model an S3-like overwriting race: between this writer's
+    // pre-existence check and its publish, the racing winner's content
+    // ends up at the published key instead of ours (simulated by
+    // rewriting the staged tmp body — same observable: the published
+    // manifest is not what this writer staged)
+    val mdir = java.nio.file.Paths.get(root, "_manifests")
+    val v1 = mdir.resolve("v00000001.mf")
+    ManifestStore.beforePublishRename = () =>
+      java.nio.file.Files.list(mdir).forEach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith(".v00000002.mf.tmp-")) {
+          java.nio.file.Files.copy(v1, p,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // drop the local FS's checksum sidecar — the out-of-band
+          // rewrite models an object store, which has no such sidecar
+          java.nio.file.Files.deleteIfExists(p.resolveSibling(s".$name.crc"))
+        }
+      }
+    val e =
+      try intercept[IllegalStateException] {
+        ManifestStore.upsertPartitions(spark, root,
+          rows(20 until 30, "b"), "part")
+      } finally ManifestStore.beforePublishRename = () => ()
+    assert(e.getMessage.contains("does not contain this writer's commit"))
+    // the loser knows its commit did NOT land; readers see the other
+    // writer's (here: v1-equivalent) version — nothing silent, nothing
+    // corrupt
+    assert(contents(ManifestStore.read(spark, root, version = Some(2L)))
+      === contents(base))
+  }
+
+  test("key-rendering contract is enforced: a key hive would escape " +
+      "aborts BEFORE the publish, store intact") {
+    import spark.implicits._
+    val root = tempDir("mf-key-escape")
+    val safe = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "k", "x")
+    ManifestStore.create(spark, root, safe, "k")
+    // "x:1" renders as x%3A1 in the hive dir — matching live entries by
+    // toString would silently miss them; the store refuses instead
+    val bad = Seq((3L, "x:1", 3.0)).toDF("id", "k", "x")
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.upsertPartitions(spark, root, bad, "k")
+    }
+    assert(e.getMessage.contains("round-trip"))
+    assert(ManifestStore.currentVersion(spark, root) === Some(1L))
+    assert(ManifestStore.read(spark, root).count() === 2)
+    // the aborted writer's staged segment is an orphan vacuum reaps
+    assert(ManifestStore.vacuum(spark, root, keepLast = 1).nonEmpty)
+    assert(ManifestStore.read(spark, root).count() === 2)
+  }
+
+  test("empty pruned read of an evolved table carries the UNION schema") {
+    import spark.implicits._
+    val root = tempDir("mf-evolve-empty")
+    ManifestStore.create(spark, root,
+      Seq((1L, 0, "a"), (2L, 1, "b")).toDF("id", "part", "v"), "part")
+    ManifestStore.upsertPartitions(spark, root,
+      Seq((3L, 0, "c", 9.5)).toDF("id", "part", "v", "score"), "part")
+    // pruning to an absent key must not borrow an arbitrary (possibly
+    // pre-evolution) entry's schema: a downstream select("score") that
+    // works on non-empty reads must work on the empty one too
+    val none = ManifestStore.read(spark, root, parts = Some(Seq("99")))
+    assert(none.count() === 0)
+    assert(none.columns.toSet === Set("id", "part", "v", "score"))
+    assert(none.select("score").count() === 0)
+  }
+
+  test("type widening: an int→long evolved upsert reads back widened, " +
+      "values conserved; a single-fingerprint pruned read keeps int") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val root = tempDir("mf-widen")
+    ManifestStore.create(spark, root,
+      Seq((1L, 0, 5), (2L, 1, 6)).toDF("id", "part", "n"), "part")
+    // the arriving batch carries n at the WIDENED type and touches
+    // part 0 only — part 1 stays an int segment
+    ManifestStore.upsertPartitions(spark, root,
+      Seq((3L, 0, 7L)).toDF("id", "part", "n"), "part")
+    val all = ManifestStore.read(spark, root)
+    assert(all.schema("n").dataType === LongType)
+    assert(all.select("id", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 5L), (2L, 6L), (3L, 7L)))
+    // a pruned read inside the untouched int fingerprint pays nothing
+    // and keeps that segment's own narrow type
+    val oldOnly = ManifestStore.read(spark, root, parts = Some(Seq("1")))
+    assert(oldOnly.schema("n").dataType === IntegerType)
+    // and CompactAppend-equivalent full-partition rewrite retires the
+    // mix: touch part 1 too, then the whole table is wide
+    ManifestStore.upsertPartitions(spark, root,
+      Seq((4L, 1, 8L)).toDF("id", "part", "n"), "part")
+    assert(ManifestStore.read(spark, root, parts = Some(Seq("1")))
+      .schema("n").dataType === LongType)
+  }
+
+  test("a RENAMED column is refused loudly (drop + add), with the " +
+      "actionable message") {
+    import spark.implicits._
+    val root = tempDir("mf-rename")
+    ManifestStore.create(spark, root,
+      Seq((1L, 0, 5)).toDF("id", "part", "n"), "part")
+    val renamed = Seq((2L, 0, 6)).toDF("id", "part", "m") // n -> m
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.upsertPartitions(spark, root, renamed, "part")
+    }
+    assert(e.getMessage.contains("renamed"))
+    assert(e.getMessage.contains("n")) // names the missing column
+    assert(ManifestStore.currentVersion(spark, root) === Some(1L))
+  }
+
+  test("vacuum reaps crashed writers' manifest tmp litter") {
+    val root = tempDir("mf-tmp-litter")
+    ManifestStore.create(spark, root, rows(0 until 8, "a"), "part")
+    val litter = java.nio.file.Paths.get(root, "_manifests",
+      ".v00000099.mf.tmp-deadbeef")
+    java.nio.file.Files.write(litter, "stranded".getBytes("UTF-8"))
+    val deleted = ManifestStore.vacuum(spark, root, keepLast = 1)
+    assert(deleted.exists(_.endsWith(".v00000099.mf.tmp-deadbeef")))
+    assert(!java.nio.file.Files.exists(litter))
+    assert(ManifestStore.read(spark, root).count() === 8)
+  }
+
+  test("vacuum vs a long-running reader: a snapshot whose segments are " +
+      "reaped mid-scan fails LOUDLY — never silent partial rows") {
+    val root = tempDir("mf-vacuum-reader")
+    val base = rows(0 until 20, "a")
+    ManifestStore.create(spark, root, base, "part")
+    // the long-running reader resolves its v1 snapshot now (file list
+    // fixed at resolution time)
+    val inflight = ManifestStore.read(spark, root, version = Some(1L))
+    // every v1 partition is superseded wholesale, then vacuum reaps the
+    // now-unreferenced v1 segments past the retention horizon
+    ManifestStore.replacePartitions(spark, root,
+      rows(100 until 120, "b"), "part")
+    ManifestStore.vacuum(spark, root, keepLast = 1)
+    // the outlived reader fails loudly with a missing-file error (the
+    // scaladoc contract: never silent row loss — which also means
+    // ignoreMissingFiles must stay off on manifest roots)
+    val e = intercept[Throwable] { inflight.collect() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(c.getMessage).exists(_.toLowerCase.contains("file"))),
+      s"expected a missing-file failure, got: $e")
+    // the current snapshot is untouched
+    assert(contents(ManifestStore.read(spark, root))
+      === contents(rows(100 until 120, "b")))
+  }
+
   test("double-commit backstop: the version-file create arbitrates — " +
       "a writer racing a committed version fails loudly, store intact") {
     val root = tempDir("mf-double-commit")
@@ -529,11 +684,12 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("only ADDS"))
   }
 
-  test("mfSchemaEvolutionGate: all five drift invariants hold") {
+  test("mfSchemaEvolutionGate: all seven drift invariants hold " +
+      "(added columns + widened types)") {
     val got = graft.operators.Layout.mfSchemaEvolutionGate(spark, sf)
       .collect()
     assert(got.length === 1)
-    (0 until 5).foreach(i =>
+    (0 until 7).foreach(i =>
       assert(got.head.getBoolean(i), s"invariant ${got.head.schema(i).name}"))
   }
 
@@ -593,6 +749,55 @@ class ManifestStoreSpec extends AnyFunSuite {
       assert(r.getBoolean(3), s"planted copy not exact at q=${r.getLong(0)}")
       assert(r.getBoolean(4), s"manifest compaction != rebuild at q=${r.getLong(0)}")
     }
+  }
+
+  test("default-protocol facades: the library default IS the manifest " +
+      "store, and concurrent default-path maintenance serializes to " +
+      "the sequential result") {
+    import graft.operators.Similarity
+    import graft.store.IndexProtocol
+    assert(IndexProtocol.Default === IndexProtocol.Manifest)
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val base = emb.filter(col("vec_id") % 10 =!= 3)
+    val b1 = emb.filter(col("vec_id") % 20 === 3)
+    val b2 = emb.filter(col("vec_id") % 10 === 3 &&
+      col("vec_id") % 20 =!= 3)
+    def snapshot(root: String) = (
+      contents3(ManifestStore.readTable(spark, root, "postings")),
+      ManifestStore.readTable(spark, root, "vectors")
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // sequential reference through the SAME default facades
+    val seqRoot = tempDir("mf-facade-seq")
+    Similarity.buildLshIndex(spark, base, seqRoot)
+    // the default facade laid out a manifest store, not a hive tree
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(seqRoot, "_manifests")))
+    Similarity.maintainLshIndex(spark, seqRoot, b1)
+    Similarity.maintainLshIndex(spark, seqRoot, b2)
+    // concurrent maintenance on the default path: the writer lease
+    // serializes the two disjoint batches; both land, content equals
+    // the sequential run (the IndexCommitSpec serialization guarantee,
+    // re-pinned on the library default)
+    val conRoot = tempDir("mf-facade-con")
+    Similarity.buildLshIndex(spark, base, conRoot)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(Similarity.maintainLshIndex(spark, conRoot, b1))
+    val f2 = Future(Similarity.maintainLshIndex(spark, conRoot, b2))
+    Await.result(f1, 180.seconds); Await.result(f2, 180.seconds)
+    assert(ManifestStore.currentVersion(spark, conRoot) === Some(3L))
+    assert(snapshot(conRoot) === snapshot(seqRoot))
+  }
+
+  test("ivfPqCompactManifestPlanted: the commit protocol changes no " +
+      "row — manifest gate equals the rename gate's relation") {
+    val rename = graft.operators.Similarity
+      .ivfPqCompactPlanted(spark, sf).collect().toSeq
+    val manifest = graft.operators.Similarity
+      .ivfPqCompactManifestPlanted(spark, sf).collect().toSeq
+    assert(manifest === rename)
+    assert(manifest.nonEmpty)
   }
 
   /** Recursive (relative path → (length, content hash)) inventory —
