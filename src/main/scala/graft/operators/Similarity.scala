@@ -1163,7 +1163,38 @@ object Similarity {
     * property every semdedup gate rides. At 100 TB the assignment is
     * the plain brute map (N·k cosines, embarrassingly parallel); past
     * that, the IVF probe lanes are the sublinear assignment path. */
-  private def semDedupOnCentroidRelation(emb: DataFrame,
+  /** The two observables the adaptive-k sweep trades, for ONE centroid
+    * set: the k-means objective Σ_x (1 − max-cos(x, centers)) — lower
+    * means tighter clusters — and the within-cluster candidate-pair
+    * volume Σ_c n_c·(n_c−1)/2, the verify stage's join size (the
+    * N^1.5 term adaptive k exists to bound). Same narrow broadcast-k
+    * assignment as [[semDedupOnCentroidRelation]]; one job, two
+    * numbers out. Spec-pinned monotone non-increasing in k; measured
+    * against wall in BASELINE.md's k-sweep table. */
+  private[graft] def semDedupClusterStats(emb: DataFrame,
+      cents: Array[(Long, Array[Float])]): (Double, Double) = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val centDf = cents.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cluster", "centroid")
+    val r = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centDf))
+      .select(col("vec_id"),
+        struct(cosine(col("embedding"), col("centroid")).as("cs"),
+          (-col("cluster")).as("negc")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("best"))
+      .select((lit(1.0) - col("best").getField("cs")).as("cost"),
+        (-col("best").getField("negc")).as("cluster"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("cost")).as("c"))
+      .agg(sum(col("c")).as("objective"),
+        sum(col("n") * (col("n") - 1) / 2).as("pairs"))
+      .head()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  private[graft] def semDedupOnCentroidRelation(emb: DataFrame,
       cents: Array[(Long, Array[Float])], threshold: Double): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._

@@ -63,6 +63,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(surv === orig)
   }
 
+  test("adaptive-k sweep (round 13): clustering cost AND candidate-" +
+      "pair volume are monotone non-increasing in k — the trade the " +
+      "seeding buys is structural, not asserted") {
+    val emb = graft.Tables.load(spark, TestSpark.sf, "embeddings")
+    val kHat = Similarity.semDedupAdaptiveK(emb)
+    assert(kHat > 16) // the sweep points are genuinely distinct
+    val ks = Seq(16, kHat, 4 * kHat)
+    val stats = ks.map(k => Similarity.semDedupClusterStats(emb,
+      Similarity.kmeansParCentroids(emb, k)))
+    val objectives = stats.map(_._1)
+    val pairs = stats.map(_._2)
+    objectives.zip(objectives.tail).foreach { case (lo, hi) =>
+      assert(hi <= lo,
+        s"k-means objective must not increase in k: $objectives") }
+    pairs.zip(pairs.tail).foreach { case (lo, hi) =>
+      assert(hi <= lo,
+        s"pair volume must not increase in k: $pairs") }
+    // and the volume actually MOVES — larger k genuinely bounds the
+    // verify join (the N^1.5 term), it does not just tie
+    assert(pairs.last < pairs.head)
+  }
+
   test("brute-force top-k: k rows, descending, cosine in [-1,1]") {
     val out = Similarity.bruteForceTopK(spark, TestSpark.sf, 0L, 10).collect()
     assert(out.length === 10)
