@@ -486,6 +486,11 @@ object SparkEntry {
     // parquet scan (the facade unwraps to the file relation)
     "mf_facade_read" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.manifestFacadeRead(s, d)),
+    // time travel through the facade: version 1 must replay the
+    // pre-correction aggregate exactly; the newest version shows the
+    // replaced 'A' partition doubled, other groups untouched
+    "mf_facade_time_travel" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.manifestFacadeTimeTravel(s, d)),
     "file_compaction_gate" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.fileCompactionGate(s, d)),
     // two-dimensional completion: aligned z-cell files prune range
@@ -2326,6 +2331,19 @@ object SparkEntry {
         | count(*) AS n
         | FROM lineitem WHERE l_returnflag IN ('A','N')
         | GROUP BY l_returnflag ORDER BY l_returnflag"""
+      .stripMargin.replace("\n", ""),
+    // facade time travel: v1 replays the raw aggregate; v2 doubles the
+    // replaced 'A' partition's quantities (CASE replays the Replace)
+    "mf_facade_time_travel" ->
+      """SELECT 1 AS version, l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        | FROM lineitem GROUP BY l_returnflag
+        | UNION ALL
+        | SELECT 2 AS version, l_returnflag,
+        | CAST(sum(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity * 2
+        |  ELSE l_quantity END AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        | FROM lineitem GROUP BY l_returnflag
+        | ORDER BY version, l_returnflag"""
       .stripMargin.replace("\n", ""),
     // executed bin-pack rewrite: every conservation/reduction boolean is
     // TRUE by construction (closed-form gate)

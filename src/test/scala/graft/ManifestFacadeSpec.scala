@@ -99,6 +99,20 @@ class ManifestFacadeSpec extends AnyFunSuite {
     assert(empty.columns.toSet === Set("id", "part", "v", "score"))
   }
 
+  test("mf_facade_time_travel gate: v1 replays the raw aggregate, v2 " +
+      "shows the replaced partition doubled, others untouched") {
+    val got = graft.operators.Layout.manifestFacadeTimeTravel(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    val raw = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(graft.operators.Relational.dsum(col("l_quantity")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = raw.keys.toSeq.sorted.map(f => (1, f, raw(f))) ++
+      raw.keys.toSeq.sorted.map(f =>
+        (2, f, if (f == "A") raw(f) * 2 else raw(f)))
+    assert(got.toSeq === want)
+  }
+
   test("mf_facade_read gate: the spark.sql aggregate through the view " +
       "equals the direct aggregate under the equivalent IN filter") {
     val got = graft.operators.Layout.manifestFacadeRead(spark, sf)
