@@ -441,6 +441,12 @@ object SparkEntry {
     // identical version (upsertById anti-join), probes keep snapshots
     "stream_ivf_compact_mf" -> ((s: SparkSession, d: String) =>
       graft.streaming.VectorStream.runIvfCompactManifestOnce(s, d)),
+    // streamed CODES-level maintenance on the default protocol: one
+    // manifest commit per micro-batch under frozen centroids+codebooks;
+    // streamed compaction == one-shot compaction == rebuild, so the
+    // lane shares ann_ivfpq_compact's full math-replay oracle
+    "stream_ivfpq_compact_mf" -> ((s: SparkSession, d: String) =>
+      graft.streaming.VectorStream.runIvfPqCompactManifestOnce(s, d)),
     // exact k-per-(lang,source) deterministic sample
     "stratified_sample" -> ((s: SparkSession, d: String) =>
       Curation.stratifiedSample(s, d)),
@@ -846,6 +852,10 @@ object SparkEntry {
     // the manifest-protocol twin replays the IDENTICAL math — the
     // commit protocol must not change one row
     ("ann_ivfpq_compact_mf" -> ivfPqCompactSql) +
+    // and the STREAMED manifest twin: per-micro-batch commits under
+    // frozen model state compose to the one-shot compaction (upsertById
+    // re-delivery idempotence), which equals the rebuild — same replay
+    ("stream_ivfpq_compact_mf" -> ivfPqCompactSql) +
     // streaming drift accumulates the SAME integer band counts the
     // batch PSI aggregates in one pass — associativity makes the
     // relations identical, so the queries share one oracle

@@ -357,4 +357,70 @@ object VectorStream {
     Seq(idxDir, dropDir, ckpt).foreach(HourlyStream.reapScratch)
     out
   }
+
+  /** Streaming IVF-PQ maintenance over the manifest store — the last
+    * cell of the protocol × family × cadence matrix (LSH and IVF have
+    * streamed lanes; this is the CODES-level one, on the round-13
+    * default protocol): each micro-batch is encoded by the shared
+    * [[graft.operators.Similarity.pqEncodeOn]] projection and lands as
+    * ONE manifest commit ([[graft.operators.Similarity.ivfPqCompactManifest]]
+    * with `upsertById = true` — re-delivered rows are replaced, not
+    * duplicated, so a crash-restart replay is content-idempotent),
+    * under frozen centroids AND codebooks (retraining either IS a
+    * rebuild). Snapshot isolation per commit; every intermediate codes
+    * state stays time-travel-readable until vacuumed.
+    *
+    * Gate contract (`stream_ivfpq_compact_mf`): the base codes index
+    * holds only the historical slice (vec_id % 10 != 3); the arriving
+    * drop (the % 10 == 3 slice PLUS planted copies of the probe seeds)
+    * reaches the index ONLY through the streamed commits; after the
+    * stream drains, the manifest-pruned batch probe must reproduce the
+    * oracle's FULL IVF-PQ math replay over the planted corpus — the
+    * identical `ann_ivfpq_compact` oracle, because streamed compaction
+    * ≡ one-shot compaction ≡ rebuild. */
+  def runIvfPqCompactManifestOnce(s: SparkSession, srcDir: String,
+      n: Int = 5, k: Int = 10, nProbe: Int = 3): DataFrame = {
+    import graft.operators.Similarity
+    val emb = graft.Tables.load(s, srcDir, "embeddings")
+    val isBatch = col("vec_id") % 10 === 3
+    val arriving = emb.filter(isBatch).unionByName(
+      emb.filter(col("vec_id") < n)
+        .withColumn("vec_id", col("vec_id") + Dedup.PlantOffset))
+    // static side: frozen centroids + codebooks, collected once
+    val cents = Similarity.collectCentroids(
+      Similarity.labelCentroids(s, srcDir), "label")
+    val cb = Similarity.pqCodebooks(s, srcDir)
+    val idxDir = HourlyStream.scratchDir("graft_pqmfs_idx_")
+    Similarity.buildIvfPqIndex(s, emb.filter(!isBatch), cents, cb, idxDir)
+    val dropDir = HourlyStream.scratchDir("graft_pqmfs_drop_")
+    arriving
+      .coalesce(2) // pinned drop-file count: 2 micro-batches at any SF
+      .write.mode("overwrite").parquet(dropDir)
+    val ckpt = HourlyStream.scratchDir("graft_pqmfs_ckpt_")
+    val q = readVectorBatches(s, dropDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val _ = Similarity.ivfPqCompactManifest(s, idxDir, b, cents, cb,
+          upsertById = true)
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // manifest-pruned batch probe over the drained store — identical
+    // ADC math to the one-shot gate, hence the identical oracle
+    val queries = emb.filter(col("vec_id") < n)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val topk = Similarity
+      .probeIvfPqIndex(s, srcDir, idxDir, queries, k, nProbe)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getInt(4)))
+    import s.implicits._
+    val out = topk.toSeq.toDF("q_id", "vec_id", "cell", "adc_dist", "rn")
+      .orderBy("q_id", "rn")
+      .localCheckpoint(true)
+    Seq(idxDir, dropDir, ckpt).foreach(HourlyStream.reapScratch)
+    out
+  }
 }

@@ -739,6 +739,16 @@ class ManifestStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed IVF-PQ manifest maintenance: per-micro-batch commits " +
+      "compose to the one-shot compaction — relations identical") {
+    val streamed = graft.streaming.VectorStream
+      .runIvfPqCompactManifestOnce(spark, sf).collect().toSeq
+    val oneShot = graft.operators.Similarity
+      .ivfPqCompactManifestPlanted(spark, sf).collect().toSeq
+    assert(streamed === oneShot)
+    assert(streamed.nonEmpty)
+  }
+
   test("ivfCompactManifestPlanted: compaction == rebuild, copies at rank 1") {
     val got = graft.operators.Similarity
       .ivfCompactManifestPlanted(spark, sf).collect()
