@@ -2154,19 +2154,31 @@ object Similarity {
   private[graft] def probeHint(df: DataFrame, bcast: Boolean): DataFrame =
     if (bcast) broadcast(df) else df
 
-  private def probeBatchOn(vectors: DataFrame,
-      cents: Array[(Long, Array[Double])], queries: DataFrame,
-      k: Int, nProbe: Int, excludeSelf: Boolean,
-      broadcastProbes: Boolean = true): DataFrame = {
-    // cast to the scan's inferred partition-column type so the join key
-    // is the bare partition attribute (a cast on the scan side would
-    // block dynamic partition pruning)
-    val probes = queries
+  /** The ranked probe relation [[probeBatchOn]] builds internally —
+    * (q_id, q_emb, probed cell), cell cast to the scan's inferred
+    * partition-column type so the join key is the bare partition
+    * attribute (a cast on the scan side would block dynamic partition
+    * pruning). Exposed separately so the manifest-pruned facade can
+    * rank ONCE: it localCheckpoints this relation, derives the pruning
+    * keys from it, and feeds the SAME materialized relation back in
+    * via `probesPre` — without that, the driver-side cells collect and
+    * the join would each evaluate the k×dim ranking projection over
+    * the full query relation. */
+  private def rankedProbesOf(queries: DataFrame,
+      cents: Array[(Long, Array[Double])], nProbe: Int): DataFrame =
+    queries
       .select(col("q_id"), col("q_emb"),
         explode(slice(cellRankingOn(col("q_emb"), cents), 1, nProbe))
           .as("probe"))
       .select(col("q_id"), col("q_emb"),
         col("probe").getField("cent").cast("int").as("cell"))
+
+  private def probeBatchOn(vectors: DataFrame,
+      cents: Array[(Long, Array[Double])], queries: DataFrame,
+      k: Int, nProbe: Int, excludeSelf: Boolean,
+      broadcastProbes: Boolean = true,
+      probesPre: Option[DataFrame] = None): DataFrame = {
+    val probes = probesPre.getOrElse(rankedProbesOf(queries, cents, nProbe))
     val candidates = vectors.join(probeHint(probes, broadcastProbes),
       Seq("cell"))
     val filtered =
@@ -2865,7 +2877,9 @@ object Similarity {
     val cents = collectCentroids(labelCentroids(s, dir), "label")
       .map { case (cl, v) => (cl.toLong, v) }
     val cb = pqCodebooks(s, dir)
-    val probes = pqProbesOf(queries, cents, nProbe)
+    // rank ONCE (the probeIvfIndex discipline): the cells collect and
+    // the ADC join both read the materialized probes
+    val probes = pqProbesOf(queries, cents, nProbe).localCheckpoint(true)
     val cells = probes.select("cell").distinct()
       .collect().map(_.getInt(0).toString).toSeq.sorted
     val codes = graft.store.ManifestStore.readTable(s, rootPath,
@@ -3017,15 +3031,19 @@ object Similarity {
     val centsL = trained.map { case (c, v) => (c.toLong, v) }
     protocol match {
       case IndexProtocol.Manifest =>
-        val cells = queries
-          .select(explode(slice(cellRankingOn(col("q_emb"), centsL),
-            1, nProbe)).as("probe"))
-          .select(col("probe").getField("cent").as("cell"))
-          .distinct().collect().map(_.getLong(0).toString).toSeq.sorted
+        // rank ONCE: localCheckpoint the ranked probes, derive the
+        // manifest-pruning keys from the materialized relation, and
+        // feed the same relation to the join — the k×dim ranking
+        // projection never evaluates twice, even on a bulk query
+        // relation (lifetime is GC-managed, no manual unpersist)
+        val probes = rankedProbesOf(queries, centsL, nProbe)
+          .localCheckpoint(true)
+        val cells = probes.select("cell").distinct()
+          .collect().map(_.getInt(0).toString).toSeq.sorted
         val pruned = graft.store.ManifestStore.read(s, rootPath,
           Some(cells))
-        probeIndexBatchOn(pruned, centsL, queries, k, nProbe,
-          excludeSelf, broadcastProbes)
+        probeBatchOn(pruned, centsL, queries, k, nProbe,
+          excludeSelf, broadcastProbes, probesPre = Some(probes))
       case IndexProtocol.Rename =>
         graft.store.IndexCommit.recoverForRead(s, s"$rootPath/vectors")
         probeIndexBatchOn(s.read.parquet(s"$rootPath/vectors"), centsL,

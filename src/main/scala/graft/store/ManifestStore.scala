@@ -88,9 +88,11 @@ import org.apache.spark.sql.functions._
   * staged writes see a store no concurrent writer can move — the same
   * guarantee lshCompact gets from opening its IndexCommit transaction
   * before its guard reads. The manifest create is the backstop: it
-  * refuses to overwrite an existing version file, so even a
-  * pathological double-grant cannot silently drop a commit — the loser
-  * fails loudly. [[vacuum]] runs under the same lease, which is what
+  * refuses to overwrite an existing version file (loser loud on
+  * rename-atomic schemes) and verifies its own publish by read-back
+  * (which NARROWS — not closes — the double-grant window on
+  * overwriting stores; see [[writeManifest]] for the precise
+  * statement). [[vacuum]] runs under the same lease, which is what
   * makes "unreferenced segment" mean "dead" (no writer can be
   * mid-stage while the lease is held); retention (`keepLast`) is the
   * reader contract — vacuum only against a horizon older than the
@@ -320,14 +322,22 @@ object ManifestStore {
   /** Publish version `v`: write the manifest body to a dot-invisible
     * temp name and rename it to `v%08d.mf`. The appearance of the final
     * key IS the commit point (object doc). Double-writer backstop,
-    * stated honestly per storage scheme: the pre-existence check plus
-    * rename-refuses-to-overwrite arbitrates on rename-atomic schemes,
-    * but BOTH are check-then-act on S3-like stores (where rename is
-    * copy+delete and can overwrite) — so after the rename the published
-    * manifest is READ BACK and required to equal what this writer
-    * staged. A loser whose commit was overwritten by a racing winner
-    * (or who overwrote the winner — either interleaving) fails loudly
-    * here instead of silently believing its lost commit. */
+    * stated honestly per storage scheme: on rename-atomic schemes the
+    * pre-existence check plus rename-refuses-to-overwrite arbitrates —
+    * the loser fails loudly, full stop. On S3-like stores BOTH checks
+    * are check-then-act (rename is copy+delete and can overwrite), so
+    * after the rename the published manifest is READ BACK and required
+    * to equal what this writer staged: an overwrite that lands before
+    * this writer's read-back makes THIS writer fail loudly instead of
+    * silently believing a lost commit. What the read-back cannot close
+    * on overwriting stores is the complementary interleaving — the
+    * victim's read-back succeeds and THEN the racer overwrites; closing
+    * that needs a conditional PUT (If-None-Match), which the Hadoop FS
+    * API cannot express. The backstop therefore NARROWS the
+    * double-grant window; actual mutual exclusion is the writer lease,
+    * and a double-granted lease is already the pathological state the
+    * lease machinery (write-then-verify, heartbeat, O_EXCL create)
+    * exists to prevent. */
   private def writeManifest(fs: FileSystem, root: Path, v: Long,
       partCols: Map[String, String], entries: Seq[Entry]): Unit =
     phased("publish") {
@@ -407,26 +417,48 @@ object ManifestStore {
     })
   }
 
+  /** The SANCTIONED type widenings, and ONLY these: the integral chain
+    * byte→short→int→long and float→double — the changes where reading
+    * old rows at the wider type loses nothing. Any other cross-segment
+    * type change (decimal precision drift, int→string, …) is NOT
+    * evolution: Spark's union coercion would "handle" it by silently
+    * rewriting values (a decimal column read as double loses
+    * precision, numerics read as strings, with no error anywhere), so
+    * [[readEntries]] and the upsert merge refuse it loudly instead. */
+  private val WidenChains = Seq(
+    Seq("tinyint", "smallint", "int", "bigint"),
+    Seq("float", "double"))
+  private def widenOk(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean =
+    a == b || WidenChains.exists(c =>
+      c.contains(a.simpleString) && c.contains(b.simpleString))
+
   /** Read a set of manifest entries as ONE frame, handling BOTH axes
     * of schema evolution the store admits:
     *
     *  - ADDED columns (segments written before the column existed):
     *    union schema, pre-evolution rows read NULL;
-    *  - WIDENED primitive types (int→long, float→double): every row
-    *    reads at the widened type.
+    *  - WIDENED primitive types ([[widenOk]]: the integral chain and
+    *    float→double): every row reads at the widened type.
     *
     * Entries group by schema fingerprint; each group — internally
     * homogeneous — reads as one merge-free multi-root parquet scan, and
     * the groups fold through `unionByName(allowMissingColumns)`, whose
     * set-operation type coercion performs the widening parquet's own
     * footer merge REFUSES (`mergeSchema` fails loudly on int-vs-long
-    * files). A single-fingerprint selection — the overwhelmingly common
-    * case — stays exactly the one merge-free scan it always was, so
+    * files). A NON-widening type disagreement is refused loudly BEFORE
+    * the union can coerce it into silent value corruption. A
+    * single-fingerprint selection — the overwhelmingly common case —
+    * stays exactly the one merge-free scan it always was, so
     * homogeneous tables pay nothing; an evolved table pays one extra
     * scan node per schema version it still carries, which is also what
-    * [[CompactAppend]] and full-partition upserts retire. Fold order
-    * (hence column order: first group's columns, later-added appended)
-    * follows the entries' manifest order — deterministic. */
+    * [[CompactAppend]] and full-partition upserts retire.
+    *
+    * Fold order — hence column order — is deterministic ACROSS stores
+    * and versions, not just within one manifest: groups sort by (field
+    * count, field names), which under ADD-only evolution IS evolution
+    * order (the oldest, narrowest schema first, later-added columns
+    * appended) — segment-dir UUIDs never decide the layout. */
   private def readEntries(s: SparkSession, r: Path, entries: Seq[Entry],
       forceMerge: Boolean): DataFrame = {
     val byId = entries.groupBy(_.schemaId)
@@ -434,10 +466,35 @@ object ManifestStore {
     if (groups.size == 1)
       s.read.option("mergeSchema", forceMerge.toString)
         .parquet(entries.map(e => new Path(r, e.dir).toString): _*)
-    else
-      groups.map { es =>
-        s.read.parquet(es.map(e => new Path(r, e.dir).toString): _*)
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      val frames = groups.map { es =>
+        (s.read.parquet(es.map(e => new Path(r, e.dir).toString): _*),
+          es.head.dir)
+      }.sortBy { case (f, _) =>
+        (f.schema.length, f.schema.fieldNames.mkString(" "))
+      }
+      // refuse non-widening drift before the union coerces it away
+      val seen = scala.collection.mutable.Map
+        .empty[String, (org.apache.spark.sql.types.DataType, String)]
+      frames.foreach { case (f, where) =>
+        f.schema.fields.foreach { fld =>
+          seen.get(fld.name) match {
+            case Some((t, w0)) if !widenOk(t, fld.dataType) =>
+              throw new IllegalStateException(
+                s"segments disagree on column '${fld.name}' with a " +
+                  s"NON-widening type change: ${t.simpleString} (in $w0) " +
+                  s"vs ${fld.dataType.simpleString} (in $where). Only " +
+                  "byte→short→int→long and float→double widen on read — " +
+                  "anything else silently corrupts values under union " +
+                  "coercion and is refused. Fix the writer and rewrite " +
+                  "the affected partitions (or CompactAppend) explicitly.")
+            case Some(_) => ()
+            case None => seen(fld.name) = (fld.dataType, where)
+          }
+        }
+      }
+      frames.map(_._1).reduce(_.unionByName(_, allowMissingColumns = true))
+    }
   }
 
   /** Write `df` as a fresh immutable partitioned segment of `table`
@@ -516,8 +573,19 @@ object ManifestStore {
     try {
       val entries = tables.flatMap { case (td, df) =>
         if (td.partCol.isEmpty) writeAppendSegment(s, fs, r, td.name, df)
-        else writePartitionedSegment(s, fs, r, td.name, df,
-          td.partCol, td.keyInData)
+        else {
+          // the key-rendering contract holds from the FIRST segment:
+          // a store created with keys hive escapes would strand every
+          // later read (raw value never matches the escaped entry) and
+          // every later upsert (the same check there aborts) — refuse
+          // at creation, where the fix is cheapest
+          val keys = phased("keyCollect")(df.select(td.partCol)
+            .distinct().collect().map(_.get(0).toString).toSet)
+          val staged = writePartitionedSegment(s, fs, r, td.name, df,
+            td.partCol, td.keyInData)
+          requireKeysRendered(td.name, td.partCol, keys, staged)
+          staged
+        }
       }
       killPoint("staged")
       writeManifest(fs, r, 1L,
@@ -604,6 +672,21 @@ object ManifestStore {
                     "types. A renamed column is a drop + an add and is " +
                     "refused the same way: write the new name alongside " +
                     "the old, or rewrite the table under the new schema")
+                // shared columns may only WIDEN ([[widenOk]]) — any
+                // other type change would be silently coerced by the
+                // merge union (decimal→double drops precision, numerics
+                // stringify) and land in the rewritten partition
+                live.schema.fields.filter(f => colNames.contains(f.name))
+                  .foreach { lf =>
+                    val bt = df.schema(lf.name).dataType
+                    require(widenOk(lf.dataType, bt),
+                      s"arriving batch for '$table' changes column " +
+                        s"'${lf.name}' from ${lf.dataType.simpleString} " +
+                        s"to ${bt.simpleString} — not a sanctioned " +
+                        "widening (byte→short→int→long, float→double). " +
+                        "Rewrite the table under the new schema " +
+                        "explicitly instead of upserting through it.")
+                  }
                 val kept0 = idCol.fold(live)(id =>
                   live.join(df.select(id), Seq(id), "left_anti"))
                 // null-fill the batch's NEW columns on pre-evolution

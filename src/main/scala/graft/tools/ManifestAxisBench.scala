@@ -45,7 +45,9 @@ object ManifestAxisBench {
     ManifestStore.phaseHook = (p, ns) => phases.synchronized {
       phases(p) += ns
     }
-    val checkpoints = Set(1, 10, 25, 50, 75, commits)
+    // the loop runs 1 until commits; the final sample rides the
+    // explicit i == commits - 1 clause below
+    val checkpoints = Set(1, 10, 25, 50, 75)
 
     def batch(i: Int) = s.range(i * 100L, i * 100L + 100)
       .select(col("id").as("vec_id"),
@@ -54,9 +56,10 @@ object ManifestAxisBench {
 
     def mfBytes(root: String): Long = {
       val dir = java.nio.file.Paths.get(root, "_manifests")
-      java.nio.file.Files.list(dir).filter(p =>
-        p.getFileName.toString.endsWith(".mf"))
+      val st = java.nio.file.Files.list(dir) // must close: holds an fd
+      try st.filter(p => p.getFileName.toString.endsWith(".mf"))
         .mapToLong(p => java.nio.file.Files.size(p)).max.orElse(0L)
+      finally st.close()
     }
 
     def scenario(name: String, maintained: Boolean,

@@ -40,7 +40,7 @@ object ManifestProfile {
     def runOnce(name: String, rep: String): Double = {
       phases.synchronized(phases.clear())
       val t0 = System.nanoTime()
-      SparkEntryRef.queries(name)(s, dir)
+      graft.SparkEntry.queries(name)(s, dir)
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       val ph = phases.synchronized(phases.toMap).toSeq.sortBy(_._1)
@@ -60,11 +60,5 @@ object ManifestProfile {
     }
     ManifestStore.phaseHook = (_, _) => ()
     s.stop()
-  }
-
-  /** Indirection so this tool compiles without a hard dependency cycle
-    * on the registry object's package position. */
-  private object SparkEntryRef {
-    def queries = graft.SparkEntry.queries
   }
 }

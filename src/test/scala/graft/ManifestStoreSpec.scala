@@ -524,6 +524,38 @@ class ManifestStoreSpec extends AnyFunSuite {
       .schema("n").dataType === LongType)
   }
 
+  test("NON-widening type drift is refused loudly on BOTH sides — " +
+      "never silently coerced into corrupted values") {
+    import spark.implicits._
+    // write side: an upsert changing v string -> int aborts before
+    // anything is staged (union coercion would have stringified ints)
+    val root = tempDir("mf-nonwiden-write")
+    ManifestStore.create(spark, root,
+      Seq((1L, 0, "a"), (2L, 1, "b")).toDF("id", "part", "v"), "part")
+    val bad = Seq((3L, 0, 7)).toDF("id", "part", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      ManifestStore.upsertPartitions(spark, root, bad, "part")
+    }
+    assert(e1.getMessage.contains("not a sanctioned widening"))
+    assert(ManifestStore.currentVersion(spark, root) === Some(1L))
+    // read side: Append never reads live data (by design), so a
+    // decimal-vs-double drift can land in segments — the READ refuses
+    // it before union coercion silently drops the decimal's precision
+    val root2 = tempDir("mf-nonwiden-read")
+    ManifestStore.createTables(spark, root2, Seq(
+      (ManifestStore.TableDef("t", ""),
+        Seq((1L, BigDecimal("1.50"))).toDF("id", "amount"))))
+    ManifestStore.commitTables(spark, root2)(Seq(
+      ManifestStore.Append("t", Seq((2L, 2.5)).toDF("id", "amount"))))
+    val e2 = intercept[IllegalStateException] {
+      ManifestStore.readTable(spark, root2, "t").collect()
+    }
+    assert(e2.getMessage.contains("NON-widening"))
+    assert(e2.getMessage.contains("amount"))
+    // the sanctioned widenings still read fine (int -> long, ManifestStoreSpec
+    // "type widening" test covers the full lifecycle)
+  }
+
   test("a RENAMED column is refused loudly (drop + add), with the " +
       "actionable message") {
     import spark.implicits._
