@@ -391,6 +391,26 @@ object ManifestStore {
   private def freshSegRel(): String =
     s"$SegDirName/seg-" + java.util.UUID.randomUUID().toString.take(13)
 
+  /** Zero-cost rendering guard for freshly staged entries, used where
+    * no key collect exists to compare against ([[createTables]]): hive
+    * escaping always leaves a visible trace in the dir name — a `%`
+    * escape sequence (and `%` itself is escaped, so a raw `%` cannot
+    * masquerade), the null-partition token, or an empty rendering — so
+    * a staged part carrying any of those CANNOT round-trip a verbatim
+    * key, with no second scan of the input needed to know it. */
+  private def requirePartsVerbatim(table: String, pc: String,
+      staged: Seq[Entry]): Unit = {
+    val bad = staged.map(_.part).filter(p =>
+      p.isEmpty || p.contains("%") || p == "__HIVE_DEFAULT_PARTITION__")
+    require(bad.isEmpty,
+      s"table '$table': key column '$pc' produced hive-escaped, empty, " +
+        s"or null partition dirs (${bad.take(4).mkString(",")}) — " +
+        "manifest-store keys must be non-null and render verbatim (no " +
+        "characters hive escapes). Pre-render the key into a safe " +
+        "string column (the LSH lanes' band_bucket discipline) and key " +
+        "the table by that. Nothing was committed.")
+  }
+
   /** Enforce the documented key contract (object doc: partition keys
     * are non-null and matched by their hive directory rendering): the
     * staged entries' part set must EQUAL the batch's collected key
@@ -577,13 +597,14 @@ object ManifestStore {
           // the key-rendering contract holds from the FIRST segment:
           // a store created with keys hive escapes would strand every
           // later read (raw value never matches the escaped entry) and
-          // every later upsert (the same check there aborts) — refuse
-          // at creation, where the fix is cheapest
-          val keys = phased("keyCollect")(df.select(td.partCol)
-            .distinct().collect().map(_.get(0).toString).toSet)
+          // every later upsert (the equality check there aborts) —
+          // refuse at creation, where the fix is cheapest. The guard
+          // is ZERO-cost ([[requirePartsVerbatim]] — no key collect):
+          // create, unlike upsert, has no reason to scan the input a
+          // second time just to enforce this
           val staged = writePartitionedSegment(s, fs, r, td.name, df,
             td.partCol, td.keyInData)
-          requireKeysRendered(td.name, td.partCol, keys, staged)
+          requirePartsVerbatim(td.name, td.partCol, staged)
           staged
         }
       }

@@ -478,6 +478,14 @@ class ManifestStoreSpec extends AnyFunSuite {
     // the aborted writer's staged segment is an orphan vacuum reaps
     assert(ManifestStore.vacuum(spark, root, keepLast = 1).nonEmpty)
     assert(ManifestStore.read(spark, root).count() === 2)
+    // and the contract holds from the FIRST segment: CREATE with an
+    // escaping key is refused too (zero-cost guard — no extra scan)
+    val root2 = tempDir("mf-key-escape-create")
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestStore.create(spark, root2,
+        Seq((1L, "x:1", 1.0)).toDF("id", "k", "x"), "k")
+    }
+    assert(e2.getMessage.contains("render verbatim"))
   }
 
   test("empty pruned read of an evolved table carries the UNION schema") {
