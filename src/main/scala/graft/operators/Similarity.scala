@@ -657,18 +657,14 @@ object Similarity {
       excludeSelf, broadcastProbes)
   }
 
-  /** The batch lanes' per-query coarse-cell probe relation: (q_id,
-    * q_emb, probed cell) via the [[cellRankingOn]] literal projection —
-    * never collected; shared verbatim by the hive-indexed and
-    * manifest-store PQ probes so both rank bit-identically. */
+  /** The batch lanes' per-query coarse-cell probe relation — a DELEGATE
+    * to [[rankedProbesOf]] (one body, compiler-enforced): the PQ lanes
+    * and the IVF lanes must rank probes identically for the
+    * bit-identity claims their specs pin, so the projection exists
+    * exactly once and this alias only keeps the PQ call sites legible. */
   private def pqProbesOf(queries: DataFrame,
       cents: Array[(Long, Array[Double])], nProbe: Int): DataFrame =
-    queries
-      .select(col("q_id"), col("q_emb"),
-        explode(slice(cellRankingOn(col("q_emb"), cents), 1, nProbe))
-          .as("probe"))
-      .select(col("q_id"), col("q_emb"),
-        col("probe").getField("cent").cast("int").as("cell"))
+    rankedProbesOf(queries, cents, nProbe)
 
   /** ADC rank of a codes relation against a probe relation — the body
     * of [[ivfPqProbeIndexedBatch]], parameterized by the codes SOURCE
@@ -2163,7 +2159,10 @@ object Similarity {
     * keys from it, and feeds the SAME materialized relation back in
     * via `probesPre` — without that, the driver-side cells collect and
     * the join would each evaluate the k×dim ranking projection over
-    * the full query relation. */
+    * the full query relation. This is the ONLY probe projection in the
+    * file: the PQ lanes reach it through the [[pqProbesOf]] delegate,
+    * so the "both lanes rank bit-identically" invariant is enforced by
+    * the compiler, not by keeping two verbatim copies in sync. */
   private def rankedProbesOf(queries: DataFrame,
       cents: Array[(Long, Array[Double])], nProbe: Int): DataFrame =
     queries

@@ -74,14 +74,21 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.kmeansParCentroids(emb, k)))
     val objectives = stats.map(_._1)
     val pairs = stats.map(_._2)
+    // per-step monotonicity is EMPIRICAL, not structural: the three
+    // seedings are independent kmeans|| runs, so a local optimum can
+    // nudge one step slightly the wrong way if data, seeding, or
+    // parallelism ever shift — allow 2% jitter per step and keep the
+    // LOAD-BEARING claims strict: the endpoints must genuinely move
     objectives.zip(objectives.tail).foreach { case (lo, hi) =>
-      assert(hi <= lo,
+      assert(hi <= lo * 1.02,
         s"k-means objective must not increase in k: $objectives") }
     pairs.zip(pairs.tail).foreach { case (lo, hi) =>
-      assert(hi <= lo,
+      assert(hi <= math.max((lo * 1.02).toLong, lo + 1),
         s"pair volume must not increase in k: $pairs") }
-    // and the volume actually MOVES — larger k genuinely bounds the
-    // verify join (the N^1.5 term), it does not just tie
+    // the endpoint claims are what the adaptive-k trade actually buys:
+    // 4k-hat clusters fit strictly better AND bound the verify join
+    // (the N^1.5 term) strictly tighter than k=16
+    assert(objectives.last < objectives.head)
     assert(pairs.last < pairs.head)
   }
 
