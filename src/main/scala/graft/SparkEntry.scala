@@ -201,6 +201,11 @@ object SparkEntry {
     // against the static index digest relation (stateless, no watermark)
     "stream_index_dedup" -> ((s: SparkSession, d: String) =>
       graft.streaming.CorpusStream.runIndexDedupOnce(s, d)),
+    // transactional incremental mart over the manifest store's change
+    // feed: offset + tally move in ONE atomic commit, re-delivered
+    // versions are provable no-ops (exactly-once on object storage)
+    "stream_mf_feed" -> ((s: SparkSession, d: String) =>
+      graft.streaming.CorpusStream.runFeedMartOnce(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Curation.packSequences(s, d)),
     // packing-efficiency report: fill ratio + boundary-split fraction
     "pack_stats" -> ((s: SparkSession, d: String) => Curation.packStats(s, d)),
@@ -497,6 +502,27 @@ object SparkEntry {
     // replaced 'A' partition doubled, other groups untouched
     "mf_facade_time_travel" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.manifestFacadeTimeTravel(s, d)),
+    // WHERE-driven manifest pruning, no parts option: the facade's
+    // FileIndex declares the key as a partition column, the SQL WHERE
+    // prunes at the manifest level (unmatched partitions never listed)
+    "mf_facade_pruned" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.manifestFacadePruned(s, d)),
+    // the write-side facade: df.write.format("graft-manifest") routes
+    // create/append/overwrite through the lease + atomic manifest
+    // publish — three commit shapes, replayed and hash-checked
+    "mf_facade_write" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.manifestFacadeWrite(s, d)),
+    // segment-level column stats in the manifest: a selective non-key
+    // predicate skips whole segments from metadata alone — Scala skip
+    // read, facade WHERE-driven skipping, rows conserved, bytes
+    // recorded per entry
+    "mf_stats_skip_gate" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.manifestStatsSkipGate(s, d)),
+    // CDC over the manifest store: the feed between two versions equals
+    // the multiset diff of the replayed snapshots, per commit — carried
+    // rows cancel, only net changes feed
+    "mf_change_feed" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.manifestChangeFeed(s, d)),
     "file_compaction_gate" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.fileCompactionGate(s, d)),
     // two-dimensional completion: aligned z-cell files prune range
@@ -2354,6 +2380,93 @@ object SparkEntry {
         |  ELSE l_quantity END AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
         | FROM lineitem GROUP BY l_returnflag
         | ORDER BY version, l_returnflag"""
+      .stripMargin.replace("\n", ""),
+    // WHERE-only pruning through the facade: the aggregate equals the
+    // raw-parquet oracle under the same WHERE, and both pruning
+    // booleans (manifest listing + scan file count) are closed-form
+    // TRUE — the un-matched partition is never listed, never scanned
+    "mf_facade_pruned" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n, TRUE AS where_pruned, TRUE AS scan_files_pruned
+        | FROM lineitem WHERE l_returnflag IN ('A','N')
+        | GROUP BY l_returnflag ORDER BY l_returnflag"""
+      .stripMargin.replace("\n", ""),
+    // the write facade's three commits replayed in SQL: create (all
+    // rows), append (the N slice twice), overwrite (A replaced by the
+    // doubled correction); three_commits is closed-form TRUE
+    "mf_facade_write" ->
+      """WITH eff AS (
+        |  SELECT l_returnflag, l_quantity * 2 AS q FROM lineitem
+        |   WHERE l_returnflag = 'A'
+        |  UNION ALL
+        |  SELECT l_returnflag, l_quantity AS q FROM lineitem
+        |   WHERE l_returnflag <> 'A'
+        |  UNION ALL
+        |  SELECT l_returnflag, l_quantity AS q FROM lineitem
+        |   WHERE l_returnflag = 'N')
+        | SELECT l_returnflag,
+        | CAST(sum(CAST(q AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n, TRUE AS three_commits
+        | FROM eff GROUP BY l_returnflag ORDER BY l_returnflag"""
+      .stripMargin.replace("\n", ""),
+    // stats skipping: the middle shipdate year's aggregate (the gate
+    // prunes to that one segment from manifest stats alone); all four
+    // skipping/conservation booleans closed-form TRUE
+    "mf_stats_skip_gate" ->
+      """WITH ys AS (
+        |  SELECT DISTINCT CAST(EXTRACT(year FROM l_shipdate) AS INT)
+        |    AS y FROM lineitem),
+        | r AS (SELECT y, row_number() OVER (ORDER BY y) AS rn,
+        |   count(*) OVER () AS c FROM ys)
+        | SELECT
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+        |   AS sum_qty,
+        | count(*) AS n, TRUE AS scala_skip_prunes,
+        | TRUE AS facade_where_skips, TRUE AS rows_identical,
+        | TRUE AS bytes_recorded
+        | FROM lineitem
+        | WHERE EXTRACT(year FROM l_shipdate) =
+        |   (SELECT y FROM r WHERE rn = c // 2 + 1)"""
+      .stripMargin.replace("\n", ""),
+    // the change feed's per-commit aggregate replayed as snapshot
+    // multiset diffs: commit 2 = doubled-A vs original-A (EXCEPT ALL
+    // both ways), commit 3 = one extra copy of each N row
+    "mf_change_feed" ->
+      """WITH oldA AS (SELECT l_returnflag, l_quantity FROM lineitem
+        |   WHERE l_returnflag = 'A'),
+        | newA AS (SELECT l_returnflag, l_quantity * 2 AS l_quantity
+        |   FROM lineitem WHERE l_returnflag = 'A'),
+        | ins2 AS (SELECT * FROM newA EXCEPT ALL SELECT * FROM oldA),
+        | del2 AS (SELECT * FROM oldA EXCEPT ALL SELECT * FROM newA),
+        | feed AS (
+        |  SELECT CAST(2 AS BIGINT) AS _commit_version,
+        |    'insert' AS _change_type, l_returnflag, l_quantity FROM ins2
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'delete', l_returnflag, l_quantity
+        |    FROM del2
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'insert', l_returnflag, l_quantity
+        |    FROM lineitem WHERE l_returnflag = 'N')
+        | SELECT _commit_version, _change_type, l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS sum_qty,
+        |  count(*) AS n
+        | FROM feed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+      .stripMargin.replace("\n", ""),
+    // the transactional feed-mart's final tally: v3 state per flag (A
+    // doubled values, N doubled rows, R untouched); both exactly-once
+    // booleans closed-form TRUE
+    "stream_mf_feed" ->
+      """SELECT l_returnflag,
+        | CAST(CASE WHEN l_returnflag IN ('A','N')
+        |   THEN 2 * sum(CAST(l_quantity AS DECIMAL(28,6)))
+        |   ELSE sum(CAST(l_quantity AS DECIMAL(28,6))) END AS DOUBLE)
+        |   AS sum_qty,
+        | CASE WHEN l_returnflag = 'N' THEN 2 * count(*)
+        |   ELSE count(*) END AS n,
+        | TRUE AS redelivery_noop, TRUE AS exactly_once
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
       .stripMargin.replace("\n", ""),
     // executed bin-pack rewrite: every conservation/reduction boolean is
     // TRUE by construction (closed-form gate)

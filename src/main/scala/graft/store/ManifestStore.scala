@@ -108,8 +108,35 @@ import org.apache.spark.sql.functions._
   *
   * Partition keys must be non-null and are matched by their hive
   * directory rendering (for the integer cell keys and the `b_b`
-  * composite renderings the ANN lanes use, the plain string). */
+  * composite renderings the ANN lanes use, the plain string).
+  *
+  * Beyond the commit/read core, the store carries the rest of what a
+  * lakehouse table needs at 100 TB, each documented on its member:
+  * per-segment COLUMN STATS + byte sizes harvested from the staged
+  * parquet footers ([[ColStat]], `TableDef.statsCols`) so selective
+  * non-key predicates skip whole segments from manifest metadata alone
+  * ([[readTable]]'s `skip`, and the SQL facade's WHERE — see
+  * [[graft.sources.ManifestFileIndex]]); a CHANGE FEED
+  * ([[changeFeed]]) emitting the net row diff between any two retained
+  * versions at touched-partition cost; and an in-commit
+  * [[Maintenance]] policy folding segment compaction and vacuum into
+  * the commit's own lease window. The SQL front door —
+  * `spark.read/write.format("graft-manifest")` — lives in
+  * [[graft.sources.ManifestSource]]. */
 object ManifestStore {
+
+  /** One column's min/max over one segment's files, harvested from the
+    * parquet FOOTERS the write already produced (never a second data
+    * scan) and carried in the manifest line — the file-skipping
+    * metadata a real table format keeps so selective NON-key
+    * predicates can skip whole segments without opening a single
+    * footer at read time. `tag` fixes the comparison domain ("l"
+    * integral, "d" float/double, "s" string, "dt" epoch-day, "ts"
+    * epoch-micros); min/max are percent-encoded renderings. A column a
+    * footer could not bound (missing stats, unsupported type) simply
+    * has no ColStat — skipping is conservative by construction. */
+  final case class ColStat(col: String, tag: String, min: String,
+      max: String)
 
   /** One manifest line: table name, partition key (hive rendering; ""
     * for append-segment entries) → leaf data dir relative to root,
@@ -119,9 +146,16 @@ object ManifestStore {
     * parquet schema merging automatically (union schema, null-filled
     * old rows), while homogeneous tables — the overwhelmingly common
     * case — pay zero footer-merge cost. No reader has to know whether
-    * the table ever evolved. */
+    * the table ever evolved.
+    *
+    * `bytes` is the segment leaf's total data-file size (harvested
+    * from the stage-time listing; -1 in pre-v3 manifests), so planners
+    * — the facade's [[graft.sources.ManifestFileIndex]] `sizeInBytes`
+    * in particular — get exact relation sizing with ZERO list calls.
+    * `stats` is the per-column skipping metadata ([[ColStat]]) for the
+    * table's declared stats columns. */
   final case class Entry(table: String, part: String, dir: String,
-      schemaId: String)
+      schemaId: String, bytes: Long = -1L, stats: Seq[ColStat] = Nil)
 
   /** A parsed manifest: per-table RAW key spec ("" = append-only;
     * `~`-prefixed = layout-only key, see [[keyInData]]) and the full
@@ -129,19 +163,38 @@ object ManifestStore {
   final case class Manifest(partCols: Map[String, String],
       entries: Seq[Entry])
 
-  /** The key column of a raw header spec (strips the layout-only tag). */
-  private def keyColOf(raw: String): String = raw.stripPrefix("~")
+  /** The key column of a raw header spec (strips the layout-only tag
+    * and the `|`-suffixed stats-column list). */
+  private def keyColOf(raw: String): String =
+    raw.split('|').head.stripPrefix("~")
   /** Whether the raw spec says the key is duplicated into the data. */
   private def keyInDataOf(raw: String): Boolean = !raw.startsWith("~")
-  private def rawSpecOf(td: TableDef): String =
-    if (td.partCol.isEmpty || td.keyInData) td.partCol else "~" + td.partCol
+  /** The declared stats columns of a raw header spec. */
+  private def statsColsOf(raw: String): Seq[String] =
+    raw.split('|').toSeq.drop(1).headOption
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+  private def rawSpecOf(td: TableDef): String = {
+    val base =
+      if (td.partCol.isEmpty || td.keyInData) td.partCol
+      else "~" + td.partCol
+    if (td.statsCols.isEmpty) base
+    else base + "|" + td.statsCols.mkString(",")
+  }
 
   /** Table declaration for [[createTables]]: `partCol` names the key
     * column ("" = append-only); `keyInData` duplicates the key into
-    * the data files (see object doc). */
+    * the data files (see object doc); `statsCols` declares the columns
+    * whose per-segment min/max land in every manifest entry
+    * ([[ColStat]]) — the skip set for selective non-key predicates.
+    * Declared, not automatic: stats are footer-harvest-free to COLLECT
+    * but every column inflates every manifest line, so the caller
+    * names the columns its readers actually filter on. */
   final case class TableDef(name: String, partCol: String,
-      keyInData: Boolean = true) {
+      keyInData: Boolean = true, statsCols: Seq[String] = Nil) {
     require(!name.contains("\t") && !name.contains("\n"), s"bad name $name")
+    statsCols.foreach(c => require(
+      !c.exists("\t\n;|,=".contains(_)),
+      s"stats column '$c' carries a manifest-spec delimiter"))
   }
 
   /** One table's mutation inside an atomic [[commitTables]] commit. */
@@ -174,6 +227,26 @@ object ManifestStore {
     * `table` — nothing existing is read or merged (the narrow vector
     * store shape). An empty `df` appends nothing. */
   final case class Append(table: String, df: DataFrame) extends TableOp
+  /** In-commit maintenance policy for [[commitTables]] — the
+    * compact-every-N + vacuum discipline that keeps the append axis
+    * flat (BASELINE.md's 100-commit rehearsal), moved INSIDE the store
+    * so it is no longer the caller's job:
+    *
+    *  - `maxSegmentsPerTable`: when a commit would leave an
+    *    append-only table above this many segments, a [[CompactAppend]]
+    *    of the LIVE segments folds into the SAME atomic commit (the
+    *    freshly staged segment rides along uncompacted and folds next
+    *    time — nothing is rewritten in the commit that created it).
+    *    Bound: segment count stays ≤ maxSegmentsPerTable + 1.
+    *  - `vacuumKeepLast`: retention runs under the commit's own writer
+    *    lease right after the publish — one lease window, zero extra
+    *    acquisitions. Same reader contract as [[vacuum]].
+    *
+    * Maintenance PIGGYBACKS on real commits only: a plan that stages
+    * nothing still commits nothing. */
+  final case class Maintenance(maxSegmentsPerTable: Option[Int] = None,
+      vacuumKeepLast: Option[Int] = None)
+
   /** Rewrite ALL of an append-only `table`'s segments into ONE — the
     * small-file compaction an append-per-micro-batch table needs
     * (thousands of narrow segments after a production streaming run):
@@ -184,10 +257,56 @@ object ManifestStore {
     * single-segment (or empty) table is a no-op. */
   final case class CompactAppend(table: String) extends TableOp
 
-  private val ManifestDirName = "_manifests"
+  private[graft] val ManifestDirName = "_manifests"
   private val SegDirName = "seg"
   private val Header = "graft-manifest"
-  private val FormatVersion = "2"
+  /** v3 adds per-entry bytes + column stats (7-field E lines); v2
+    * manifests (5-field lines) stay readable — bytes -1, no stats. */
+  private val FormatVersion = "3"
+  private val ReadableVersions = Set("2", "3")
+
+  /** Percent-encoding for stat values inside the line format: the
+    * field/record delimiters and '%' itself. Verbatim otherwise, so
+    * string stats stay comparable by eye. */
+  private def encStat(v: String): String =
+    v.flatMap {
+      case '%' => "%25"
+      case ';' => "%3B"
+      case ':' => "%3A"
+      case '\t' => "%09"
+      case '\n' => "%0A"
+      case '\r' => "%0D"
+      case c => c.toString
+    }
+  private def decStat(v: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      if (v(i) == '%' && i + 3 <= v.length) {
+        sb += Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar
+        i += 3
+      } else { sb += v(i); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def renderStats(stats: Seq[ColStat]): String =
+    stats.map(cs =>
+      s"${cs.col}=${cs.tag}:${encStat(cs.min)}:${encStat(cs.max)}")
+      .mkString(";")
+
+  private def parseStats(spec: String): Seq[ColStat] =
+    spec.split(';').iterator.filter(_.nonEmpty).map { part =>
+      val eq = part.indexOf('=')
+      require(eq >= 0, s"corrupt stat spec: $part")
+      val col = part.take(eq)
+      part.drop(eq + 1).split(':') match {
+        case Array(tag, mn, mx) =>
+          ColStat(col, tag, decStat(mn), decStat(mx))
+        case _ => throw new IllegalStateException(
+          s"corrupt stat spec: $part")
+      }
+    }.toSeq
   /** Table name the single-table sugar API stores under. */
   private val DefaultTable = "t"
 
@@ -301,17 +420,23 @@ object ManifestStore {
     val lines = text.linesIterator.filter(_.nonEmpty).toSeq
     val partCols = lines.headOption match {
       case Some(h) => h.split('\t') match {
-        case Array(Header, FormatVersion, spec) => parsePartCols(spec)
+        case Array(Header, v, spec) if ReadableVersions.contains(v) =>
+          parsePartCols(spec)
         case _ => throw new IllegalStateException(
           s"corrupt manifest header in $p: $h")
       }
       case None => throw new IllegalStateException(s"empty manifest $p")
     }
     val entries = lines.tail.map { line =>
-      // -1 keeps trailing empty fields (append entries have part = "")
+      // -1 keeps trailing empty fields (append entries have part = "",
+      // statless entries an empty stats field)
       line.split("\t", -1) match {
+        // v2 line: no bytes, no stats
         case Array("E", table, part, dir, schemaId) =>
           Entry(table, part, dir, schemaId)
+        case Array("E", table, part, dir, schemaId, bytes, stats) =>
+          Entry(table, part, dir, schemaId, bytes.toLong,
+            parseStats(stats))
         case _ => throw new IllegalStateException(
           s"corrupt manifest line in $p: $line")
       }
@@ -350,7 +475,8 @@ object ManifestStore {
     val body = new StringBuilder
     body ++= s"$Header\t$FormatVersion\t${renderPartCols(partCols)}\n"
     entries.sortBy(e => (e.table, e.part, e.dir)).foreach { e =>
-      body ++= s"E\t${e.table}\t${e.part}\t${e.dir}\t${e.schemaId}\n"
+      body ++= s"E\t${e.table}\t${e.part}\t${e.dir}\t${e.schemaId}" +
+        s"\t${e.bytes}\t${renderStats(e.stats)}\n"
     }
     val tmp = new Path(dir, f".v$v%08d.mf.tmp-" +
       java.util.UUID.randomUUID().toString.take(8))
@@ -391,24 +517,142 @@ object ManifestStore {
   private def freshSegRel(): String =
     s"$SegDirName/seg-" + java.util.UUID.randomUUID().toString.take(13)
 
+  /** Harvest one freshly written segment leaf: total data-file bytes
+    * plus min/max [[ColStat]]s for the declared `cols`, read from the
+    * parquet FOOTERS the write just produced. Cost shape: one footer
+    * open per NEW file — bounded by what this very commit staged (the
+    * keyCollect bound: ~one file per touched partition), never a
+    * second scan of the batch, and never any read-time cost; at read
+    * time the manifest alone decides skipping. Conservative by
+    * construction: a column whose stats a footer omits (unwritten,
+    * truncated away for oversized binaries) or whose type has no exact
+    * rendering yields NO stat for the whole leaf — absence of a stat
+    * can only cost a scan, never correctness. An all-null block
+    * contributes nothing (min/max ignore nulls; null-matching
+    * predicates never consult stats). */
+  private def harvestLeaf(s: SparkSession, fs: FileSystem, dir: Path,
+      cols: Seq[String]): (Long, Seq[ColStat]) = {
+    val files = fs.listStatus(dir).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val bytes = files.map(_.getLen).sum
+    if (cols.isEmpty) return (bytes, Nil)
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.{LogicalTypeAnnotation,
+      PrimitiveType}
+    val conf = s.sessionState.newHadoopConf()
+    // per column: (tag, primitive type, raw min, raw max); dead = a
+    // footer could not bound it somewhere, so the leaf gets no stat
+    val acc = scala.collection.mutable.Map.empty[String,
+      (String, org.apache.parquet.schema.PrimitiveType,
+        Comparable[Any], Comparable[Any])]
+    val dead = scala.collection.mutable.Set.empty[String]
+    def tagOf(pt: PrimitiveType): Option[String] = {
+      import PrimitiveType.PrimitiveTypeName._
+      (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
+        case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+          Some("dt")
+        case (INT32 | INT64,
+            null | _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) =>
+          Some("l")
+        case (INT64,
+            _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+          Some("ts")
+        case (FLOAT | DOUBLE, _) => Some("d")
+        case (BINARY,
+            _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+          Some("s")
+        case _ => None
+      }
+    }
+    def render(pt: PrimitiveType, tag: String, v: Any): String =
+      (tag, v) match {
+      case ("d", f: java.lang.Float) => f.doubleValue.toString
+      case ("ts", l: java.lang.Long) =>
+        pt.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                (l.longValue * 1000L).toString
+              case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                (l.longValue / 1000L).toString
+              case _ => l.toString // MICROS, Spark's native unit
+            }
+          case _ => l.toString
+        }
+      case ("s", b) =>
+        b.asInstanceOf[org.apache.parquet.io.api.Binary]
+          .toStringUsingUTF8
+      case (_, other) => other.toString
+    }
+    files.foreach { st =>
+      val reader =
+        ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try {
+        reader.getFooter.getBlocks.forEach { block =>
+          block.getColumns.forEach { cc =>
+            val name = cc.getPath.toDotString
+            if (cols.contains(name) && !dead.contains(name)) {
+              val stat = cc.getStatistics
+              val allNull = stat != null && !stat.hasNonNullValue &&
+                stat.isNumNullsSet && stat.getNumNulls == block.getRowCount
+              if (stat == null || (!stat.hasNonNullValue && !allNull))
+                { dead += name; acc.remove(name) }
+              else if (!allNull) tagOf(cc.getPrimitiveType) match {
+                case None => dead += name; acc.remove(name)
+                case Some(tag) =>
+                  val mn = stat.genericGetMin.asInstanceOf[Comparable[Any]]
+                  val mx = stat.genericGetMax.asInstanceOf[Comparable[Any]]
+                  acc.get(name) match {
+                    case None =>
+                      acc(name) = (tag, cc.getPrimitiveType, mn, mx)
+                    case Some((t, pt, m0, x0)) => acc(name) = (t, pt,
+                      if (mn.compareTo(m0) < 0) mn else m0,
+                      if (mx.compareTo(x0) > 0) mx else x0)
+                  }
+              }
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    val stats = acc.toSeq.sortBy(_._1).map {
+      case (name, (tag, pt, mn, mx)) =>
+        ColStat(name, tag, render(pt, tag, mn), render(pt, tag, mx))
+    }
+    (bytes, stats)
+  }
+
   /** Zero-cost rendering guard for freshly staged entries, used where
     * no key collect exists to compare against ([[createTables]]): hive
     * escaping always leaves a visible trace in the dir name — a `%`
     * escape sequence (and `%` itself is escaped, so a raw `%` cannot
     * masquerade), the null-partition token, or an empty rendering — so
     * a staged part carrying any of those CANNOT round-trip a verbatim
-    * key, with no second scan of the input needed to know it. */
+    * key, with no second scan of the input needed to know it.
+    *
+    * A COMMA is additionally refused even though hive renders it
+    * verbatim: the SQL facade's `parts` option
+    * ([[graft.sources.ManifestSource]]) is comma-delimited, so a key
+    * containing one would silently mis-prune through the SQL front
+    * door (split into two wrong keys) while reading fine through the
+    * Scala API — refusing it at write time keeps the facade delimiter
+    * unconditionally safe. */
   private def requirePartsVerbatim(table: String, pc: String,
       staged: Seq[Entry]): Unit = {
     val bad = staged.map(_.part).filter(p =>
-      p.isEmpty || p.contains("%") || p == "__HIVE_DEFAULT_PARTITION__")
+      p.isEmpty || p.contains("%") || p.contains(",") ||
+        p == "__HIVE_DEFAULT_PARTITION__")
     require(bad.isEmpty,
       s"table '$table': key column '$pc' produced hive-escaped, empty, " +
-        s"or null partition dirs (${bad.take(4).mkString(",")}) — " +
-        "manifest-store keys must be non-null and render verbatim (no " +
-        "characters hive escapes). Pre-render the key into a safe " +
-        "string column (the LSH lanes' band_bucket discipline) and key " +
-        "the table by that. Nothing was committed.")
+        s"comma-bearing, or null partition dirs " +
+        s"(${bad.take(4).mkString(";")}) — manifest-store keys must be " +
+        "non-null and render verbatim (no characters hive escapes, no " +
+        "commas — the SQL facade's parts delimiter). Pre-render the " +
+        "key into a safe string column (the LSH lanes' band_bucket " +
+        "discipline) and key the table by that. Nothing was committed.")
   }
 
   /** Enforce the documented key contract (object doc: partition keys
@@ -422,6 +666,18 @@ object ManifestStore {
     * [[vacuum]] reaps). */
   private def requireKeysRendered(table: String, pc: String,
       keySet: Set[String], staged: Seq[Entry]): Unit = {
+    // comma refusal: see [[requirePartsVerbatim]] — a comma round-trips
+    // hive rendering fine, so the equality check below would pass, but
+    // it would silently mis-prune through the SQL facade's
+    // comma-delimited `parts` option. Same write-time refusal here so
+    // the contract holds on every commit path.
+    val commas = keySet.filter(_.contains(",")).toSeq.sorted
+    require(commas.isEmpty,
+      s"table '$table': key column '$pc' carries comma-bearing values " +
+        s"(${commas.take(4).mkString(";")}) — commas are the SQL " +
+        "facade's parts delimiter and are refused in manifest-store " +
+        "keys. Pre-render the key into a safe string column. Nothing " +
+        "was committed.")
     val parts = staged.map(_.part).toSet
     require(parts == keySet, {
       val missing = (keySet -- parts).toSeq.sorted.take(4)
@@ -452,6 +708,75 @@ object ManifestStore {
       b: org.apache.spark.sql.types.DataType): Boolean =
     a == b || WidenChains.exists(c =>
       c.contains(a.simpleString) && c.contains(b.simpleString))
+
+  /** Conservative segment-skip evaluation of one data-source filter
+    * against one entry's [[ColStat]]s: FALSE only when the stats PROVE
+    * the segment cannot hold a matching row; TRUE whenever the filter
+    * shape, the column, or the type domain is not bounded by the
+    * stats. Null semantics are safe by construction — min/max describe
+    * non-null values and every pruning comparison here is null-false,
+    * while null-matching shapes (IsNull, EqualNullSafe(null)) never
+    * skip. */
+  private[graft] def mayMatch(stats: Seq[ColStat],
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def statOf(c: String): Option[ColStat] = stats.find(_.col == c)
+    // normalize a filter literal into the stat tag's comparison domain
+    def norm(tag: String, v: Any): Option[Any] = (tag, v) match {
+      case (_, null) => None
+      case ("l" | "d", n: java.lang.Number) =>
+        Some(BigDecimal(n.toString))
+      case ("s", str: String) => Some(str)
+      case ("dt", d: java.sql.Date) =>
+        Some(BigDecimal(d.toLocalDate.toEpochDay))
+      case ("dt", d: java.time.LocalDate) => Some(BigDecimal(d.toEpochDay))
+      case ("ts", t: java.sql.Timestamp) => Some(BigDecimal(
+        java.math.BigDecimal.valueOf(t.getTime).multiply(
+          java.math.BigDecimal.valueOf(1000L)).add(
+          java.math.BigDecimal.valueOf((t.getNanos % 1000000L) / 1000L))))
+      case ("ts", t: java.time.Instant) => Some(BigDecimal(
+        t.getEpochSecond * 1000000L + t.getNano / 1000L))
+      case _ => None
+    }
+    def bounds(cs: ColStat): Option[(Any, Any)] = cs.tag match {
+      case "s" => Some((cs.min, cs.max))
+      case _ =>
+        try Some((BigDecimal(cs.min), BigDecimal(cs.max)))
+        catch { case _: NumberFormatException => None }
+    }
+    // norm() and bounds() share the tag's domain, so both sides are
+    // always the same type here; anything else yields None and the
+    // conservative no-skip below
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
+      case _ => None
+    }
+    def ranged(c: String)(prove: (Any, Any, Any) => Option[Boolean])
+        (v: Any): Boolean =
+      statOf(c).flatMap(cs => bounds(cs).flatMap { case (mn, mx) =>
+        norm(cs.tag, v).flatMap(nv => prove(mn, mx, nv))
+      }).forall(identity)
+    def within(mn: Any, mx: Any, nv: Any): Option[Boolean] =
+      for (lo <- cmp(nv, mn); hi <- cmp(nv, mx)) yield lo >= 0 && hi <= 0
+    f match {
+      case EqualTo(c, v) => ranged(c)(within)(v)
+      case EqualNullSafe(c, v) if v != null => ranged(c)(within)(v)
+      case GreaterThan(c, v) =>
+        ranged(c)((_, mx, nv) => cmp(mx, nv).map(_ > 0))(v)
+      case GreaterThanOrEqual(c, v) =>
+        ranged(c)((_, mx, nv) => cmp(mx, nv).map(_ >= 0))(v)
+      case LessThan(c, v) =>
+        ranged(c)((mn, _, nv) => cmp(mn, nv).map(_ < 0))(v)
+      case LessThanOrEqual(c, v) =>
+        ranged(c)((mn, _, nv) => cmp(mn, nv).map(_ <= 0))(v)
+      case In(c, vs) =>
+        vs.isEmpty || vs.exists(v => ranged(c)(within)(v))
+      case And(a, b) => mayMatch(stats, a) && mayMatch(stats, b)
+      case Or(a, b) => mayMatch(stats, a) || mayMatch(stats, b)
+      case _ => true // Not, IsNull, string matchers, … — never skip
+    }
+  }
 
   /** Read a set of manifest entries as ONE frame, handling BOTH axes
     * of schema evolution the store admits:
@@ -491,7 +816,12 @@ object ManifestStore {
         (s.read.parquet(es.map(e => new Path(r, e.dir).toString): _*),
           es.head.dir)
       }.sortBy { case (f, _) =>
-        (f.schema.length, f.schema.fieldNames.mkString(" "))
+        // types join the key so PURE type-widening evolution (same
+        // field count and names) also sorts content-deterministically —
+        // without them the tie would fall back to manifest-entry order,
+        // which carries segment-dir UUIDs
+        (f.schema.length, f.schema.fieldNames.mkString(" "),
+          f.schema.map(_.dataType.catalogString).mkString(" "))
       }
       // refuse non-widening drift before the union coerces it away
       val seen = scala.collection.mutable.Map
@@ -524,7 +854,8 @@ object ManifestStore {
     * carries the layout (dropped from the files — object doc). */
   private def writePartitionedSegment(s: SparkSession, fs: FileSystem,
       root: Path, table: String, df: DataFrame, partCol: String,
-      keyInData: Boolean): Seq[Entry] = phased("stageWrite") {
+      keyInData: Boolean, statsCols: Seq[String] = Nil): Seq[Entry] =
+    phased("stageWrite") {
     val layoutCol = if (keyInData) partCol + "__p" else partCol
     val segRel = freshSegRel()
     val segPath = new Path(root, segRel)
@@ -543,8 +874,9 @@ object ManifestStore {
         st.getPath.getName.startsWith(layoutCol + "="))
       .map { st =>
         val name = st.getPath.getName
+        val (bytes, stats) = harvestLeaf(s, fs, st.getPath, statsCols)
         Entry(table, name.stripPrefix(layoutCol + "="), s"$segRel/$name",
-          sid)
+          sid, bytes, stats)
       }
       .sortBy(_.part)
   }
@@ -557,7 +889,8 @@ object ManifestStore {
     * per micro-batch), while the written listing is file-count
     * metadata the write already produced. */
   private def writeAppendSegment(s: SparkSession, fs: FileSystem,
-      root: Path, table: String, df: DataFrame): Seq[Entry] = phased("stageWrite") {
+      root: Path, table: String, df: DataFrame,
+      statsCols: Seq[String] = Nil): Seq[Entry] = phased("stageWrite") {
     val segRel = freshSegRel()
     val segPath = new Path(root, segRel)
     df.write.mode("errorifexists")
@@ -570,8 +903,10 @@ object ManifestStore {
     // written (never the batch plan), guarding the schema-only-file case
     val hasData = dataFiles &&
       s.read.parquet(segPath.toString).count() > 0
-    if (hasData) Seq(Entry(table, "", segRel, schemaIdOf(df.schema)))
-    else { fs.delete(segPath, true); Seq.empty }
+    if (hasData) {
+      val (bytes, stats) = harvestLeaf(s, fs, segPath, statsCols)
+      Seq(Entry(table, "", segRel, schemaIdOf(df.schema), bytes, stats))
+    } else { fs.delete(segPath, true); Seq.empty }
   }
 
   /** Initialize a multi-table manifest store at `root`: one atomic
@@ -592,7 +927,8 @@ object ManifestStore {
     val token = acquireLease(fs, r)
     try {
       val entries = tables.flatMap { case (td, df) =>
-        if (td.partCol.isEmpty) writeAppendSegment(s, fs, r, td.name, df)
+        if (td.partCol.isEmpty)
+          writeAppendSegment(s, fs, r, td.name, df, td.statsCols)
         else {
           // the key-rendering contract holds from the FIRST segment:
           // a store created with keys hive escapes would strand every
@@ -603,7 +939,7 @@ object ManifestStore {
           // create, unlike upsert, has no reason to scan the input a
           // second time just to enforce this
           val staged = writePartitionedSegment(s, fs, r, td.name, df,
-            td.partCol, td.keyInData)
+            td.partCol, td.keyInData, td.statsCols)
           requirePartsVerbatim(td.name, td.partCol, staged)
           staged
         }
@@ -633,6 +969,12 @@ object ManifestStore {
     * Returns the touched partition keys per upserted table (hive
     * rendering, sorted; append tables report no keys). */
   def commitTables(s: SparkSession, root: String)
+      (plan: => Seq[TableOp]): Map[String, Seq[String]] =
+    commitTables(s, root, Maintenance())(plan)
+
+  /** [[commitTables]] with an in-commit [[Maintenance]] policy. */
+  def commitTables(s: SparkSession, root: String,
+      maintenance: Maintenance)
       (plan: => Seq[TableOp]): Map[String, Seq[String]] = {
     val (fs, r) = fsOf(s, root)
     val token = phased("lease")(acquireLease(fs, r))
@@ -693,20 +1035,26 @@ object ManifestStore {
                     "types. A renamed column is a drop + an add and is " +
                     "refused the same way: write the new name alongside " +
                     "the old, or rewrite the table under the new schema")
-                // shared columns may only WIDEN ([[widenOk]]) — any
-                // other type change would be silently coerced by the
-                // merge union (decimal→double drops precision, numerics
-                // stringify) and land in the rewritten partition
+                // shared columns must stay inside one widening chain
+                // ([[widenOk]], deliberately SYMMETRIC here): a WIDER
+                // batch is schema evolution (old rows read widened), a
+                // NARROWER batch is a safe up-cast on write (unionByName
+                // coerces it up to the live type, so the rewritten
+                // partition keeps the live wider type — pinned by spec).
+                // Any cross-chain change would be silently coerced by
+                // the merge union (decimal→double drops precision,
+                // numerics stringify) and is refused
                 live.schema.fields.filter(f => colNames.contains(f.name))
                   .foreach { lf =>
                     val bt = df.schema(lf.name).dataType
                     require(widenOk(lf.dataType, bt),
                       s"arriving batch for '$table' changes column " +
                         s"'${lf.name}' from ${lf.dataType.simpleString} " +
-                        s"to ${bt.simpleString} — not a sanctioned " +
-                        "widening (byte→short→int→long, float→double). " +
-                        "Rewrite the table under the new schema " +
-                        "explicitly instead of upserting through it.")
+                        s"to ${bt.simpleString} — not inside a sanctioned " +
+                        "widening chain (byte→short→int→long, " +
+                        "float→double). Rewrite the table under the new " +
+                        "schema explicitly instead of upserting through " +
+                        "it.")
                   }
                 val kept0 = idCol.fold(live)(id =>
                   live.join(df.select(id), Seq(id), "left_anti"))
@@ -721,7 +1069,7 @@ object ManifestStore {
                   .unionByName(df.select(colNames.map(col).toSeq: _*))
               }
             val staged = writePartitionedSegment(s, fs, r, table,
-              merged, pc, keyInDataOf(raw))
+              merged, pc, keyInDataOf(raw), statsColsOf(raw))
             requireKeysRendered(table, pc, keySet, staged)
             newEntries ++= staged
             dropKeys += table -> keySet
@@ -738,18 +1086,19 @@ object ManifestStore {
             // no live read at all: the touched keys' old entries simply
             // don't carry over — replacement is pure metadata
             val staged = writePartitionedSegment(s, fs, r, table,
-              df, pc, keyInDataOf(raw))
+              df, pc, keyInDataOf(raw), statsColsOf(raw))
             requireKeysRendered(table, pc, keys.toSet, staged)
             newEntries ++= staged
             dropKeys += table -> keys.toSet
             touched += table -> keys
           }
         case Append(table, df) =>
-          require(m.partCols(table).isEmpty,
+          require(keyColOf(m.partCols(table)).isEmpty,
             s"table '$table' is partitioned — use Upsert")
-          newEntries ++= writeAppendSegment(s, fs, r, table, df)
+          newEntries ++= writeAppendSegment(s, fs, r, table, df,
+            statsColsOf(m.partCols(table)))
         case CompactAppend(table) =>
-          require(m.partCols(table).isEmpty,
+          require(keyColOf(m.partCols(table)).isEmpty,
             s"table '$table' is partitioned — its upserts already " +
               "rewrite whole partitions; CompactAppend is for " +
               "append-only tables")
@@ -759,17 +1108,37 @@ object ManifestStore {
             // segment BAKES the union/widened schema (null-filled old
             // rows), retiring the per-read evolution cost
             val live = readEntries(s, r, liveE, forceMerge = false)
-            newEntries ++= writeAppendSegment(s, fs, r, table, live)
+            newEntries ++= writeAppendSegment(s, fs, r, table, live,
+              statsColsOf(m.partCols(table)))
             dropAllOf += table
           }
       }
       if (newEntries.isEmpty) return Map.empty
+      // maintenance piggybacks on the real commit: fold an automatic
+      // CompactAppend of any over-cap append-only table's LIVE
+      // segments into this same atomic publish ([[Maintenance]] doc)
+      maintenance.maxSegmentsPerTable.foreach { maxSeg =>
+        m.partCols.keys.toSeq.sorted
+          .filter(t => keyColOf(m.partCols(t)).isEmpty)
+          .filterNot(dropAllOf.contains).foreach { t =>
+            val live = m.entries.filter(_.table == t)
+            val prospective = live.size + newEntries.count(_.table == t)
+            if (prospective > maxSeg && live.size > 1) {
+              newEntries ++= writeAppendSegment(s, fs, r, t,
+                readEntries(s, r, live, forceMerge = false),
+                statsColsOf(m.partCols(t)))
+              dropAllOf += t
+            }
+          }
+      }
       killPoint("staged")
       val kept = m.entries.filterNot(e =>
         dropAllOf.contains(e.table) ||
           dropKeys.get(e.table).exists(_.contains(e.part)))
       writeManifest(fs, r, v + 1, m.partCols, kept ++ newEntries)
       killPoint("committed")
+      // retention under the SAME lease window (no second acquisition)
+      maintenance.vacuumKeepLast.foreach(k => vacuumLocked(fs, r, k))
       touched
     } finally releaseLease(fs, r, token)
   }
@@ -820,7 +1189,8 @@ object ManifestStore {
   def readTable(s: SparkSession, root: String, table: String,
       parts: Option[Seq[String]] = None,
       version: Option[Long] = None,
-      mergeSchema: Boolean = false): DataFrame = {
+      mergeSchema: Boolean = false,
+      skip: Seq[org.apache.spark.sql.sources.Filter] = Nil): DataFrame = {
     val (fs, r) = fsOf(s, root)
     val v = version.getOrElse(currentVersion(fs, r).getOrElse(
       throw new IllegalStateException(
@@ -834,7 +1204,16 @@ object ManifestStore {
         s"(tables: ${m.partCols.keys.toSeq.sorted.mkString(",")})")
     val all = m.entries.filter(_.table == table)
     require(all.nonEmpty, s"table '$table' v$v at $root lists no data")
-    val sel = parts.fold(all)(ps => all.filter(e => ps.contains(e.part)))
+    // `skip` intersects each data-source filter with the entries'
+    // column stats ([[ColStat]] / [[mayMatch]]) — segments provably
+    // outside every filter's range never reach the scan (nor, on an
+    // object store, a single list/footer call). PURELY an I/O pruning:
+    // the caller still applies its predicate to the returned frame —
+    // stats bound what a segment MAY hold, they do not filter rows.
+    val sel0 = parts.fold(all)(ps => all.filter(e => ps.contains(e.part)))
+    val sel =
+      if (skip.isEmpty) sel0
+      else sel0.filter(e => skip.forall(f => mayMatch(e.stats, f)))
     // safe-by-default evolution: the manifest KNOWS whether the
     // selected segments agree on schema — [[readEntries]] groups by
     // fingerprint exactly when they don't, so no reader passes a flag.
@@ -848,6 +1227,102 @@ object ManifestStore {
     } else readEntries(s, r, sel, mergeSchema)
   }
 
+  /** Change feed — incremental (CDC) read over the store's version
+    * history, the shape Delta calls CDF: the NET row changes of
+    * `table` between two retained versions, as the table's columns
+    * plus `_change_type` ("insert" / "delete") and `_commit_version`
+    * (the version that introduced the change). A downstream consumer
+    * can maintain an incremental mart from this without ever diffing
+    * full snapshots.
+    *
+    * Semantics, stated precisely: per consecutive version step
+    * v → v+1, the step's ADDED entries (segments in v+1 but not v)
+    * and REMOVED entries (superseded) are read, and the feed emits
+    * `rows(added) EXCEPT ALL rows(removed)` as inserts and the
+    * converse as deletes — a row carried UNCHANGED through a
+    * partition rewrite cancels out and is NOT a change. The feed
+    * between any two versions therefore row-for-row equals the
+    * multiset diff of the two snapshots, while costing only the
+    * TOUCHED partitions' reads (at 100 TB: a day's upsert feeds a
+    * day's rows, never a table scan). Corollaries: a [[CompactAppend]]
+    * commit — pure metadata retirement — feeds NOTHING (its added and
+    * removed segments hold identical rows, at the price of reading
+    * both, which is also the one case where feed cost is the full
+    * table: compaction rewrote the full table); an idempotent-replay
+    * [[Replace]] with identical content feeds nothing.
+    *
+    * Schema evolution inside the window is handled the usual way
+    * ([[readEntries]]): pre-evolution rows read null-filled/widened,
+    * and the feed's columns are the union across steps. Layout-only
+    * keys are restored per step when `rekey` is given (the [[Upsert]]
+    * discipline). Requires every version in [from, to] retained —
+    * vacuum against a horizon older than the slowest consumer, the
+    * same contract as any snapshot read. */
+  def changeFeed(s: SparkSession, root: String, table: String,
+      fromVersion: Long, toVersion: Long,
+      rekey: Option[DataFrame => DataFrame] = None): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changeFeed needs fromVersion < toVersion " +
+        s"(got $fromVersion, $toVersion)")
+    val (fs, r) = fsOf(s, root)
+    val vs = listVersions(fs, r)
+    (fromVersion to toVersion).foreach(v => require(vs.contains(v),
+      s"version $v of $root is not retained — the feed window needs " +
+        s"every version in [$fromVersion, $toVersion] " +
+        s"(retained: ${vs.mkString(",")})"))
+    val manifests = (fromVersion to toVersion)
+      .map(v => v -> readManifest(fs, r, v)).toMap
+    manifests.values.foreach(m => require(m.partCols.contains(table),
+      s"store at $root has no table '$table' throughout the window"))
+    def restore(df: DataFrame): DataFrame =
+      rekey.map(_(df)).getOrElse(df)
+    val steps = (fromVersion until toVersion).flatMap { v =>
+      val ea = manifests(v).entries.filter(_.table == table)
+      val eb = manifests(v + 1).entries.filter(_.table == table)
+      val aDirs = ea.map(_.dir).toSet
+      val bDirs = eb.map(_.dir).toSet
+      val added = eb.filterNot(e => aDirs.contains(e.dir))
+      val removed = ea.filterNot(e => bDirs.contains(e.dir))
+      if (added.isEmpty && removed.isEmpty) None
+      else {
+        val reps = (added ++ removed)
+        def readSide(es: Seq[Entry]): DataFrame =
+          if (es.nonEmpty) restore(readEntries(s, r, es, false))
+          else {
+            val byId = reps.groupBy(_.schemaId)
+            val one = reps.map(_.schemaId).distinct.map(id => byId(id).head)
+            restore(readEntries(s, r, one, false)).filter(lit(false))
+          }
+        val newRows = readSide(added)
+        val oldRows = readSide(removed)
+        // exceptAll needs identical schemas; align both sides to the
+        // union schema with unionByName's own coerced types (added
+        // columns null-fill, widened types widen — the readEntries
+        // rules applied across the commit boundary)
+        val union = newRows.unionByName(oldRows,
+          allowMissingColumns = true).schema
+        def align(df: DataFrame): DataFrame =
+          df.select(union.fields.toSeq.map { f =>
+            (if (df.columns.contains(f.name)) col(f.name)
+            else lit(null)).cast(f.dataType).as(f.name)
+          }: _*)
+        val nA = align(newRows)
+        val oA = align(oldRows)
+        Some(nA.exceptAll(oA).withColumn("_change_type", lit("insert"))
+          .unionByName(
+            oA.exceptAll(nA).withColumn("_change_type", lit("delete")))
+          .withColumn("_commit_version", lit(v + 1)))
+      }
+    }
+    steps.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        readTable(s, root, table, version = Some(toVersion))
+          .filter(lit(false))
+          .withColumn("_change_type", lit(""))
+          .withColumn("_commit_version", lit(0L))
+      }
+  }
+
   /** The manifest entries of one table at a version (newest when
     * omitted) — bounded driver-side metadata, for observability and
     * gates (segment counts, pruning audits). */
@@ -858,6 +1333,30 @@ object ManifestStore {
       throw new IllegalStateException(
         s"manifest store at $root has no committed version")))
     readManifest(fs, r, v).entries.filter(_.table == table)
+  }
+
+  /** Facade-side layout accessor ([[graft.sources.ManifestSource]]):
+    * resolve `version` (newest when None) and return (resolved
+    * version, key column — "" for append-only, whether the key rides
+    * in the data files, the table's entries at that version). Shares
+    * [[readTable]]'s validation so the facade and the Scala API fail
+    * identically on unknown tables and unretained versions. */
+  private[graft] def tableLayout(s: SparkSession, root: String,
+      table: String, version: Option[Long])
+      : (Long, String, Boolean, Seq[Entry]) = {
+    val (fs, r) = fsOf(s, root)
+    val v = version.getOrElse(currentVersion(fs, r).getOrElse(
+      throw new IllegalStateException(
+        s"manifest store at $root has no committed version")))
+    require(listVersions(fs, r).contains(v),
+      s"version $v of $root is not retained (vacuumed, or never " +
+        s"committed) — retained: ${listVersions(fs, r).mkString(",")}")
+    val m = readManifest(fs, r, v)
+    require(m.partCols.contains(table),
+      s"store at $root has no table '$table' " +
+        s"(tables: ${m.partCols.keys.toSeq.sorted.mkString(",")})")
+    val raw = m.partCols(table)
+    (v, keyColOf(raw), keyInDataOf(raw), m.entries.filter(_.table == table))
   }
 
   /** Single-table snapshot read (sugar over [[readTable]]). */
@@ -892,7 +1391,16 @@ object ManifestStore {
     require(keepLast >= 1, "vacuum must keep at least the newest version")
     val (fs, r) = fsOf(s, root)
     val token = acquireLease(fs, r)
-    try {
+    try vacuumLocked(fs, r, keepLast)
+    finally releaseLease(fs, r, token)
+  }
+
+  /** [[vacuum]]'s body, for callers that ALREADY hold the writer lease
+    * (the [[Maintenance]] policy folds retention into the same lease
+    * window as the commit it rides on). */
+  private def vacuumLocked(fs: FileSystem, r: Path,
+      keepLast: Int): Seq[String] = {
+    {
       val vs = listVersions(fs, r)
       val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
       val referenced: Set[String] =
@@ -937,6 +1445,6 @@ object ManifestStore {
         }
       }
       deleted.toSeq
-    } finally releaseLease(fs, r, token)
+    }
   }
 }

@@ -307,4 +307,111 @@ object CorpusStream {
     Seq(batchDir, ckpt).foreach(HourlyStream.reapScratch)
     s.table(name).orderBy("doc_id")
   }
+
+  /** `stream_mf_feed` — a TRANSACTIONAL incremental mart consuming the
+    * manifest store's change feed
+    * ([[graft.store.ManifestStore.changeFeed]]) exactly-once, the
+    * downstream half of the CDC story: an upstream store takes three
+    * commits (create / partition-replace / add-rows upsert — the
+    * mf_change_feed fixture), and a consumer maintains a per-flag
+    * running tally by applying ONE commit's feed per micro-batch, the
+    * runDailyAggOnce discipline.
+    *
+    * Exactly-once is TRANSACTIONAL, not best-effort: the consumer's
+    * OFFSET (last applied upstream version) lives in the mart store
+    * itself, and each application is ONE atomic multi-table commit —
+    * `Replace(tally-partitions)` + `Replace(offset)` under the mart's
+    * writer lease, with the offset guard-read inside the same planning
+    * closure. A re-delivered version (the crash-replay case, exercised
+    * here by literally re-applying the last version) reads its own
+    * offset, plans NOTHING, and bumps no mart version — the
+    * Kafka-transactional-sink pattern on plain object storage.
+    *
+    * Numerics: the tally accumulates in DECIMAL(38,6) (exact,
+    * associative), cast to double only in the report — so the
+    * incremental result equals the oracle's one-shot decimal aggregate
+    * bit-for-bit. Scale shape: each application reads the feed's
+    * touched partitions and replaces only the touched tally
+    * partitions; nothing scales with table or history size. */
+  def runFeedMartOnce(s: SparkSession, srcDir: String): DataFrame = {
+    import graft.store.ManifestStore
+    import graft.store.ManifestStore.{Replace, TableDef}
+    val scratch = HourlyStream.scratchDir("graft_mf_feed_")
+    try {
+      val src = s"$scratch/src"
+      val mart = s"$scratch/mart"
+      val li = graft.Tables.load(s, srcDir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+      def dec(c: org.apache.spark.sql.Column) =
+        sum(c.cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6))
+      // upstream: the three-commit CDC fixture
+      ManifestStore.create(s, src, li, "l_returnflag")
+      ManifestStore.replacePartitions(s, src,
+        li.filter(col("l_returnflag") === "A")
+          .select(col("l_returnflag"),
+            (col("l_quantity") * 2).as("l_quantity")), "l_returnflag")
+      ManifestStore.commitTables(s, src)(Seq(ManifestStore.Upsert("t",
+        li.filter(col("l_returnflag") === "N"))))
+      // mart init: tally = the v1 snapshot aggregate; offset = 1
+      import s.implicits._
+      val v1 = ManifestStore.readTable(s, src, "t", version = Some(1L))
+        .groupBy(col("l_returnflag"))
+        .agg(dec(col("l_quantity")).as("sum_q"),
+          count(lit(1)).as("n"))
+      ManifestStore.createTables(s, mart, Seq(
+        (TableDef("tally", "l_returnflag"), v1),
+        (TableDef("offsets", "consumer"),
+          Seq(("mart", 1L)).toDF("consumer", "applied"))))
+      // the consumer: one upstream commit per application, offset
+      // guard-read and both Replaces inside ONE atomic mart commit
+      def applyVersion(v: Long): Unit =
+        ManifestStore.commitTables(s, mart) {
+          val applied = ManifestStore.readTable(s, mart, "offsets")
+            .filter(col("consumer") === "mart")
+            .select("applied").head().getLong(0)
+          if (applied >= v) Seq.empty // re-delivery: transactional no-op
+          else {
+            val delta = ManifestStore
+              .changeFeed(s, src, "t", v - 1, v)
+              .groupBy(col("l_returnflag"))
+              .agg(dec(when(col("_change_type") === "insert",
+                col("l_quantity")).otherwise(-col("l_quantity")))
+                .as("dq"),
+                sum(when(col("_change_type") === "insert", 1L)
+                  .otherwise(-1L)).as("dn"))
+            val tally = ManifestStore.readTable(s, mart, "tally")
+            val updated = delta
+              .join(tally, Seq("l_returnflag"), "left_outer")
+              .select(col("l_returnflag"),
+                (coalesce(col("sum_q"),
+                  lit(java.math.BigDecimal.ZERO)
+                    .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+                  + col("dq"))
+                  .cast(org.apache.spark.sql.types.DecimalType(38, 6))
+                  .as("sum_q"),
+                (coalesce(col("n"), lit(0L)) + col("dn")).as("n"))
+            Seq(Replace("tally", updated),
+              Replace("offsets",
+                Seq(("mart", v)).toDF("consumer", "applied")))
+          }
+        }
+      val head = ManifestStore.currentVersion(s, src).get
+      (2L to head).foreach(applyVersion)
+      val before = ManifestStore.currentVersion(s, mart).get
+      applyVersion(head) // crash-replay: re-deliver the last version
+      val redeliveryNoop =
+        ManifestStore.currentVersion(s, mart).contains(before)
+      val exactlyOnce =
+        ManifestStore.versions(s, mart) == (1L to before).toSeq
+      val out = ManifestStore.readTable(s, mart, "tally")
+        .select(col("l_returnflag"),
+          col("sum_q").cast("double").as("sum_qty"), col("n"),
+          lit(redeliveryNoop).as("redelivery_noop"),
+          lit(exactlyOnce).as("exactly_once"))
+        .orderBy("l_returnflag")
+        .localCheckpoint(true)
+      out
+    } finally HourlyStream.reapScratch(scratch)
+  }
 }

@@ -63,21 +63,24 @@ object ManifestAxisBench {
     }
 
     def scenario(name: String, maintained: Boolean,
-        partitioned: Boolean): Unit = {
+        partitioned: Boolean, policy: Option[ManifestStore.Maintenance]
+          = None, statsCols: Seq[String] = Nil): Unit = {
       val root = java.nio.file.Files
         .createTempDirectory(s"mf-axis-$name").toString + "/store"
       if (partitioned)
         ManifestStore.create(s, root, batch(0), "cell")
       else
         ManifestStore.createTables(s, root,
-          Seq((ManifestStore.TableDef("t", ""), batch(0))))
+          Seq((ManifestStore.TableDef("t", "", statsCols = statsCols),
+            batch(0))))
       (1 until commits).foreach { i =>
         phases.synchronized(phases.clear())
         val t0 = System.nanoTime()
         if (partitioned)
           ManifestStore.upsertPartitions(s, root, batch(i), "cell")
         else
-          ManifestStore.commitTables(s, root)(
+          ManifestStore.commitTables(s, root,
+            policy.getOrElse(ManifestStore.Maintenance()))(
             Seq(ManifestStore.Append("t", batch(i))))
         if (maintained && i % 10 == 0) {
           ManifestStore.commitTables(s, root)(
@@ -108,6 +111,14 @@ object ManifestAxisBench {
     scenario("append-raw", maintained = false, partitioned = false)
     scenario("append-maintained", maintained = true, partitioned = false)
     scenario("upsert-16cell", maintained = false, partitioned = true)
+    // round-14 rows: the IN-STORE maintenance policy (compaction folds
+    // into the same atomic commit, vacuum under the same lease — zero
+    // caller-side calls) and the per-entry column-stats overhead
+    scenario("append-policy", maintained = false, partitioned = false,
+      policy = Some(ManifestStore.Maintenance(
+        maxSegmentsPerTable = Some(10), vacuumKeepLast = Some(5))))
+    scenario("append-stats", maintained = false, partitioned = false,
+      statsCols = Seq("vec_id", "payload"))
     ManifestStore.phaseHook = (_, _) => ()
     s.stop()
   }

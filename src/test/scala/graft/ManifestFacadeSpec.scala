@@ -52,6 +52,96 @@ class ManifestFacadeSpec extends AnyFunSuite {
       plan)
   }
 
+  test("a plain SQL WHERE on the key prunes at the MANIFEST level: " +
+      "unmatched partitions are never listed, never scanned") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+      LogicalRelation}
+    val root = tempDir("mff-where")
+    ManifestStore.create(spark, root, rows(0 until 40, "a"), "part")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = facade(root) // NO parts option — the WHERE must do it
+      df.createOrReplaceTempView("mff_where_v")
+      val q = spark.sql(
+        "SELECT id, part, v FROM mff_where_v WHERE part = 2")
+      val got = q.collect().map(_.toSeq).toSet
+      val want = ManifestStore.read(spark, root, parts = Some(Seq("2")))
+        .select("id", "part", "v").collect().map(_.toSeq).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+      // the manifest index saw the partition filter and selected ONLY
+      // part 2 — the other three partitions' dirs were never listed
+      val index = q.queryExecution.analyzed.collectFirst {
+        case LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
+          h.location.asInstanceOf[graft.sources.ManifestFileIndex]
+      }.get
+      assert(index.lastSelectedParts === Some(Seq("2")))
+      // and the executed scan touched exactly part 2's files
+      val scan = q.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }.head
+      val part2Files = index.inputFiles.count(_.contains("part__p=2"))
+      assert(scan.metrics("numFiles").value === part2Files)
+      assert(part2Files < index.inputFiles.length)
+      // the key rides as a PartitionFilter, not a pushed data filter
+      assert(scan.metadata("PartitionFilters").contains("part"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("keyInData tables keep the exact Scala-read schema and column " +
+      "order; the key column is served from the manifest, not the files") {
+    val root = tempDir("mff-order")
+    ManifestStore.create(spark, root, rows(0 until 8, "a"), "part")
+    val viaApi = ManifestStore.read(spark, root)
+    val df = facade(root)
+    assert(df.schema.fieldNames.toSeq === viaApi.schema.fieldNames.toSeq)
+    assert(df.schema("part").dataType === viaApi.schema("part").dataType)
+    assert(df.collect().map(_.toSeq).toSet
+      === viaApi.collect().map(_.toSeq).toSet)
+  }
+
+  test("layout-only keys are RESTORED as a string partition column " +
+      "the Scala read cannot offer, and WHERE prunes on them") {
+    import spark.implicits._
+    val root = tempDir("mff-layoutonly")
+    val df0 = Seq((1L, "0_1", 1.0), (2L, "0_2", 2.0), (3L, "0_1", 3.0))
+      .toDF("id", "bb", "x")
+    ManifestStore.createTables(spark, root, Seq(
+      (ManifestStore.TableDef("postings", "bb", keyInData = false), df0)))
+    // the files don't carry bb (derivable, layout-only) — the Scala
+    // read comes back without it
+    assert(!ManifestStore.readTable(spark, root, "postings")
+      .columns.contains("bb"))
+    // the facade restores it from the manifest as a partition column
+    val f = facade(root, "table" -> "postings")
+    assert(f.columns.contains("bb"))
+    assert(f.schema("bb").dataType.typeName === "string")
+    val got = f.filter(col("bb") === "0_1")
+      .select("id", "x", "bb").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got === Set((1L, 1.0, "0_1"), (3L, 3.0, "0_1")))
+  }
+
+  test("mf_facade_pruned gate: WHERE-only pruning booleans hold and " +
+      "the aggregate equals the direct filtered aggregate") {
+    val got = graft.operators.Layout.manifestFacadePruned(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(got.forall(_._4), s"where_pruned must hold: ${got.toSeq}")
+    assert(got.forall(_._5), s"scan_files_pruned must hold: ${got.toSeq}")
+    val want = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_returnflag").isin("A", "N"))
+      .groupBy("l_returnflag")
+      .agg(graft.operators.Relational.dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === want.toSeq)
+  }
+
   test("version option time-travels; default reads the newest") {
     val root = tempDir("mff-travel")
     val base = rows(0 until 20, "a")
@@ -126,5 +216,142 @@ class ManifestFacadeSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
     assert(got.toSeq === want.toSeq)
     assert(got.map(_._1).toSeq === Seq("A", "N")) // pruning value-visible
+  }
+
+  test("write facade: create on a fresh root, append adds rows, " +
+      "overwrite replaces only the touched partitions — one atomic " +
+      "commit each") {
+    import spark.implicits._
+    val root = tempDir("mff-write")
+    val base = rows(0 until 12, "a")
+    base.write.format("graft-manifest").option("key", "part").save(root)
+    assert(ManifestStore.currentVersion(spark, root) === Some(1L))
+    // append = add-rows upsert (live rows kept)
+    rows(12 until 16, "b").write.format("graft-manifest")
+      .mode("append").save(root)
+    assert(ManifestStore.read(spark, root).count() === 16)
+    // overwrite = dynamic partition replace: part 2 only
+    Seq((99L, 2, "fix")).toDF("id", "part", "v")
+      .write.format("graft-manifest").mode("overwrite").save(root)
+    val after = ManifestStore.read(spark, root)
+    assert(after.filter(col("part") === 2).count() === 1)
+    assert(after.filter(col("part") =!= 2).count() === 12)
+    assert(ManifestStore.versions(spark, root) === Seq(1L, 2L, 3L))
+    // and time travel still replays the pre-overwrite state
+    assert(ManifestStore.read(spark, root, version = Some(2L))
+      .count() === 16)
+  }
+
+  test("write facade: mergeId append replaces matching ids instead of " +
+      "keeping them") {
+    import spark.implicits._
+    val root = tempDir("mff-mergeid")
+    rows(0 until 8, "a").write.format("graft-manifest")
+      .option("key", "part").save(root)
+    Seq((3L, 3, "fixed")).toDF("id", "part", "v")
+      .write.format("graft-manifest").mode("append")
+      .option("mergeId", "id").save(root)
+    val got = ManifestStore.read(spark, root)
+      .filter(col("id") === 3L).collect()
+    assert(got.length === 1)
+    assert(got.head.getString(2) === "fixed")
+    assert(ManifestStore.read(spark, root).count() === 8)
+  }
+
+  test("write facade refusals: errorifexists on an initialized root, " +
+      "key mismatch, overwrite on append-only; ignore is a no-op") {
+    import spark.implicits._
+    val root = tempDir("mff-wrefuse")
+    rows(0 until 8, "a").write.format("graft-manifest")
+      .option("key", "part").save(root)
+    // default mode is errorifexists — loud on an initialized root
+    val e1 = intercept[IllegalStateException] {
+      rows(0 until 4, "b").write.format("graft-manifest").save(root)
+    }
+    assert(e1.getMessage.contains("already initialized"))
+    val e2 = intercept[IllegalArgumentException] {
+      rows(0 until 4, "b").write.format("graft-manifest")
+        .mode("append").option("key", "id").save(root)
+    }
+    assert(e2.getMessage.contains("keyed by 'part'"))
+    // ignore: no version bump, content untouched
+    rows(0 until 4, "zzz").write.format("graft-manifest")
+      .mode("ignore").save(root)
+    assert(ManifestStore.currentVersion(spark, root) === Some(1L))
+    // append-only table: overwrite has no partitions to replace
+    val root2 = tempDir("mff-wappendonly")
+    Seq((1L, "x")).toDF("id", "v").write.format("graft-manifest")
+      .save(root2) // no key option -> append-only
+    Seq((2L, "y")).toDF("id", "v").write.format("graft-manifest")
+      .mode("append").save(root2)
+    assert(facade(root2).count() === 2)
+    val e3 = intercept[IllegalArgumentException] {
+      Seq((3L, "z")).toDF("id", "v").write.format("graft-manifest")
+        .mode("overwrite").save(root2)
+    }
+    assert(e3.getMessage.contains("append-only"))
+  }
+
+  test("raw SQL INSERT INTO a facade view is refused at ANALYSIS — " +
+      "before InsertIntoHadoopFsRelationCommand's overwrite-delete " +
+      "step could touch anything; segment dirs stay immutable") {
+    val root = tempDir("mff-insert")
+    ManifestStore.create(spark, root, rows(0 until 8, "a"), "part")
+    facade(root).createOrReplaceTempView("mff_insert_v")
+    val before = ManifestStore.read(spark, root).count()
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // the two-rootPaths guard fires Spark's analysis-time MULTI_PATH
+    // refusal for plain INSERT...
+    val e = intercept[Throwable] {
+      spark.sql("INSERT INTO mff_insert_v VALUES (99, 0, 'rogue')")
+    }
+    assert(messages(e).exists(_.contains("single path")),
+      s"unexpected refusal: ${messages(e)}")
+    // ...and crucially for INSERT OVERWRITE, whose command DELETES the
+    // output path before writing — the store must be untouched
+    val e2 = intercept[Throwable] {
+      spark.sql("INSERT OVERWRITE TABLE mff_insert_v " +
+        "VALUES (99, 0, 'rogue')")
+    }
+    assert(messages(e2).exists(_.contains("single path")),
+      s"unexpected refusal: ${messages(e2)}")
+    assert(ManifestStore.read(spark, root).count() === before)
+    // the append-only fallback path refuses too (TableScan relation)
+    import spark.implicits._
+    val root2 = tempDir("mff-insert2")
+    ManifestStore.createTables(spark, root2, Seq(
+      (ManifestStore.TableDef("docs", ""),
+        Seq((1L, "x")).toDF("id", "v"))))
+    facade(root2, "table" -> "docs", "mergeSchema" -> "true")
+      .createOrReplaceTempView("mff_insert_docs")
+    intercept[Throwable] {
+      spark.sql("INSERT INTO mff_insert_docs VALUES (9, 'rogue')")
+    }
+    assert(ManifestStore.readTable(spark, root2, "docs").count() === 1)
+  }
+
+  test("mf_facade_write gate: the three-commit replay matches the " +
+      "direct computation") {
+    val got = graft.operators.Layout.manifestFacadeWrite(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.forall(_._4), s"three_commits must hold: ${got.toSeq}")
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+    val eff = li.filter(col("l_returnflag") === "A")
+      .select(col("l_returnflag"), (col("l_quantity") * 2).as("q"))
+      .union(li.filter(col("l_returnflag") =!= "A")
+        .select(col("l_returnflag"), col("l_quantity").as("q")))
+      .union(li.filter(col("l_returnflag") === "N")
+        .select(col("l_returnflag"), col("l_quantity").as("q")))
+    val want = eff.groupBy("l_returnflag")
+      .agg(graft.operators.Relational.dsum(col("q")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === want.toSeq)
   }
 }

@@ -488,6 +488,51 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("render verbatim"))
   }
 
+  test("comma-bearing keys are refused on every commit path — the SQL " +
+      "facade's parts delimiter stays unconditionally safe") {
+    import spark.implicits._
+    // hive renders a comma VERBATIM, so the rendering round-trip alone
+    // would accept it — but option("parts", "a,b") through the facade
+    // would then split it into two wrong keys and silently mis-prune.
+    // Both write-time guards refuse instead.
+    val root = tempDir("mf-key-comma")
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.create(spark, root,
+        Seq((1L, "a,b", 1.0)).toDF("id", "k", "x"), "k")
+    }
+    assert(e.getMessage.contains("comma"))
+    val root2 = tempDir("mf-key-comma-upsert")
+    ManifestStore.create(spark, root2,
+      Seq((1L, "a", 1.0)).toDF("id", "k", "x"), "k")
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestStore.upsertPartitions(spark, root2,
+        Seq((2L, "a,b", 2.0)).toDF("id", "k", "x"), "k")
+    }
+    assert(e2.getMessage.contains("comma"))
+    assert(ManifestStore.currentVersion(spark, root2) === Some(1L))
+    assert(ManifestStore.read(spark, root2).count() === 1)
+  }
+
+  test("a NARROWER same-chain batch up-casts on write: the live wider " +
+      "type wins, values conserved, no schema change") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    // live n is bigint; the arriving batch carries n as int. That is
+    // NOT evolution (nothing widens) — the batch is safely up-cast by
+    // the merge union and the rewritten partition keeps bigint. Pinned
+    // here because the widenOk chain check is symmetric by design.
+    val root = tempDir("mf-narrow-batch")
+    ManifestStore.create(spark, root,
+      Seq((1L, 0, 5L), (2L, 1, 6L)).toDF("id", "part", "n"), "part")
+    ManifestStore.upsertPartitions(spark, root,
+      Seq((3L, 0, 7)).toDF("id", "part", "n"), "part")
+    val all = ManifestStore.read(spark, root)
+    assert(all.schema("n").dataType === LongType)
+    assert(all.select("id", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 5L), (2L, 6L), (3L, 7L)))
+  }
+
   test("empty pruned read of an evolved table carries the UNION schema") {
     import spark.implicits._
     val root = tempDir("mf-evolve-empty")
@@ -544,7 +589,7 @@ class ManifestStoreSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException] {
       ManifestStore.upsertPartitions(spark, root, bad, "part")
     }
-    assert(e1.getMessage.contains("not a sanctioned widening"))
+    assert(e1.getMessage.contains("not inside a sanctioned widening"))
     assert(ManifestStore.currentVersion(spark, root) === Some(1L))
     // read side: Append never reads live data (by design), so a
     // decimal-vs-double drift can land in segments — the READ refuses
@@ -848,6 +893,207 @@ class ManifestStoreSpec extends AnyFunSuite {
       .ivfPqCompactManifestPlanted(spark, sf).collect().toSeq
     assert(manifest === rename)
     assert(manifest.nonEmpty)
+  }
+
+  test("segment column stats: footer-harvested min/max are exact, " +
+      "skip reads prune without dropping rows, statless columns and " +
+      "unbounded shapes never skip") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, In,
+      IsNull, LessThan, Not}
+    val root = tempDir("mf-stats")
+    def seg(lo: Int, hi: Int, tag: String) =
+      (lo until hi).map(i => (i.toLong, i, s"$tag-$i"))
+        .toDF("id", "n", "name")
+    ManifestStore.createTables(spark, root, Seq((
+      ManifestStore.TableDef("t", "", statsCols = Seq("n", "name")),
+      seg(0, 10, "aa"))))
+    ManifestStore.commitTables(spark, root)(
+      Seq(ManifestStore.Append("t", seg(100, 110, "bb"))))
+    ManifestStore.commitTables(spark, root)(
+      Seq(ManifestStore.Append("t", seg(200, 210, "cc"))))
+    val entries = ManifestStore.tableEntries(spark, root, "t")
+    assert(entries.size === 3)
+    // exact footer-derived bounds, and staged byte sizes recorded
+    val nStats = entries.flatMap(_.stats.find(_.col == "n"))
+      .map(cs => (cs.tag, cs.min, cs.max)).toSet
+    assert(nStats === Set(("l", "0", "9"), ("l", "100", "109"),
+      ("l", "200", "209")))
+    val nameStats = entries.flatMap(_.stats.find(_.col == "name"))
+    assert(nameStats.map(_.tag).toSet === Set("s"))
+    assert(nameStats.map(_.min).toSet === Set("aa-0", "bb-100", "cc-200"))
+    assert(entries.forall(_.bytes > 0))
+    // a "segment count" = distinct leaf dirs behind the scan (an
+    // append segment may hold several part files)
+    def segDirs(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.map(f => f.substring(0, f.lastIndexOf('/')))
+        .distinct.length
+    // skip read: equality prunes to one segment, rows conserved
+    val one = ManifestStore.readTable(spark, root, "t",
+      skip = Seq(EqualTo("n", 105)))
+    assert(segDirs(one) === 1)
+    assert(one.filter(col("n") === 105).count() === 1)
+    // range skip across two segments
+    val two = ManifestStore.readTable(spark, root, "t",
+      skip = Seq(GreaterThan("n", 9), LessThan("n", 205)))
+    assert(two.select("id").distinct().count() === 20) // segs 2 and 3
+    // IN prunes to the named segments' union
+    val in2 = ManifestStore.readTable(spark, root, "t",
+      skip = Seq(In("n", Array(5, 205))))
+    assert(in2.select("id").distinct().count() === 20) // segs 1 and 3
+    // string stats skip too
+    val str = ManifestStore.readTable(spark, root, "t",
+      skip = Seq(GreaterThan("name", "cc")))
+    assert(str.select("id").collect().map(_.getLong(0)).forall(_ >= 200))
+    // a column with no declared stats never skips
+    assert(segDirs(ManifestStore.readTable(spark, root, "t",
+      skip = Seq(EqualTo("id", 0L)))) === 3)
+    // unbounded shapes (Not, IsNull) never skip
+    assert(segDirs(ManifestStore.readTable(spark, root, "t",
+      skip = Seq(Not(EqualTo("n", 105)), IsNull("n")))) === 3)
+    // an out-of-every-range predicate prunes to the empty frame with
+    // the table's schema (the empty-pruned-read contract)
+    val none = ManifestStore.readTable(spark, root, "t",
+      skip = Seq(EqualTo("n", 999)))
+    assert(none.count() === 0)
+    assert(none.columns.toSet === Set("id", "n", "name"))
+  }
+
+  test("changeFeed: net row changes per commit — carried rows cancel, " +
+      "compaction feeds nothing, idempotent replace feeds nothing, " +
+      "unretained window loud") {
+    import spark.implicits._
+    val root = tempDir("mf-feed")
+    ManifestStore.create(spark, root,
+      Seq((1L, 0, "a"), (2L, 0, "b"), (3L, 1, "c"))
+        .toDF("id", "part", "v"), "part")
+    // v2: upsertById replaces id 2 in part 0 — id 1 is CARRIED through
+    // the partition rewrite and must not feed
+    ManifestStore.upsertPartitions(spark, root,
+      Seq((2L, 0, "B2")).toDF("id", "part", "v"), "part",
+      idCol = Some("id"))
+    val feed2 = ManifestStore.changeFeed(spark, root, "t", 1L, 2L)
+      .select("id", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(feed2 === Set((2L, "b", "delete", 2L), (2L, "B2", "insert", 2L)))
+    // v3: an idempotent replay of part 1's identical content — a new
+    // version lands, but the feed is NET-empty
+    ManifestStore.replacePartitions(spark, root,
+      Seq((3L, 1, "c")).toDF("id", "part", "v"), "part")
+    assert(ManifestStore.currentVersion(spark, root) === Some(3L))
+    assert(ManifestStore.changeFeed(spark, root, "t", 2L, 3L)
+      .count() === 0)
+    // the full window equals the v1→v3 snapshot multiset diff
+    val full = ManifestStore.changeFeed(spark, root, "t", 1L, 3L)
+    assert(full.filter(col("_change_type") === "insert").count() === 1)
+    assert(full.filter(col("_change_type") === "delete").count() === 1)
+    // append-only compaction is CDC-invisible
+    val root2 = tempDir("mf-feed-compact")
+    ManifestStore.createTables(spark, root2, Seq(
+      (ManifestStore.TableDef("docs", ""),
+        Seq((1L, "x")).toDF("id", "v"))))
+    ManifestStore.commitTables(spark, root2)(Seq(
+      ManifestStore.Append("docs", Seq((2L, "y")).toDF("id", "v"))))
+    ManifestStore.commitTables(spark, root2)(Seq(
+      ManifestStore.CompactAppend("docs")))
+    val f2 = ManifestStore.changeFeed(spark, root2, "docs", 1L, 3L)
+    assert(f2.filter(col("_change_type") === "delete").count() === 0)
+    assert(f2.select("id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // a vacuumed-away window refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.changeFeed(spark, root2, "docs", 0L, 3L)
+    }
+    assert(e.getMessage.contains("not retained"))
+  }
+
+  test("Maintenance policy: 100 appends stay bounded — segments " +
+      "capped, retained versions capped, content exact, zero caller-" +
+      "side maintenance calls") {
+    import spark.implicits._
+    val root = tempDir("mf-maint")
+    val policy = ManifestStore.Maintenance(
+      maxSegmentsPerTable = Some(10), vacuumKeepLast = Some(5))
+    ManifestStore.createTables(spark, root, Seq(
+      (ManifestStore.TableDef("t", ""), Seq((0L, 0L)).toDF("id", "x"))))
+    (1 until 100).foreach { i =>
+      ManifestStore.commitTables(spark, root, policy)(Seq(
+        ManifestStore.Append("t", Seq((i.toLong, i.toLong * 2))
+          .toDF("id", "x"))))
+    }
+    // the cap held on EVERY commit by construction; check the end state
+    assert(ManifestStore.tableEntries(spark, root, "t").size <= 11)
+    assert(ManifestStore.versions(spark, root).size <= 5)
+    val got = ManifestStore.readTable(spark, root, "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === (0 until 100).map(i => (i.toLong, i.toLong * 2)).toSet)
+    // a no-op plan with the policy on still commits nothing
+    val v = ManifestStore.currentVersion(spark, root)
+    ManifestStore.commitTables(spark, root, policy)(Seq.empty)
+    assert(ManifestStore.currentVersion(spark, root) === v)
+  }
+
+  test("multi-writer/multi-reader stress: commits serialize on the " +
+      "lease, versions stay dense, every snapshot a reader observes " +
+      "is a committed one") {
+    import spark.implicits._
+    val root = tempDir("mf-stress")
+    val writers = 4
+    val perWriter = 5
+    ManifestStore.create(spark, root,
+      (0 until writers).map(w => (w, -1)).toDF("w", "c"), "w")
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // readers poll the newest snapshot: always exactly `writers` rows
+    // (Replace keeps one row per key), each value a counter some
+    // writer actually wrote
+    val readers = (0 until 2).map { _ =>
+      new Thread(() => {
+        try while (!done.get()) {
+          val rows = ManifestStore.read(spark, root)
+            .collect().map(r => (r.getInt(0), r.getInt(1)))
+          if (rows.length != writers)
+            failures.add(s"saw ${rows.length} rows: ${rows.toSeq}")
+          if (!rows.forall { case (_, c) => c >= -1 && c < perWriter })
+            failures.add(s"saw out-of-domain counter: ${rows.toSeq}")
+        } catch {
+          case t: Throwable => failures.add(s"reader: ${t.getMessage}")
+        }
+      })
+    }
+    val writerThreads = (0 until writers).map { w =>
+      new Thread(() => {
+        try (0 until perWriter).foreach { c =>
+          ManifestStore.commitTables(spark, root)(Seq(
+            ManifestStore.Replace("t",
+              Seq((w, c)).toDF("w", "c"))))
+        } catch {
+          case t: Throwable => failures.add(s"writer $w: ${t.getMessage}")
+        }
+      })
+    }
+    (readers ++ writerThreads).foreach(_.start())
+    writerThreads.foreach(_.join(300000))
+    done.set(true)
+    readers.foreach(_.join(60000))
+    assert(failures.isEmpty, failures.toArray.mkString("; "))
+    // no lost commits, versions dense: 1 (create) + every commit
+    assert(ManifestStore.versions(spark, root)
+      === (1L to (1L + writers * perWriter)).toSeq)
+    // final state: every writer's LAST counter landed
+    val fin = ManifestStore.read(spark, root)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(fin === (0 until writers).map(w => (w, perWriter - 1)).toSet)
+  }
+
+  test("mfStatsSkipGate: skipping and conservation booleans all hold") {
+    val row = graft.operators.Layout.manifestStatsSkipGate(spark, sf)
+      .collect().head
+    assert(row.getBoolean(2), "scala_skip_prunes")
+    assert(row.getBoolean(3), "facade_where_skips")
+    assert(row.getBoolean(4), "rows_identical")
+    assert(row.getBoolean(5), "bytes_recorded")
+    assert(row.getLong(1) > 0)
   }
 
   /** Recursive (relative path → (length, content hash)) inventory —

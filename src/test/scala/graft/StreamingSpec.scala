@@ -567,6 +567,33 @@ class StreamingSpec extends AnyFunSuite {
         s"planted copy of $seed must be dropped by the stream")
   }
 
+  test("feed mart: the transactional change-feed consumer reaches the " +
+      "v3 snapshot aggregate exactly, and a re-delivered version is a " +
+      "provable no-op") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    val got = graft.streaming.CorpusStream
+      .runFeedMartOnce(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(got.forall(_._4), s"redelivery_noop must hold: ${got.toSeq}")
+    assert(got.forall(_._5), s"exactly_once must hold: ${got.toSeq}")
+    // oracle: the v3 snapshot per flag — A doubled values, N doubled
+    // rows, R untouched
+    val li = graft.Tables.load(spark, TestSpark.sf, "lineitem")
+    val want = li.groupBy(col("l_returnflag"))
+      .agg(
+        when(col("l_returnflag").isin("A", "N"),
+          graft.operators.Relational.dsum(col("l_quantity")) * 2)
+          .otherwise(graft.operators.Relational.dsum(col("l_quantity")))
+          .as("sum_qty"),
+        when(col("l_returnflag") === "N", count(lit(1)) * 2)
+          .otherwise(count(lit(1))).as("n"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === want.toSeq)
+  }
+
   test("streamed LSH near-dup filter reaches the same keep set through " +
       "banding + verification and drops every planted copy") {
     import org.apache.spark.sql.functions.col
