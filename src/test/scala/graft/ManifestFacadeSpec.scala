@@ -90,6 +90,53 @@ class ManifestFacadeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("dynamic partition pruning reaches the manifest index through " +
+      "a broadcast join: partitions the dim filter excludes are never " +
+      "scanned") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import spark.implicits._
+    val root = tempDir("mff-dpp")
+    ManifestStore.create(spark, root, rows(0 until 40, "a"), "part")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val f = facade(root)
+      // the dim must be a REAL source (not a LocalRelation): a filter
+      // over local rows constant-folds away before the PartitionPruning
+      // rule could see a selective predicate to prune by
+      val dimPath = tempDir("mff-dpp-dim")
+      Seq((2, "keep"), (3, "drop")).toDF("part", "tag")
+        .write.parquet(dimPath)
+      val dim = spark.read.parquet(dimPath)
+      val q = f.join(
+        org.apache.spark.sql.functions.broadcast(
+          dim.filter(col("tag") === "keep")), Seq("part"))
+      // collect q ITSELF — the metric/plan assertions below must read
+      // the executed instance, not a derived frame's fresh plan
+      val got = q.collect()
+      assert(got.length === 10) // ids ≡ 2 (mod 4) of 0..39
+      val plan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scan = plan.collect { case s: FileSourceScanExec
+        if s.relation.location.isInstanceOf[graft.sources.ManifestFileIndex]
+        => s }.head
+      // the runtime filter reached the scan as a partition filter…
+      assert(scan.partitionFilters.exists(pf => pf.find(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+          .DynamicPruningExpression]).isDefined),
+        s"no runtime pruning filter in: ${scan.partitionFilters}")
+      // …and the executed scan touched ONLY part 2's files
+      val index = scan.relation.location
+        .asInstanceOf[graft.sources.ManifestFileIndex]
+      val part2Files = index.inputFiles.count(_.contains("part__p=2"))
+      assert(scan.metrics("numFiles").value === part2Files)
+      assert(part2Files < index.inputFiles.length)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("keyInData tables keep the exact Scala-read schema and column " +
       "order; the key column is served from the manifest, not the files") {
     val root = tempDir("mff-order")
