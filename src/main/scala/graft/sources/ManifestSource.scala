@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{BaseRelation,
   CreatableRelationProvider, DataSourceRegister, RelationProvider,
   TableScan}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{StringType, StructType}
 
 import graft.store.ManifestStore
 
@@ -107,8 +107,10 @@ class ManifestSource extends RelationProvider
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
 
-    val (_, keyCol, keyInData, all) =
+    val (v, keyCol, keyInData, all) =
       ManifestStore.tableLayout(spark, root, table, version)
+    require(all.nonEmpty,
+      s"table '$table' v$v at $root lists no data") // readTable parity
     val sel = parts.fold(all)(ps => all.filter(e => ps.contains(e.part)))
     val homogeneous = sel.map(_.schemaId).distinct.size == 1
 
@@ -129,13 +131,9 @@ class ManifestSource extends RelationProvider
       if (keyCol.isEmpty || ManifestFileIndex.supportedKeyType(keyType)) {
         val index = new ManifestFileIndex(spark, fs, qr, keyCol, keyType,
           sel)
-        val partSchema =
-          if (keyCol.isEmpty) StructType(Nil)
-          else StructType(
-            Seq(StructField(keyCol, keyType, nullable = false)))
         return HadoopFsRelation(
           location = index,
-          partitionSchema = partSchema,
+          partitionSchema = index.partitionSchema,
           dataSchema = fileSchema,
           bucketSpec = None,
           fileFormat = new ManifestReadOnlyParquetFormat,
@@ -143,10 +141,11 @@ class ManifestSource extends RelationProvider
       }
     }
     // fallbacks: evolved, empty, diagnostic mergeSchema, or an
-    // unparseable key type — the store's frame is already correct, and
-    // the TableScan wrapper keeps the no-raw-inserts invariant
-    ManifestFrameRelation(ManifestStore.readTable(spark, root, table,
-      parts, version, mergeSchema))
+    // unparseable key type — the store's already-resolved entry
+    // selection reads directly (no second manifest GET), and the
+    // TableScan wrapper keeps the no-raw-inserts invariant
+    ManifestFrameRelation(
+      ManifestStore.readSelected(spark, root, sel, all, mergeSchema))
   }
 
   override def createRelation(ctx: SQLContext, mode: SaveMode,

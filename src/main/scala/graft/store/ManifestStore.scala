@@ -191,7 +191,13 @@ object ManifestStore {
     * names the columns its readers actually filter on. */
   final case class TableDef(name: String, partCol: String,
       keyInData: Boolean = true, statsCols: Seq[String] = Nil) {
-    require(!name.contains("\t") && !name.contains("\n"), s"bad name $name")
+    // every name/column that lands in the manifest HEADER must avoid
+    // the spec's own delimiters (table=spec;… , ~key|c1,c2) — a '|'
+    // inside partCol, say, would round-trip as a different key column
+    // plus a phantom stats list on the next commit
+    require(!name.exists("\t\n;=".contains(_)), s"bad table name: $name")
+    require(!partCol.exists("\t\n;|,=".contains(_)),
+      s"partition column '$partCol' carries a manifest-spec delimiter")
     statsCols.foreach(c => require(
       !c.exists("\t\n;|,=".contains(_)),
       s"stats column '$c' carries a manifest-spec delimiter"))
@@ -300,7 +306,11 @@ object ManifestStore {
       val eq = part.indexOf('=')
       require(eq >= 0, s"corrupt stat spec: $part")
       val col = part.take(eq)
-      part.drop(eq + 1).split(':') match {
+      // -1 keeps trailing empty fields (the E-line discipline): a
+      // legal string stat can be the EMPTY string, rendering as
+      // 'col=s::' — the default split would drop both empties and
+      // brick every later readManifest of a legally committed version
+      part.drop(eq + 1).split(":", -1) match {
         case Array(tag, mn, mx) =>
           ColStat(col, tag, decStat(mn), decStat(mx))
         case _ => throw new IllegalStateException(
@@ -721,11 +731,19 @@ object ManifestStore {
       f: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.sources._
     def statOf(c: String): Option[ColStat] = stats.find(_.col == c)
-    // normalize a filter literal into the stat tag's comparison domain
+    // normalize a filter literal into the stat tag's comparison
+    // domain; non-finite doubles (NaN, ±Infinity — legal Spark filter
+    // values with no BigDecimal rendering) and anything else
+    // unparseable yield None → the conservative no-skip
     def norm(tag: String, v: Any): Option[Any] = (tag, v) match {
       case (_, null) => None
+      case ("l" | "d", d: java.lang.Double) if !java.lang.Double
+        .isFinite(d) => None
+      case ("l" | "d", f: java.lang.Float) if !java.lang.Float
+        .isFinite(f) => None
       case ("l" | "d", n: java.lang.Number) =>
-        Some(BigDecimal(n.toString))
+        try Some(BigDecimal(n.toString))
+        catch { case _: NumberFormatException => None }
       case ("s", str: String) => Some(str)
       case ("dt", d: java.sql.Date) =>
         Some(BigDecimal(d.toLocalDate.toEpochDay))
@@ -746,9 +764,16 @@ object ManifestStore {
     }
     // norm() and bounds() share the tag's domain, so both sides are
     // always the same type here; anything else yields None and the
-    // conservative no-skip below
+    // conservative no-skip below. Strings compare as UNSIGNED UTF-8
+    // BYTES — the order parquet footer stats were folded in
+    // ([[harvestLeaf]] via Binary.compareTo). Java's String.compareTo
+    // is UTF-16 code-unit order, which DISAGREES above the BMP (a
+    // U+E000..U+FFFF char sorts after a surrogate-pair char) and
+    // would wrongly skip segments whose stats mix the two planes.
     def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: String, y: String) => Some(java.util.Arrays
+        .compareUnsigned(x.getBytes(java.nio.charset.StandardCharsets
+          .UTF_8), y.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
       case _ => None
     }
@@ -1214,12 +1239,24 @@ object ManifestStore {
     val sel =
       if (skip.isEmpty) sel0
       else sel0.filter(e => skip.forall(f => mayMatch(e.stats, f)))
-    // safe-by-default evolution: the manifest KNOWS whether the
-    // selected segments agree on schema — [[readEntries]] groups by
-    // fingerprint exactly when they don't, so no reader passes a flag.
-    // A pruned read matching NOTHING still carries the table's UNION
-    // schema (one representative entry per fingerprint, emptied) — an
-    // evolved table's empty slice must not lack the newest columns.
+    readSelected(s, root, sel, all, mergeSchema)
+  }
+
+  /** Read an ALREADY-selected entry set ([[readTable]]'s tail, shared
+    * with the SQL facade so its fallback relation doesn't re-resolve
+    * the version and re-read the manifest it already holds).
+    *
+    * Safe-by-default evolution: the manifest KNOWS whether the
+    * selected segments agree on schema — [[readEntries]] groups by
+    * fingerprint exactly when they don't, so no reader passes a flag.
+    * A pruned read matching NOTHING still carries the table's UNION
+    * schema (one representative entry per fingerprint from `all`,
+    * emptied) — an evolved table's empty slice must not lack the
+    * newest columns. */
+  private[graft] def readSelected(s: SparkSession, root: String,
+      sel: Seq[Entry], all: Seq[Entry],
+      mergeSchema: Boolean): DataFrame = {
+    val (_, r) = fsOf(s, root)
     if (sel.isEmpty) {
       val byId = all.groupBy(_.schemaId)
       val reps = all.map(_.schemaId).distinct.map(id => byId(id).head)

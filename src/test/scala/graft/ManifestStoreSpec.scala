@@ -1086,6 +1086,67 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(fin === (0 until writers).map(w => (w, perWriter - 1)).toSet)
   }
 
+  test("stat-skip hardening: empty-string stats round-trip the " +
+      "manifest, non-finite skip values never throw or skip, and " +
+      "supplementary-plane strings compare in parquet's byte order") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    // 1. a legal commit whose string stat IS the empty string must not
+    // brick readManifest ('col=s::' round-trips)
+    val root = tempDir("mf-stat-empty")
+    ManifestStore.createTables(spark, root, Seq((
+      ManifestStore.TableDef("t", "", statsCols = Seq("name")),
+      Seq((1L, ""), (2L, "")).toDF("id", "name"))))
+    assert(ManifestStore.readTable(spark, root, "t").count() === 2)
+    ManifestStore.commitTables(spark, root)(Seq(ManifestStore.Append(
+      "t", Seq((3L, "x")).toDF("id", "name")))) // re-parses the manifest
+    val st = ManifestStore.tableEntries(spark, root, "t")
+      .flatMap(_.stats.find(_.col == "name"))
+      .map(cs => (cs.min, cs.max)).toSet
+    assert(st === Set(("", ""), ("x", "x")))
+    // 2. NaN / ±Infinity are legal Spark filter values with no
+    // BigDecimal rendering — they must not throw, and must not skip
+    val root2 = tempDir("mf-stat-nonfinite")
+    ManifestStore.createTables(spark, root2, Seq((
+      ManifestStore.TableDef("t", "", statsCols = Seq("x")),
+      Seq((1L, 1.5), (2L, 2.5)).toDF("id", "x"))))
+    assert(ManifestStore.readTable(spark, root2, "t",
+      skip = Seq(EqualTo("x", Double.NaN))).count() === 2)
+    assert(ManifestStore.readTable(spark, root2, "t",
+      skip = Seq(GreaterThan("x", Double.PositiveInfinity)))
+      .count() === 2)
+    // 3. U+FFFD (BMP, one UTF-16 unit 0xFFFD) vs U+1F600 (surrogate
+    // pair starting 0xD83D): UTF-16 order says FFFD > the pair, but
+    // parquet's footer max is byte/code-point order — an equality on
+    // the BMP char must still find its segment
+    val root3 = tempDir("mf-stat-plane")
+    ManifestStore.createTables(spark, root3, Seq((
+      ManifestStore.TableDef("t", "", statsCols = Seq("name")),
+      Seq((1L, "�"), (2L, "😀")).toDF("id", "name"))))
+    val hit = ManifestStore.readTable(spark, root3, "t",
+      skip = Seq(EqualTo("name", "�")))
+    assert(hit.filter(col("name") === "�").count() === 1)
+  }
+
+  test("manifest-spec delimiters are refused in table names and " +
+      "partition/stats column names") {
+    // a '|' partCol would round-trip as a different key + phantom
+    // stats list on the NEXT commit; a ';'/'=' table name corrupts the
+    // header spec itself
+    intercept[IllegalArgumentException] {
+      ManifestStore.TableDef("t", "a|b")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestStore.TableDef("t;u", "k")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestStore.TableDef("t=u", "k")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestStore.TableDef("t", "k", statsCols = Seq("a|b"))
+    }
+  }
+
   test("mfStatsSkipGate: skipping and conservation booleans all hold") {
     val row = graft.operators.Layout.manifestStatsSkipGate(spark, sf)
       .collect().head
