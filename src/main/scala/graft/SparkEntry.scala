@@ -523,6 +523,17 @@ object SparkEntry {
     // rows cancel, only net changes feed
     "mf_change_feed" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.manifestChangeFeed(s, d)),
+    // row-level DELETE: stats-pruned copy-on-write (untouched segments
+    // carry by reference), metadata-only whole-partition drop, and a
+    // re-delivered delete that commits nothing BECAUSE the stats prove
+    // disjointness — each claim an executed boolean
+    "mf_delete_where" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.manifestDeleteWhere(s, d)),
+    // MERGE INTO with a delete clause: update + insert + tombstone in
+    // one atomic commit, CDC envelope column never staged, re-applied
+    // batch lands content-identical
+    "mf_merge_delete" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.manifestMergeDelete(s, d)),
     "file_compaction_gate" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.fileCompactionGate(s, d)),
     // two-dimensional completion: aligned z-cell files prune range
@@ -2453,6 +2464,53 @@ object SparkEntry {
         |    AS sum_qty,
         |  count(*) AS n
         | FROM feed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+      .stripMargin.replace("\n", ""),
+    // row-level DELETE replayed in SQL: rows before the cutoff gone
+    // (predicate CoW), the 1997 partition gone (metadata drop); the
+    // three cost-model booleans closed-form TRUE
+    "mf_delete_where" ->
+      """WITH ys AS (SELECT DISTINCT
+        |   CAST(EXTRACT(year FROM l_shipdate) AS INT) AS y
+        |   FROM lineitem),
+        | cut AS (SELECT make_timestamp(min(y) + 1, 7, 1, 0, 0, 0)
+        |   AS c FROM ys),
+        | d AS (SELECT y AS dy FROM ys ORDER BY y DESC
+        |   LIMIT 1 OFFSET 1)
+        | SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS y,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+        |   AS sum_qty,
+        | TRUE AS untouched_carried, TRUE AS metadata_only_drop,
+        | TRUE AS redelivery_noop
+        | FROM lineitem
+        | WHERE NOT (l_shipdate < (SELECT c FROM cut))
+        |   AND CAST(EXTRACT(year FROM l_shipdate) AS INT)
+        |     <> (SELECT dy FROM d)
+        | GROUP BY 1 ORDER BY 1"""
+      .stripMargin.replace("\n", ""),
+    // MERGE with delete clause replayed as anti-join + union: negative
+    // balances negated (update), custkey<=100 cloned +100000 (insert),
+    // balances in [0,1000] retired (tombstone)
+    "mf_merge_delete" ->
+      """WITH upd AS (SELECT c_custkey, c_mktsegment,
+        |   -c_acctbal AS c_acctbal FROM customer WHERE c_acctbal < 0),
+        | ins AS (SELECT c_custkey + 100000 AS c_custkey, c_mktsegment,
+        |   c_acctbal FROM customer WHERE c_custkey <= 100),
+        | delid AS (SELECT c_custkey FROM customer
+        |   WHERE c_acctbal >= 0 AND c_acctbal <= 1000),
+        | srcid AS (SELECT c_custkey FROM upd
+        |   UNION ALL SELECT c_custkey FROM ins
+        |   UNION ALL SELECT c_custkey FROM delid),
+        | kept AS (SELECT c_custkey, c_mktsegment, c_acctbal
+        |   FROM customer
+        |   WHERE c_custkey NOT IN (SELECT c_custkey FROM srcid)),
+        | eff AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
+        |   UNION ALL SELECT * FROM ins)
+        | SELECT c_mktsegment, count(*) AS n,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+        |   AS sum_bal,
+        | TRUE AS redelivery_content_stable
+        | FROM eff GROUP BY 1 ORDER BY 1"""
       .stripMargin.replace("\n", ""),
     // the transactional feed-mart's final tally: v3 state per flag (A
     // doubled values, N doubled rows, R untouched); both exactly-once

@@ -157,13 +157,7 @@ class ManifestSource extends RelationProvider
     val keyInData = parameters.get("keyInData").forall(_.toBoolean)
     val mergeId = parameters.get("mergeId")
 
-    if (ManifestStore.currentVersion(spark, root).isEmpty) {
-      // fresh root: CREATE under any mode (there is nothing to error
-      // on, overwrite, or ignore yet)
-      ManifestStore.createTables(spark, root, Seq(
-        (ManifestStore.TableDef(table, keyOpt.getOrElse(""), keyInData),
-          data)))
-    } else mode match {
+    def modeDispatch(): Unit = mode match {
       case SaveMode.Ignore => ()
       case SaveMode.ErrorIfExists =>
         throw new IllegalStateException(
@@ -205,6 +199,23 @@ class ManifestSource extends RelationProvider
           Seq(op)
         }
     }
+    if (ManifestStore.currentVersion(spark, root).isEmpty) {
+      // fresh root: CREATE under any mode (there is nothing to error
+      // on, overwrite, or ignore yet). A RACING first writer that
+      // commits v1 between this check and createTables' under-lease
+      // re-check surfaces as AlreadyInitializedException BEFORE any
+      // segment is staged (no orphaned dirs) — route that loser
+      // through the same mode dispatch an initialized root gets, so
+      // two concurrent first appends land as create + upsert instead
+      // of create + stranded error
+      try ManifestStore.createTables(spark, root, Seq(
+        (ManifestStore.TableDef(table, keyOpt.getOrElse(""), keyInData),
+          data)))
+      catch {
+        case _: ManifestStore.AlreadyInitializedException =>
+          modeDispatch()
+      }
+    } else modeDispatch()
     createRelation(ctx,
       parameters - "key" - "keyInData" - "mergeId" - "version")
   }

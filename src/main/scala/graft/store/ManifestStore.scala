@@ -1,7 +1,7 @@
 package graft.store
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Versioned-manifest table layout — the "table-format answer" the
@@ -132,9 +132,12 @@ object ManifestStore {
     * predicates can skip whole segments without opening a single
     * footer at read time. `tag` fixes the comparison domain ("l"
     * integral, "d" float/double, "s" string, "dt" epoch-day, "ts"
-    * epoch-micros); min/max are percent-encoded renderings. A column a
-    * footer could not bound (missing stats, unsupported type) simply
-    * has no ColStat — skipping is conservative by construction. */
+    * epoch-micros, "n" = the column holds ONLY nulls in this segment —
+    * no min/max exists but every null-false filter shape provably
+    * matches nothing); min/max are percent-encoded renderings ("" for
+    * "n"). A column a footer could not bound (missing stats,
+    * unsupported type) simply has no ColStat — skipping is
+    * conservative by construction. */
   final case class ColStat(col: String, tag: String, min: String,
       max: String)
 
@@ -262,6 +265,74 @@ object ManifestStore {
     * stay readable through older versions until [[vacuum]]. A
     * single-segment (or empty) table is a no-op. */
   final case class CompactAppend(table: String) extends TableOp
+
+  /** MERGE a CDC batch into the partitioned `table` by row identity:
+    * source rows REPLACE live rows sharing their `idCol` (update),
+    * source rows with no live match land as inserts, and source rows
+    * where `deleteWhen` evaluates TRUE are TOMBSTONES — their `idCol`'s
+    * live rows are removed and the tombstone row itself is never
+    * written. One atomic commit covers all three clauses (the shape SQL
+    * spells MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT
+    * / WHEN MATCHED AND cond DELETE), so a downstream CDC consumer
+    * applies upstream deletes exactly-once alongside its upserts.
+    *
+    * Cost discipline: identical to [[Upsert]] — only the partitions
+    * named by the batch's keys are read and rewritten; a tombstone row
+    * must therefore carry the SAME partition-key value as the live row
+    * it retires (the usual CDC envelope shape). A partition whose rows
+    * are all tombstoned simply stages nothing and retires. `deleteWhen`
+    * is null-safe: a NULL verdict keeps the row an upsert.
+    *
+    * `envelope`: source columns that belong to the CDC ENVELOPE (the
+    * `_op` flag `deleteWhen` typically reads), not the table — they
+    * are dropped before staging instead of being mistaken for schema
+    * evolution. An envelope name colliding with a live table column
+    * still fails the evolution check loudly (it would otherwise drop
+    * that column for the touched partitions). */
+  final case class Merge(table: String, source: DataFrame, idCol: String,
+      deleteWhen: Option[Column] = None,
+      rekey: Option[DataFrame => DataFrame] = None,
+      envelope: Seq[String] = Nil) extends TableOp
+
+  /** Row-level DELETE WHERE over `table`, copy-on-write at SEGMENT
+    * granularity (the Delta/Iceberg CoW shape, library-sized):
+    *
+    *  1. `cond` is resolved against the table's (union) schema and its
+    *     pushable conjuncts intersect each live entry's [[ColStat]]s —
+    *     a segment whose stats PROVE no row can match is untouched and
+    *     carries over by reference (never read, never listed);
+    *  2. the surviving candidate segments are read back and rewritten
+    *     WITHOUT the matching rows (SQL semantics: a NULL verdict
+    *     keeps the row); a partition rewritten to empty retires.
+    *
+    * At 100 TB this is the difference between a predicate delete that
+    * rewrites a table and one that rewrites a day: name the delete
+    * axis in `statsCols` (GDPR user-id, retention date) and only the
+    * overlapping segments move. Layout-only-key tables need `rekey`
+    * (the [[Upsert]] discipline). For whole-partition deletes by KEY,
+    * [[DeleteKeys]] is pure metadata — prefer it when the predicate is
+    * key-membership. */
+  final case class Delete(table: String, cond: Column,
+      rekey: Option[DataFrame => DataFrame] = None) extends TableOp
+
+  /** Drop whole partitions of the keyed `table` by key value — PURE
+    * METADATA: the superseded entries simply don't carry into the new
+    * version (no read, no write, no list; [[Replace]]'s mechanism with
+    * no replacement data). Keys with no live entry are a no-op, so a
+    * re-delivered delete commits nothing (exactly-once for free). The
+    * dropped partitions stay time-travel-readable until [[vacuum]]. */
+  final case class DeleteKeys(table: String, keys: Seq[String])
+      extends TableOp
+
+  /** Thrown by [[createTables]] when the root already holds a
+    * committed manifest — including the re-check UNDER the writer
+    * lease, so a racing second first-writer fails BEFORE staging any
+    * segment (no orphaned dirs) and a caller holding a batch (the SQL
+    * facade's write path) can route it to the append/overwrite
+    * dispatch instead. Subclasses IllegalStateException so callers
+    * matching the broader type keep working. */
+  final class AlreadyInitializedException(msg: String)
+      extends IllegalStateException(msg)
 
   private[graft] val ManifestDirName = "_manifests"
   private val SegDirName = "seg"
@@ -559,6 +630,13 @@ object ManifestStore {
       (String, org.apache.parquet.schema.PrimitiveType,
         Comparable[Any], Comparable[Any])]
     val dead = scala.collection.mutable.Set.empty[String]
+    // columns that held ONLY nulls in every block seen so far: no
+    // min/max exists, but "no values at all" is itself a provable
+    // bound — recorded as the dedicated tag "n" when no non-null
+    // block ever contributes (mixed leaves keep their ranged stat:
+    // min/max describe the non-null values, which is already sound
+    // for the null-false filter shapes)
+    val nullOnly = scala.collection.mutable.Set.empty[String]
     def tagOf(pt: PrimitiveType): Option[String] = {
       import PrimitiveType.PrimitiveTypeName._
       (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
@@ -610,7 +688,8 @@ object ManifestStore {
                 stat.isNumNullsSet && stat.getNumNulls == block.getRowCount
               if (stat == null || (!stat.hasNonNullValue && !allNull))
                 { dead += name; acc.remove(name) }
-              else if (!allNull) tagOf(cc.getPrimitiveType) match {
+              else if (allNull) nullOnly += name
+              else tagOf(cc.getPrimitiveType) match {
                 case None => dead += name; acc.remove(name)
                 case Some(tag) =>
                   val mn = stat.genericGetMin.asInstanceOf[Comparable[Any]]
@@ -628,10 +707,15 @@ object ManifestStore {
         }
       } finally reader.close()
     }
-    val stats = acc.toSeq.sortBy(_._1).map {
+    val ranged = acc.toSeq.map {
       case (name, (tag, pt, mn, mx)) =>
         ColStat(name, tag, render(pt, tag, mn), render(pt, tag, mx))
     }
+    val allNullStats = cols
+      .filter(c => nullOnly.contains(c) && !acc.contains(c) &&
+        !dead.contains(c))
+      .map(c => ColStat(c, "n", "", ""))
+    val stats = (ranged ++ allNullStats).sortBy(_.col)
     (bytes, stats)
   }
 
@@ -675,7 +759,8 @@ object ManifestStore {
     * publish instead (the staged segment is an unreferenced orphan
     * [[vacuum]] reaps). */
   private def requireKeysRendered(table: String, pc: String,
-      keySet: Set[String], staged: Seq[Entry]): Unit = {
+      keySet: Set[String], staged: Seq[Entry],
+      mayEmpty: Set[String] = Set.empty): Unit = {
     // comma refusal: see [[requirePartsVerbatim]] — a comma round-trips
     // hive rendering fine, so the equality check below would pass, but
     // it would silently mis-prune through the SQL facade's
@@ -689,8 +774,13 @@ object ManifestStore {
         "keys. Pre-render the key into a safe string column. Nothing " +
         "was committed.")
     val parts = staged.map(_.part).toSet
-    require(parts == keySet, {
-      val missing = (keySet -- parts).toSeq.sorted.take(4)
+    // `mayEmpty` (Merge's tombstone-bearing keys): a partition whose
+    // rows were ALL tombstoned legitimately stages nothing — it must
+    // not be mistaken for a key that failed to render. Every staged
+    // dir must still map back to a batch key.
+    require((keySet -- mayEmpty).subsetOf(parts) &&
+        parts.subsetOf(keySet), {
+      val missing = (keySet -- mayEmpty -- parts).toSeq.sorted.take(4)
       val extra = (parts -- keySet).toSeq.sorted.take(4)
       s"table '$table': the batch's '$pc' key values do not round-trip " +
         s"through their hive directory renderings (values with no " +
@@ -727,6 +817,126 @@ object ManifestStore {
     * non-null values and every pruning comparison here is null-false,
     * while null-matching shapes (IsNull, EqualNullSafe(null)) never
     * skip. */
+  /** Translate `cond`'s pushable conjuncts into data-source Filters
+    * for [[mayMatch]] stat pruning. Resolution plans a filter over
+    * `frame` (analysis only — no job runs) and reads the TOPMOST
+    * Filter of the ANALYZED plan: the optimized plan would have pushed
+    * the predicate through the evolution union, where a null-filled
+    * branch folds its conjunct away and the branch-local residue
+    * must NOT be read back as a global conjunct (over-pruning = row
+    * loss). [[ConstantFolding]] alone is applied so coercion casts
+    * around literals fold into translatable literals — it rewrites
+    * expressions, never plan shape. Untranslatable conjuncts simply
+    * contribute no pruning (the conservative direction); the caller
+    * still applies the FULL `cond` to every row it rewrites. */
+  private[graft] def pruneFilters(frame: DataFrame, cond: Column)
+      : Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And => CatalystAnd, Expression}
+    val folded = org.apache.spark.sql.catalyst.optimizer.ConstantFolding(
+      frame.filter(cond).queryExecution.analyzed)
+    val top = folded.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }
+    def split(e: Expression): Seq[Expression] = e match {
+      case CatalystAnd(l, rr) => split(l) ++ split(rr)
+      case x => Seq(x)
+    }
+    val utcSession = frame.sparkSession.sessionState.conf
+      .sessionLocalTimeZone == "UTC"
+    top.toSeq.flatMap(split).flatMap(e => toSourceFilter(e, utcSession))
+  }
+
+  /** Minimal Catalyst → data-source filter translation covering
+    * exactly the shapes [[mayMatch]] evaluates (=, ranges, IN, AND,
+    * OR) — Spark's own `DataSourceStrategy.translateFilter` is
+    * `protected`. Literals convert to their EXTERNAL Scala renderings
+    * ([[CatalystTypeConverters]]: UTF8String→String, micros→Timestamp,
+    * days→Date) — the domains [[mayMatch]]'s `norm` expects. Anything
+    * else translates to None → contributes no pruning (conservative;
+    * the caller still applies the full predicate to rewritten rows). */
+  private def toSourceFilter(e: org.apache.spark.sql.catalyst
+      .expressions.Expression, utcSession: Boolean)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{sources => f}
+    // type coercion wraps the COLUMN side in a cast when the literal's
+    // type is wider (int col vs long literal, timestamp_ntz col vs
+    // timestamp literal). Unwrapping is sound ONLY when the cast
+    // preserves order AND lands in the same [[mayMatch]] comparison
+    // domain as the column's harvested stat tag: the numeric widenings
+    // (stats and literal both normalize to BigDecimal) and — under a
+    // UTC session only, where wall micros == instant micros —
+    // ntz↔instant timestamp casts (both sides tag "ts"). Anything
+    // else keeps the cast and translates to None (no pruning).
+    def castSound(from: DataType, to: DataType): Boolean =
+      (from, to) match {
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType) => true
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case (TimestampNTZType, TimestampType) => utcSession
+        case (TimestampType, TimestampNTZType) => utcSession
+        case _ => false
+      }
+    def colOf(x: Expression): Option[String] = x match {
+      case a: Attribute => Some(a.name)
+      case c: Cast => c.child match {
+        case a: Attribute if castSound(a.dataType, c.dataType) =>
+          Some(a.name)
+        case _ => None
+      }
+      case _ => None
+    }
+    def litOf(x: Expression): Option[Any] = x match {
+      case Literal(v, dt) if v != null =>
+        Some(CatalystTypeConverters.convertToScala(v, dt))
+      case _ => None
+    }
+    def both(a: Expression, b: Expression,
+        mk: (String, Any) => f.Filter,
+        flip: (String, Any) => f.Filter): Option[f.Filter] =
+      (for { c <- colOf(a); v <- litOf(b) } yield mk(c, v)).orElse(
+        for { c <- colOf(b); v <- litOf(a) } yield flip(c, v))
+    e match {
+      case EqualTo(a, b) => both(a, b, f.EqualTo, f.EqualTo)
+      case GreaterThan(a, b) =>
+        both(a, b, f.GreaterThan, f.LessThan)
+      case GreaterThanOrEqual(a, b) =>
+        both(a, b, f.GreaterThanOrEqual, f.LessThanOrEqual)
+      case LessThan(a, b) =>
+        both(a, b, f.LessThan, f.GreaterThan)
+      case LessThanOrEqual(a, b) =>
+        both(a, b, f.LessThanOrEqual, f.GreaterThanOrEqual)
+      case In(a, vs) =>
+        for {
+          c <- colOf(a)
+          lits <- Some(vs.map(litOf))
+          if lits.forall(_.isDefined)
+        } yield f.In(c, lits.map(_.get).toArray)
+      case IsNotNull(a) => colOf(a).map(f.IsNotNull)
+      case StartsWith(a, b) =>
+        for {
+          c <- colOf(a)
+          v <- litOf(b).collect { case s: String => s }
+        } yield f.StringStartsWith(c, v)
+      case And(l, rr) =>
+        for {
+          lf <- toSourceFilter(l, utcSession)
+          rf <- toSourceFilter(rr, utcSession)
+        } yield f.And(lf, rf)
+      case Or(l, rr) =>
+        for {
+          lf <- toSourceFilter(l, utcSession)
+          rf <- toSourceFilter(rr, utcSession)
+        } yield f.Or(lf, rf)
+      case _ => None
+    }
+  }
+
   private[graft] def mayMatch(stats: Seq[ColStat],
       f: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.sources._
@@ -741,6 +951,13 @@ object ManifestStore {
         .isFinite(d) => None
       case ("l" | "d", f: java.lang.Float) if !java.lang.Float
         .isFinite(f) => None
+      // Finite Float literals must WIDEN before rendering: harvestLeaf
+      // renders FLOAT-column stats via doubleValue.toString (e.g.
+      // "0.10000000149011612"), while Float.toString is the shortest
+      // float repr ("0.1") — the same value would yield two different
+      // BigDecimals and prove a false disjointness (silent row skip).
+      case ("l" | "d", f: java.lang.Float) =>
+        Some(BigDecimal(f.doubleValue.toString))
       case ("l" | "d", n: java.lang.Number) =>
         try Some(BigDecimal(n.toString))
         catch { case _: NumberFormatException => None }
@@ -754,6 +971,12 @@ object ManifestStore {
           java.math.BigDecimal.valueOf((t.getNanos % 1000000L) / 1000L))))
       case ("ts", t: java.time.Instant) => Some(BigDecimal(
         t.getEpochSecond * 1000000L + t.getNano / 1000L))
+      // timestamp_ntz literal: wall-clock micros, the domain an NTZ
+      // column's parquet stats carry — no session TZ involved on
+      // either side
+      case ("ts", t: java.time.LocalDateTime) => Some(BigDecimal(
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          t.getNano / 1000L))
       case _ => None
     }
     def bounds(cs: ColStat): Option[(Any, Any)] = cs.tag match {
@@ -779,9 +1002,17 @@ object ManifestStore {
     }
     def ranged(c: String)(prove: (Any, Any, Any) => Option[Boolean])
         (v: Any): Boolean =
-      statOf(c).flatMap(cs => bounds(cs).flatMap { case (mn, mx) =>
-        norm(cs.tag, v).flatMap(nv => prove(mn, mx, nv))
-      }).forall(identity)
+      statOf(c).flatMap { cs =>
+        // tag "n": the column holds NO values in this segment — every
+        // filter shape routed through here is null-false, so no row
+        // can match. (Null-matching shapes — IsNull,
+        // EqualNullSafe(null) — never reach ranged(); they fall to the
+        // conservative default below.)
+        if (cs.tag == "n") Some(false)
+        else bounds(cs).flatMap { case (mn, mx) =>
+          norm(cs.tag, v).flatMap(nv => prove(mn, mx, nv))
+        }
+      }.forall(identity)
     def within(mn: Any, mx: Any, nv: Any): Option[Boolean] =
       for (lo <- cmp(nv, mn); hi <- cmp(nv, mx)) yield lo >= 0 && hi <= 0
     f match {
@@ -797,9 +1028,38 @@ object ManifestStore {
         ranged(c)((mn, _, nv) => cmp(mn, nv).map(_ <= 0))(v)
       case In(c, vs) =>
         vs.isEmpty || vs.exists(v => ranged(c)(within)(v))
+      // an all-null segment provably holds no non-null value
+      case IsNotNull(c) => statOf(c).forall(_.tag != "n")
+      // prefix pruning on string stats, in the SAME unsigned-byte
+      // order the stats were folded in: strings with prefix p sort in
+      // [p, nextPrefix(p)) — skip when max < p, or when min >= the
+      // next prefix (increment p's last non-0xFF byte, dropping the
+      // 0xFF tail; an all-0xFF prefix has no upper bound)
+      case StringStartsWith(c, p) if p != null =>
+        statOf(c).forall { cs =>
+          if (cs.tag == "n") false
+          else if (cs.tag != "s") true
+          else {
+            val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val mxOk = java.util.Arrays.compareUnsigned(
+              cs.max.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              pb) >= 0
+            val mnOk = {
+              val cut = pb.lastIndexWhere(b => (b & 0xff) != 0xff)
+              if (cut < 0) true // no finite upper bound — never skip
+              else {
+                val next = java.util.Arrays.copyOf(pb, cut + 1)
+                next(cut) = (next(cut) + 1).toByte
+                java.util.Arrays.compareUnsigned(cs.min.getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8), next) < 0
+              }
+            }
+            mxOk && mnOk
+          }
+        }
       case And(a, b) => mayMatch(stats, a) && mayMatch(stats, b)
       case Or(a, b) => mayMatch(stats, a) || mayMatch(stats, b)
-      case _ => true // Not, IsNull, string matchers, … — never skip
+      case _ => true // Not, IsNull, other string matchers — never skip
     }
   }
 
@@ -845,8 +1105,8 @@ object ManifestStore {
         // field count and names) also sorts content-deterministically —
         // without them the tie would fall back to manifest-entry order,
         // which carries segment-dir UUIDs
-        (f.schema.length, f.schema.fieldNames.mkString(" "),
-          f.schema.map(_.dataType.catalogString).mkString(" "))
+        (f.schema.length, f.schema.fieldNames.mkString("\u0000"),
+          f.schema.map(_.dataType.catalogString).mkString("\u0000"))
       }
       // refuse non-widening drift before the union coerces it away
       val seen = scala.collection.mutable.Map
@@ -946,11 +1206,19 @@ object ManifestStore {
     require(tables.map(_._1.name).distinct.size == tables.size,
       "duplicate table names")
     val (fs, r) = fsOf(s, root)
-    require(currentVersion(fs, r).isEmpty,
+    def refuse(): Nothing = throw new AlreadyInitializedException(
       s"manifest store at $root is already initialized — commit into " +
         "it, or point createTables() at a fresh root")
+    if (currentVersion(fs, r).nonEmpty) refuse()
+    killPoint("create-preflight")
     val token = acquireLease(fs, r)
     try {
+      // re-check UNDER the lease: a racing first-writer that committed
+      // v1 between the fast check above and our lease acquisition must
+      // lose HERE, before any segment is staged — otherwise it would
+      // fully stage and fail only at the v1 manifest rename, stranding
+      // orphaned segment dirs until a vacuum
+      if (currentVersion(fs, r).nonEmpty) refuse()
       val entries = tables.flatMap { case (td, df) =>
         if (td.partCol.isEmpty)
           writeAppendSegment(s, fs, r, td.name, df, td.statsCols)
@@ -1017,10 +1285,16 @@ object ManifestStore {
       // evaluate every op's staging; track touched keys and new entries
       var newEntries = Seq.empty[Entry]
       var dropKeys = Map.empty[String, Set[String]] // table -> touched
+      var dropDirs = Set.empty[String] // specific entries retired (CoW)
       var dropAllOf = Set.empty[String] // tables whose entries ALL retire
       var touched = Map.empty[String, Seq[String]]
-      ops.foreach {
-        case Upsert(table, df, idCol, rekey) =>
+      // shared staging for [[Upsert]] and [[Merge]]: Merge routes here
+      // with `deleteWhen` set — tombstone rows retire their idCol's
+      // live rows and are never written
+      def stageUpsert(table: String, df: DataFrame,
+          idCol: Option[String], rekey: Option[DataFrame => DataFrame],
+          deleteWhen: Option[Column],
+          envelope: Seq[String] = Nil): Unit = {
           val raw = m.partCols(table)
           val pc = keyColOf(raw)
           require(pc.nonEmpty,
@@ -1029,11 +1303,21 @@ object ManifestStore {
             .collect().map(_.get(0).toString).toSeq.sorted)
           if (keys.nonEmpty) {
             val keySet = keys.toSet
+            // null-safe tombstone verdict (a NULL keeps the row an
+            // upsert); tombstone-bearing keys may stage nothing
+            val tomb = deleteWhen.map(dw => coalesce(dw, lit(false)))
+            val tombKeys = tomb.fold(Set.empty[String])(t =>
+              phased("keyCollect")(df.filter(t).select(pc).distinct()
+                .collect().map(_.get(0).toString).toSet))
+            // envelope columns ride the batch for deleteWhen/keys but
+            // never stage ([[Merge]] doc)
+            val arriving = tomb.fold(df)(t => df.filter(!t))
+              .drop(envelope: _*)
             val liveE = m.entries.filter(e =>
               e.table == table && keySet.contains(e.part))
-            val colNames = df.columns
+            val colNames = df.columns.filterNot(envelope.contains)
             val merged =
-              if (liveE.isEmpty) df
+              if (liveE.isEmpty) arriving
               else {
                 // fingerprint-grouped read: added columns null-fill,
                 // widened types read widened ([[readEntries]])
@@ -1091,14 +1375,86 @@ object ManifestStore {
                   else lit(null).cast(df.schema(name).dataType).as(name)
                 }
                 kept0.select(aligned.toSeq: _*)
-                  .unionByName(df.select(colNames.map(col).toSeq: _*))
+                  .unionByName(arriving.select(colNames.map(col)
+                    .toSeq: _*))
               }
             val staged = writePartitionedSegment(s, fs, r, table,
               merged, pc, keyInDataOf(raw), statsColsOf(raw))
-            requireKeysRendered(table, pc, keySet, staged)
+            requireKeysRendered(table, pc, keySet, staged,
+              mayEmpty = tombKeys)
             newEntries ++= staged
             dropKeys += table -> keySet
             touched += table -> keys
+          }
+      }
+      ops.foreach {
+        case Upsert(table, df, idCol, rekey) =>
+          stageUpsert(table, df, idCol, rekey, deleteWhen = None)
+        case Merge(table, src, idCol, deleteWhen, rekey, envelope) =>
+          stageUpsert(table, src, Some(idCol), rekey, deleteWhen,
+            envelope)
+        case Delete(table, cond, rekey) =>
+          val raw = m.partCols(table)
+          val pc = keyColOf(raw)
+          val liveE = m.entries.filter(_.table == table)
+          if (liveE.nonEmpty) {
+            // resolve `cond` against the table's UNION schema (one
+            // representative entry per fingerprint — metadata only, no
+            // scan) and translate its pushable conjuncts; entries whose
+            // stats prove disjointness carry over UNREAD
+            val byId = liveE.groupBy(_.schemaId)
+            val reps = liveE.map(_.schemaId).distinct.map(id =>
+              byId(id).head)
+            val frame0 = readEntries(s, r, reps, forceMerge = false)
+            val frameR =
+              if (pc.isEmpty || frame0.columns.contains(pc)) frame0
+              else rekey.map(_(frame0)).getOrElse(frame0)
+            val filters = pruneFilters(frameR, cond)
+            val candidates = liveE.filter(e =>
+              filters.forall(f => mayMatch(e.stats, f)))
+            if (candidates.nonEmpty) {
+              val liveRaw = readEntries(s, r, candidates,
+                forceMerge = false)
+              val live =
+                if (pc.isEmpty || liveRaw.columns.contains(pc)) liveRaw
+                else rekey.map(_(liveRaw)).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"table '$table' stores its key '$pc' layout-only; " +
+                      "Delete needs a rekey function to restore it on " +
+                      "the rewritten slice"))
+              // SQL DELETE semantics: remove rows where cond IS TRUE —
+              // a NULL verdict keeps the row
+              val keptRows = live.filter(!coalesce(cond, lit(false)))
+              if (pc.nonEmpty) {
+                val keySet = candidates.map(_.part).toSet
+                val staged = writePartitionedSegment(s, fs, r, table,
+                  keptRows, pc, keyInDataOf(raw), statsColsOf(raw))
+                // every touched key already round-tripped its hive
+                // rendering when first committed (store invariant);
+                // emptied partitions legitimately stage nothing
+                requirePartsVerbatim(table, pc, staged)
+                newEntries ++= staged
+                dropKeys += table -> keySet
+                touched += table -> keySet.toSeq.sorted
+              } else {
+                newEntries ++= writeAppendSegment(s, fs, r, table,
+                  keptRows, statsColsOf(raw))
+                dropDirs ++= candidates.map(_.dir)
+              }
+            }
+          }
+        case DeleteKeys(table, keys) =>
+          val pc = keyColOf(m.partCols(table))
+          require(pc.nonEmpty,
+            s"table '$table' is append-only — DeleteKeys drops whole " +
+              "partitions by key; use Delete for row predicates")
+          val keySet = keys.toSet
+          val present = m.entries.filter(e =>
+            e.table == table && keySet.contains(e.part)).map(_.part)
+            .toSet
+          if (present.nonEmpty) {
+            dropKeys += table -> present
+            touched += table -> present.toSeq.sorted
           }
         case Replace(table, df) =>
           val raw = m.partCols(table)
@@ -1138,7 +1494,14 @@ object ManifestStore {
             dropAllOf += table
           }
       }
-      if (newEntries.isEmpty) return Map.empty
+      // commit iff something stages OR something live actually retires
+      // (a Delete/DeleteKeys matching nothing, like an empty upsert
+      // batch, bumps no version — re-delivered deletes are free)
+      def effectiveDrop: Boolean = m.entries.exists(e =>
+        dropAllOf.contains(e.table) ||
+          dropKeys.get(e.table).exists(_.contains(e.part)) ||
+          dropDirs.contains(e.dir))
+      if (newEntries.isEmpty && !effectiveDrop) return Map.empty
       // maintenance piggybacks on the real commit: fold an automatic
       // CompactAppend of any over-cap append-only table's LIVE
       // segments into this same atomic publish ([[Maintenance]] doc)
@@ -1159,7 +1522,8 @@ object ManifestStore {
       killPoint("staged")
       val kept = m.entries.filterNot(e =>
         dropAllOf.contains(e.table) ||
-          dropKeys.get(e.table).exists(_.contains(e.part)))
+          dropKeys.get(e.table).exists(_.contains(e.part)) ||
+          dropDirs.contains(e.dir))
       writeManifest(fs, r, v + 1, m.partCols, kept ++ newEntries)
       killPoint("committed")
       // retention under the SAME lease window (no second acquisition)
@@ -1192,6 +1556,36 @@ object ManifestStore {
       partCol: String): Seq[String] =
     commitTables(s, root)(Seq(Replace(DefaultTable, df)))
       .getOrElse(DefaultTable, Seq.empty)
+
+  /** Row-level DELETE WHERE (sugar over [[commitTables]] with a
+    * [[Delete]] op — see its doc for the stats-pruned copy-on-write
+    * cost model). Returns the rewritten partition keys (empty for
+    * append-only tables, whose retired segments have no keys). */
+  def deleteWhere(s: SparkSession, root: String, cond: Column,
+      table: String = DefaultTable,
+      rekey: Option[DataFrame => DataFrame] = None): Seq[String] =
+    commitTables(s, root)(Seq(Delete(table, cond, rekey)))
+      .getOrElse(table, Seq.empty)
+
+  /** Whole-partition delete by key — PURE METADATA ([[DeleteKeys]]).
+    * Returns the keys that actually had live entries (re-deleting a
+    * gone key is a free no-op). */
+  def deletePartitions(s: SparkSession, root: String,
+      keys: Seq[String], table: String = DefaultTable): Seq[String] =
+    commitTables(s, root)(Seq(DeleteKeys(table, keys)))
+      .getOrElse(table, Seq.empty)
+
+  /** MERGE a CDC batch by row identity (sugar over [[commitTables]]
+    * with a [[Merge]] op): update matched, insert unmatched, and —
+    * when `deleteWhen` marks a source row a tombstone — delete its
+    * `idCol`'s live rows. Returns the touched partition keys. */
+  def mergeInto(s: SparkSession, root: String, source: DataFrame,
+      idCol: String, deleteWhen: Option[Column] = None,
+      table: String = DefaultTable,
+      rekey: Option[DataFrame => DataFrame] = None,
+      envelope: Seq[String] = Nil): Seq[String] =
+    commitTables(s, root)(Seq(Merge(table, source, idCol, deleteWhen,
+      rekey, envelope))).getOrElse(table, Seq.empty)
 
   /** Snapshot read of one table. `parts` prunes at the MANIFEST level —
     * only the named partitions' leaf dirs reach the scan (object doc);

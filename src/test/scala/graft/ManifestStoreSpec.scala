@@ -278,7 +278,7 @@ class ManifestStoreSpec extends AnyFunSuite {
   test("create refuses an initialized root; keyed-column mismatch loud") {
     val root = tempDir("mf-guard")
     ManifestStore.create(spark, root, rows(0 until 8, "a"), "part")
-    val e1 = intercept[IllegalArgumentException] {
+    val e1 = intercept[ManifestStore.AlreadyInitializedException] {
       ManifestStore.create(spark, root, rows(0 until 8, "a"), "part")
     }
     assert(e1.getMessage.contains("already initialized"))
@@ -1126,6 +1126,279 @@ class ManifestStoreSpec extends AnyFunSuite {
     val hit = ManifestStore.readTable(spark, root3, "t",
       skip = Seq(EqualTo("name", "�")))
     assert(hit.filter(col("name") === "�").count() === 1)
+  }
+
+  test("stat-skip float literals widen before comparing: equality on a " +
+      "FLOAT stats column finds its segment at shortest-repr values, " +
+      "boundaries never falsely skip, true disjointness still prunes") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual,
+      LessThanOrEqual}
+    // the unit seam: harvestLeaf renders FLOAT-column stats via
+    // doubleValue.toString (0.1f -> "0.10000000149011612") while
+    // Float.toString is the shortest repr ("0.1") — the filter literal
+    // must widen into the SAME BigDecimal or equality at a boundary
+    // value proves a false disjointness (silent row loss)
+    val cs = ManifestStore.ColStat("f", "d",
+      0.1f.doubleValue.toString, 0.3f.doubleValue.toString)
+    assert(ManifestStore.mayMatch(Seq(cs), EqualTo("f", 0.1f)))
+    assert(ManifestStore.mayMatch(Seq(cs), LessThanOrEqual("f", 0.1f)))
+    assert(ManifestStore.mayMatch(Seq(cs), GreaterThanOrEqual("f", 0.3f)))
+    assert(!ManifestStore.mayMatch(Seq(cs), EqualTo("f", 0.4f)))
+    // end-to-end: two segments, stats harvested from real footers
+    val root = tempDir("mf-stat-float")
+    ManifestStore.createTables(spark, root, Seq((
+      ManifestStore.TableDef("t", "", statsCols = Seq("f")),
+      Seq((1L, 0.1f), (2L, 0.2f)).toDF("id", "f"))))
+    ManifestStore.commitTables(spark, root)(Seq(ManifestStore.Append(
+      "t", Seq((3L, 0.3f), (4L, 0.4f)).toDF("id", "f"))))
+    assert(ManifestStore.readTable(spark, root, "t",
+      skip = Seq(EqualTo("f", 0.1f))).filter(col("f") === 0.1f)
+      .count() === 1)
+    assert(ManifestStore.readTable(spark, root, "t",
+      skip = Seq(EqualTo("f", 0.3f))).filter(col("f") === 0.3f)
+      .count() === 1)
+    // a value strictly between the two segments' ranges prunes BOTH
+    assert(ManifestStore.readTable(spark, root, "t",
+      skip = Seq(EqualTo("f", 0.25f))).count() === 0)
+  }
+
+  test("racing first writers: the loser fails UNDER the lease BEFORE " +
+      "staging (zero orphan segment dirs) and the SQL facade routes " +
+      "it through mode dispatch as an upsert") {
+    import spark.implicits._
+    // direct API: an initialized root refuses with the dedicated type
+    // on the fast pre-lease path
+    val r0 = tempDir("mf-race-direct")
+    ManifestStore.create(spark, r0, rows(0 until 8, "a"), "part")
+    intercept[ManifestStore.AlreadyInitializedException] {
+      ManifestStore.createTables(spark, r0, Seq((
+        ManifestStore.TableDef("t2", "part"), rows(0 until 4, "b"))))
+    }
+    // the race window itself: a second first-writer passes the fast
+    // check, then a concurrent create commits v1 before it takes the
+    // lease — the create-preflight hook injects that interleaving
+    val root = tempDir("mf-race")
+    val winner =
+      Seq((1L, 0, "w-1"), (2L, 1, "w-2")).toDF("id", "part", "v")
+    var fired = false
+    ManifestStore.killPoint = {
+      case "create-preflight" if !fired =>
+        fired = true
+        ManifestStore.createTables(spark, root, Seq((
+          ManifestStore.TableDef("t", "part"), winner)))
+      case _ => ()
+    }
+    try {
+      Seq((2L, 1, "l-2"), (3L, 2, "l-3")).toDF("id", "part", "v")
+        .write.format("graft-manifest")
+        .option("table", "t").option("key", "part")
+        .mode("append").save(root)
+    } finally ManifestStore.killPoint = _ => ()
+    assert(fired)
+    // the loser landed as a facade APPEND (Upsert, no mergeId) on the
+    // winner's store: live rows in the touched partitions carry over,
+    // the loser's rows join them — nothing lost on either side
+    val got = contents(ManifestStore.readTable(spark, root, "t"))
+    assert(got === Set((1L, 0, "w-1"), (2L, 1, "w-2"),
+      (2L, 1, "l-2"), (3L, 2, "l-3")))
+    // and the loser staged NOTHING before failing: with every version
+    // retained, vacuum finds zero unreferenced partition dirs — the
+    // only unreferenced leaves are the writers' own _SUCCESS markers
+    val reaped = ManifestStore.vacuum(spark, root, keepLast = 10)
+    assert(reaped.forall(_.endsWith("_SUCCESS")), reaped.toString)
+  }
+
+  test("row-level Delete: stats-pruned copy-on-write — untouched " +
+      "partitions carry by reference, a fully-matched partition " +
+      "retires, NULL verdicts keep rows, and a no-match delete " +
+      "commits nothing") {
+    import spark.implicits._
+    val root = tempDir("mf-delete")
+    // part 0: v in [0,9]; part 1: v in [100,109]; part 2: nulls
+    val df = ((0 until 10).map(i => (i.toLong, 0, i.toLong)) ++
+      (0 until 10).map(i => (100L + i, 1, 100L + i)))
+      .toDF("id", "part", "v")
+      .unionByName(Seq((200L, 2)).toDF("id", "part")
+        .withColumn("v", lit(null).cast("long")))
+    ManifestStore.createTables(spark, root, Seq((
+      ManifestStore.TableDef("t", "part", statsCols = Seq("v")), df)))
+    val v1 = ManifestStore.tableEntries(spark, root, "t")
+      .map(e => e.part -> e.dir).toMap
+    // delete v < 5: part 0 rewritten, parts 1 & 2 provably disjoint /
+    // null-kept — part 1 must carry over BY REFERENCE (same dir)
+    val touched = ManifestStore.deleteWhere(spark, root,
+      col("v") < 5, table = "t")
+    assert(touched === Seq("0"))
+    val v2 = ManifestStore.tableEntries(spark, root, "t")
+      .map(e => e.part -> e.dir).toMap
+    assert(v2("1") === v1("1"), "disjoint partition must not be rewritten")
+    assert(v2("2") === v1("2"), "all-null partition must not be rewritten")
+    assert(v2("0") !== v1("0"))
+    val got = ManifestStore.readTable(spark, root, "t")
+      .select("id").as[Long].collect().toSet
+    assert(got === ((5 until 10).map(_.toLong) ++
+      (0 until 10).map(100L + _) ++ Seq(200L)).toSet)
+    // NULL verdict keeps the row (id 200 has v = null)
+    ManifestStore.deleteWhere(spark, root, col("v") < 1000, table = "t")
+    assert(ManifestStore.readTable(spark, root, "t")
+      .select("id").as[Long].collect().toSet === Set(200L))
+    // a delete matching nothing (stats prove it) commits NO version
+    val vNow = ManifestStore.currentVersion(spark, root).get
+    ManifestStore.deleteWhere(spark, root, col("v") < 1000, table = "t")
+    assert(ManifestStore.currentVersion(spark, root).get === vNow,
+      "no-candidate delete must not bump the version")
+  }
+
+  test("Delete on an append-only table retires only the candidate " +
+      "segments; DeleteKeys is pure metadata and idempotent") {
+    import spark.implicits._
+    val root = tempDir("mf-delete-app")
+    ManifestStore.createTables(spark, root, Seq((
+      ManifestStore.TableDef("t", "", statsCols = Seq("v")),
+      (0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v"))))
+    ManifestStore.commitTables(spark, root)(Seq(ManifestStore.Append(
+      "t", (0 until 10).map(i => (100L + i, 100L + i))
+        .toDF("id", "v"))))
+    val before = ManifestStore.tableEntries(spark, root, "t")
+      .map(_.dir).toSet
+    ManifestStore.deleteWhere(spark, root, col("v") >= 100, table = "t")
+    val after = ManifestStore.tableEntries(spark, root, "t")
+      .map(_.dir).toSet
+    // the low segment survives untouched; the high one is gone and
+    // (being fully matched) nothing replaced it
+    assert(after.size === 1 && before.contains(after.head))
+    assert(ManifestStore.readTable(spark, root, "t")
+      .select("id").as[Long].collect().toSet ===
+      (0 until 10).map(_.toLong).toSet)
+    // DeleteKeys: keyed store, metadata-only drop, re-delete free
+    val root2 = tempDir("mf-delkeys")
+    ManifestStore.create(spark, root2, rows(0 until 8, "a"), "part")
+    val v1 = ManifestStore.currentVersion(spark, root2).get
+    val dirs1 = ManifestStore.tableEntries(spark, root2, "t").map(_.dir).toSet
+    assert(ManifestStore.deletePartitions(spark, root2, Seq("1", "9"))
+      === Seq("1"))
+    val dirs2 = ManifestStore.tableEntries(spark, root2, "t").map(_.dir).toSet
+    assert(dirs2.subsetOf(dirs1) && dirs1.size - dirs2.size === 1,
+      "key drop must stage nothing and retire exactly one entry")
+    assert(ManifestStore.currentVersion(spark, root2).get === v1 + 1)
+    assert(ManifestStore.deletePartitions(spark, root2, Seq("1"))
+      === Seq.empty)
+    assert(ManifestStore.currentVersion(spark, root2).get === v1 + 1,
+      "re-delivered key delete must commit nothing")
+    assert(ManifestStore.readTable(spark, root2, "t").select("part").distinct()
+      .as[Int].collect().toSet === Set(0, 2, 3))
+  }
+
+  test("mayMatch: all-null tag 'n' skips every null-false shape but " +
+      "never null-matching ones; StringStartsWith prunes by prefix " +
+      "interval in unsigned-byte order") {
+    import org.apache.spark.sql.sources._
+    val n = Seq(ManifestStore.ColStat("c", "n", "", ""))
+    assert(!ManifestStore.mayMatch(n, EqualTo("c", "x")))
+    assert(!ManifestStore.mayMatch(n, LessThan("c", "x")))
+    assert(!ManifestStore.mayMatch(n, In("c", Array("x", "y"))))
+    assert(!ManifestStore.mayMatch(n, IsNotNull("c")))
+    assert(!ManifestStore.mayMatch(n, StringStartsWith("c", "x")))
+    assert(ManifestStore.mayMatch(n, IsNull("c")), "IsNull must not skip")
+    assert(ManifestStore.mayMatch(n, EqualNullSafe("c", null)))
+    // prefix interval [p, nextPrefix(p)) against [min,max]
+    val s = Seq(ManifestStore.ColStat("c", "s", "banana", "cherry"))
+    assert(ManifestStore.mayMatch(s, StringStartsWith("c", "ba")))
+    assert(ManifestStore.mayMatch(s, StringStartsWith("c", "c")))
+    assert(!ManifestStore.mayMatch(s, StringStartsWith("c", "a")),
+      "prefix entirely below min must skip")
+    assert(!ManifestStore.mayMatch(s, StringStartsWith("c", "d")),
+      "prefix entirely above max must skip")
+    // boundary: min itself carries the prefix
+    assert(ManifestStore.mayMatch(s, StringStartsWith("c", "banana")))
+    // multi-byte UTF-8 prefix (U+FFFF = EF BF BF): the increment works
+    // on the raw byte tail, and a segment sitting entirely at the top
+    // of the code space still matches its own prefix
+    val hi = Seq(ManifestStore.ColStat("c", "s", "￿￿", "￿￿"))
+    assert(ManifestStore.mayMatch(hi, StringStartsWith("c", "￿")))
+    assert(!ManifestStore.mayMatch(s, StringStartsWith("c", "￿")))
+  }
+
+  test("pruneFilters translation: literal-side casts fold, sound " +
+      "column-side casts unwrap (int→long, ntz↔ts under UTC), unsound " +
+      "shapes translate to nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources
+    val df = Seq((1, 1.5f, "a"))
+      .toDF("i", "f", "s")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf(
+        "2020-01-02 03:04:05")).cast("timestamp_ntz"))
+    // literal coerced up to the column's type (folds to Literal)
+    assert(ManifestStore.pruneFilters(df, col("i") < 5)
+      === Seq(sources.LessThan("i", 5)))
+    // column cast up to the literal's wider type — unwrapped
+    assert(ManifestStore.pruneFilters(df, col("i") < lit(5L))
+      === Seq(sources.LessThan("i", 5L)))
+    assert(ManifestStore.pruneFilters(df, col("f") < lit(0.5d))
+      === Seq(sources.LessThan("f", 0.5d)))
+    // ntz column vs instant literal: cast on the column, UTC session
+    val t = java.sql.Timestamp.valueOf("2020-06-01 00:00:00")
+    val fs = ManifestStore.pruneFilters(df, col("ts") < lit(t))
+    assert(fs === Seq(sources.LessThan("ts", t)))
+    // conjuncts split; the untranslatable half drops, the rest stays
+    val mixed = ManifestStore.pruneFilters(df,
+      col("i") < 5 && length(col("s")) > 1)
+    assert(mixed === Seq(sources.LessThan("i", 5)))
+    // string-typed comparison on a numeric column (cast DOWN the
+    // column to string) is NOT order-preserving — no pruning
+    assert(ManifestStore.pruneFilters(df,
+      col("i").cast("string") < "3").isEmpty)
+  }
+
+  test("Merge applies update + insert + tombstone in one atomic " +
+      "commit; envelope column never stages; tombstone-emptied " +
+      "partition retires; deletes flow through the change feed") {
+    import spark.implicits._
+    val root = tempDir("mf-merge")
+    // part 0: ids 0,1; part 1: ids 10,11; part 2: id 20 (to be emptied)
+    val base = Seq((0L, 0, "a-0"), (1L, 0, "a-1"), (10L, 1, "a-10"),
+      (11L, 1, "a-11"), (20L, 2, "a-20")).toDF("id", "part", "v")
+    ManifestStore.createTables(spark, root, Seq((
+      ManifestStore.TableDef("t", "part"), base)))
+    val src = Seq(
+      (1L, 0, "b-1", "U"),   // update id 1
+      (2L, 0, "b-2", "I"),   // insert id 2
+      (20L, 2, "a-20", "D")) // tombstone id 20 — empties part 2
+      .toDF("id", "part", "v", "_op")
+    val touched = ManifestStore.mergeInto(spark, root, src, idCol = "id",
+      deleteWhen = Some(col("_op") === "D"), table = "t",
+      envelope = Seq("_op"))
+    assert(touched === Seq("0", "2"))
+    val got = contents(ManifestStore.readTable(spark, root, "t"))
+    assert(got === Set((0L, 0, "a-0"), (1L, 0, "b-1"), (2L, 0, "b-2"),
+      (10L, 1, "a-10"), (11L, 1, "a-11")))
+    assert(!ManifestStore.readTable(spark, root, "t").columns
+      .contains("_op"), "envelope column must never stage")
+    assert(ManifestStore.tableEntries(spark, root, "t")
+      .forall(_.part != "2"), "tombstone-emptied partition must retire")
+    // the feed sees exactly the net changes: one update (delete+insert
+    // pair), one insert, one delete
+    val feed = ManifestStore.changeFeed(spark, root, "t", 1L, 2L)
+      .select("_change_type", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(feed === Set(("delete", 1L, "a-1"), ("insert", 1L, "b-1"),
+      ("insert", 2L, "b-2"), ("delete", 20L, "a-20")))
+    // re-delivered batch: content-identical (CDC re-apply safe)
+    ManifestStore.mergeInto(spark, root, src, idCol = "id",
+      deleteWhen = Some(col("_op") === "D"), table = "t",
+      envelope = Seq("_op"))
+    assert(contents(ManifestStore.readTable(spark, root, "t")) === got)
+    // an envelope name colliding with a live column fails loudly
+    // (declaring 'v' envelope would silently drop it for the touched
+    // partitions — the evolution check refuses)
+    val bad = intercept[IllegalArgumentException] {
+      ManifestStore.mergeInto(spark, root, src, idCol = "id",
+        deleteWhen = Some(lit(false)), table = "t",
+        envelope = Seq("v", "_op"))
+    }
+    assert(bad.getMessage.contains("missing live column"))
   }
 
   test("manifest-spec delimiters are refused in table names and " +
