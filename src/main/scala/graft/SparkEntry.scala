@@ -206,6 +206,11 @@ object SparkEntry {
     // versions are provable no-ops (exactly-once on object storage)
     "stream_mf_feed" -> ((s: SparkSession, d: String) =>
       graft.streaming.CorpusStream.runFeedMartOnce(s, d)),
+    // transactional streaming MERGE apply: CDC batches with tombstones
+    // land via foreachBatch as one atomic Merge + applied-marker
+    // commit each; re-delivered batches provably no-op
+    "stream_mf_merge" -> ((s: SparkSession, d: String) =>
+      graft.streaming.CorpusStream.runMergeApplyOnce(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => Curation.packSequences(s, d)),
     // packing-efficiency report: fill ratio + boundary-split fraction
     "pack_stats" -> ((s: SparkSession, d: String) => Curation.packStats(s, d)),
@@ -2510,6 +2515,30 @@ object SparkEntry {
         | CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
         |   AS sum_bal,
         | TRUE AS redelivery_content_stable
+        | FROM eff GROUP BY 1 ORDER BY 1"""
+      .stripMargin.replace("\n", ""),
+    // streaming MERGE apply replays as the same anti-join + union as
+    // mf_merge_delete (the three CDC batches commute on disjoint ids);
+    // both transactional booleans closed-form TRUE
+    "stream_mf_merge" ->
+      """WITH upd AS (SELECT c_custkey, c_mktsegment,
+        |   -c_acctbal AS c_acctbal FROM customer WHERE c_acctbal < 0),
+        | ins AS (SELECT c_custkey + 100000 AS c_custkey, c_mktsegment,
+        |   c_acctbal FROM customer WHERE c_custkey <= 100),
+        | delid AS (SELECT c_custkey FROM customer
+        |   WHERE c_acctbal >= 0 AND c_acctbal <= 1000),
+        | srcid AS (SELECT c_custkey FROM upd
+        |   UNION ALL SELECT c_custkey FROM ins
+        |   UNION ALL SELECT c_custkey FROM delid),
+        | kept AS (SELECT c_custkey, c_mktsegment, c_acctbal
+        |   FROM customer
+        |   WHERE c_custkey NOT IN (SELECT c_custkey FROM srcid)),
+        | eff AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
+        |   UNION ALL SELECT * FROM ins)
+        | SELECT c_mktsegment, count(*) AS n,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+        |   AS sum_bal,
+        | TRUE AS redelivery_noop, TRUE AS exactly_once
         | FROM eff GROUP BY 1 ORDER BY 1"""
       .stripMargin.replace("\n", ""),
     // the transactional feed-mart's final tally: v3 state per flag (A

@@ -156,6 +156,14 @@ class ManifestSource extends RelationProvider
     val keyOpt = parameters.get("key")
     val keyInData = parameters.get("keyInData").forall(_.toBoolean)
     val mergeId = parameters.get("mergeId")
+    // CDC merge surface: `deleteWhen` is a SQL boolean over the batch's
+    // columns marking tombstone rows (requires `mergeId` — tombstones
+    // apply by row identity); `envelope` names batch-only columns
+    // (the `_op` flag) that ride for deleteWhen but never stage
+    val deleteWhen = parameters.get("deleteWhen")
+    val envelope = parameters.get("envelope")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
 
     def modeDispatch(): Unit = mode match {
       case SaveMode.Ignore => ()
@@ -193,9 +201,24 @@ class ManifestSource extends RelationProvider
                     "under a fresh root (CompactAppend retires segment " +
                     "debt).")
               ManifestStore.Append(table, aligned)
-            } else if (m == SaveMode.Append)
-              ManifestStore.Upsert(table, aligned, mergeId)
-            else ManifestStore.Replace(table, aligned)
+            } else if (m == SaveMode.Append) deleteWhen match {
+              case Some(dw) =>
+                val id = mergeId.getOrElse(
+                  throw new IllegalArgumentException(
+                    "deleteWhen needs mergeId — tombstones apply by " +
+                      "row identity"))
+                ManifestStore.Merge(table, aligned, id,
+                  Some(org.apache.spark.sql.functions.expr(dw)),
+                  envelope = envelope)
+              case None => ManifestStore.Upsert(table, aligned, mergeId)
+            } else {
+              deleteWhen.foreach(_ =>
+                throw new IllegalArgumentException(
+                  "deleteWhen composes with mode(\"append\") only — " +
+                    "overwrite replaces whole partitions, tombstones " +
+                    "have nothing to retire"))
+              ManifestStore.Replace(table, aligned)
+            }
           Seq(op)
         }
     }
@@ -217,7 +240,8 @@ class ManifestSource extends RelationProvider
       }
     } else modeDispatch()
     createRelation(ctx,
-      parameters - "key" - "keyInData" - "mergeId" - "version")
+      parameters - "key" - "keyInData" - "mergeId" - "version" -
+        "deleteWhen" - "envelope")
   }
 }
 

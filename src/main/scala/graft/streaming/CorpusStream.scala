@@ -414,4 +414,108 @@ object CorpusStream {
       out
     } finally HourlyStream.reapScratch(scratch)
   }
+
+  /** `stream_mf_merge` — TRANSACTIONAL streaming MERGE apply, the
+    * UPSTREAM half of the CDC story ([[runFeedMartOnce]] being the
+    * downstream half): CDC batches carrying an `_op` envelope (update /
+    * insert / tombstone) arrive as a file stream, and `foreachBatch`
+    * applies each batch to a manifest-store table as ONE atomic commit
+    * — [[graft.store.ManifestStore.Merge]] (tombstones retire their
+    * id's live rows, envelope columns never stage) riding together
+    * with an applied-batch marker `Upsert` under the same writer
+    * lease, the marker guard-read inside the planning closure.
+    *
+    * Exactly-once is MEMBERSHIP-transactional, not offset-ordered: the
+    * marker table records each applied batch id, so re-delivery of ANY
+    * batch (crash replay, file-source reprocessing, out-of-order
+    * arrival) plans nothing and bumps no version — which also means
+    * the lane is safe under the file source's arrival-order freedom,
+    * because the three fixture batches touch disjoint row ids and
+    * commute. Scale shape: each application reads only the partitions
+    * the batch's keys name (the Merge cost model); the marker guard is
+    * one metadata-sized read; nothing scales with table size or
+    * history length. */
+  def runMergeApplyOnce(s: SparkSession, srcDir: String): DataFrame = {
+    import graft.store.ManifestStore
+    import graft.store.ManifestStore.{Merge, TableDef, Upsert}
+    val scratch = HourlyStream.scratchDir("graft_mf_merge_")
+    try {
+      val drop = s"$scratch/drop"
+      val store = s"$scratch/store"
+      val ckpt = s"$scratch/ckpt"
+      val cust = graft.Tables.load(s, srcDir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      import s.implicits._
+      ManifestStore.createTables(s, store, Seq(
+        (TableDef("t", "c_mktsegment"), cust),
+        (TableDef("applied", "bid"),
+          Seq(("seed", 1L)).toDF("bid", "one"))))
+      // the three CDC drops, one data file each (maxFilesPerTrigger=1
+      // → one micro-batch per drop): corrections, new rows, tombstones
+      val b1 = cust.filter(col("c_acctbal") < 0)
+        .withColumn("c_acctbal", -col("c_acctbal"))
+        .withColumn("_op", lit("U")).withColumn("batch_id", lit(1L))
+      val b2 = cust.filter(col("c_custkey") <= 100)
+        .withColumn("c_custkey", col("c_custkey") + 100000)
+        .withColumn("_op", lit("I")).withColumn("batch_id", lit(2L))
+      val b3 = cust.filter(col("c_acctbal").between(0, 1000))
+        .withColumn("_op", lit("D")).withColumn("batch_id", lit(3L))
+      Seq(b1, b2, b3).foreach(b =>
+        b.coalesce(1).write.mode("append").parquet(drop))
+      def applyBatch(b: DataFrame): Unit = {
+        val bids = b.select("batch_id").distinct().collect()
+          .map(_.getLong(0)).sorted
+        bids.foreach { bid =>
+          val slice = b.filter(col("batch_id") === bid)
+          ManifestStore.commitTables(s, store) {
+            val done = ManifestStore.readTable(s, store, "applied",
+              parts = Some(Seq(bid.toString))).count() > 0
+            if (done) Seq.empty // re-delivery: transactional no-op
+            else Seq(
+              Merge("t", slice, "c_custkey",
+                deleteWhen = Some(col("_op") === "D"),
+                envelope = Seq("_op", "batch_id")),
+              Upsert("applied",
+                Seq((bid.toString, 1L)).toDF("bid", "one")))
+          }
+        }
+      }
+      val cdcSchema = StructType(Seq(
+        StructField("c_custkey", cust.schema("c_custkey").dataType),
+        StructField("c_mktsegment", StringType),
+        StructField("c_acctbal",
+          cust.schema("c_acctbal").dataType),
+        StructField("_op", StringType),
+        StructField("batch_id", LongType)))
+      val q = s.readStream.schema(cdcSchema)
+        .option("maxFilesPerTrigger", 1).parquet(drop)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val before = ManifestStore.currentVersion(s, store).get
+      applyBatch(b3.localCheckpoint(true)) // crash-replay re-delivery
+      val redeliveryNoop =
+        ManifestStore.currentVersion(s, store).contains(before)
+      // v1 create + exactly one commit per CDC batch, nothing else
+      val exactlyOnce =
+        ManifestStore.versions(s, store) == (1L to 4L).toSeq
+      ManifestStore.readTable(s, store, "t")
+        .createOrReplaceTempView("mf_stream_merge_cust")
+      val rows = s.sql(
+        """SELECT c_mktsegment, count(*) AS n,
+          | CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+          |   AS sum_bal
+          |FROM mf_stream_merge_cust GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2), redeliveryNoop, exactlyOnce))
+      rows.toSeq
+        .toDF("c_mktsegment", "n", "sum_bal", "redelivery_noop",
+          "exactly_once")
+        .orderBy("c_mktsegment")
+    } finally HourlyStream.reapScratch(scratch)
+  }
 }

@@ -305,6 +305,40 @@ class ManifestFacadeSpec extends AnyFunSuite {
     assert(ManifestStore.read(spark, root).count() === 8)
   }
 
+  test("facade CDC merge options: deleteWhen+mergeId+envelope apply " +
+      "tombstones through the writer; deleteWhen without mergeId or " +
+      "with overwrite is refused") {
+    import spark.implicits._
+    val root = tempDir("mff-merge")
+    Seq((0L, 0, "a-0"), (1L, 0, "a-1"), (20L, 2, "a-20"))
+      .toDF("id", "part", "v")
+      .write.format("graft-manifest").option("key", "part").save(root)
+    val src = Seq((1L, 0, "b-1", "U"), (2L, 0, "b-2", "I"),
+      (20L, 2, "a-20", "D")).toDF("id", "part", "v", "_op")
+    src.write.format("graft-manifest")
+      .option("key", "part").option("mergeId", "id")
+      .option("deleteWhen", "_op = 'D'").option("envelope", "_op")
+      .mode("append").save(root)
+    val got = ManifestStore.readTable(spark, root, "t")
+      .select("id", "part", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got === Set((0L, 0, "a-0"), (1L, 0, "b-1"), (2L, 0, "b-2")))
+    assert(!ManifestStore.readTable(spark, root, "t").columns
+      .contains("_op"))
+    val e1 = intercept[IllegalArgumentException] {
+      src.write.format("graft-manifest")
+        .option("deleteWhen", "_op = 'D'").option("envelope", "_op")
+        .mode("append").save(root)
+    }
+    assert(e1.getMessage.contains("needs mergeId"))
+    val e2 = intercept[IllegalArgumentException] {
+      src.write.format("graft-manifest")
+        .option("mergeId", "id").option("deleteWhen", "_op = 'D'")
+        .option("envelope", "_op").mode("overwrite").save(root)
+    }
+    assert(e2.getMessage.contains("mode(\"append\") only"))
+  }
+
   test("write facade refusals: errorifexists on an initialized root, " +
       "key mismatch, overwrite on append-only; ignore is a no-op") {
     import spark.implicits._
