@@ -250,8 +250,10 @@ object Projection {
         .map { case (q, rows) =>
           q -> rows.sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq
         }
-    val batch = keyed(rpTopKBatchOn(emb, queries, k))
-    val seqLane = keyed(rpTopKOn(emb, 0L until n.toLong, k))
+    // the two lanes are independent actions — overlap them (guide §2.6)
+    val (batch, seqLane) = Par.two(
+      keyed(rpTopKBatchOn(emb, queries, k)),
+      keyed(rpTopKOn(emb, 0L until n.toLong, k)))
     val rows = (0L until n.toLong).map { qid =>
       val b = batch(qid)
       (qid, b.head._1, 1, b.head._2 >= 0.999999, b == seqLane(qid))

@@ -596,7 +596,7 @@ object Similarity {
       cents: Array[(Int, Array[Double])],
       cb: Array[Array[Array[Double]]], indexPath: String): Unit =
     pqEncodeOn(emb, cents, cb)
-      .repartition(col("cell")) // one writer task per cell
+      .transform(graft.plans.Writers.byKeys(_, col("cell"))) // one writer task per cell
       .write.mode("overwrite").partitionBy("cell")
       .option("compression", "zstd").parquet(s"$indexPath/codes")
 
@@ -614,10 +614,16 @@ object Similarity {
     * spec-asserted `selectedPartitions == nProbe`), ADC-rank the stored
     * codes, top-k. No embedding is touched at probe time. */
   def ivfPqProbeIndexed(s: SparkSession, dir: String, indexPath: String,
-      queryId: Long = 0L, k: Int = 10, nProbe: Int = 3): DataFrame = {
+      queryId: Long = 0L, k: Int = 10, nProbe: Int = 3,
+      model: Option[(Array[(Int, Array[Double])],
+        Array[Array[Array[Double]]])] = None): DataFrame = {
     graft.store.IndexCommit.recoverForRead(s, indexPath) // reader-side healing
-    val cents = collectCentroids(labelCentroids(s, dir), "label")
-    val cb = pqCodebooks(s, dir)
+    // model state is frozen per index: a lifecycle that already
+    // collected it passes it through instead of re-aggregating the
+    // corpus (one labelCentroids scan + one codebook collect saved)
+    val (cents, cb) = model.getOrElse(
+      (collectCentroids(labelCentroids(s, dir), "label"),
+        pqCodebooks(s, dir)))
     val q = t(s, dir, "embeddings").filter(col("vec_id") === queryId)
       .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
     val probed = pqProbeCells(q, cents, nProbe)
@@ -647,11 +653,14 @@ object Similarity {
   def ivfPqProbeIndexedBatch(s: SparkSession, dir: String,
       indexPath: String, queries: DataFrame, k: Int = 10,
       nProbe: Int = 3, excludeSelf: Boolean = true,
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Boolean = true,
+      model: Option[(Array[(Int, Array[Double])],
+        Array[Array[Array[Double]]])] = None): DataFrame = {
     graft.store.IndexCommit.recoverForRead(s, indexPath) // reader-side healing
-    val cents = collectCentroids(labelCentroids(s, dir), "label")
-      .map { case (cl, v) => (cl.toLong, v) }
-    val cb = pqCodebooks(s, dir)
+    val (centsI, cb) = model.getOrElse(
+      (collectCentroids(labelCentroids(s, dir), "label"),
+        pqCodebooks(s, dir)))
+    val cents = centsI.map { case (cl, v) => (cl.toLong, v) }
     val probes = pqProbesOf(queries, cents, nProbe)
     pqAdcRank(s.read.parquet(s"$indexPath/codes"), probes, cb, k,
       excludeSelf, broadcastProbes)
@@ -707,12 +716,16 @@ object Similarity {
       k: Int = 10, nProbe: Int = 3): DataFrame = {
     val scratch = scratchDir(s, "graft-ivfpqb-")
     try {
-      writeIvfPqIndex(s, dir, scratch.toString)
+      // frozen model state collected ONCE for build and probe
+      val cents = collectCentroids(labelCentroids(s, dir), "label")
+      val cb = pqCodebooks(s, dir)
+      writeIvfPqIndexOn(t(s, dir, "embeddings"), cents, cb,
+        scratch.toString)
       val queries = t(s, dir, "embeddings")
         .filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val topk = ivfPqProbeIndexedBatch(s, dir, scratch.toString,
-        queries, k, nProbe)
+        queries, k, nProbe, model = Some((cents, cb)))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
           r.getDouble(3), r.getInt(4)))
@@ -762,7 +775,7 @@ object Similarity {
         .select(col("vec_id"), col("cell"),
           col("c0"), col("c1"), col("c2"), col("c3"))
       existing.unionByName(coded)
-        .repartition(col("cell")) // one writer task per touched cell
+        .transform(graft.plans.Writers.byKeys(_, col("cell"))) // one writer task per touched cell
         .write.mode("overwrite").partitionBy("cell")
         .option("compression", "zstd")
         .parquet(txn.stagingDir("codes").toString)
@@ -811,7 +824,7 @@ object Similarity {
       val queries = emb.filter(col("vec_id") < n)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val topk = ivfPqProbeIndexedBatch(s, dir, scratch.toString,
-        queries, k, nProbe)
+        queries, k, nProbe, model = Some((cents, cb)))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
           r.getDouble(3), r.getInt(4)))
@@ -830,9 +843,13 @@ object Similarity {
       k: Int = 10, nProbe: Int = 3): DataFrame = {
     val scratch = scratchDir(s, "graft-ivfpq-")
     try {
-      writeIvfPqIndex(s, dir, scratch.toString)
+      // frozen model state collected ONCE for build and probe
+      val cents = collectCentroids(labelCentroids(s, dir), "label")
+      val cb = pqCodebooks(s, dir)
+      writeIvfPqIndexOn(t(s, dir, "embeddings"), cents, cb,
+        scratch.toString)
       val topk = ivfPqProbeIndexed(s, dir, scratch.toString, queryId,
-        k, nProbe).collect()
+        k, nProbe, model = Some((cents, cb))).collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
       import s.implicits._
       topk.toSeq.toDF("vec_id", "cell", "adc_dist")
@@ -1569,8 +1586,9 @@ object Similarity {
         .map { case (q, rows) =>
           q -> rows.sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq
         }
-    val batch = keyed(lshTopKBatchOn(emb, queries, k))
-    val seqLane = keyed(lshTopKOn(emb, 0L until n.toLong, k))
+    val (batch, seqLane) = Par.two(
+      keyed(lshTopKBatchOn(emb, queries, k)),
+      keyed(lshTopKOn(emb, 0L until n.toLong, k)))
     val rows = (0L until n.toLong).map { qid =>
       val b = batch(qid)
       (qid, b.head._1, 1, b.head._2 >= 0.999999, b == seqLane(qid))
@@ -1594,17 +1612,21 @@ object Similarity {
 
   private[graft] def writeLshIndexOn(emb: DataFrame, indexPath: String,
       planes: Int, bands: Int): Unit = {
-    emb.select(col("vec_id"),
-      posexplode(graft.functions.SketchExpressions.hyperplaneBands(
-        col("embedding"), planes, bands)).as(Seq("band", "bucket")))
-      .repartition(col("band"), col("bucket"))
-      .write.mode("overwrite").partitionBy("band", "bucket")
-      .option("compression", "zstd")
-      .parquet(s"$indexPath/postings")
-    emb.select(col("vec_id"), col("embedding"))
-      .write.mode("overwrite")
-      .option("compression", "zstd")
-      .parquet(s"$indexPath/vectors")
+    // postings and vectors land in disjoint dirs from independent
+    // scans — overlap the two write jobs (guide §2.6)
+    Par.two(
+      emb.select(col("vec_id"),
+        posexplode(graft.functions.SketchExpressions.hyperplaneBands(
+          col("embedding"), planes, bands)).as(Seq("band", "bucket")))
+        .transform(graft.plans.Writers.byKeys(_, col("band"), col("bucket")))
+        .write.mode("overwrite").partitionBy("band", "bucket")
+        .option("compression", "zstd")
+        .parquet(s"$indexPath/postings"),
+      emb.select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(s"$indexPath/vectors"))
+    ()
   }
 
   /** Query-relation probe of the materialized LSH index: distributed
@@ -1668,8 +1690,11 @@ object Similarity {
           .map { case (q, rows) =>
             q -> rows.sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq
           }
-      val stored = keyed(lshProbeIndexed(s, scratch.toString, queries, k))
-      val memory = keyed(lshTopKBatchOn(emb, queries, k))
+      // stored-layout probe and in-memory reference are independent
+      // actions — overlap them (guide §2.6)
+      val (stored, memory) = Par.two(
+        keyed(lshProbeIndexed(s, scratch.toString, queries, k)),
+        keyed(lshTopKBatchOn(emb, queries, k)))
       val rows = (0L until n.toLong).map { qid =>
         val b = stored(qid)
         (qid, b.head._1, 1, b.head._2 >= 0.999999, b == memory(qid))
@@ -1771,16 +1796,21 @@ object Similarity {
         val existing = s.read.parquet(s"$indexPath/postings")
           .filter(touchedPred) // partition-pruned read of touched dirs
           .select(col("vec_id"), col("band"), col("bucket"))
-        existing.unionByName(newPostings)
-          .repartition(col("band"), col("bucket"))
-          .write.mode("overwrite").partitionBy("band", "bucket")
-          .option("compression", "zstd")
-          .parquet(txn.stagingDir("postings").toString)
-        txn.heartbeat() // refresh the lease between long staged writes
-        fresh.select(col("vec_id"), col("embedding"))
-          .write.mode("overwrite")
-          .option("compression", "zstd")
-          .parquet(txn.stagingDir("vectors").toString)
+        // the two staged writes hit disjoint staging dirs from
+        // independent plans — overlap them (guide §2.6); the lease
+        // check runs once after the pair, with the live tree still
+        // untouched either way
+        Par.two(
+          existing.unionByName(newPostings)
+            .transform(graft.plans.Writers.byKeys(_, col("band"), col("bucket")))
+            .write.mode("overwrite").partitionBy("band", "bucket")
+            .option("compression", "zstd")
+            .parquet(txn.stagingDir("postings").toString),
+          fresh.select(col("vec_id"), col("embedding"))
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(txn.stagingDir("vectors").toString))
+        txn.heartbeat() // lease still ours before the atomic publish
         IndexCommit.commit(txn,
           IndexCommit.replaceOpsFor(txn, "postings", "postings",
             partitionDepth = 2) ++
@@ -1835,8 +1865,9 @@ object Similarity {
           .map { case (q, rows) =>
             q -> rows.sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq
           }
-      val stored = keyed(lshProbeIndexed(s, scratch.toString, queries, k))
-      val memory = keyed(lshTopKBatchOn(plantedEmb(emb, n), queries, k))
+      val (stored, memory) = Par.two(
+        keyed(lshProbeIndexed(s, scratch.toString, queries, k)),
+        keyed(lshTopKBatchOn(plantedEmb(emb, n), queries, k)))
       val rows = (0L until n.toLong).map { qid =>
         val b = stored(qid)
         (qid, b.head._1, 1, b.head._2 >= 0.999999, b == memory(qid))
@@ -1961,17 +1992,20 @@ object Similarity {
       cells: Int = 16): Unit = {
     val emb = t(s, dir, "embeddings")
     val cents = ivfCentroids(emb, cells)
-    emb.select(col("vec_id"), col("embedding"),
-      cellRanking(cents).getItem(0).getField("cent").as("cell"))
-      .repartition(col("cell")) // one writer task per cell -> one file set
-      .write.mode("overwrite")
-      .partitionBy("cell")
-      .option("compression", "zstd")
-      .parquet(s"$indexPath/vectors")
     import s.implicits._
-    cents.toSeq.toDF("cent_id", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexPath/centroids")
+    // vectors and centroids are disjoint outputs — overlap (guide §2.6)
+    Par.two(
+      emb.select(col("vec_id"), col("embedding"),
+        cellRanking(cents).getItem(0).getField("cent").as("cell"))
+        .transform(graft.plans.Writers.byKeys(_, col("cell"))) // one writer task per cell -> one file set
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .option("compression", "zstd")
+        .parquet(s"$indexPath/vectors"),
+      cents.toSeq.toDF("cent_id", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexPath/centroids"))
+    ()
   }
 
   /** Probe the materialized index: rank the stored centroids against the
@@ -2223,17 +2257,19 @@ object Similarity {
     val scratch = scratchDir(s, "graft-ivf-")
     try {
       val indexPath = scratch.toString
-      emb.select(col("vec_id"), col("embedding"),
-        argmaxOver(trained).getField("cluster").as("cell"))
-        .repartition(col("cell")) // one writer task per cell
-        .write.mode("overwrite").partitionBy("cell")
-        .option("compression", "zstd")
-        .parquet(s"$indexPath/vectors")
       import s.implicits._
-      trained.toSeq.map { case (c, v) => (c.toLong, v.toSeq) }
-        .toDF("cent_id", "centroid")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$indexPath/centroids")
+      // vectors and centroids are disjoint outputs — overlap (§2.6)
+      Par.two(
+        emb.select(col("vec_id"), col("embedding"),
+          argmaxOver(trained).getField("cluster").as("cell"))
+          .transform(graft.plans.Writers.byKeys(_, col("cell"))) // one writer task per cell
+          .write.mode("overwrite").partitionBy("cell")
+          .option("compression", "zstd")
+          .parquet(s"$indexPath/vectors"),
+        trained.toSeq.map { case (c, v) => (c.toLong, v.toSeq) }
+          .toDF("cent_id", "centroid")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$indexPath/centroids"))
       val queries = emb.filter(col("vec_id") < n)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -2276,17 +2312,19 @@ object Similarity {
     val scratch = scratchDir(s, "graft-ivfb-")
     try {
       val indexPath = scratch.toString
-      emb.select(col("vec_id"), col("embedding"),
-        argmaxOver(trained).getField("cluster").as("cell"))
-        .repartition(col("cell")) // one writer task per cell
-        .write.mode("overwrite").partitionBy("cell")
-        .option("compression", "zstd")
-        .parquet(s"$indexPath/vectors")
       import s.implicits._
-      trained.toSeq.map { case (c, v) => (c.toLong, v.toSeq) }
-        .toDF("cent_id", "centroid")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$indexPath/centroids")
+      // vectors and centroids are disjoint outputs — overlap (§2.6)
+      Par.two(
+        emb.select(col("vec_id"), col("embedding"),
+          argmaxOver(trained).getField("cluster").as("cell"))
+          .transform(graft.plans.Writers.byKeys(_, col("cell"))) // one writer task per cell
+          .write.mode("overwrite").partitionBy("cell")
+          .option("compression", "zstd")
+          .parquet(s"$indexPath/vectors"),
+        trained.toSeq.map { case (c, v) => (c.toLong, v.toSeq) }
+          .toDF("cent_id", "centroid")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$indexPath/centroids"))
       val queries = emb.filter(col("vec_id") < n)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val gate = ivfProbeIndexedBatch(s, indexPath, queries, k, nProbe,
@@ -2332,7 +2370,7 @@ object Similarity {
       val p = scratch.toString
       emb.select(col("vec_id"), col("label"), col("embedding"),
         cellRanking(cents).getItem(0).getField("cent").as("cell"))
-        .repartition(col("cell"))
+        .transform(graft.plans.Writers.byKeys(_, col("cell")))
         .write.mode("overwrite").partitionBy("cell")
         .option("compression", "zstd").parquet(s"$p/vectors")
       // driver replica of the build-side cosine (floats widened exactly,
@@ -2454,7 +2492,7 @@ object Similarity {
             "left_anti")
         else existingAll
       existing.unionByName(assigned)
-        .repartition(col("cell")) // one writer task per touched cell
+        .transform(graft.plans.Writers.byKeys(_, col("cell"))) // one writer task per touched cell
         .write.mode("overwrite").partitionBy("cell")
         .option("compression", "zstd")
         .parquet(txn.stagingDir("cells").toString)
@@ -2519,15 +2557,19 @@ object Similarity {
       .persist()
     try {
       val live = s"$scratch/live"
-      assignedAll.filter(!isArriving)
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .option("compression", "zstd")
-        .parquet(s"$live/vectors")
       import s.implicits._
-      trained.toSeq.map { case (c, v) => (c.toLong, v.toSeq) }
-        .toDF("cent_id", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$live/centroids")
+      // vectors and centroids are disjoint outputs — overlap (§2.6);
+      // this also materializes the assignedAll cache both probe lanes
+      // reuse below
+      Par.two(
+        assignedAll.filter(!isArriving)
+          .transform(graft.plans.Writers.byKeys(_, col("cell")))
+          .write.mode("overwrite").partitionBy("cell")
+          .option("compression", "zstd")
+          .parquet(s"$live/vectors"),
+        trained.toSeq.map { case (c, v) => (c.toLong, v.toSeq) }
+          .toDF("cent_id", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$live/centroids"))
       ivfCompact(s, s"$live/vectors", arriving, trained)
       val queries = emb.filter(col("vec_id") < n)
         .select(col("vec_id"), col("embedding")).collect()
@@ -2544,15 +2586,16 @@ object Similarity {
           }
       // live lane: the REAL storage path — stored centroids, stored
       // hive-partitioned vectors, partition-pruned probe
-      val liveTop = reduceTopk(
-        ivfProbeIndexedMulti(s, live, queries.toSeq, k, nProbe))
+      val (liveTop, rebuildTop) = Par.two(
+        reduceTopk(
+          ivfProbeIndexedMulti(s, live, queries.toSeq, k, nProbe)),
+        reduceTopk(multiProbeOn(assignedAll,
+          trained.map { case (c, v) => (c.toLong, v) },
+          queries.toSeq, k, nProbe)))
       // rebuild reference: same probe plan over the cached full
       // assignment — a from-scratch index holds exactly these rows in
       // exactly these cells, so materializing it would change no probed
       // row, only add file I/O to the gate
-      val rebuildTop = reduceTopk(multiProbeOn(assignedAll,
-        trained.map { case (c, v) => (c.toLong, v) },
-        queries.toSeq, k, nProbe))
       val rows = queries.map { case (qid, _) =>
         val a = liveTop(qid)
         val b = rebuildTop(qid)
@@ -2708,8 +2751,9 @@ object Similarity {
           .map { case (q, rows) =>
             q -> rows.sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq
           }
-      val stored = keyed(probeLshIndex(s, live, queries, k))
-      val memory = keyed(lshTopKBatchOn(plantedEmb(emb, n), queries, k))
+      val (stored, memory) = Par.two(
+        keyed(probeLshIndex(s, live, queries, k)),
+        keyed(lshTopKBatchOn(plantedEmb(emb, n), queries, k)))
       val rows = (0L until n.toLong).map { qid =>
         val b = stored(qid)
         (qid, b.head._1, 1, b.head._2 >= 0.999999, b == memory(qid))
@@ -2807,13 +2851,15 @@ object Similarity {
       // metadata, ranked by the same accumulation order as the
       // CosineSim expression) prunes at the manifest level
       import s.implicits._
-      val liveTop = reduceTopk(probeIvfIndex(s, live,
-        queries.toSeq.toDF("q_id", "q_emb"), trained, k, nProbe))
       // rebuild reference: same probe plan over the cached assignment
       // (the ivfCompactPlanted argument — a rebuilt store holds exactly
-      // these rows in exactly these cells)
-      val rebuildTop = reduceTopk(multiProbeOn(assignedAll, centsL,
-        queries.toSeq, k, nProbe))
+      // these rows in exactly these cells); independent of the live
+      // probe, so the two lanes overlap (guide §2.6)
+      val (liveTop, rebuildTop) = Par.two(
+        reduceTopk(probeIvfIndex(s, live,
+          queries.toSeq.toDF("q_id", "q_emb"), trained, k, nProbe)),
+        reduceTopk(multiProbeOn(assignedAll, centsL,
+          queries.toSeq, k, nProbe)))
       val rows = queries.map { case (qid, _) =>
         val a = liveTop(qid)
         val b = rebuildTop(qid)
@@ -2872,10 +2918,13 @@ object Similarity {
   def ivfPqProbeManifestBatch(s: SparkSession, dir: String,
       rootPath: String, queries: DataFrame, k: Int = 10,
       nProbe: Int = 3, excludeSelf: Boolean = true,
-      broadcastProbes: Boolean = true): DataFrame = {
-    val cents = collectCentroids(labelCentroids(s, dir), "label")
-      .map { case (cl, v) => (cl.toLong, v) }
-    val cb = pqCodebooks(s, dir)
+      broadcastProbes: Boolean = true,
+      model: Option[(Array[(Int, Array[Double])],
+        Array[Array[Array[Double]]])] = None): DataFrame = {
+    val (centsI, cb) = model.getOrElse(
+      (collectCentroids(labelCentroids(s, dir), "label"),
+        pqCodebooks(s, dir)))
+    val cents = centsI.map { case (cl, v) => (cl.toLong, v) }
     // rank ONCE (the probeIvfIndex discipline): the cells collect and
     // the ADC join both read the materialized probes
     val probes = pqProbesOf(queries, cents, nProbe).localCheckpoint(true)
@@ -2912,7 +2961,8 @@ object Similarity {
       maintainIvfPqIndex(s, live, arriving, cents, cb)
       val queries = emb.filter(col("vec_id") < n)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val topk = probeIvfPqIndex(s, dir, live, queries, k, nProbe)
+      val topk = probeIvfPqIndex(s, dir, live, queries, k, nProbe,
+        model = Some((cents, cb)))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
           r.getDouble(3), r.getInt(4)))
@@ -2991,7 +3041,7 @@ object Similarity {
         graft.store.ManifestStore.create(s, rootPath, assigned, "cell")
       case IndexProtocol.Rename =>
         assigned
-          .repartition(col("cell"))
+          .transform(graft.plans.Writers.byKeys(_, col("cell")))
           .write.mode("overwrite").partitionBy("cell")
           .option("compression", "zstd").parquet(s"$rootPath/vectors")
         import s.implicits._
@@ -3085,14 +3135,16 @@ object Similarity {
   def probeIvfPqIndex(s: SparkSession, dir: String, rootPath: String,
       queries: DataFrame, k: Int = 10, nProbe: Int = 3,
       excludeSelf: Boolean = true, broadcastProbes: Boolean = true,
-      protocol: IndexProtocol = IndexProtocol.Default): DataFrame =
+      protocol: IndexProtocol = IndexProtocol.Default,
+      model: Option[(Array[(Int, Array[Double])],
+        Array[Array[Array[Double]]])] = None): DataFrame =
     protocol match {
       case IndexProtocol.Manifest =>
         ivfPqProbeManifestBatch(s, dir, rootPath, queries, k, nProbe,
-          excludeSelf, broadcastProbes)
+          excludeSelf, broadcastProbes, model)
       case IndexProtocol.Rename =>
         ivfPqProbeIndexedBatch(s, dir, rootPath, queries, k, nProbe,
-          excludeSelf, broadcastProbes)
+          excludeSelf, broadcastProbes, model)
     }
 
   /** Embedding near-duplicate pairs above a cosine threshold — the

@@ -1150,7 +1150,7 @@ object ManifestStore {
     val sid = schemaIdOf(org.apache.spark.sql.types.StructType(
       toWrite.schema.filterNot(_.name == layoutCol)))
     toWrite
-      .repartition(col(partCol)) // one writer task per touched partition
+      .transform(graft.plans.Writers.byKeys(_, col(partCol))) // one writer task per touched partition
       .write.mode("errorifexists").partitionBy(layoutCol)
       .option("compression", "zstd")
       .parquet(segPath.toString)

@@ -175,7 +175,7 @@ object PartitionedStore {
       val d0 = docs.agg(count(lit(1)), min(col("source"))).head()
       val (nDocs, target) = (d0.getLong(0), d0.getString(1))
       val store = s"$scratch/store"
-      docs.repartition(col("source")).write.mode("overwrite")
+      graft.plans.Writers.byKeys(docs, col("source")).write.mode("overwrite")
         .partitionBy("source").parquet(store)
       val tomb = docs
         .filter(col("source") === target && col("doc_id") % 17 === 0)

@@ -255,7 +255,8 @@ object HourlyStream {
         // a batch touching only SOME of a day's event types overwrites
         // exactly those groups, never the day's other types.
         PartitionedStore.upsertKeyed(
-          batch.repartition(col("day")), warehouse, "day", Seq("event_type"))
+          graft.plans.Writers.byKeys(batch, col("day")), warehouse, "day",
+            Seq("event_type"))
       }
       .start()
     try {
@@ -411,7 +412,8 @@ object HourlyStream {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
           PartitionedStore.upsertKeyed(
-            batch.repartition(col("day")), warehouse, "day", Seq("cohort"))
+            graft.plans.Writers.byKeys(batch, col("day")), warehouse, "day",
+              Seq("cohort"))
         }
         .start()
       try q.awaitTermination() finally q.stop()

@@ -218,7 +218,7 @@ object VectorStream {
     emb.filter(!isBatch)
       .select(col("vec_id"), col("embedding"),
         Similarity.argmaxOver(trained).getField("cluster").as("cell"))
-      .repartition(col("cell"))
+      .transform(graft.plans.Writers.byKeys(_, col("cell")))
       .write.mode("overwrite").partitionBy("cell")
       .option("compression", "zstd").parquet(s"$idxDir/vectors")
     val dropDir = HourlyStream.scratchDir("graft_ivfcs_drop_")
