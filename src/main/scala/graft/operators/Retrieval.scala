@@ -47,10 +47,17 @@ object Retrieval {
     * (doc_id, score, n_terms) for every document matching at least one
     * query term. Shared by the top-k search and [[searchEval]]. */
   private def bm25Scores(s: SparkSession, dir: String, query: Seq[String],
-      k1: Double, b: Double): DataFrame = {
-    val docs = t(s, dir, "documents")
+      k1: Double, b: Double): DataFrame =
+    bm25ScoresOn(tokenizedDocs(s, dir), query, k1, b)
+
+  /** The tokenized corpus both bm25 branches read: (doc_id, w, dl). */
+  private def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+
+  private def bm25ScoresOn(docs: DataFrame, query: Seq[String],
+      k1: Double, b: Double): DataFrame = {
     val qArr = array(query.map(lit): _*)
     val hits = docs
       .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
@@ -109,8 +116,18 @@ object Retrieval {
   def searchEval(s: SparkSession, dir: String,
       queries: Seq[Seq[String]] = EvalQueries, cap: Int = 1000,
       k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    // Tokenize ONCE for the whole eval set, and materialize each
+    // query's per-doc score table ONCE for its two consumers (the
+    // ranked window and the relevant-set count). Without this, every
+    // reference re-derives the tokenize+explode subtree — the unioned
+    // plan scanned `documents` 36 times (3 queries × 2 consumers × 3
+    // scans inside bm25Scores, 90 Exchanges). Values are unchanged
+    // (localCheckpoint only cuts lineage); at index scale an eval
+    // suite reads the materialized postings the index build already
+    // wrote, which is exactly this shape.
+    val docs = tokenizedDocs(s, dir).localCheckpoint(true)
     val perQuery = queries.zipWithIndex.map { case (terms, i) =>
-      val scores = bm25Scores(s, dir, terms, k1, b)
+      val scores = bm25ScoresOn(docs, terms, k1, b).localCheckpoint(true)
       val rel = col("n_terms") === terms.length
       val w = Window.orderBy(col("score").desc, col("doc_id"))
       val ranked = scores.withColumn("rnk", row_number().over(w))

@@ -596,7 +596,7 @@ object Similarity {
       cents: Array[(Int, Array[Double])],
       cb: Array[Array[Array[Double]]], indexPath: String): Unit =
     pqEncodeOn(emb, cents, cb)
-      .transform(graft.plans.Writers.byKeys(_, col("cell"))) // one writer task per cell
+      .transform(graft.plans.Writers.byKeysN(_, cents.length, col("cell"))) // one writer task per cell
       .write.mode("overwrite").partitionBy("cell")
       .option("compression", "zstd").parquet(s"$indexPath/codes")
 
@@ -775,7 +775,7 @@ object Similarity {
         .select(col("vec_id"), col("cell"),
           col("c0"), col("c1"), col("c2"), col("c3"))
       existing.unionByName(coded)
-        .transform(graft.plans.Writers.byKeys(_, col("cell"))) // one writer task per touched cell
+        .transform(graft.plans.Writers.byKeysN(_, touched.size, col("cell"))) // one writer task per touched cell
         .write.mode("overwrite").partitionBy("cell")
         .option("compression", "zstd")
         .parquet(txn.stagingDir("codes").toString)
@@ -1213,6 +1213,12 @@ object Similarity {
     import s.implicits._
     val centDf = cents.toSeq.map { case (c, v) => (c, v.toSeq) }
       .toDF("cluster", "centroid")
+    // materialize the (vec_id, cluster) assignment ONCE: the pairwise
+    // stage references it on both join sides, and without the
+    // checkpoint the N×k cosine cross-join + argmax aggregate inlines
+    // into BOTH branches (the explain showed the full assignment
+    // subtree duplicated — 36 scans in the planted gate's plan). Two
+    // longs per row at any scale; values unchanged.
     val best = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centDf))
       .select(col("vec_id"),
@@ -1221,6 +1227,7 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(max(col("sc")).as("best"))
       .select(col("vec_id"), (-col("best").getField("negc")).as("cluster"))
+      .localCheckpoint(true)
     val assigned = emb.join(best, Seq("vec_id"))
     val left = assigned.select(col("cluster"), col("vec_id").as("ia"),
       col("embedding").as("ea"))
@@ -1618,7 +1625,8 @@ object Similarity {
       emb.select(col("vec_id"),
         posexplode(graft.functions.SketchExpressions.hyperplaneBands(
           col("embedding"), planes, bands)).as(Seq("band", "bucket")))
-        .transform(graft.plans.Writers.byKeys(_, col("band"), col("bucket")))
+        .transform(graft.plans.Writers.byKeysN(_, bands << planes,
+          col("band"), col("bucket")))
         .write.mode("overwrite").partitionBy("band", "bucket")
         .option("compression", "zstd")
         .parquet(s"$indexPath/postings"),
@@ -1802,7 +1810,8 @@ object Similarity {
         // untouched either way
         Par.two(
           existing.unionByName(newPostings)
-            .transform(graft.plans.Writers.byKeys(_, col("band"), col("bucket")))
+            .transform(graft.plans.Writers.byKeysN(_, touched0.size,
+              col("band"), col("bucket")))
             .write.mode("overwrite").partitionBy("band", "bucket")
             .option("compression", "zstd")
             .parquet(txn.stagingDir("postings").toString),
@@ -1997,7 +2006,7 @@ object Similarity {
     Par.two(
       emb.select(col("vec_id"), col("embedding"),
         cellRanking(cents).getItem(0).getField("cent").as("cell"))
-        .transform(graft.plans.Writers.byKeys(_, col("cell"))) // one writer task per cell -> one file set
+        .transform(graft.plans.Writers.byKeysN(_, cents.length, col("cell"))) // one writer task per cell -> one file set
         .write.mode("overwrite")
         .partitionBy("cell")
         .option("compression", "zstd")
@@ -2262,7 +2271,8 @@ object Similarity {
       Par.two(
         emb.select(col("vec_id"), col("embedding"),
           argmaxOver(trained).getField("cluster").as("cell"))
-          .transform(graft.plans.Writers.byKeys(_, col("cell"))) // one writer task per cell
+          .transform(graft.plans.Writers.byKeysN(_, trained.length,
+            col("cell"))) // one writer task per cell
           .write.mode("overwrite").partitionBy("cell")
           .option("compression", "zstd")
           .parquet(s"$indexPath/vectors"),
@@ -2317,7 +2327,8 @@ object Similarity {
       Par.two(
         emb.select(col("vec_id"), col("embedding"),
           argmaxOver(trained).getField("cluster").as("cell"))
-          .transform(graft.plans.Writers.byKeys(_, col("cell"))) // one writer task per cell
+          .transform(graft.plans.Writers.byKeysN(_, trained.length,
+            col("cell"))) // one writer task per cell
           .write.mode("overwrite").partitionBy("cell")
           .option("compression", "zstd")
           .parquet(s"$indexPath/vectors"),
@@ -2370,7 +2381,8 @@ object Similarity {
       val p = scratch.toString
       emb.select(col("vec_id"), col("label"), col("embedding"),
         cellRanking(cents).getItem(0).getField("cent").as("cell"))
-        .transform(graft.plans.Writers.byKeys(_, col("cell")))
+        .transform(graft.plans.Writers.byKeysN(_, cents.length,
+          col("cell")))
         .write.mode("overwrite").partitionBy("cell")
         .option("compression", "zstd").parquet(s"$p/vectors")
       // driver replica of the build-side cosine (floats widened exactly,
@@ -2492,7 +2504,7 @@ object Similarity {
             "left_anti")
         else existingAll
       existing.unionByName(assigned)
-        .transform(graft.plans.Writers.byKeys(_, col("cell"))) // one writer task per touched cell
+        .transform(graft.plans.Writers.byKeysN(_, touched.size, col("cell"))) // one writer task per touched cell
         .write.mode("overwrite").partitionBy("cell")
         .option("compression", "zstd")
         .parquet(txn.stagingDir("cells").toString)
@@ -2563,7 +2575,8 @@ object Similarity {
       // reuse below
       Par.two(
         assignedAll.filter(!isArriving)
-          .transform(graft.plans.Writers.byKeys(_, col("cell")))
+          .transform(graft.plans.Writers.byKeysN(_, trained.length,
+            col("cell")))
           .write.mode("overwrite").partitionBy("cell")
           .option("compression", "zstd")
           .parquet(s"$live/vectors"),
@@ -3041,7 +3054,8 @@ object Similarity {
         graft.store.ManifestStore.create(s, rootPath, assigned, "cell")
       case IndexProtocol.Rename =>
         assigned
-          .transform(graft.plans.Writers.byKeys(_, col("cell")))
+          .transform(graft.plans.Writers.byKeysN(_, trained.length,
+            col("cell")))
           .write.mode("overwrite").partitionBy("cell")
           .option("compression", "zstd").parquet(s"$rootPath/vectors")
         import s.implicits._

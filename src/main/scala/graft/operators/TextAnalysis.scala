@@ -719,12 +719,18 @@ object TextAnalysis {
     * floor-truncated doubles, so both engines assign every document to
     * the same bucket. */
   def pplBuckets(s: SparkSession, dir: String): DataFrame = {
-    val lp = unigramLogProb(s, dir).select(col("doc_id"), col("mean_logprob"))
-    lp.persist()
+    // localCheckpoint, not persist/unpersist: the per-doc score table
+    // feeds the two ExactQuantiles edge passes AND the returned
+    // bucketing plan — the old persist was released before return, so
+    // the final action re-ran the whole unigram-LM scoring pass (one
+    // full tokenize + model join per bench rep). 16 bytes/doc
+    // materialized once, read three times; GC-managed lifetime.
+    val lp = unigramLogProb(s, dir)
+      .select(col("doc_id"), col("mean_logprob"))
+      .localCheckpoint(true)
     val edges =
-      try ExactQuantiles.percentiles(lp, lit(""), col("mean_logprob"),
+      ExactQuantiles.percentiles(lp, lit(""), col("mean_logprob"),
         (1 to 9).map(_ / 10.0), binWidth = 0.0625)("")._2.map(Num.t6d)
-      finally lp.unpersist(blocking = false)
     val bucket = edges.map(e =>
       when(col("mean_logprob") > lit(e), 1).otherwise(0))
       .reduce(_ + _)

@@ -28,4 +28,16 @@ object Writers {
   def byKeys(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
       keys: _*)
+
+  /** [[byKeys]] with a KNOWN distinct-key bound: one writer task per
+    * partition dir, never more — on a small staged batch the empty
+    * tasks of a full-parallelism exchange are pure scheduling + task-
+    * commit overhead (measured: a 5-dir staged upsert at 32 writer
+    * tasks cost ~0.2 s/commit over key-bounded). Still capped at the
+    * session's shuffle parallelism so a wide layout spreads across
+    * the cluster. */
+  def byKeysN(df: DataFrame, nKeys: Int, keys: Column*): DataFrame = {
+    val cap = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(math.min(math.max(nKeys, 1), cap), keys: _*)
+  }
 }

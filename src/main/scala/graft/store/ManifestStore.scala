@@ -1139,7 +1139,8 @@ object ManifestStore {
     * carries the layout (dropped from the files — object doc). */
   private def writePartitionedSegment(s: SparkSession, fs: FileSystem,
       root: Path, table: String, df: DataFrame, partCol: String,
-      keyInData: Boolean, statsCols: Seq[String] = Nil): Seq[Entry] =
+      keyInData: Boolean, statsCols: Seq[String] = Nil,
+      nKeys: Option[Int] = None): Seq[Entry] =
     phased("stageWrite") {
     val layoutCol = if (keyInData) partCol + "__p" else partCol
     val segRel = freshSegRel()
@@ -1149,8 +1150,19 @@ object ManifestStore {
     // the files carry toWrite's schema minus the layout column
     val sid = schemaIdOf(org.apache.spark.sql.types.StructType(
       toWrite.schema.filterNot(_.name == layoutCol)))
+    // one writer task per touched partition dir, never more (empty
+    // tasks are pure commit overhead on a small staged batch) and
+    // never past the session's shuffle parallelism; an explicit count
+    // also keeps AQE's advisory-size coalescing from serializing a
+    // many-dir write behind one task (Writers.byKeys rationale). The
+    // ops that already collected their touched keys pass the exact
+    // count; create (which deliberately never key-collects) writes at
+    // full session parallelism.
+    val maxTasks = s.sessionState.conf.numShufflePartitions
+    val writeTasks = nKeys.fold(maxTasks)(k =>
+      math.min(math.max(k, 1), maxTasks))
     toWrite
-      .transform(graft.plans.Writers.byKeys(_, col(partCol))) // one writer task per touched partition
+      .repartition(writeTasks, col(partCol))
       .write.mode("errorifexists").partitionBy(layoutCol)
       .option("compression", "zstd")
       .parquet(segPath.toString)
@@ -1379,7 +1391,8 @@ object ManifestStore {
                     .toSeq: _*))
               }
             val staged = writePartitionedSegment(s, fs, r, table,
-              merged, pc, keyInDataOf(raw), statsColsOf(raw))
+              merged, pc, keyInDataOf(raw), statsColsOf(raw),
+              nKeys = Some(keySet.size))
             requireKeysRendered(table, pc, keySet, staged,
               mayEmpty = tombKeys)
             newEntries ++= staged
@@ -1428,7 +1441,8 @@ object ManifestStore {
               if (pc.nonEmpty) {
                 val keySet = candidates.map(_.part).toSet
                 val staged = writePartitionedSegment(s, fs, r, table,
-                  keptRows, pc, keyInDataOf(raw), statsColsOf(raw))
+                  keptRows, pc, keyInDataOf(raw), statsColsOf(raw),
+                  nKeys = Some(keySet.size))
                 // every touched key already round-tripped its hive
                 // rendering when first committed (store invariant);
                 // emptied partitions legitimately stage nothing
@@ -1467,7 +1481,8 @@ object ManifestStore {
             // no live read at all: the touched keys' old entries simply
             // don't carry over — replacement is pure metadata
             val staged = writePartitionedSegment(s, fs, r, table,
-              df, pc, keyInDataOf(raw), statsColsOf(raw))
+              df, pc, keyInDataOf(raw), statsColsOf(raw),
+              nKeys = Some(keys.size))
             requireKeysRendered(table, pc, keys.toSet, staged)
             newEntries ++= staged
             dropKeys += table -> keys.toSet

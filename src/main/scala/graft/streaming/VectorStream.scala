@@ -215,16 +215,20 @@ object VectorStream {
     val trained = Similarity.collectCentroids(
       Similarity.kmeansIterate(s, srcDir, 2), "cluster")
     val idxDir = HourlyStream.scratchDir("graft_ivfcs_idx_")
-    emb.filter(!isBatch)
-      .select(col("vec_id"), col("embedding"),
-        Similarity.argmaxOver(trained).getField("cluster").as("cell"))
-      .transform(graft.plans.Writers.byKeys(_, col("cell")))
-      .write.mode("overwrite").partitionBy("cell")
-      .option("compression", "zstd").parquet(s"$idxDir/vectors")
     val dropDir = HourlyStream.scratchDir("graft_ivfcs_drop_")
-    arriving
-      .coalesce(2) // pinned drop-file count: 2 micro-batches at any SF
-      .write.mode("overwrite").parquet(dropDir)
+    // base-index write and drop staging are disjoint outputs — overlap
+    // (guide §2.6)
+    graft.operators.Par.two(
+      emb.filter(!isBatch)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.argmaxOver(trained).getField("cluster").as("cell"))
+        .transform(graft.plans.Writers.byKeysN(_, trained.length,
+          col("cell")))
+        .write.mode("overwrite").partitionBy("cell")
+        .option("compression", "zstd").parquet(s"$idxDir/vectors"),
+      arriving
+        .coalesce(2) // pinned drop-file count: 2 micro-batches at any SF
+        .write.mode("overwrite").parquet(dropDir))
     val ckpt = HourlyStream.scratchDir("graft_ivfcs_ckpt_")
     val q = readVectorBatches(s, dropDir)
       .writeStream
@@ -248,14 +252,15 @@ object VectorStream {
         .map { case (qid, rows) =>
           qid -> rows.sortBy(_._4).map(t => (t._2, t._3)).toSeq
         }
-    val stored = keyed(Similarity.probeIndexBatchOn(
-      s.read.parquet(s"$idxDir/vectors"), centsL, queries,
-      k, nProbe, excludeSelf = true))
-    val rebuild = keyed(Similarity.probeIndexBatchOn(
-      emb.filter(!isBatch).unionByName(arriving)
-        .select(col("vec_id"), col("embedding"),
-          Similarity.argmaxOver(trained).getField("cluster").as("cell")),
-      centsL, queries, k, nProbe, excludeSelf = true))
+    val (stored, rebuild) = graft.operators.Par.two(
+      keyed(Similarity.probeIndexBatchOn(
+        s.read.parquet(s"$idxDir/vectors"), centsL, queries,
+        k, nProbe, excludeSelf = true)),
+      keyed(Similarity.probeIndexBatchOn(
+        emb.filter(!isBatch).unionByName(arriving)
+          .select(col("vec_id"), col("embedding"),
+            Similarity.argmaxOver(trained).getField("cluster").as("cell")),
+        centsL, queries, k, nProbe, excludeSelf = true)))
     val rows = (0L until n.toLong).map { qid =>
       val b = stored(qid)
       (qid, b.head._1, 1, b.head._2 >= 0.999999, b == rebuild(qid))
@@ -305,15 +310,17 @@ object VectorStream {
     val trained = Similarity.collectCentroids(
       Similarity.kmeansIterate(s, srcDir, 2), "cluster")
     val idxDir = HourlyStream.scratchDir("graft_ivfmfs_idx_")
-    ManifestStore.create(s, idxDir,
-      emb.filter(!isBatch)
-        .select(col("vec_id"), col("embedding"),
-          Similarity.argmaxOver(trained).getField("cluster").as("cell")),
-      "cell")
     val dropDir = HourlyStream.scratchDir("graft_ivfmfs_drop_")
-    arriving
-      .coalesce(2) // pinned drop-file count: 2 micro-batches at any SF
-      .write.mode("overwrite").parquet(dropDir)
+    // store create and drop staging are disjoint outputs — overlap
+    graft.operators.Par.two(
+      ManifestStore.create(s, idxDir,
+        emb.filter(!isBatch)
+          .select(col("vec_id"), col("embedding"),
+            Similarity.argmaxOver(trained).getField("cluster").as("cell")),
+        "cell"),
+      arriving
+        .coalesce(2) // pinned drop-file count: 2 micro-batches at any SF
+        .write.mode("overwrite").parquet(dropDir))
     val ckpt = HourlyStream.scratchDir("graft_ivfmfs_ckpt_")
     val q = readVectorBatches(s, dropDir)
       .writeStream
@@ -337,15 +344,16 @@ object VectorStream {
         .map { case (qid, rows) =>
           qid -> rows.sortBy(_._4).map(t => (t._2, t._3)).toSeq
         }
-    val stored = keyed(Similarity.probeIndexBatchOn(
-      ManifestStore.read(s, idxDir)
-        .select("vec_id", "embedding", "cell"), centsL, queries,
-      k, nProbe, excludeSelf = true))
-    val rebuild = keyed(Similarity.probeIndexBatchOn(
-      emb.filter(!isBatch).unionByName(arriving)
-        .select(col("vec_id"), col("embedding"),
-          Similarity.argmaxOver(trained).getField("cluster").as("cell")),
-      centsL, queries, k, nProbe, excludeSelf = true))
+    val (stored, rebuild) = graft.operators.Par.two(
+      keyed(Similarity.probeIndexBatchOn(
+        ManifestStore.read(s, idxDir)
+          .select("vec_id", "embedding", "cell"), centsL, queries,
+        k, nProbe, excludeSelf = true)),
+      keyed(Similarity.probeIndexBatchOn(
+        emb.filter(!isBatch).unionByName(arriving)
+          .select(col("vec_id"), col("embedding"),
+            Similarity.argmaxOver(trained).getField("cluster").as("cell")),
+        centsL, queries, k, nProbe, excludeSelf = true)))
     val rows = (0L until n.toLong).map { qid =>
       val b = stored(qid)
       (qid, b.head._1, 1, b.head._2 >= 0.999999, b == rebuild(qid))
@@ -391,11 +399,14 @@ object VectorStream {
       Similarity.labelCentroids(s, srcDir), "label")
     val cb = Similarity.pqCodebooks(s, srcDir)
     val idxDir = HourlyStream.scratchDir("graft_pqmfs_idx_")
-    Similarity.buildIvfPqIndex(s, emb.filter(!isBatch), cents, cb, idxDir)
     val dropDir = HourlyStream.scratchDir("graft_pqmfs_drop_")
-    arriving
-      .coalesce(2) // pinned drop-file count: 2 micro-batches at any SF
-      .write.mode("overwrite").parquet(dropDir)
+    // index build and drop staging are disjoint outputs — overlap
+    graft.operators.Par.two(
+      Similarity.buildIvfPqIndex(s, emb.filter(!isBatch), cents, cb,
+        idxDir),
+      arriving
+        .coalesce(2) // pinned drop-file count: 2 micro-batches at any SF
+        .write.mode("overwrite").parquet(dropDir))
     val ckpt = HourlyStream.scratchDir("graft_pqmfs_ckpt_")
     val q = readVectorBatches(s, dropDir)
       .writeStream
@@ -412,7 +423,8 @@ object VectorStream {
     val queries = emb.filter(col("vec_id") < n)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val topk = Similarity
-      .probeIvfPqIndex(s, srcDir, idxDir, queries, k, nProbe)
+      .probeIvfPqIndex(s, srcDir, idxDir, queries, k, nProbe,
+        model = Some((cents, cb)))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
         r.getDouble(3), r.getInt(4)))
