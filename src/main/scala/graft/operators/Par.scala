@@ -18,7 +18,17 @@ package graft.operators
   * One extra thread per call (daemon, named, unpooled): these run a
   * handful of times per query, never per row. Exceptions from either
   * side propagate to the caller — the helper unwraps the
-  * ExecutionException so failure behavior matches sequential code. */
+  * ExecutionException so failure behavior matches sequential code.
+  *
+  * If the caller-thread side `a` throws, the helper cancels `b`
+  * (thread interrupt — Spark's result-wait responds to it) and waits a
+  * bounded moment for the side thread to stop BEFORE rethrowing:
+  * callers run cleanup in their failure handlers (staging-dir deletes,
+  * lease release), and that cleanup must not race a still-running `b`
+  * writing into the directories being removed. The join is bounded so
+  * a side stuck in non-interruptible I/O cannot convert one failure
+  * into a hang; next-run healing covers that corner as it does for a
+  * crashed process. */
 private[graft] object Par {
 
   def two[A, B](a: => A, b: => B): (A, B) = {
@@ -26,7 +36,14 @@ private[graft] object Par {
     val t = new Thread(fb, "graft-par")
     t.setDaemon(true)
     t.start()
-    val ra = a // caller's thread does the first side
+    val ra =
+      try a // caller's thread does the first side
+      catch {
+        case e: Throwable =>
+          fb.cancel(true) // interrupt b; Spark action waits are interruptible
+          t.join(30000L) // bounded: don't trade a failure for a hang
+          throw e
+      }
     val rb =
       try fb.get()
       catch {

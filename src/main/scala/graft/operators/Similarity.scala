@@ -1285,7 +1285,13 @@ object Similarity {
     val nEst = (emb.queryExecution.optimizedPlan.stats.sizeInBytes
       .max(BigInt(256)) / 256).toLong
     val cap = math.max(4096L, samplesPerCenter.toLong * k)
-    val emb0 =
+    // the bounded training slice is read by EVERY pass below (seed,
+    // one cost pass + one candidate join per round, the final weigh
+    // pass) — materialize it once (≤ cap rows of model-sized state)
+    // instead of re-running the scan + hash filter per pass; plans
+    // downstream of the checkpoint also stop carrying the scan
+    // subtree, which trims per-pass planning
+    val emb0 = {
       if (nEst <= cap) emb.select(col("vec_id"), col("embedding"))
       else {
         val cut = BigInt(Long.MinValue) + (BigInt(2).pow(64) * cap / nEst)
@@ -1294,6 +1300,7 @@ object Similarity {
         emb.select(col("vec_id"), col("embedding"))
           .filter(xxhash64(col("vec_id")) < lit(cutL))
       }
+    }.localCheckpoint(true)
     // uniform in [0,1) from (vec_id, round) — the dsirResample hash
     def uni(round: Int) = conv(substring(md5(concat_ws("-",
       col("vec_id").cast("string"), lit(round.toString))), 1, 8), 16, 10)
@@ -1337,8 +1344,12 @@ object Similarity {
             .filter(uni(r) < lit(ell.toDouble) * col("cost") / lit(phi))
             .join(emb0, Seq("vec_id"))
             .select(col("vec_id"), col("embedding"))
-            .orderBy(col("vec_id")) // deterministic candidate order
             .collect()
+            // deterministic candidate order, sorted DRIVER-side: the
+            // collected set is ≤ ℓ rows of model state, and an engine
+            // orderBy here would add a range-partitioner sampling job
+            // per round for the same total order (vec_id is unique)
+            .sortBy(_.getLong(0))
             .map(_.getSeq[Float](1).toArray).toSeq
         centers ++= fresh
       }
@@ -1998,7 +2009,7 @@ object Similarity {
     * free once the cell is a partition column (plan-asserted in
     * `SimilaritySpec`). */
   def writeIvfIndex(s: SparkSession, dir: String, indexPath: String,
-      cells: Int = 16): Unit = {
+      cells: Int = 16): Array[(Long, Array[Float])] = {
     val emb = t(s, dir, "embeddings")
     val cents = ivfCentroids(emb, cells)
     import s.implicits._
@@ -2014,7 +2025,11 @@ object Similarity {
       cents.toSeq.toDF("cent_id", "centroid")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$indexPath/centroids"))
-    ()
+    // the just-collected model, so build-then-probe harnesses need not
+    // re-read the one-file centroid table they just wrote (float→double
+    // widening downstream is exact — identical to reading the floats
+    // back and casting)
+    cents
   }
 
   /** Probe the materialized index: rank the stored centroids against the
@@ -2064,15 +2079,25 @@ object Similarity {
     * semantics are EXACTLY [[ivfProbeIndexed]]'s: per query, top-k by
     * (cos_sim desc, vec_id) — the per-q_id window rank equals
     * orderBy + limit, and the rank is WindowGroupLimit-prunable
-    * (bounded k per bounded query set). */
+    * (bounded k per bounded query set).
+    *
+    * `model`: optionally the PRE-COLLECTED centroid table — the
+    * streaming static-side / frozen-PQ-model discipline: a lifecycle
+    * gate that just TRAINED and WROTE the centroids passes them
+    * through instead of re-reading its own write (one fewer
+    * read+collect job; the stored table is the same doubles, so every
+    * probed row is identical). `None` keeps the stored-metadata read
+    * for independent probe sessions. */
   def ivfProbeIndexedMulti(s: SparkSession, indexPath: String,
       queries: Seq[(Long, Array[Float])], k: Int = 10,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      model: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     graft.store.IndexCommit.recoverForRead(s, s"$indexPath/vectors")
-    val cents = s.read.parquet(s"$indexPath/centroids")
-      .select(col("cent_id"), col("centroid").cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cents = model.getOrElse(
+      s.read.parquet(s"$indexPath/centroids")
+        .select(col("cent_id"), col("centroid").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)))
     multiProbeOn(s.read.parquet(s"$indexPath/vectors"), cents,
       queries, k, nProbe)
   }
@@ -2144,12 +2169,17 @@ object Similarity {
   def ivfProbeIndexedBatch(s: SparkSession, indexPath: String,
       queries: DataFrame, k: Int = 10, nProbe: Int = 4,
       excludeSelf: Boolean = false,
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Boolean = true,
+      model: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
+    // `model`: pre-collected centroids (the ivfProbeIndexedMulti
+    // discipline) — gates that trained and wrote the table skip
+    // re-reading their own write; values identical either way.
     graft.store.IndexCommit.recoverForRead(s, s"$indexPath/vectors")
-    val cents = s.read.parquet(s"$indexPath/centroids")
-      .select(col("cent_id"), col("centroid").cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cents = model.getOrElse(
+      s.read.parquet(s"$indexPath/centroids")
+        .select(col("cent_id"), col("centroid").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)))
     probeBatchOn(s.read.parquet(s"$indexPath/vectors"), cents, queries,
       k, nProbe, excludeSelf, broadcastProbes)
   }
@@ -2262,7 +2292,14 @@ object Similarity {
   def ivfIndexedPlanted(s: SparkSession, dir: String, n: Int = 5,
       k: Int = 10, nProbe: Int = 4): DataFrame = {
     val emb = plantedEmb(t(s, dir, "embeddings"), n)
-    val trained = collectCentroids(kmeansIterate(s, dir, 2), "cluster")
+    // the Lloyd-training collect chain and the probe-query collect are
+    // independent reads — overlap them (§2.6)
+    val (trained, queries) = Par.two(
+      collectCentroids(kmeansIterate(s, dir, 2), "cluster"),
+      emb.filter(col("vec_id") < n)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1))
     val scratch = scratchDir(s, "graft-ivf-")
     try {
       val indexPath = scratch.toString
@@ -2280,15 +2317,15 @@ object Similarity {
           .toDF("cent_id", "centroid")
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$indexPath/centroids"))
-      val queries = emb.filter(col("vec_id") < n)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1)
       // all probes in ONE job; self-filter + head replayed per query on
       // the collected (already rank-ordered) rows — identical semantics
-      // to the per-query ivfProbeIndexed loop it replaces
+      // to the per-query ivfProbeIndexed loop it replaces; the just-
+      // trained centroids ride through `model` (no re-read of our own
+      // one-file write)
       val probed = ivfProbeIndexedMulti(s, indexPath, queries.toSeq,
-        k, nProbe).collect()
+        k, nProbe,
+        model = Some(trained.map { case (c, v) => (c.toLong, v) }))
+        .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .groupBy(_._1)
       val rows = queries.map { case (qid, _) =>
@@ -2338,8 +2375,11 @@ object Similarity {
           .parquet(s"$indexPath/centroids"))
       val queries = emb.filter(col("vec_id") < n)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // the just-trained centroids ride through `model` (no re-read of
+      // our own one-file write); values identical
       val gate = ivfProbeIndexedBatch(s, indexPath, queries, k, nProbe,
-        excludeSelf = true)
+        excludeSelf = true,
+        model = Some(trained.map { case (c, v) => (c.toLong, v) }))
         .filter(col("rn") === 1)
         .select(col("q_id"), col("vec_id"), col("rn"),
           (col("cos_sim") >= 0.999999).as("is_exact"))
@@ -2583,11 +2623,15 @@ object Similarity {
         trained.toSeq.map { case (c, v) => (c.toLong, v.toSeq) }
           .toDF("cent_id", "centroid")
           .coalesce(1).write.mode("overwrite").parquet(s"$live/centroids"))
-      ivfCompact(s, s"$live/vectors", arriving, trained)
-      val queries = emb.filter(col("vec_id") < n)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1)
+      // the compaction commit and the probe-query collect touch
+      // disjoint state (store mutation vs source-table read) — overlap
+      // (§2.6)
+      val (_, queries) = Par.two(
+        ivfCompact(s, s"$live/vectors", arriving, trained),
+        emb.filter(col("vec_id") < n)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1))
       // one probe job per LANE (not per query) — semantics identical to
       // the per-query ivfProbeIndexed + self-filter loop
       def reduceTopk(df: DataFrame): Map[Long, Array[(Long, Double)]] =
@@ -2601,7 +2645,8 @@ object Similarity {
       // hive-partitioned vectors, partition-pruned probe
       val (liveTop, rebuildTop) = Par.two(
         reduceTopk(
-          ivfProbeIndexedMulti(s, live, queries.toSeq, k, nProbe)),
+          ivfProbeIndexedMulti(s, live, queries.toSeq, k, nProbe,
+            model = Some(trained.map { case (c, v) => (c.toLong, v) }))),
         reduceTopk(multiProbeOn(assignedAll,
           trained.map { case (c, v) => (c.toLong, v) },
           queries.toSeq, k, nProbe)))
@@ -2846,11 +2891,15 @@ object Similarity {
       // DEFAULT-protocol facades, no protocol argument: this gate IS
       // the library's default IVF lifecycle, oracle-checked
       buildIvfIndex(s, live, assignedAll.filter(!isArriving), trained)
-      maintainIvfIndex(s, live, arriving, trained)
-      val queries = emb.filter(col("vec_id") < n)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1)
+      // the maintenance commit and the probe-query collect touch
+      // disjoint state (store mutation vs source-table read) — overlap
+      // (§2.6)
+      val (_, queries) = Par.two(
+        maintainIvfIndex(s, live, arriving, trained),
+        emb.filter(col("vec_id") < n)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1))
       val centsL = trained.map { case (c, v) => (c.toLong, v) }
       def reduceTopk(df: DataFrame): Map[Long, Array[(Long, Double)]] =
         df.collect()

@@ -725,6 +725,11 @@ object TextAnalysis {
     // the final action re-ran the whole unigram-LM scoring pass (one
     // full tokenize + model join per bench rep). 16 bytes/doc
     // materialized once, read three times; GC-managed lifetime.
+    // Caveat (multi-executor): localCheckpoint blocks are freed on GC
+    // and are NOT recomputable on executor loss — on a real cluster a
+    // long-lived returned plan should prefer reliable checkpoint or a
+    // persist tied to the consuming action (searchEval/semDedup share
+    // this trade-off; acceptable for the local bench by design).
     val lp = unigramLogProb(s, dir)
       .select(col("doc_id"), col("mean_logprob"))
       .localCheckpoint(true)

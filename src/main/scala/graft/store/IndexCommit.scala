@@ -156,8 +156,13 @@ object IndexCommit {
 
   /** Lease on the per-index writer lock. Must out-live the longest gap
     * between lease touches — [[begin]], each [[Txn.heartbeat]], and
-    * [[commit]] all refresh it, so the gap is one staged Spark write,
-    * not the whole maintenance run. `var` as a test seam. */
+    * [[commit]] all refresh it, so the gap is one staged Spark write.
+    * NOTE: writers that overlap a pair of staged writes (Par.two in
+    * `maintainLshIndex` and friends) heartbeat AFTER the pair, so the
+    * gap there is max(postings, vectors) rather than one write — the
+    * lease term must exceed the longest single overlapped write-pair
+    * side; `commit` re-verifies ownership before the atomic publish
+    * either way. `var` as a test seam. */
   private[graft] var WriterLeaseMs: Long = 15 * 60 * 1000L
 
   /** Bound on waiting for a concurrent maintenance run to release the

@@ -172,17 +172,21 @@ object PartitionedStore {
     try {
       val docs = graft.Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
-      val d0 = docs.agg(count(lit(1)), min(col("source"))).head()
-      val (nDocs, target) = (d0.getLong(0), d0.getString(1))
       val store = s"$scratch/store"
-      graft.plans.Writers.byKeys(docs, col("source")).write.mode("overwrite")
-        .partitionBy("source").parquet(store)
+      // the store write and the (count, min-source) probe are
+      // independent reads of the source table — overlap (guide §2.6)
+      val (d0, _) = graft.operators.Par.two(
+        docs.agg(count(lit(1)), min(col("source"))).head(),
+        graft.plans.Writers.byKeys(docs, col("source")).write
+          .mode("overwrite").partitionBy("source").parquet(store))
+      val (nDocs, target) = (d0.getLong(0), d0.getString(1))
       val tomb = docs
         .filter(col("source") === target && col("doc_id") % 17 === 0)
         .select(col("doc_id"))
-      val nTomb = tomb.count()
       val before = s.read.parquet(store)
-      val nBefore = before.count()
+      // tombstone count (source table) and store row count — overlap
+      val (nTomb, nBefore) = graft.operators.Par.two(
+        tomb.count(), before.count())
       val inv0 = fileInventory(s, store)
       // the expected survivor set, derived from the SOURCE table so its
       // lineage is immune to the store rewrite below
@@ -212,11 +216,18 @@ object PartitionedStore {
         .forall(k => inv1.get(k).contains(inv0(k)))
       // one pass over the purged store: total rows + surviving
       // tombstones (the tombstone set is predicate-defined, so the
-      // membership test needs no join)
-      val a = after.agg(
-        count(lit(1)).as("n"),
-        sum(when(col("source") === target && col("doc_id") % 17 === 0,
-          1L).otherwise(0L)).as("ghosts")).head()
+      // membership test needs no join); the multiset-difference probe
+      // is an independent read of the same purged store — overlap
+      // (guide §2.6; the old `nAfter == …` shortcut only skipped the
+      // diff on an already-failed gate, so running it unconditionally
+      // changes no value)
+      val (a, nDiff) = graft.operators.Par.two(
+        after.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("source") === target && col("doc_id") % 17 === 0,
+            1L).otherwise(0L)).as("ghosts")).head(),
+        after.select(docs.columns.map(col).toSeq: _*)
+          .exceptAll(expected).count())
       val (nAfter, ghosts) = (a.getLong(0), a.getLong(1))
       import s.implicits._
       Seq((nBefore == nDocs && inv0.size >= 2 && nTomb > 0,
@@ -226,9 +237,7 @@ object PartitionedStore {
         inv1.get(s"source=$target") != inv0.get(s"source=$target"),
         // equal cardinality + empty one-way difference ⟹ equal multisets
         // (column order aligned: hive layout appends the partition col)
-        nAfter == nDocs - nTomb &&
-          after.select(docs.columns.map(col).toSeq: _*)
-            .exceptAll(expected).count() == 0L))
+        nAfter == nDocs - nTomb && nDiff == 0L))
         .toDF("layouts_written", "purged_absent", "rows_conserved",
           "untouched_files_stable", "touched_partition_rewritten",
           "survivors_intact")
@@ -263,14 +272,18 @@ object PartitionedStore {
     try {
       val ev = graft.Tables.load(s, dir, "events")
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-      val nEv = ev.count()
       val store = s"$scratch/store"
-      upsertDaily(ev, store, "ts")
+      // the store write and the source count are independent reads of
+      // the events table — overlap (guide §2.6)
+      val (nEv, _) = graft.operators.Par.two(
+        ev.count(), upsertDaily(ev, store, "ts"))
       val before = s.read.parquet(store)
-      val nBefore = before.count()
-      val days = before.select(col("date")).distinct()
-        .orderBy(col("date")).collect().map(_.getDate(0)) // bounded: one
-      // row per calendar day — partition metadata, not data
+      // row count and day list are independent reads of the store
+      val (nBefore, days) = graft.operators.Par.two(
+        before.count(),
+        before.select(col("date")).distinct()
+          .orderBy(col("date")).collect().map(_.getDate(0))) // bounded:
+      // one row per calendar day — partition metadata, not data
       val cutoff = days(days.length / 2)
       val keep = days.drop(days.length / 2).toSet
       val pre = before.filter(col("date") >= lit(cutoff))
@@ -283,17 +296,26 @@ object PartitionedStore {
       }
       val after = s.read.parquet(store)
       val inv1 = fileInventory(s, store)
-      val nAfter = after.count()
-      val nPre = pre.count()
+      // the four post-expiry probes (store count, source-side cutoff
+      // count, retained-slice count, multiset difference) are
+      // independent — overlap in pairs (guide §2.6; the old
+      // `nAfter == nPre` shortcut only skipped the diff on an
+      // already-failed gate, so running it unconditionally changes no
+      // value)
+      val ((nAfter, nCut), (nPre, nDiff)) = graft.operators.Par.two(
+        graft.operators.Par.two(
+          after.count(),
+          ev.filter(to_date(col("ts")) >= lit(cutoff)).count()),
+        graft.operators.Par.two(
+          pre.count(), after.exceptAll(pre).count()))
       import s.implicits._
       Seq((nBefore == nEv && inv0.size == days.length &&
           keep.size < days.length,
         inv1.keySet == keep.map(d => s"date=$d"),
         keep.forall(d => inv1.get(s"date=$d").contains(inv0(s"date=$d"))),
-        nAfter ==
-          ev.filter(to_date(col("ts")) >= lit(cutoff)).count(),
+        nAfter == nCut,
         // equal cardinality + empty one-way difference ⟹ equal multisets
-        nAfter == nPre && after.exceptAll(pre).count() == 0L))
+        nAfter == nPre && nDiff == 0L))
         .toDF("layouts_written", "expired_dirs_gone",
           "kept_files_untouched", "rows_match_cutoff",
           "slice_equals_retained")

@@ -137,21 +137,6 @@ object CorpusStream {
     val isBatch = col("doc_id") % 10 === 3
     val index = docs.filter(!isBatch).select(col("doc_id"), col("text"))
     val batchDir = HourlyStream.scratchDir("graft_neardup_drop_")
-    docs.filter(isBatch).select(col("doc_id"), col("text"))
-      .unionByName(index
-        .filter(col("doc_id") % 100 === 0 && col("doc_id") < 500)
-        .select((col("doc_id") + Dedup.PlantOffset).as("doc_id"),
-          col("text")))
-      // a DETERMINISTIC 2-file drop at every corpus scale: with
-      // maxFilesPerTrigger=1 the file count IS the micro-batch count,
-      // and an SF-dependent drop layout would change how many
-      // micro-batches the harness runs (the 10x rehearsal slice read
-      // back as 32 files -> 32 batches x fixed per-batch cost, drowning
-      // the work being measured). Two files keep the multi-batch lane
-      // exercised; batch sizing at deployment is a source option, not
-      // an operator property.
-      .coalesce(2)
-      .write.mode("overwrite").parquet(batchDir)
     // The static sides PERSIST across micro-batches — the harness analog
     // of the deployment shape the scaladoc promises (index bands and
     // shingles materialized in the warehouse, refreshed on compaction).
@@ -169,6 +154,27 @@ object CorpusStream {
       graft.functions.SketchExpressions
         .wordShingles(tokens(col("text"))).as("sh_i"))
       .persist()
+    // stage the drop AND pre-fill the static-side caches concurrently
+    // (guide §2.6): the stream cannot start before the drop lands, so
+    // filling the banding/shingle caches on the side thread moves that
+    // work off the first micro-batch's critical path for free
+    graft.operators.Par.two(
+      docs.filter(isBatch).select(col("doc_id"), col("text"))
+        .unionByName(index
+          .filter(col("doc_id") % 100 === 0 && col("doc_id") < 500)
+          .select((col("doc_id") + Dedup.PlantOffset).as("doc_id"),
+            col("text")))
+        // a DETERMINISTIC 2-file drop at every corpus scale: with
+        // maxFilesPerTrigger=1 the file count IS the micro-batch count,
+        // and an SF-dependent drop layout would change how many
+        // micro-batches the harness runs (the 10x rehearsal slice read
+        // back as 32 files -> 32 batches x fixed per-batch cost,
+        // drowning the work being measured). Two files keep the
+        // multi-batch lane exercised; batch sizing at deployment is a
+        // source option, not an operator property.
+        .coalesce(2)
+        .write.mode("overwrite").parquet(batchDir),
+      { iBands.count(); shI.count() })
     val whRoot = HourlyStream.scratchDir("graft_neardup_wh_")
     val warehouse = whRoot + "/keep"
     val ckpt = HourlyStream.scratchDir("graft_ckpt_")

@@ -120,20 +120,22 @@ object VectorStream {
       n: Int = 5, nProbe: Int = 4): DataFrame = {
     import graft.operators.Similarity
     val idxDir = HourlyStream.scratchDir("graft_annidx_")
-    Similarity.writeIvfIndex(s, srcDir, idxDir)
-    // static sides, planned/collected ONCE outside the trigger loop
-    val cents = s.read.parquet(s"$idxDir/centroids")
-      .select(col("cent_id"), col("centroid").cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val vectors = s.read.parquet(s"$idxDir/vectors")
     val probeDir = HourlyStream.scratchDir("graft_probeidx_drop_")
-    graft.Tables.load(s, srcDir, "embeddings")
-      .filter(col("vec_id") < n)
-      .select((col("vec_id") + Dedup.PlantOffset).as("q_id"),
-        col("embedding"))
-      .coalesce(2) // pinned drop-file count: 2 micro-batches at any SF
-      .write.mode("overwrite").parquet(probeDir)
+    // index build and probe-drop staging are disjoint outputs —
+    // overlap (guide §2.6); the build returns the centroid model it
+    // just collected and wrote, so the static side needs no re-read
+    // (float→double widening is exactly the stored-table cast)
+    val (centsF, _) = graft.operators.Par.two(
+      Similarity.writeIvfIndex(s, srcDir, idxDir),
+      graft.Tables.load(s, srcDir, "embeddings")
+        .filter(col("vec_id") < n)
+        .select((col("vec_id") + Dedup.PlantOffset).as("q_id"),
+          col("embedding"))
+        .coalesce(2) // pinned drop-file count: 2 micro-batches at any SF
+        .write.mode("overwrite").parquet(probeDir))
+    // static sides, planned/collected ONCE outside the trigger loop
+    val cents = centsF.map { case (cid, v) => (cid, v.map(_.toDouble)) }
+    val vectors = s.read.parquet(s"$idxDir/vectors")
     val whRoot = HourlyStream.scratchDir("graft_annidx_wh_")
     val warehouse = whRoot + "/top1"
     val ckpt = HourlyStream.scratchDir("graft_annidx_ckpt_")
@@ -211,21 +213,25 @@ object VectorStream {
     val arriving = emb.filter(isBatch).unionByName(
       emb.filter(col("vec_id") < n)
         .withColumn("vec_id", col("vec_id") + Dedup.PlantOffset))
-    // static side: frozen trained centroids, collected once
-    val trained = Similarity.collectCentroids(
-      Similarity.kmeansIterate(s, srcDir, 2), "cluster")
     val idxDir = HourlyStream.scratchDir("graft_ivfcs_idx_")
     val dropDir = HourlyStream.scratchDir("graft_ivfcs_drop_")
-    // base-index write and drop staging are disjoint outputs — overlap
-    // (guide §2.6)
-    graft.operators.Par.two(
-      emb.filter(!isBatch)
-        .select(col("vec_id"), col("embedding"),
-          Similarity.argmaxOver(trained).getField("cluster").as("cell"))
-        .transform(graft.plans.Writers.byKeysN(_, trained.length,
-          col("cell")))
-        .write.mode("overwrite").partitionBy("cell")
-        .option("compression", "zstd").parquet(s"$idxDir/vectors"),
+    // the whole static-side chain (Lloyd training collects + the
+    // base-index write it feeds) and the drop staging are independent
+    // — overlap the chain, not just the final write (guide §2.6)
+    val (trained, _) = graft.operators.Par.two(
+      {
+        // static side: frozen trained centroids, collected once
+        val tr = Similarity.collectCentroids(
+          Similarity.kmeansIterate(s, srcDir, 2), "cluster")
+        emb.filter(!isBatch)
+          .select(col("vec_id"), col("embedding"),
+            Similarity.argmaxOver(tr).getField("cluster").as("cell"))
+          .transform(graft.plans.Writers.byKeysN(_, tr.length,
+            col("cell")))
+          .write.mode("overwrite").partitionBy("cell")
+          .option("compression", "zstd").parquet(s"$idxDir/vectors")
+        tr
+      },
       arriving
         .coalesce(2) // pinned drop-file count: 2 micro-batches at any SF
         .write.mode("overwrite").parquet(dropDir))
@@ -306,18 +312,23 @@ object VectorStream {
     val arriving = emb.filter(isBatch).unionByName(
       emb.filter(col("vec_id") < n)
         .withColumn("vec_id", col("vec_id") + Dedup.PlantOffset))
-    // static side: frozen trained centroids, collected once
-    val trained = Similarity.collectCentroids(
-      Similarity.kmeansIterate(s, srcDir, 2), "cluster")
     val idxDir = HourlyStream.scratchDir("graft_ivfmfs_idx_")
     val dropDir = HourlyStream.scratchDir("graft_ivfmfs_drop_")
-    // store create and drop staging are disjoint outputs — overlap
-    graft.operators.Par.two(
-      ManifestStore.create(s, idxDir,
-        emb.filter(!isBatch)
-          .select(col("vec_id"), col("embedding"),
-            Similarity.argmaxOver(trained).getField("cluster").as("cell")),
-        "cell"),
+    // the whole static-side chain (Lloyd training collects + the store
+    // create it feeds) and the drop staging are independent — overlap
+    // the chain, not just the final write (guide §2.6)
+    val (trained, _) = graft.operators.Par.two(
+      {
+        // static side: frozen trained centroids, collected once
+        val tr = Similarity.collectCentroids(
+          Similarity.kmeansIterate(s, srcDir, 2), "cluster")
+        ManifestStore.create(s, idxDir,
+          emb.filter(!isBatch)
+            .select(col("vec_id"), col("embedding"),
+              Similarity.argmaxOver(tr).getField("cluster").as("cell")),
+          "cell")
+        tr
+      },
       arriving
         .coalesce(2) // pinned drop-file count: 2 micro-batches at any SF
         .write.mode("overwrite").parquet(dropDir))
@@ -394,16 +405,20 @@ object VectorStream {
     val arriving = emb.filter(isBatch).unionByName(
       emb.filter(col("vec_id") < n)
         .withColumn("vec_id", col("vec_id") + Dedup.PlantOffset))
-    // static side: frozen centroids + codebooks, collected once
-    val cents = Similarity.collectCentroids(
-      Similarity.labelCentroids(s, srcDir), "label")
-    val cb = Similarity.pqCodebooks(s, srcDir)
     val idxDir = HourlyStream.scratchDir("graft_pqmfs_idx_")
     val dropDir = HourlyStream.scratchDir("graft_pqmfs_drop_")
-    // index build and drop staging are disjoint outputs — overlap
-    graft.operators.Par.two(
-      Similarity.buildIvfPqIndex(s, emb.filter(!isBatch), cents, cb,
-        idxDir),
+    // the whole static-side chain (model collects + the index build
+    // they feed) and the drop staging are independent — overlap the
+    // chain, not just the final write (guide §2.6)
+    val ((cents, cb), _) = graft.operators.Par.two(
+      {
+        // static side: frozen centroids + codebooks, collected once
+        val c = Similarity.collectCentroids(
+          Similarity.labelCentroids(s, srcDir), "label")
+        val b = Similarity.pqCodebooks(s, srcDir)
+        Similarity.buildIvfPqIndex(s, emb.filter(!isBatch), c, b, idxDir)
+        (c, b)
+      },
       arriving
         .coalesce(2) // pinned drop-file count: 2 micro-batches at any SF
         .write.mode("overwrite").parquet(dropDir))
