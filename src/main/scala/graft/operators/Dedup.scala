@@ -678,12 +678,20 @@ object Dedup {
         posexplode(SketchExpressions.wordGramMd5s(col("w"), n))
           .as(Seq("p", "g")))
     val wg = Window.partitionBy(col("g")).orderBy(col("doc_id"), col("p"))
+    // the removal plan is materialized ONCE: both consumers below (the
+    // per-doc removal counts and the kept-sequence anti-join) otherwise
+    // re-run the gram-keyed shuffle + occurrence-rank window — the
+    // pipeline's one corpus-sized exchange — a second time. Removal
+    // positions are (doc_id, pos) longs bounded by the duplicated-span
+    // volume (the table a deployed scrub materializes anyway before
+    // rewriting shards).
     val covered = grams
       .withColumn("rn", row_number().over(wg))
       .filter(col("rn") > 1)
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (n - 1))).as("pos"))
       .distinct()
+      .localCheckpoint(true)
     val removed = covered.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_removed"))
     val kept = tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")

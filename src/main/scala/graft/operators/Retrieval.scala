@@ -285,8 +285,17 @@ object Retrieval {
       .groupBy(col("p.u").as("u"), col("p.v").as("v"))
       .agg(count(lit(1)).as("wgt"))
     val outW = edges.groupBy(col("u")).agg(sum(col("wgt")).as("wout"))
-    val norm = edges.join(broadcast(outW), Seq("u"))
+    // the edge graph and the vocabulary are STATIC across iterations but
+    // referenced by every round — without materialization each of the
+    // `iters` contrib joins (and the final rank) re-derives the whole
+    // tokenize + explode + aggregate subtree (26 corpus scans /
+    // 66 exchanges in the 4-iteration plan). Both tables are the
+    // vocab-bounded model state the scaladoc describes (the same size
+    // class as the per-iteration broadcast), so one materialization is
+    // the searchEval/pplBuckets discipline, not a corpus cache.
+    val norm = edges.join(broadcast(outW), Seq("u")).localCheckpoint(true)
     val vocabTerms = toks.select(explode(col("w")).as("term")).distinct()
+      .localCheckpoint(true)
     val init = vocabTerms.withColumn("rank", lit(1.0))
     val ranks = (1 to iters).foldLeft(init) { (r, _) =>
       val contrib = norm
