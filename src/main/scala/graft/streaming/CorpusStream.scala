@@ -353,22 +353,32 @@ object CorpusStream {
           .cast(org.apache.spark.sql.types.DecimalType(38, 6))
       // upstream: the three-commit CDC fixture
       ManifestStore.create(s, src, li, "l_returnflag")
-      ManifestStore.replacePartitions(s, src,
-        li.filter(col("l_returnflag") === "A")
-          .select(col("l_returnflag"),
-            (col("l_quantity") * 2).as("l_quantity")), "l_returnflag")
-      ManifestStore.commitTables(s, src)(Seq(ManifestStore.Upsert("t",
-        li.filter(col("l_returnflag") === "N"))))
-      // mart init: tally = the v1 snapshot aggregate; offset = 1
       import s.implicits._
-      val v1 = ManifestStore.readTable(s, src, "t", version = Some(1L))
-        .groupBy(col("l_returnflag"))
-        .agg(dec(col("l_quantity")).as("sum_q"),
-          count(lit(1)).as("n"))
-      ManifestStore.createTables(s, mart, Seq(
-        (TableDef("tally", "l_returnflag"), v1),
-        (TableDef("offsets", "consumer"),
-          Seq(("mart", 1L)).toDF("consumer", "applied"))))
+      // mart init reads ONLY the snapshot-isolated v1 (immutable
+      // segments — later upstream commits never touch v1's files) and
+      // writes a DIFFERENT store, so it overlaps upstream commits 2-3
+      // (guide §2.6); the consumer loop below still starts strictly
+      // after both sides
+      graft.operators.Par.two(
+        {
+          ManifestStore.replacePartitions(s, src,
+            li.filter(col("l_returnflag") === "A")
+              .select(col("l_returnflag"),
+                (col("l_quantity") * 2).as("l_quantity")), "l_returnflag")
+          ManifestStore.commitTables(s, src)(Seq(ManifestStore.Upsert("t",
+            li.filter(col("l_returnflag") === "N"))))
+        },
+        {
+          // mart init: tally = the v1 snapshot aggregate; offset = 1
+          val v1 = ManifestStore.readTable(s, src, "t", version = Some(1L))
+            .groupBy(col("l_returnflag"))
+            .agg(dec(col("l_quantity")).as("sum_q"),
+              count(lit(1)).as("n"))
+          ManifestStore.createTables(s, mart, Seq(
+            (TableDef("tally", "l_returnflag"), v1),
+            (TableDef("offsets", "consumer"),
+              Seq(("mart", 1L)).toDF("consumer", "applied"))))
+        })
       // the consumer: one upstream commit per application, offset
       // guard-read and both Replaces inside ONE atomic mart commit
       def applyVersion(v: Long): Unit =
